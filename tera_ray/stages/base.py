@@ -1,0 +1,144 @@
+"""Helpers for building triple batches with vectorized Arrow kernels.
+
+The reference emits triples with a per-row Python closure
+(``tera/DataAggregation.py:90-97``); here each "triple kind" an emitter
+can produce becomes ONE vectorized column expression over the whole
+batch, optionally masked — N input rows → k masked sub-tables of
+triples, concatenated.  No per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import TRIPLE_SCHEMA
+
+
+def cat(*parts) -> pa.Array:
+    """Element-wise string concat; str parts are broadcast scalars."""
+    n = None
+    for p in parts:
+        if not isinstance(p, str):
+            n = len(p)
+            break
+    assert n is not None, "cat() needs at least one array part"
+    arrs = []
+    for p in parts:
+        if isinstance(p, str):
+            arrs.append(pa.array([p] * n, type=pa.string()))
+        else:
+            arr = p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+            if not pa.types.is_string(arr.type):
+                arr = arr.cast(pa.string())
+            arrs.append(arr)
+    return pc.binary_join_element_wise(*arrs, "")
+
+
+def _as_array(x, n: int) -> pa.Array:
+    if isinstance(x, str):
+        return pa.array([x] * n, type=pa.string())
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    if not pa.types.is_string(x.type):
+        x = x.cast(pa.string())
+    return x
+
+
+def triples(subj, pred, obj, literal: bool, graph: str, mask=None) -> pa.Table:
+    """One triple kind: aligned subj/pred/obj (array or broadcast str).
+
+    ``mask`` (bool array) selects which input rows emit this kind.
+    Rows where subj/pred/obj is null are dropped (reference loaders
+    never emit null terms — nulls were dropped or gated per row).
+    """
+    n = None
+    for x in (subj, pred, obj, mask):
+        if x is not None and not isinstance(x, str):
+            n = len(x)
+            break
+    assert n is not None, "triples() needs at least one array among terms/mask"
+    s, p, o = _as_array(subj, n), _as_array(pred, n), _as_array(obj, n)
+    lit = pa.array([literal] * n, type=pa.bool_())
+    g = pa.array([graph] * n, type=pa.string())
+    t = pa.table(
+        {"subj": s, "pred": p, "obj": o, "obj_is_literal": lit, "graph": g},
+        schema=TRIPLE_SCHEMA,
+    )
+    keep = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(p)), pc.is_valid(o))
+    if mask is not None:
+        mask = pc.fill_null(mask, False)
+        keep = pc.and_(keep, mask)
+    return t.filter(keep)
+
+
+def concat_triples(parts: list[pa.Table]) -> pa.Table:
+    parts = [p for p in parts if p is not None and p.num_rows >= 0]
+    if not parts:
+        return TRIPLE_SCHEMA.empty_table()
+    return pa.concat_tables([p for p in parts], promote_options="none")
+
+
+def static_triples(items: list[tuple[str, str, str, bool]], graph: str) -> pa.Table:
+    """Constant axiom blocks (SURVEY M8) as a one-shot triple table."""
+    if not items:
+        return TRIPLE_SCHEMA.empty_table()
+    s, p, o, lit = zip(*items)
+    return pa.table(
+        {
+            "subj": pa.array(s, type=pa.string()),
+            "pred": pa.array(p, type=pa.string()),
+            "obj": pa.array(o, type=pa.string()),
+            "obj_is_literal": pa.array(lit, type=pa.bool_()),
+            "graph": pa.array([graph] * len(s), type=pa.string()),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def hash_column(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Array:
+    """Vectorized 64-bit row hash over ``keys`` (for hash-partitioned dedup)."""
+    import numpy as np
+
+    joined = pc.binary_join_element_wise(
+        *[t[k].combine_chunks().cast(pa.string()) for k in keys], "\x1f"
+    )
+    # xxhash-free environment: use pandas' C string hasher (stable per
+    # process set via hash_key) — deterministic across workers.
+    import pandas.core.util.hashing as ph
+
+    vals = joined.to_pandas()
+    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
+    return pa.array(h.astype(np.uint64), type=pa.uint64())
+
+
+def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
+    """In-memory exact dedup (within-batch combiner for A1)."""
+    if t.num_rows == 0:
+        return t
+    df = t.to_pandas(types_mapper=None)
+    df = df.drop_duplicates(subset=list(keys))
+    return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+
+def dedup_triples(ds, keys=("subj", "pred", "obj")):
+    """Exact triple dedup (SURVEY A1) — rdflib set semantics.
+
+    Two-phase: a per-batch local dedup (combiner; cuts shuffle volume),
+    then a hash-shuffle groupby on a 64-bit row hash with a per-group
+    exact drop-duplicates (collisions resolved by the real key columns).
+    """
+    import pandas as pd
+
+    def local(t: pa.Table) -> pa.Table:
+        t = dedup_table(t, keys)
+        return t.append_column("__h", hash_column(t, keys))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=list(keys)).drop(columns="__h")
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(per_group, batch_format="pandas")
+    )
