@@ -1,0 +1,312 @@
+"""Flagship pipeline: transcript Parquet → knowledge-graph triples.
+
+The graft's analog of the reference's aggregation build
+(``tera/tests.py:10-15`` → ``tera/DataAggregation.py``): instead of
+ECOTOX dump rows, the input is a multi-turn transcript table
+(``conv_id, turn_idx, role, text, tool, ts`` — BASELINE.json
+``input_hint``); triple emission mirrors the reference's test/result
+emitters (``DataAggregation.py:410-456``) driven by in-text mention
+detection against the same lexicons.
+
+Stage layout (all streaming, no driver materialization):
+
+- mention linking is a PURE ``map_batches`` over raw turn rows — no
+  shuffle; the lexicon is broadcast once via ``ray.put`` and pinned per
+  actor (``LinkerStage.__init__``).
+- turn-order facts (``precededBy``) are computed per-row from the dense
+  ``turn_idx`` — order-faithful without a shuffle.
+- conversation reconstruction (SURVEY K4) groups by ``conv_id`` and
+  sorts by ``turn_idx`` within the group; hot conversations are split
+  into turn-ranges (``range_size``) so one giant conversation cannot
+  serialize on a single worker (north rule: skew-aware repartitioning).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..schema import (
+    ECOTOX_NS,
+    RDF_TYPE,
+    RDF_VALUE,
+    TRIPLE_LINEAGE_SCHEMA,
+    UNIT_UNITS,
+)
+from ..stages.base import dedup_triples
+from ..state.lexicon import Lexicon, tokenize
+from ..units import unit_parser
+
+TRANSCRIPT_GRAPH = "transcripts"
+_NUM_RE = re.compile(r"^\d+(\.\d+)?([eE]-?\d+)?$")
+
+
+def turn_uri(ns: str, conv_id: str, turn_idx: int) -> str:
+    return f"{ns}turn/{conv_id}/{turn_idx}"
+
+
+class LinkerStage:
+    """Actor-pool mention linker (SURVEY T2/J4; north-rule actor stage).
+
+    ``__init__`` runs once per actor: fetches the broadcast lexicon from
+    the local object store and pins it.  ``__call__`` runs per Arrow
+    batch and emits lineage-tagged triples:
+
+    - ``turn rdf:type Turn``; ``conv hasTurn turn``;
+      ``turn precededBy prev-turn`` (for ``turn_idx > 0``)
+    - ``turn mentionsTaxon <taxon>`` / ``mentionsChemical <cas>`` per
+      linked mention (exact span hit or blocked-fuzzy fallback)
+    - per (endpoint, concentration[, effect]) co-mention: a result blank
+      node mirroring ``results_func`` (``tera/DataAggregation.py:436-456``)
+      with ``endpoint`` / ``effect`` edges and a concentration BNode
+      carrying ``rdf:value`` + parsed ``unit:units``.
+    """
+
+    def __init__(self, lexicon, ns: str = ECOTOX_NS, graph: str = TRANSCRIPT_GRAPH,
+                 fuzzy: bool = True):
+        if isinstance(lexicon, ray.ObjectRef):
+            lexicon = ray.get(lexicon)
+        assert isinstance(lexicon, Lexicon)
+        self.lex = lexicon
+        self.ns = ns
+        self.graph = graph
+        self.fuzzy = fuzzy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, graph = self.ns, self.graph
+        conv_ids = batch["conv_id"].to_pylist()
+        turn_idxs = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+
+        subj, pred, obj, lit, l_conv, l_turn = [], [], [], [], [], []
+
+        def emit(s, p, o, is_lit, cid, tix):
+            subj.append(s)
+            pred.append(p)
+            obj.append(o)
+            lit.append(is_lit)
+            l_conv.append(cid)
+            l_turn.append(tix)
+
+        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
+            t_uri = turn_uri(ns, cid, tix)
+            c_uri = ns + "conversation/" + cid
+            emit(t_uri, RDF_TYPE, ns + "Turn", False, cid, tix)
+            emit(c_uri, ns + "hasTurn", t_uri, False, cid, tix)
+            if tix > 0:
+                emit(t_uri, ns + "precededBy", turn_uri(ns, cid, tix - 1),
+                     False, cid, tix)
+            if not text:
+                continue
+            tokens = tokenize(text)
+            matches = self.lex.match_tokens(tokens, fuzzy=self.fuzzy)
+            endpoint = effect = None
+            for _, _, uri, kind in matches:
+                if kind == "species":
+                    emit(t_uri, ns + "mentionsTaxon", uri, False, cid, tix)
+                elif kind == "chemical":
+                    emit(t_uri, ns + "mentionsChemical", uri, False, cid, tix)
+                elif kind == "endpoint" and endpoint is None:
+                    endpoint = uri
+                elif kind == "effect" and effect is None:
+                    effect = uri
+            conc = self._find_concentration(tokens)
+            if endpoint is not None and conc is not None:
+                value, unit_name = conc
+                key = f"{cid}/{tix}"
+                r_b = "_:r|" + key
+                c_b = "_:c|" + key
+                emit(r_b, ns + "endpoint", endpoint, False, cid, tix)
+                if effect is not None:
+                    emit(r_b, ns + "effect", effect, False, cid, tix)
+                emit(c_b, RDF_VALUE, value, True, cid, tix)
+                if unit_name:
+                    emit(c_b, UNIT_UNITS,
+                         "http://qudt.org/vocab/unit#" + unit_name, False, cid, tix)
+                emit(r_b, ns + "concentration", c_b, False, cid, tix)
+                emit(t_uri, ns + "hasResult", r_b, False, cid, tix)
+
+        n = len(subj)
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj": pa.array(obj, pa.string()),
+                "obj_is_literal": pa.array(lit, pa.bool_()),
+                "graph": pa.array([graph] * n, pa.string()),
+                "conv_id": pa.array(l_conv, pa.string()),
+                "turn_idx": pa.array(l_turn, pa.int32()),
+            },
+            schema=TRIPLE_LINEAGE_SCHEMA,
+        )
+
+    def _find_concentration(self, tokens: list[str]):
+        """First (number, parseable-unit) token pair — the transcript
+        analog of the reference's digit-filtered concentration + parsed
+        unit (``DataAggregation.py:447-453``)."""
+        for i, tok in enumerate(tokens[:-1]):
+            if _NUM_RE.match(tok):
+                unit = unit_parser(tokens[i + 1])
+                if unit:
+                    return tok, unit
+        return None
+
+
+def with_lineage(ds):
+    """Lift plain 5-col triple batches to the lineage schema (null conv)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                **{c: t[c] for c in t.schema.names},
+                "conv_id": pa.nulls(n, pa.string()),
+                "turn_idx": pa.nulls(n, pa.int32()),
+            },
+            schema=TRIPLE_LINEAGE_SCHEMA,
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def link_transcripts(ds, lexicon_ref, ns: str = ECOTOX_NS, fuzzy: bool = True,
+                     concurrency: int | tuple | None = None, batch_size: int = 4096):
+    """Transcript Dataset → lineage-tagged triple Dataset (no shuffle)."""
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu))  # autoscaling actor pool
+    kwargs = {"concurrency": concurrency}
+    return ds.map_batches(
+        LinkerStage,
+        fn_constructor_kwargs={"lexicon": lexicon_ref, "ns": ns, "fuzzy": fuzzy},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def reconstruct_conversations(ds, range_size: int | None = None):
+    """K4: stable turn ordering.  ``groupby(conv_id).map_groups(sort by
+    (turn_idx, ts))``.  With ``range_size``, hot conversations are split
+    into contiguous turn ranges (group key ``conv_id, turn_idx//range``)
+    so the per-group batch stays bounded; ranges concatenate in order
+    under a subsequent ``sort(['conv_id','turn_idx'])``.
+    """
+
+    def sort_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        return t.take(idx)
+
+    if range_size:
+        def add_range(t: pa.Table) -> pa.Table:
+            rng = pc.divide(t["turn_idx"], range_size).cast(pa.int32())
+            return t.append_column("turn_range", rng)
+
+        def drop_range(t: pa.Table) -> pa.Table:
+            return t.drop_columns(["turn_range"])
+
+        return (
+            ds.map_batches(add_range, batch_format="pyarrow")
+            .groupby(["conv_id", "turn_range"])
+            .map_groups(sort_group, batch_format="pyarrow")
+            .map_batches(drop_range, batch_format="pyarrow")
+        )
+    return ds.groupby("conv_id").map_groups(sort_group, batch_format="pyarrow")
+
+
+def conversation_digests(ds):
+    """Per-conversation (n_turns, ordered text digest) for the per-turn
+    text-equality invariant: equal digests ⟺ every turn's text is intact
+    and in stable order.  Groups are sorted internally, so the digest is
+    permutation-invariant over input row order.
+    """
+    import hashlib
+
+    def digest(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(idx)
+        h = hashlib.sha1()
+        for txt in t["text"].to_pylist():
+            h.update((txt or "").encode("utf-8"))
+            h.update(b"\x1f")
+        return pa.table(
+            {
+                "conv_id": [t["conv_id"][0].as_py()],
+                "n_turns": pa.array([t.num_rows], pa.int64()),
+                "text_sha1": [h.hexdigest()],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(digest, batch_format="pyarrow")
+
+
+def build_lexicon(data_dir: str, endpoints=(), effects=()):
+    """Read the (small) lexicon tables driver-side and broadcast once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def rd(name):
+        p = os.path.join(data_dir, name + ".parquet")
+        return pq.read_table(p) if os.path.exists(p) else None
+
+    from ..sources import synthetic as syn
+    from ..state.lexicon import lexicon_from_tables
+
+    lex = lexicon_from_tables(
+        species=rd("species"),
+        synonyms=rd("species_synonyms"),
+        chemicals=rd("chemicals"),
+        endpoints=endpoints or syn.ENDPOINTS,
+        effects=effects or syn.EFFECTS,
+    )
+    return ray.put(lex)
+
+
+def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
+             concurrency=None, batch_size: int = 4096):
+    """End-to-end KG construction over a fixture directory: transcripts →
+    linked mention triples, unioned with the lexicon-table emitters and
+    static axioms, exact-deduped (SURVEY A1).  Returns a lazy Dataset.
+    """
+    import os
+
+    from ..stages import ecotox
+
+    lex_ref = build_lexicon(data_dir)
+    transcripts = ray.data.read_parquet(os.path.join(data_dir, "transcripts.parquet"))
+    triples = link_transcripts(
+        transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+    parts = [triples]
+    for name, fn in [
+        ("species", ecotox.emit_taxa),
+        ("species", ecotox.emit_ecotox_hierarchy),
+        ("species_synonyms", ecotox.emit_synonyms),
+        ("chemicals", ecotox.emit_chemicals),
+        ("tests", ecotox.emit_tests),
+        ("results", ecotox.emit_results),
+    ]:
+        path = os.path.join(data_dir, name + ".parquet")
+        if os.path.exists(path):
+            ds = ray.data.read_parquet(path).map_batches(fn, batch_format="pyarrow")
+            parts.append(with_lineage(ds))
+    axioms = ray.data.from_arrow(ecotox.ecotox_taxonomy_axioms())
+    parts.append(with_lineage(axioms))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    if dedup:
+        out = dedup_triples(out)
+    return out

@@ -113,12 +113,20 @@ def hash_column(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Array:
 
 
 def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
-    """In-memory exact dedup (within-batch combiner for A1)."""
+    """In-memory exact dedup keeping the first row per key (pure Arrow —
+    pandas round-trips would mangle nullable int32 lineage columns)."""
     if t.num_rows == 0:
         return t
-    df = t.to_pandas(types_mapper=None)
-    df = df.drop_duplicates(subset=list(keys))
-    return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+    import numpy as np
+
+    tt = t.append_column("__idx", pa.array(np.arange(t.num_rows), type=pa.int64()))
+    g = (
+        tt.select(list(keys) + ["__idx"])
+        .group_by(list(keys), use_threads=False)
+        .aggregate([("__idx", "min")])
+    )
+    first = pc.sort_indices(g["__idx_min"].combine_chunks())
+    return t.take(pc.take(g["__idx_min"].combine_chunks(), first))
 
 
 def dedup_triples(ds, keys=("subj", "pred", "obj")):
@@ -126,19 +134,18 @@ def dedup_triples(ds, keys=("subj", "pred", "obj")):
 
     Two-phase: a per-batch local dedup (combiner; cuts shuffle volume),
     then a hash-shuffle groupby on a 64-bit row hash with a per-group
-    exact drop-duplicates (collisions resolved by the real key columns).
+    exact first-per-key (collisions resolved by the real key columns).
     """
-    import pandas as pd
 
     def local(t: pa.Table) -> pa.Table:
         t = dedup_table(t, keys)
         return t.append_column("__h", hash_column(t, keys))
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=list(keys)).drop(columns="__h")
+    def per_group(t: pa.Table) -> pa.Table:
+        return dedup_table(t, keys).drop_columns(["__h"])
 
     return (
         ds.map_batches(local, batch_format="pyarrow")
         .groupby("__h")
-        .map_groups(per_group, batch_format="pandas")
+        .map_groups(per_group, batch_format="pyarrow")
     )

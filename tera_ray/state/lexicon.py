@@ -1,0 +1,192 @@
+"""Entity lexicons and the in-text mention linker (SURVEY T2).
+
+The reference aligns whole label fields (``tera/DataIntegration.py:293-329``);
+the transcript graft needs in-text mention detection against the same
+lexicons (latin/common/synonym species names from
+``tera/DataAggregation.py:509-527,700-704`` and chemical aliases from
+``:777-794``).  The lexicon is a token-span index — a hash trie keyed on
+the first token with full-span continuation lookups — built ONCE per
+linker actor in ``__init__`` (north rule: "dictionary/trie lexicons
+pinned per actor") and broadcast to workers via ``ray.put``.
+
+Misspelled mentions (no exact span hit) fall back to a blocked fuzzy
+lookup: candidates bucketed by (first-2-chars, token-count), scored with
+a banded Levenshtein (max distance 2) — the distributed analog of the
+reference's fuzzywuzzy ``extractOne`` (``DataIntegration.py:263-272``),
+but bounded by blocking instead of O(N×M).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+_WORD_SPLIT = re.compile(r"\s+")
+_STRIP_PUNCT = ".,;:()[]{}\"'!?"
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokens with surrounding punctuation stripped.
+
+    Keeps unit-internal characters (``mg/L``, ``12.3``, ``^2``) intact —
+    the same vocabulary ``unit_parser`` consumes (``tera/utils.py:52-99``).
+    """
+    out = []
+    for tok in _WORD_SPLIT.split(text):
+        tok = tok.strip(_STRIP_PUNCT)
+        if tok:
+            out.append(tok)
+    return out
+
+
+def normalize(span: str) -> str:
+    return span.lower()
+
+
+def levenshtein(a: str, b: str, maxd: int = 2) -> int:
+    """Banded Levenshtein distance, early-exit above ``maxd``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return maxd + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        best = j
+        bj = b[j - 1]
+        for i in range(1, la + 1):
+            c = prev[i - 1] + (a[i - 1] != bj)
+            c2 = min(prev[i] + 1, cur[i - 1] + 1)
+            cur[i] = c if c < c2 else c2
+            if cur[i] < best:
+                best = cur[i]
+        if best > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[la]
+
+
+@dataclass
+class Lexicon:
+    """Alias → entity-URI index over token spans.
+
+    ``spans``: first-token → {full normalized span → (entity_uri, kind)};
+    ``max_len``: longest alias token count (bounds span probing);
+    ``fuzzy_blocks``: (first-2-chars, n_tokens) → [(span, uri, kind)].
+    """
+
+    spans: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
+    max_len: int = 1
+    fuzzy_blocks: dict[tuple[str, int], list[tuple[str, str, str]]] = field(
+        default_factory=dict
+    )
+
+    def add(self, alias: str, uri: str, kind: str) -> None:
+        toks = tokenize(normalize(alias))
+        if not toks:
+            return
+        span = " ".join(toks)
+        self.spans.setdefault(toks[0], {}).setdefault(span, (uri, kind))
+        if len(toks) > self.max_len:
+            self.max_len = len(toks)
+
+    def build_fuzzy(self) -> None:
+        """Blocking index for misspelling fallback.  Block key =
+        (2-char prefix, token count); fixture misspellings mutate at
+        char position >= 2 (``sources/synthetic.py``), so the prefix
+        block retains recall — the blocking-recall assumption is tested
+        in tests/test_linker.py.
+        """
+        blocks: dict[tuple[str, int], list[tuple[str, str, str]]] = defaultdict(list)
+        for first, d in self.spans.items():
+            for span, (uri, kind) in d.items():
+                blocks[(span[:2], span.count(" ") + 1)].append((span, uri, kind))
+        self.fuzzy_blocks = dict(blocks)
+
+    # --- matching ---
+    def match_tokens(
+        self, tokens: list[str], fuzzy: bool = True
+    ) -> list[tuple[int, int, str, str]]:
+        """Longest-match scan: returns (start, n_tokens, uri, kind)."""
+        norm = [t.lower() for t in tokens]
+        out = []
+        i, n = 0, len(tokens)
+        while i < n:
+            first = norm[i]
+            d = self.spans.get(first)
+            hit = None
+            if d is not None:
+                for ln in range(min(self.max_len, n - i), 0, -1):
+                    span = " ".join(norm[i : i + ln])
+                    ent = d.get(span)
+                    if ent is not None:
+                        hit = (i, ln, ent[0], ent[1])
+                        break
+            if hit is None and fuzzy and tokens[i][:1].isupper() and len(first) >= 4:
+                hit = self._fuzzy_at(norm, i, n)
+            if hit is not None:
+                out.append(hit)
+                i += hit[1]
+            else:
+                i += 1
+        return out
+
+    def _fuzzy_at(self, norm: list[str], i: int, n: int):
+        best = None
+        for ln in range(min(self.max_len, n - i), 0, -1):
+            span = " ".join(norm[i : i + ln])
+            cands = self.fuzzy_blocks.get((span[:2], ln))
+            if not cands:
+                continue
+            for cspan, uri, kind in cands:
+                d = levenshtein(span, cspan, 2)
+                if d <= 2:
+                    key = (d, cspan, uri)  # deterministic best: min distance, lexical
+                    if best is None or key < best[0]:
+                        best = (key, (i, ln, uri, kind))
+        return best[1] if best else None
+
+
+def lexicon_from_tables(
+    species: pa.Table | None = None,
+    synonyms: pa.Table | None = None,
+    chemicals: pa.Table | None = None,
+    endpoints: list[str] = (),
+    effects: list[str] = (),
+    ns: str = "https://cfpub.epa.gov/ecotox/",
+) -> Lexicon:
+    """Build the mention lexicon from the same tables the label emitters
+    consume (``emit_taxa``/``emit_synonyms``/``emit_chemicals``), so the
+    linker and the KG agree on entity URIs.
+    """
+    lex = Lexicon()
+    if species is not None:
+        nums = species["species_number"].to_pylist()
+        for col, kind in [("latin_name", "species"), ("common_name", "species")]:
+            for num, alias in zip(nums, species[col].to_pylist()):
+                if alias:
+                    lex.add(alias, ns + "taxon/" + num, kind)
+    if synonyms is not None:
+        for num, alias in zip(
+            synonyms["species_number"].to_pylist(), synonyms["latin_name"].to_pylist()
+        ):
+            if alias:
+                lex.add(alias, ns + "taxon/" + num, "species")
+    if chemicals is not None:
+        for cas, names in zip(
+            chemicals["cas_number"].to_pylist(), chemicals["chemical_name"].to_pylist()
+        ):
+            if not names:
+                continue
+            for alias in names.split(", "):
+                lex.add(alias, ns + "cas/" + cas, "chemical")
+    for ep in endpoints:
+        lex.add(ep, ns + "endpoint/" + ep, "endpoint")
+    for ef in effects:
+        lex.add(ef, ns + "effect/" + ef, "effect")
+    lex.build_fuzzy()
+    return lex

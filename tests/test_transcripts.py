@@ -1,0 +1,184 @@
+"""Flagship transcript pipeline tests: lexicon/linker (SURVEY T2),
+conversation reconstruction (K4), end-to-end KG build."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from tera_ray.schema import ECOTOX_NS
+from tera_ray.state.lexicon import Lexicon, levenshtein, lexicon_from_tables, tokenize
+
+
+def make_lex():
+    lex = Lexicon()
+    lex.add("Danio rerio", "tax/1", "species")
+    lex.add("zebrafish", "tax/1", "species")
+    lex.add("Daphnia magna", "tax/2", "species")
+    lex.add("chlorpyrifos", "cas/9", "chemical")
+    lex.add("LC50", "ep/LC50", "endpoint")
+    lex.add("MOR", "ef/MOR", "effect")
+    lex.build_fuzzy()
+    return lex
+
+
+class TestLexicon:
+    def test_tokenize_strips_punct(self):
+        assert tokenize("Exposure of Danio rerio (MOR).") == [
+            "Exposure", "of", "Danio", "rerio", "MOR"]
+
+    def test_exact_and_longest_match(self):
+        lex = make_lex()
+        hits = lex.match_tokens(tokenize("Danio rerio and zebrafish with LC50"))
+        assert ("tax/1", "species") in {(u, k) for _, _, u, k in hits}
+        spans = [(s, n) for s, n, _, _ in hits]
+        assert (0, 2) in spans  # two-token latin name matched as one span
+
+    def test_fuzzy_misspelling(self):
+        lex = make_lex()
+        # adjacent-char swap at position >= 2, as the fixture generator does
+        hits = lex.match_tokens(tokenize("Exposure of Dapnhia magna today"))
+        assert any(u == "tax/2" for _, _, u, _ in hits)
+
+    def test_fuzzy_respects_threshold(self):
+        lex = make_lex()
+        hits = lex.match_tokens(tokenize("Exposure of Daxxxia magna today"))
+        assert not any(u == "tax/2" for _, _, u, _ in hits)
+
+    def test_levenshtein(self):
+        assert levenshtein("abc", "abc") == 0
+        assert levenshtein("abc", "acb") == 2
+        assert levenshtein("abcdef", "zzzzzz") == 3  # clamped at maxd+1
+        assert levenshtein("kitten", "sitting", maxd=3) == 3
+
+
+class TestLinkerStage:
+    def make_batch(self):
+        return pa.table({
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user", "assistant", "user"],
+            "text": [
+                "Exposure of Danio rerio to chlorpyrifos gave LC50 12.3 mg/L (MOR).",
+                "No relevant findings here.",
+                "We saw zebrafish near the site.",
+            ],
+            "tool": ["", "", ""],
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        })
+
+    def test_linker_emits_mentions_and_result(self):
+        from tera_ray.pipelines.transcripts import LinkerStage
+
+        out = LinkerStage(make_lex(), ns="ns/")(self.make_batch())
+        trip = {(r["subj"], r["pred"], r["obj"]) for r in out.to_pylist()}
+        t0 = "ns/turn/c1/0"
+        assert (t0, "ns/mentionsTaxon", "tax/1") in trip
+        assert (t0, "ns/mentionsChemical", "cas/9") in trip
+        assert ("_:r|c1/0", "ns/endpoint", "ep/LC50") in trip
+        assert ("_:r|c1/0", "ns/effect", "ef/MOR") in trip
+        assert ("_:c|c1/0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#value",
+                "12.3") in trip
+        assert ("_:c|c1/0", "http://qudt.org/vocab/unit#units",
+                "http://qudt.org/vocab/unit#MilligramPerLitre") in trip
+        assert ("_:r|c1/0", "ns/concentration", "_:c|c1/0") in trip
+        assert (t0, "ns/hasResult", "_:r|c1/0") in trip
+        # order facts per-row: turn 1 preceded by turn 0
+        assert ("ns/turn/c1/1", "ns/precededBy", t0) in trip
+        # lineage carried
+        row = out.to_pylist()[0]
+        assert row["conv_id"] == "c1" and row["turn_idx"] == 0
+
+    def test_mention_only_turn_has_no_result(self):
+        from tera_ray.pipelines.transcripts import LinkerStage
+
+        out = LinkerStage(make_lex(), ns="ns/")(self.make_batch())
+        preds_c2 = {r["pred"] for r in out.to_pylist() if r["conv_id"] == "c2"}
+        assert "ns/mentionsTaxon" in preds_c2
+        assert "ns/hasResult" not in preds_c2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReconstruction:
+    def test_per_turn_text_equality(self, fixtures_t1):
+        """North-rule invariant: per-turn text equality under stable turn
+        ordering — reconstructed conversations carry exactly the input
+        texts, in turn_idx order, despite shuffled input rows."""
+        import ray
+        from tera_ray.pipelines.transcripts import reconstruct_conversations
+
+        path = os.path.join(fixtures_t1, "transcripts.parquet")
+        ds = ray.data.read_parquet(path)
+        rec = reconstruct_conversations(ds).take_all()
+
+        raw = pq.read_table(path)
+        raw = raw.take(pc.sort_indices(
+            raw, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        expect = list(zip(raw["conv_id"].to_pylist(), raw["turn_idx"].to_pylist(),
+                          raw["text"].to_pylist()))
+        got = sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in rec)
+        assert got == sorted(expect)
+        # within each conversation the reconstruction is contiguous & ordered
+        by_conv = {}
+        for r in rec:
+            by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+        # map_groups yields each group as a sorted run
+        for conv, idxs in by_conv.items():
+            assert sorted(idxs) == list(range(len(idxs))), conv
+
+    def test_range_split_preserves_order(self, fixtures_t1):
+        import ray
+        from tera_ray.pipelines.transcripts import (
+            conversation_digests, reconstruct_conversations)
+
+        path = os.path.join(fixtures_t1, "transcripts.parquet")
+        ds = ray.data.read_parquet(path)
+        plain = conversation_digests(ds).take_all()
+        split = conversation_digests(
+            reconstruct_conversations(ds, range_size=8)).take_all()
+        key = lambda rows: sorted((r["conv_id"], r["n_turns"], r["text_sha1"])
+                                  for r in rows)
+        assert key(plain) == key(split)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBuildKG:
+    def test_build_kg_end_to_end(self, fixtures_t1):
+        from tera_ray.pipelines.transcripts import build_kg
+
+        kg = build_kg(fixtures_t1).materialize()
+        n = kg.count()
+        assert n > 1000
+        # dedup: exact (s,p,o) rows are unique
+        t = pa.concat_tables(
+            kg.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        keys = pc.binary_join_element_wise(
+            t["subj"].combine_chunks(), t["pred"].combine_chunks(),
+            t["obj"].combine_chunks(), "\x1f")
+        assert len(set(keys.to_pylist())) == t.num_rows
+
+    def test_linking_recall(self, fixtures_t1):
+        """≥0.95 of mention-bearing turns produce a linked taxon mention
+        (north-rule P/R band; fixture texts mark mention turns)."""
+        import ray
+        from tera_ray.pipelines.transcripts import build_lexicon, link_transcripts
+
+        path = os.path.join(fixtures_t1, "transcripts.parquet")
+        raw = pq.read_table(path)
+        bearing = {
+            (c, i)
+            for c, i, txt in zip(raw["conv_id"].to_pylist(),
+                                 raw["turn_idx"].to_pylist(),
+                                 raw["text"].to_pylist())
+            if txt.startswith("Exposure of ")
+        }
+        lex = build_lexicon(fixtures_t1)
+        out = link_transcripts(ray.data.read_parquet(path), lex).take_all()
+        linked = {(r["conv_id"], r["turn_idx"]) for r in out
+                  if r["pred"].endswith("mentionsTaxon")}
+        recall = len(bearing & linked) / len(bearing)
+        assert recall >= 0.95, recall
+        # precision: no taxon mentions on non-bearing turns
+        assert not (linked - bearing)
