@@ -129,23 +129,32 @@ def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
     return t.take(pc.take(g["__idx_min"].combine_chunks(), first))
 
 
-def dedup_triples(ds, keys=("subj", "pred", "obj")):
+def dedup_triples(ds, keys=("subj", "pred", "obj"), num_buckets: int = 512):
     """Exact triple dedup (SURVEY A1) — rdflib set semantics.
 
     Two-phase: a per-batch local dedup (combiner; cuts shuffle volume),
-    then a hash-shuffle groupby on a 64-bit row hash with a per-group
-    exact first-per-key (collisions resolved by the real key columns).
+    then a hash-shuffle on ``row_hash % num_buckets`` with a vectorized
+    per-bucket exact dedup on the real key columns.  Bucketing matters:
+    grouping on the raw hash would invoke the per-group fn once per
+    DISTINCT key (millions of 1-row Python calls); per-bucket it runs
+    ``num_buckets`` times over large Arrow tables.  Size ``num_buckets``
+    so (dataset size / num_buckets) fits a worker's heap.
     """
 
     def local(t: pa.Table) -> pa.Table:
         t = dedup_table(t, keys)
-        return t.append_column("__h", hash_column(t, keys))
+        h = hash_column(t, keys)
+        b = pc.cast(
+            pc.bit_wise_and(h, pa.scalar(num_buckets - 1, pa.uint64())), pa.int32()
+        )
+        return t.append_column("__b", b)
 
-    def per_group(t: pa.Table) -> pa.Table:
-        return dedup_table(t, keys).drop_columns(["__h"])
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return dedup_table(t, keys).drop_columns(["__b"])
 
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
     return (
         ds.map_batches(local, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

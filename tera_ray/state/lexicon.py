@@ -85,6 +85,9 @@ class Lexicon:
         default_factory=dict
     )
 
+    def __post_init__(self):
+        self._fuzzy_memo: dict[str, tuple[str, str] | None] = {}
+
     def add(self, alias: str, uri: str, kind: str) -> None:
         toks = tokenize(normalize(alias))
         if not toks:
@@ -137,18 +140,34 @@ class Lexicon:
 
     def _fuzzy_at(self, norm: list[str], i: int, n: int):
         best = None
+        memo = self._fuzzy_memo
         for ln in range(min(self.max_len, n - i), 0, -1):
             span = " ".join(norm[i : i + ln])
-            cands = self.fuzzy_blocks.get((span[:2], ln))
-            if not cands:
-                continue
-            for cspan, uri, kind in cands:
-                d = levenshtein(span, cspan, 2)
-                if d <= 2:
-                    key = (d, cspan, uri)  # deterministic best: min distance, lexical
-                    if best is None or key < best[0]:
-                        best = (key, (i, ln, uri, kind))
-        return best[1] if best else None
+            # memoize per-span outcomes: transcripts repeat surface forms
+            # constantly (both real aliases and common capitalized words),
+            # so the banded-Levenshtein block scan runs once per distinct
+            # span per actor, not once per occurrence.
+            if span in memo:
+                res = memo[span]
+            else:
+                res = None
+                cands = self.fuzzy_blocks.get((span[:2], ln))
+                if cands:
+                    bkey = None
+                    for cspan, uri, kind in cands:
+                        d = levenshtein(span, cspan, 2)
+                        if d <= 2:
+                            key = (d, cspan, uri)  # deterministic best
+                            if bkey is None or key < bkey:
+                                bkey, res = key, (uri, kind)
+                if len(memo) < 1_000_000:
+                    memo[span] = res
+            if res is not None:
+                hit = (i, ln, res[0], res[1])
+                if best is None:  # longest span wins (outer loop order)
+                    best = hit
+                    break
+        return best
 
 
 def lexicon_from_tables(
