@@ -1,0 +1,152 @@
+"""Fuzzy string / graph alignment (SURVEY J4, J5, A2).
+
+The reference's ``StringMatchingMapping`` / ``StringGraphMapping``
+(``tera/DataIntegration.py:261-329``) run an O(N×M) fuzzywuzzy
+``extractOne`` over whole label dictionaries.  Here the same semantics
+become a **blocked similarity join**: normalize → blocking key → one
+shuffle co-grouping both sides per block → vectorized-ish scoring within
+the block → distributed top-1 per source (A3).  Blocking bounds the
+candidate product; blocking recall has its own test (SURVEY §7.4).
+
+Scores are a 0-100 Levenshtein ratio (``100*(1 - dist/max_len)``) — the
+reference's fuzzywuzzy scale.  Its threshold quirk (0.95 on a 0-100
+scale, effectively pass-through, ``DataIntegration.py:270``) is
+parameterized away: callers pass a real 0-100 threshold.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import RDFS_LABEL
+from ..state.lexicon import levenshtein
+from ..state.mapping import best_per_src
+
+LABEL_PREDS_DEFAULT = (
+    RDFS_LABEL,
+    "https://cfpub.epa.gov/ecotox/latinName",
+    "https://cfpub.epa.gov/ecotox/commonName",
+    "https://cfpub.epa.gov/ecotox/synonym",
+)
+
+
+def label_bags(triples, label_preds=LABEL_PREDS_DEFAULT):
+    """A2: entity → its literal labels, as an (entity, label) Dataset
+    (the distributed ``graph_to_dict``, ``tera/utils.py:384-402``)."""
+    preds = list(label_preds)
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            t["obj_is_literal"].combine_chunks(),
+            pc.is_in(t["pred"].combine_chunks(), value_set=pa.array(preds)),
+        )
+        t = t.filter(mask)
+        return pa.table({"entity": t["subj"], "label": t["obj"]})
+
+    return triples.map_batches(pick, batch_format="pyarrow")
+
+
+def ratio(a: str, b: str) -> float:
+    """0-100 Levenshtein similarity ratio with banded early exit."""
+    if a == b:
+        return 100.0
+    ml = max(len(a), len(b))
+    if ml == 0:
+        return 100.0
+    maxd = ml  # full band: exact ratio
+    d = levenshtein(a, b, maxd)
+    return 100.0 * (1.0 - d / ml)
+
+
+def _normalize(col):
+    return pc.utf8_trim_whitespace(pc.utf8_lower(col))
+
+
+def _block_key(col, prefix_len: int):
+    return pc.utf8_slice_codeunits(col, 0, prefix_len)
+
+
+def blocked_fuzzy_align(
+    left,
+    right,
+    threshold: float = 90.0,
+    prefix_len: int = 3,
+    max_block: int = 2000,
+):
+    """J4: (entity,label) × (entity,label) → (src, dst, score) best match.
+
+    One shuffle: both sides tagged and unioned, grouped by the blocking
+    key (lowercased ``prefix_len``-char prefix).  Within a block, exact
+    matches short-circuit via a dict; leftovers score all-pairs with the
+    banded Levenshtein ratio.  Oversized blocks are truncated to
+    ``max_block`` per side (deterministically, sorted by label) — bound
+    the skew, never the common case.
+    """
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            lab = _normalize(t["label"])
+            return pa.table(
+                {
+                    "entity": t["entity"],
+                    "label": lab,
+                    "block": _block_key(lab, prefix_len),
+                    "side": pa.array([side] * t.num_rows, pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def score_block(t: pa.Table) -> pa.Table:
+        side = t["side"].combine_chunks()
+        lt = t.filter(pc.equal(side, 0))
+        rt = t.filter(pc.equal(side, 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+
+        def rows(tab):
+            pairs = sorted(zip(tab["label"].to_pylist(), tab["entity"].to_pylist()))
+            return pairs[:max_block]
+
+        lrows, rrows = rows(lt), rows(rt)
+        rindex: dict[str, list[str]] = {}
+        for lab, ent in rrows:
+            rindex.setdefault(lab, []).append(ent)
+        src, dst, score = [], [], []
+        for lab, ent in lrows:
+            exact = rindex.get(lab)
+            if exact:
+                for e2 in exact:
+                    src.append(ent)
+                    dst.append(e2)
+                    score.append(100.0)
+                continue
+            for lab2, ent2 in rrows:
+                s = ratio(lab, lab2)
+                if s >= threshold:
+                    src.append(ent)
+                    dst.append(ent2)
+                    score.append(s)
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string()),
+             "score": pa.array(score, pa.float64())}
+        )
+
+    cand = both.groupby("block").map_groups(score_block, batch_format="pyarrow")
+    return best_per_src(cand)
+
+
+def align_label_graphs(triples_a, triples_b, threshold: float = 90.0, **kw):
+    """J5: graph-to-graph alignment via label bags — the NCBI↔ECOTOX
+    species alignment pattern (``tera/DataIntegration.py:412-417``)."""
+    return blocked_fuzzy_align(
+        label_bags(triples_a), label_bags(triples_b), threshold=threshold, **kw
+    )

@@ -1,0 +1,183 @@
+"""Distributed union-find and triple canonicalization (SURVEY A6, M19).
+
+The reference applies pairwise ``replace`` once
+(``tera/DataObject.replace``, ``DataAggregation.py:64-88``); transitive
+alias clusters need connected components.  The north rule mandates a
+distributed union-find over groupby-aggregate shuffles keyed on
+normalized surface forms: here ``connected_components`` iterates
+hash-to-min rounds (neighbor-min propagation via hash join + vectorized
+``groupby().min()``) until a checksum fixpoint — O(component diameter)
+rounds; alias clusters are shallow (a↔b↔c chains), so this converges in
+2-4 rounds.  Canonical id = min member id (deterministic).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .mapping import DEFAULT_JOIN_PARTITIONS
+
+
+def _sym_edges(edges):
+    """(src,dst) → symmetric (node, nbr) with self-loops dropped."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().cast(pa.string())
+        dst = t["dst"].combine_chunks().cast(pa.string())
+        node = pa.concat_arrays([src, dst])
+        nbr = pa.concat_arrays([dst, src])
+        keep = pc.not_equal(node, nbr)
+        return pa.table({"node": node, "nbr": nbr}).filter(keep)
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
+def connected_components(
+    edges,
+    max_rounds: int = 16,
+    num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+):
+    """Edges ``(src, dst)`` → component table ``(node, comp)`` with
+    ``comp`` = min member id of the node's connected component.
+
+    Each round: every node proposes its current comp to its neighbors
+    (hash join on ``node``), then ``groupby(node).min()`` folds proposals
+    with the node's own comp.  Early-exit on an order-insensitive
+    checksum of ``(node, comp)`` — one cheap aggregate pass per round.
+    """
+    sym = _sym_edges(edges).materialize()
+
+    # comp0 = min(node, min neighbor) — first propagation round for free
+    comp = (
+        sym.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "comp": pc.min_element_wise(t["node"], t["nbr"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .min("comp")
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "comp": t["min(comp)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def checksum(ds) -> int:
+        def h(t: pa.Table) -> pa.Table:
+            from ..stages.base import hash_column
+
+            # mod 2^31 per batch so the cross-batch int64 sum cannot overflow
+            s = (pc.sum(hash_column(t, keys=("node", "comp"))).as_py() or 0) % (1 << 31)
+            return pa.table({"h": pa.array([s], pa.int64())})
+
+        return ds.map_batches(h, batch_format="pyarrow").sum("h")
+
+    prev_sum = checksum(comp)
+    for _ in range(max_rounds):
+        # propagate comp across edges: nbr receives node's comp
+        prop = sym.join(
+            comp, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"], "comp": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        comp = (
+            comp.union(prop)
+            .groupby("node")
+            .min("comp")
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "comp": t["min(comp)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = checksum(comp)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return comp
+
+
+def canonical_mapping(comp):
+    """Component table → rewrite mapping (node ≠ comp rows only)."""
+    return comp.filter(expr="node != comp").map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["node"],
+                "dst": t["comp"],
+                "score": pa.array([1.0] * t.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def rewrite_triples(
+    triples,
+    mapping,
+    broadcast: bool = True,
+    num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+):
+    """M19 join-based canonicalization: rewrite ``subj`` and (non-literal)
+    ``obj`` through ``mapping`` (src→dst), then the caller dedups (A1).
+
+    ``broadcast=True`` ships the mapping once via ``ray.put`` and
+    rewrites inside ``map_batches`` (the small-side path, SURVEY T1);
+    ``broadcast=False`` uses two shuffle hash joins with coalesce —
+    the 100 TB path when the mapping itself is huge.
+    """
+    if broadcast:
+        from .mapping import to_dict
+
+        m = to_dict(mapping) if not isinstance(mapping, dict) else mapping
+        ref = ray.put(m)
+
+        def rw(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            subj = t["subj"].combine_chunks().to_pandas()
+            obj = t["obj"].combine_chunks().to_pandas()
+            lit = t["obj_is_literal"].combine_chunks().to_pandas()
+            subj = subj.where(~subj.isin(d), subj.map(d))
+            repl = obj.map(d)
+            obj = obj.where(~(repl.notna() & ~lit), repl)
+            out = {c: t[c] for c in t.schema.names}
+            out["subj"] = pa.array(subj, pa.string())
+            out["obj"] = pa.array(obj, pa.string())
+            return pa.table(out)
+
+        return triples.map_batches(rw, batch_format="pyarrow")
+
+    m = mapping.map_batches(
+        lambda t: pa.table({"__mk": t["src"], "__mv": t["dst"]}),
+        batch_format="pyarrow",
+    )
+
+    def coalesce_col(t: pa.Table, col: str, gate=None) -> pa.Table:
+        new = t["__mv"].combine_chunks()
+        cur = t[col].combine_chunks()
+        val = pc.coalesce(new, cur)
+        if gate is not None:
+            val = pc.if_else(gate(t), val, cur)
+        out = {c: t[c] for c in t.schema.names if not c.startswith("__m")}
+        out[col] = val
+        return pa.table(out)
+
+    t1 = triples.join(
+        m, join_type="left_outer", num_partitions=num_partitions,
+        on=("subj",), right_on=("__mk",),
+    ).map_batches(lambda t: coalesce_col(t, "subj"), batch_format="pyarrow")
+    t2 = t1.join(
+        m, join_type="left_outer", num_partitions=num_partitions,
+        on=("obj",), right_on=("__mk",),
+    ).map_batches(
+        lambda t: coalesce_col(
+            t, "obj", gate=lambda x: pc.invert(x["obj_is_literal"].combine_chunks())
+        ),
+        batch_format="pyarrow",
+    )
+    return t2

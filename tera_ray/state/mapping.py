@@ -1,0 +1,145 @@
+"""Mapping tables: (src, dst, score) Datasets (SURVEY T1, J1, J6, A3).
+
+The reference holds alignments as driver dicts with a ``'no mapping'``
+sentinel and a *destructive* ``pop(0)`` per lookup
+(``tera/DataIntegration.py:45-86``); the engine's mapping is a Dataset
+(or small broadcast dict) of ``(src, dst, score)`` rows with nulls for
+misses and a deterministic best-by-(score desc, dst asc) instead of the
+destructive quirk (SURVEY §7.4 — documented, not reproduced).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+DEFAULT_JOIN_PARTITIONS = 32
+
+
+def _bucket(col, num_buckets: int) -> pa.Array:
+    import pandas.core.util.hashing as ph
+
+    vals = col.combine_chunks().to_pandas() if isinstance(col, pa.ChunkedArray) else col.to_pandas()
+    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
+    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
+
+
+def first_per_key(t: pa.Table, key: str, order: list[tuple[str, str]]) -> pa.Table:
+    """Vectorized top-1 per key: sort by (key, *order), keep first row of
+    each key run (A3 argmax with deterministic tie-break)."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + order)
+    t = t.take(idx)
+    k = t[key].combine_chunks()
+    if len(k) == 1:
+        return t
+    first = pa.concat_arrays(
+        [pa.array([True]), pc.not_equal(k.slice(1), k.slice(0, len(k) - 1))]
+    )
+    return t.filter(first)
+
+
+def best_per_src(ds, key: str = "src", num_buckets: int = 64):
+    """Distributed A3: hash-bucket by key, vectorized top-1 per bucket.
+
+    Keeps max score; ties break on lexically-smallest dst — the
+    deterministic replacement for the reference's order-dependent
+    ``extractOne`` + ``pop(0)`` (``DataIntegration.py:82,266-271``).
+    """
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return first_per_key(
+            t, key, [("score", "descending"), ("dst", "ascending")]
+        ).drop_columns(["__b"])
+
+    return (
+        ds.map_batches(add_b, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def threshold(ds, min_score: float):
+    """Score filter (SURVEY K3; ``DataIntegration.py:206-207,228-229``)."""
+    return ds.filter(expr=f"score >= {min_score!r}")
+
+
+def invert(ds):
+    """Reverse mapping (``DataIntegration.py:66-70``)."""
+
+    def flip(t: pa.Table) -> pa.Table:
+        cols = {"src": t["dst"], "dst": t["src"]}
+        for c in t.schema.names:
+            if c not in ("src", "dst"):
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(flip, batch_format="pyarrow")
+
+
+def compose(a, b, num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+    """Multi-hop id conversion (J1, ``tera/DataAccess.py:262-308``):
+    ``a: x→y`` ∘ ``b: y→z`` ⇒ ``x→z`` with combined (min) score."""
+    a2 = a.map_batches(
+        lambda t: pa.table({"src": t["src"], "mid": t["dst"], "score_a": t["score"]}),
+        batch_format="pyarrow",
+    )
+    b2 = b.map_batches(
+        lambda t: pa.table({"mid": t["src"], "dst": t["dst"], "score_b": t["score"]}),
+        batch_format="pyarrow",
+    )
+    j = a2.join(b2, join_type="inner", num_partitions=num_partitions, on=("mid",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "score": pc.min_element_wise(t["score_a"], t["score_b"]),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def to_dict(ds) -> dict[str, str]:
+    """Materialize a (small) best-mapping to a broadcastable dict."""
+    out = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            out.setdefault(s, d)
+    return out
+
+
+def apply_dict_column(
+    ds, mapping_ref, columns: list[str], only_when=None
+):
+    """Broadcast join: rewrite ``columns`` through a ``ray.put`` dict —
+    the small-side path of the M19/J1 rewrite (no shuffle; the dict is
+    fetched once per task from the local object store)."""
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        m = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+        out = {}
+        for name in t.schema.names:
+            col = t[name]
+            if name in columns:
+                s = col.combine_chunks().to_pandas()
+                repl = s.map(m)
+                keep = repl.notna()
+                if only_when is not None:
+                    gate = only_when(t)
+                    keep &= gate.to_pandas() if not isinstance(gate, np.ndarray) else gate
+                s = s.where(~keep, repl)
+                col = pa.array(s, type=pa.string())
+            out[name] = col
+        return pa.table(out)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
