@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (engine-first addition).
+
+Two paths:
+
+- :func:`brute_topk` — exact cosine top-k.  The query matrix is
+  normalized once and broadcast via ``ray.put``; every block computes a
+  numpy matmul against it and emits only its LOCAL top-k per query
+  (k rows/query/block), so the final ``groupby(query).map_groups`` merge
+  shuffles O(num_blocks · k · |Q|) rows — never the corpus.
+- :func:`ivf_topk` — IVF scale path: k-means-lite centroids (deterministic
+  seeded init + a few Lloyd rounds on a driver-side sample), each vector
+  assigned to its nearest centroid in one map pass; a query probes only
+  the ``nprobe`` nearest lists.  Same local-top-k merge shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..dedup.embed import _vecs
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteScorer:
+    """Actor-pool stage: per-block exact top-k against the broadcast,
+    pre-normalized query matrix (fetched once per actor)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.Q = q["Q"]                      # (|Q|, dim), normalized
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        v = _normalize(_vecs(batch, self.vec_col))
+        sims = self.Q @ v.T                  # (|Q|, rows)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = part.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(np.asarray(self.qids)[rows], pa.int64()),
+            self.id_col: pa.array(ids[cols], pa.int64()),
+            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+        })
+
+
+def _merge_topk(ds, k: int, id_col: str):
+    """Per-query global top-k from per-block local top-k rows, with a
+    deterministic (−cosine, id) tie-break."""
+
+    def top(t: pa.Table) -> pa.Table:
+        sims = t["cosine"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "query_id": t["query_id"].take(pa.array(order)),
+            id_col: pa.array(ids[order]),
+            "cosine": pa.array(sims[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return ds.groupby("query_id").map_groups(top, batch_format="pyarrow")
+
+
+def make_query_ref(qids: np.ndarray, Q: np.ndarray):
+    return ray.put({"qids": np.asarray(qids, np.int64),
+                    "Q": _normalize(np.asarray(Q, np.float32))})
+
+
+def brute_topk(ds, qids, Q, k: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding", concurrency=None):
+    ref = make_query_ref(qids, Q)
+    kwargs = dict(batch_format="pyarrow",
+                  concurrency=concurrency if concurrency is not None else (1, 8))
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        BruteScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "id_col": id_col, "vec_col": vec_col},
+        **kwargs)
+    return _merge_topk(local, k, id_col)
+
+
+# --- IVF -------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_centroids: int, rounds: int = 5,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized,
+    cosine ≙ dot).  Empty clusters re-seeded from the sample."""
+    rng = np.random.RandomState(seed)
+    s = _normalize(sample.astype(np.float32))
+    idx = rng.choice(len(s), size=min(n_centroids, len(s)), replace=False)
+    C = s[idx].copy()
+    for _ in range(rounds):
+        assign = (s @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = s[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                C[c] = s[rng.randint(len(s))]
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 10_000):
+    """Approximate top-k: score only vectors whose IVF list is among the
+    query's ``nprobe`` nearest centroids.  Probing all lists
+    (nprobe == n_centroids) recovers the exact brute-force result."""
+    sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], np.float32)
+    C = train_centroids(sample, n_centroids)
+    Qn = _normalize(np.asarray(Q, np.float32))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]      # (|Q|, nprobe)
+    # query → allowed lists, inverted to list → queries probing it
+    ref = ray.put({"C": C, "qids": np.asarray(qids, np.int64),
+                   "Q": Qn, "probe": probe, "k": k})
+
+    class IVFScorer:
+        def __init__(self, ref, id_col, vec_col):
+            st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.C, self.qids, self.Q, self.k = st["C"], st["qids"], st["Q"], st["k"]
+            # list id → row indices of queries probing it
+            self.by_list: dict[int, np.ndarray] = {}
+            for qi, lists in enumerate(st["probe"]):
+                for li in lists:
+                    self.by_list.setdefault(int(li), []).append(qi)
+            self.by_list = {li: np.asarray(v) for li, v in self.by_list.items()}
+            self.id_col, self.vec_col = id_col, vec_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            v = _normalize(_vecs(batch, self.vec_col))
+            assign = (v @ self.C.T).argmax(axis=1)
+            out_q, out_i, out_s = [], [], []
+            for li in np.unique(assign):
+                quers = self.by_list.get(int(li))
+                if quers is None:
+                    continue
+                mask = assign == li
+                sub, sub_ids = v[mask], ids[mask]
+                sims = self.Q[quers] @ sub.T
+                kk = min(self.k, sims.shape[1])
+                part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(sims.shape[0]), kk)
+                cols = part.reshape(-1)
+                out_q.append(self.qids[quers[rows]])
+                out_i.append(sub_ids[cols])
+                out_s.append(sims[rows, cols])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 self.id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                self.id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
+            })
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        IVFScorer, fn_constructor_kwargs={"ref": ref, "id_col": id_col,
+                                          "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk(local, k, id_col)

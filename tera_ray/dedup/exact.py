@@ -1,0 +1,59 @@
+"""Exact deduplication over arbitrary key columns.
+
+Generalizes the triple-dedup machinery (``stages/base.dedup_triples``,
+mirroring the reference's rdflib set semantics, ``tera/DataAggregation.py:32``)
+to any table: hash-partition on the key, keep the first row per key by a
+deterministic order column (min ``order_by`` wins — NOT arrival order,
+which is nondeterministic under parallel execution).
+
+Scale notes: the only shuffle is the ``groupby(bucket)`` — bucket count
+bounds per-task memory (dataset_bytes / num_buckets per task); a local
+per-batch combiner dedups before the shuffle, so shuffle volume is the
+distinct-key volume, not the raw input.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.base import hash_column
+
+
+def dedup_exact(ds, keys: list[str], order_by: str, num_buckets: int = 256):
+    """Keep exactly one row per distinct ``keys`` combination — the row
+    with the minimal ``order_by`` value (deterministic tie-break)."""
+    assert num_buckets & (num_buckets - 1) == 0, "power of 2"
+
+    def first_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import numpy as np
+
+        idx = pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in list(keys) + [order_by]])
+        t = t.take(idx)
+        # sorted by (keys, order_by) ⇒ the first row of each key run is
+        # the keeper; group starts found vectorized
+        cols = [t[k].combine_chunks().cast(pa.string()) for k in keys]
+        joined = pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 else cols[0]
+        v = joined.to_numpy(zero_copy_only=False)
+        starts = np.ones(len(v), dtype=bool)
+        starts[1:] = v[1:] != v[:-1]
+        return t.filter(pa.array(starts))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = first_per_key(t)
+        h = hash_column(t, keys)
+        b = pc.cast(pc.bit_wise_and(h, pa.scalar(num_buckets - 1, pa.uint64())),
+                    pa.int32())
+        return t.append_column("__b", b)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return first_per_key(t).drop_columns(["__b"])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

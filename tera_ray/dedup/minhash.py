@@ -1,0 +1,248 @@
+"""MinHash + LSH near-duplicate detection (engine-first addition).
+
+Pipeline shape (all streaming; one shuffle on the LSH band key):
+
+  documents ──map_batches(MinHashStage)──▶ (doc_id, sig[K])           no shuffle
+            ──flat_map bands──▶ (band_key, doc_id, sig)               no shuffle
+            ──groupby(band_key).map_groups(pairs)──▶ candidate pairs  SHUFFLE
+            ──dedup pairs──▶ verify exact n-gram Jaccard ──▶ edges
+            ──connected_components──▶ (doc_id, canonical doc_id)
+
+Signatures are K·8 bytes/doc (K=128 ⇒ 1 KB/doc) — the band shuffle moves
+signatures, never document text; verification re-reads only candidate
+texts via a broadcast-side lookup at small scale or a join at large
+scale.  Hot buckets (a band value shared by thousands of docs) are
+capped: a bucket with > ``max_bucket`` docs emits pairs only against the
+bucket's min-id doc (star pattern), which preserves connectivity for
+transitive clustering while bounding O(n²) blowup — documented
+partitioning assumption.
+
+MinHash math: universal hashing h_i(x) = (a_i·x + b_i) mod p over 64-bit
+token-n-gram hashes; deterministic seeds (no runtime RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..text.analysis import hash_tokens_batch
+
+_P = np.uint64((1 << 61) - 1)  # Mersenne prime
+
+
+def _perm_params(k: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(texts: pa.Array, n: int = 3):
+    """Per doc: set of hashed word n-grams (rolling combine of token
+    hashes).  Returns (offsets, flat uint64 shingle hashes)."""
+    offsets, tok_h = hash_tokens_batch(texts)
+    offsets = offsets.astype(np.int64)
+    n_docs = len(offsets) - 1
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        # rolling n-gram hash: sum of tok_h[i+j]*B^(n-1-j); vectorized by
+        # shifting the flat array n times
+        total = len(tok_h)
+        if total == 0:
+            return offsets, np.zeros(0, np.uint64), n_docs
+        sh = np.zeros(total, dtype=np.uint64)
+        for j in range(n):
+            shifted = np.zeros(total, dtype=np.uint64)
+            if total - j > 0:
+                shifted[: total - j] = tok_h[j:]
+            sh = sh * np.uint64(1) + shifted * (B ** np.uint64(n - 1 - j))
+    # valid shingle start positions: within-doc index <= len-n
+    seg_len = np.diff(offsets)
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], seg_len)
+    valid = within <= np.repeat(seg_len, seg_len) - n
+    # docs shorter than n tokens: fall back to whole-doc single shingle
+    short = seg_len < n
+    doc_of = np.repeat(np.arange(n_docs), seg_len)
+    keep = valid | (short[doc_of] & (within == 0))
+    sh_keep = sh[keep]
+    doc_keep = doc_of[keep]
+    new_counts = np.bincount(doc_keep, minlength=n_docs)
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+    return new_offsets, sh_keep, n_docs
+
+
+class MinHashStage:
+    """Actor-pool stage: per-batch MinHash signatures.  Permutation
+    params are built once per actor in ``__init__`` (SURVEY §7.2)."""
+
+    def __init__(self, num_perm: int = 128, ngram: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.a, self.b = _perm_params(num_perm)
+        self.k = num_perm
+        self.n = ngram
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        offsets, sh, n_docs = shingle_hashes(pc.fill_null(text, ""), self.n)
+        sigs = np.full((n_docs, self.k), np.iinfo(np.uint64).max, np.uint64)
+        with np.errstate(over="ignore"):
+            for d in range(n_docs):
+                seg = sh[offsets[d]: offsets[d + 1]]
+                if len(seg) == 0:
+                    sigs[d] = 0
+                    continue
+                # (k, |seg|) broadcast; mod Mersenne prime
+                hv = (self.a[:, None] * seg[None, :] + self.b[:, None]) % _P
+                sigs[d] = hv.min(axis=1)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.k)),
+        })
+
+
+def _band_flat(t: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.Table:
+    """signatures → one row per (doc, band): band bucket key = hash of the
+    band's rows."""
+    sig = t["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    n = len(sig)
+    vals = sig.values.to_numpy(zero_copy_only=False).reshape(n, -1)
+    ids = t[id_col].combine_chunks()
+    out_key, out_id = [], []
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            seg = vals[:, b * rows_per_band: (b + 1) * rows_per_band]
+            h = np.full(n, np.uint64(b + 1), np.uint64)
+            for c in range(seg.shape[1]):
+                h = h * np.uint64(1099511628211) + seg[:, c]
+            out_key.append(h)
+            out_id.append(ids)
+    return pa.table({
+        "band_key": pa.array(np.concatenate(out_key), pa.uint64()),
+        id_col: pa.concat_arrays([i for i in out_id]),
+    })
+
+
+def candidate_pairs(sig_ds, bands: int = 16, rows_per_band: int = 8,
+                    id_col: str = "doc_id", max_bucket: int = 256):
+    """LSH banding → candidate (a, b) pairs (a < b), deduplicated."""
+
+    def flat(t: pa.Table) -> pa.Table:
+        return _band_flat(t, bands, rows_per_band, id_col)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.unique(t[id_col].to_numpy(zero_copy_only=False))
+        m = len(ids)
+        if m < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        if m > max_bucket:
+            # hot bucket: star against min id — preserves connectivity
+            a = np.full(m - 1, ids[0])
+            b = ids[1:]
+        else:
+            iu = np.triu_indices(m, k=1)
+            a, b = ids[iu[0]], ids[iu[1]]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    from .exact import dedup_exact
+
+    cand = (
+        sig_ds.map_batches(flat, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return dedup_exact(cand.map_batches(
+        lambda t: t.append_column("__o", t["a"]), batch_format="pyarrow"),
+        keys=["a", "b"], order_by="__o").drop_columns(["__o"])
+
+
+def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict, ngram: int = 3,
+                   threshold: float = 0.8) -> pa.Table:
+    """Exact n-gram Jaccard over candidate pairs (small-side broadcast:
+    the candidate set after LSH is tiny relative to the corpus)."""
+    a_ids = pairs_tbl["a"].to_pylist()
+    b_ids = pairs_tbl["b"].to_pylist()
+    keep_a, keep_b, sims = [], [], []
+    cache: dict[int, set] = {}
+
+    def sh_set(i) -> set:
+        if i not in cache:
+            text = pa.array([texts_by_id.get(i, "")], pa.string())
+            off, sh, _ = shingle_hashes(text, ngram)
+            cache[i] = set(sh.tolist())
+        return cache[i]
+
+    for ai, bi in zip(a_ids, b_ids):
+        sa, sb = sh_set(ai), sh_set(bi)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            keep_a.append(ai)
+            keep_b.append(bi)
+            sims.append(j)
+    return pa.table({"a": pa.array(keep_a, pa.int64()),
+                     "b": pa.array(keep_b, pa.int64()),
+                     "jaccard": pa.array(sims, pa.float64())})
+
+
+def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_perm: int = 128, bands: int = 16, ngram: int = 3,
+                  threshold: float = 0.8, concurrency=None):
+    """documents → (doc_id, canonical_id) near-dup cluster mapping.
+
+    Docs with no near-dup map to themselves.  Verification joins
+    candidate texts via an inner broadcast (collect of CANDIDATE ids
+    only — bounded by LSH selectivity, not corpus size).
+    """
+    import ray
+
+    from ..state.linkage import canonical_mapping, connected_components
+
+    rows = rows_per_band(num_perm, bands)
+    kwargs = dict(batch_format="pyarrow",
+                  concurrency=concurrency if concurrency is not None else (1, 8))
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram,
+                               "id_col": id_col, "text_col": text_col},
+        **kwargs)
+    cand = candidate_pairs(sigs, bands=bands, rows_per_band=rows,
+                           id_col=id_col)
+    cand_tbl = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})])
+    need = set(cand_tbl["a"].to_pylist()) | set(cand_tbl["b"].to_pylist())
+    if need:
+        need_arr = pa.array(sorted(need), pa.int64())
+
+        def keep_cand(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=need_arr))
+
+        texts_by_id = {
+            r[id_col]: r[text_col]
+            for r in ds.select_columns([id_col, text_col])
+            .map_batches(keep_cand, batch_format="pyarrow").take_all()}
+    else:
+        texts_by_id = {}
+    edges_tbl = jaccard_verify(cand_tbl, texts_by_id, ngram, threshold)
+    edges = ray.data.from_arrow(pa.table({
+        "src": edges_tbl["a"].cast(pa.string()),
+        "dst": edges_tbl["b"].cast(pa.string())}))
+    comp = connected_components(edges)
+    return canonical_mapping(comp)
+
+
+def rows_per_band(num_perm: int, bands: int) -> int:
+    assert num_perm % bands == 0
+    return num_perm // bands

@@ -1,0 +1,126 @@
+"""SimHash near-duplicate detection (engine-first addition).
+
+64-bit SimHash over token hashes: each token hash votes ±1 on each of 64
+bit positions; the signature is the sign vector.  Near-dups differ in
+few bits (Hamming distance ≤ k).  Candidate generation uses the
+pigeonhole trick: split the 64 bits into ``k+1`` bands — any pair within
+Hamming distance k agrees exactly on ≥1 band — and groupby each band
+value (the single shuffle).  Per-bucket pairs are verified by exact
+Hamming distance on the full signature.
+
+Everything is numpy-vectorized; signatures are 8 bytes/doc so the
+shuffle is tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..text.analysis import hash_tokens_batch
+
+
+def simhash_batch(texts: pa.Array) -> np.ndarray:
+    """texts → uint64 simhash per doc (vectorized bit-vote)."""
+    offsets, tok_h = hash_tokens_batch(texts)
+    offsets = offsets.astype(np.int64)
+    n_docs = len(offsets) - 1
+    if len(tok_h) == 0:
+        return np.zeros(n_docs, np.uint64)
+    # bits matrix: (total_tokens, 64) in {0,1} → votes in {-1,+1}
+    bits = (tok_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.astype(np.int32) * 2 - 1
+    csum = np.vstack([np.zeros((1, 64), np.int64),
+                      np.cumsum(votes, axis=0, dtype=np.int64)])
+    seg = csum[offsets[1:]] - csum[offsets[:-1]]      # (n_docs, 64) vote sums
+    sig_bits = (seg > 0).astype(np.uint64)
+    return (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
+def simhash_stage(id_col: str = "doc_id", text_col: str = "text"):
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sig = simhash_batch(pc.fill_null(text, ""))
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(sig, pa.uint64())})
+    return fn
+
+
+def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(x.shape, np.int64)
+    while True:
+        nz = x != 0
+        if not nz.any():
+            break
+        cnt[nz] += 1
+        x = x & (x - np.uint64(1))
+    return cnt
+
+
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, max_bucket: int = 512):
+    """documents → (a, b, hamming) pairs with distance ≤ max_hamming."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    masks = []
+    for b in range(bands):
+        lo = b * width
+        hi = 64 if b == bands - 1 else lo + width
+        masks.append((lo, hi))
+
+    def flat(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks()
+        keys, out_ids, out_sig = [], [], []
+        for bi, (lo, hi) in enumerate(masks):
+            seg = (sig >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1))
+            keys.append(seg * np.uint64(len(masks)) + np.uint64(bi))
+            out_ids.append(ids)
+            out_sig.append(sig)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), pa.uint64()),
+            id_col: pa.concat_arrays(out_ids),
+            "simhash": pa.array(np.concatenate(out_sig), pa.uint64()),
+        })
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = t["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        uniq, first = np.unique(ids, return_index=True)
+        ids, sig = uniq, sig[first]
+        m = len(ids)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            a_i = np.zeros(m - 1, np.int64)
+            b_i = np.arange(1, m, dtype=np.int64)
+        else:
+            iu = np.triu_indices(m, k=1)
+            a_i, b_i = iu[0], iu[1]
+        d = _hamming(sig[a_i], sig[b_i])
+        keep = d <= max_hamming
+        return pa.table({"a": pa.array(ids[a_i[keep]], pa.int64()),
+                         "b": pa.array(ids[b_i[keep]], pa.int64()),
+                         "hamming": pa.array(d[keep], pa.int64())})
+
+    from .exact import dedup_exact
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        simhash_stage(id_col, text_col), batch_format="pyarrow")
+    cand = (sigs.map_batches(flat, batch_format="pyarrow")
+            .groupby("band_key")
+            .map_groups(pairs, batch_format="pyarrow"))
+    return dedup_exact(
+        cand.map_batches(lambda t: t.append_column("__o", t["a"]),
+                         batch_format="pyarrow"),
+        keys=["a", "b"], order_by="__o").drop_columns(["__o"])

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from .mapping import DEFAULT_JOIN_PARTITIONS
+from .mapping import join_partitions
 
 
 def _sym_edges(edges):
@@ -38,7 +38,7 @@ def _sym_edges(edges):
 def connected_components(
     edges,
     max_rounds: int = 16,
-    num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+    num_partitions: int | None = None,
 ):
     """Edges ``(src, dst)`` → component table ``(node, comp)`` with
     ``comp`` = min member id of the node's connected component.
@@ -48,6 +48,7 @@ def connected_components(
     with the node's own comp.  Early-exit on an order-insensitive
     checksum of ``(node, comp)`` — one cheap aggregate pass per round.
     """
+    num_partitions = join_partitions(num_partitions)
     sym = _sym_edges(edges).materialize()
 
     # comp0 = min(node, min neighbor) — first propagation round for free
@@ -121,7 +122,7 @@ def rewrite_triples(
     triples,
     mapping,
     broadcast: bool = True,
-    num_partitions: int = DEFAULT_JOIN_PARTITIONS,
+    num_partitions: int | None = None,
 ):
     """M19 join-based canonicalization: rewrite ``subj`` and (non-literal)
     ``obj`` through ``mapping`` (src→dst), then the caller dedups (A1).
@@ -131,6 +132,7 @@ def rewrite_triples(
     ``broadcast=False`` uses two shuffle hash joins with coalesce —
     the 100 TB path when the mapping itself is huge.
     """
+    num_partitions = join_partitions(num_partitions)
     if broadcast:
         from .mapping import to_dict
 

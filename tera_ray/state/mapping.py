@@ -19,6 +19,25 @@ import ray
 DEFAULT_JOIN_PARTITIONS = 32
 
 
+def join_partitions(requested: int | None = None) -> int:
+    """Join-partition count sized to the cluster.
+
+    Ray's hash-shuffle join schedules ``num_partitions`` aggregator
+    actors; requesting more partitions than schedulable CPUs deadlocks
+    the streaming executor on a small cluster (observed at 32 partitions
+    / 4 CPUs).  Default: one partition per CPU, capped at
+    ``DEFAULT_JOIN_PARTITIONS`` — callers with 100 TB inputs should pass
+    an explicit larger value on a correspondingly larger cluster.
+    """
+    if requested is not None:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(DEFAULT_JOIN_PARTITIONS, cpus))
+
+
 def _bucket(col, num_buckets: int) -> pa.Array:
     import pandas.core.util.hashing as ph
 
@@ -84,7 +103,7 @@ def invert(ds):
     return ds.map_batches(flip, batch_format="pyarrow")
 
 
-def compose(a, b, num_partitions: int = DEFAULT_JOIN_PARTITIONS):
+def compose(a, b, num_partitions: int | None = None):
     """Multi-hop id conversion (J1, ``tera/DataAccess.py:262-308``):
     ``a: x→y`` ∘ ``b: y→z`` ⇒ ``x→z`` with combined (min) score."""
     a2 = a.map_batches(
@@ -95,7 +114,8 @@ def compose(a, b, num_partitions: int = DEFAULT_JOIN_PARTITIONS):
         lambda t: pa.table({"mid": t["src"], "dst": t["dst"], "score_b": t["score"]}),
         batch_format="pyarrow",
     )
-    j = a2.join(b2, join_type="inner", num_partitions=num_partitions, on=("mid",))
+    j = a2.join(b2, join_type="inner",
+                num_partitions=join_partitions(num_partitions), on=("mid",))
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -1,0 +1,218 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+These are engine-first additions (not in the reference, which only does
+whole-field label matching — ``tera/DataIntegration.py:293-329``): the
+operations a 100 TB document-corpus pipeline needs before/next to KG
+construction.  All are pure ``map_batches`` transforms over zero-copy
+Arrow batches; everything vectorized via pyarrow.compute / numpy — no
+per-row Python in the hot path except where a C-backed kernel does the
+row loop for us.
+
+Stages
+------
+- :func:`token_stats` — whitespace + BPE-ish regex token counts.
+- :func:`quality_stats` — length / punctuation / stopword / alpha ratios
+  and a composite ``quality`` score in [0, 1].
+- :func:`langid` — character/stopword n-gram heuristic language ID.
+- :func:`fingerprint` — 64-bit rolling-hash document fingerprint over
+  normalized text (stable across runs and workers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: GPT-2 style contraction/word/number/punct split,
+# simplified to re2-compatible syntax (no lookahead).
+BPE_RE = r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+# Tiny per-language stopword profiles (public common-word lists); the
+# heuristic is hit-rate of each profile over the document's token set.
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+           "on", "with", "as", "was", "at", "by", "be", "this", "are", "or"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "ein", "eine",
+           "zu", "den", "nicht", "im", "auf", "für", "dem", "des", "sich"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "en", "que", "qui", "dans", "pour", "pas", "sur", "au", "avec"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "del",
+           "en", "que", "no", "por", "con", "para", "su", "al", "se", "lo"},
+}
+
+
+def _text_col(batch: pa.Table, column: str) -> pa.Array:
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def token_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``n_tokens_ws`` (whitespace tokens) and ``n_tokens_bpe``
+    (BPE-ish regex pieces) to the batch.  Both counts are computed with
+    Arrow C kernels (split + list_value_length), no Python loop."""
+    text = _text_col(batch, column)
+    # count of non-whitespace runs == whitespace-token count, exactly
+    # (and exactly mirrors SQL `len(regexp_extract_all(text, '\S+'))`)
+    ws = pc.count_substring_regex(text, r"\S+")
+    bpe = pc.count_substring_regex(text, BPE_RE)
+    return batch.append_column(
+        "n_tokens_ws", ws.cast(pa.int64())
+    ).append_column("n_tokens_bpe", bpe.cast(pa.int64()))
+
+
+def quality_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append quality signals + composite ``quality`` in [0,1].
+
+    Signals (all vectorized):
+      - ``n_chars``/``n_words``: length features
+      - ``alpha_ratio``: alphabetic chars / all chars
+      - ``punct_ratio``: punctuation chars / all chars
+      - ``stopword_ratio``: English-stopword tokens / tokens
+      - ``mean_word_len``
+    Composite ``quality`` mirrors common heuristic filters (Gopher/C4
+    style: prefer moderate length, low punct, some stopwords).
+    """
+    text = _text_col(batch, column)
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.float64())
+    n_punct = pc.count_substring_regex(
+        text, r"[!-/:-@\[-`{-~]").cast(pa.float64())
+    n_words = pc.count_substring_regex(text, r"\S+").cast(pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_words = pc.max_element_wise(n_words, pa.scalar(1.0))
+    alpha_ratio = pc.divide(n_alpha, safe_chars)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    # stopword hits: count of occurrences of any EN stopword as a word
+    sw_re = r"(?i)\b(" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+    n_sw = pc.count_substring_regex(text, sw_re).cast(pa.float64())
+    stopword_ratio = pc.min_element_wise(
+        pc.divide(n_sw, safe_words), pa.scalar(1.0))
+    mean_word_len = pc.divide(n_alpha, safe_words)
+
+    # Composite: product of clamped sub-scores.
+    def clamp01(x):
+        return pc.min_element_wise(
+            pc.max_element_wise(x, pa.scalar(0.0)), pa.scalar(1.0))
+
+    len_score = clamp01(pc.divide(n_chars, pa.scalar(200.0)))
+    punct_score = clamp01(pc.subtract(pa.scalar(1.0),
+                                      pc.multiply(punct_ratio, pa.scalar(3.0))))
+    sw_score = clamp01(pc.multiply(stopword_ratio, pa.scalar(4.0)))
+    quality = pc.multiply(pc.multiply(len_score, punct_score),
+                          pc.max_element_wise(sw_score, pa.scalar(0.1)))
+    out = batch
+    for name, col in [
+        ("alpha_ratio", alpha_ratio), ("punct_ratio", punct_ratio),
+        ("stopword_ratio", stopword_ratio), ("mean_word_len", mean_word_len),
+        ("quality", quality),
+    ]:
+        out = out.append_column(name, pc.round(col, ndigits=6))
+    return out
+
+
+def langid(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``lang_pred`` — argmax stopword-profile hit rate, with an
+    ``und`` fallback when nothing matches (or non-Latin script dominates,
+    detected via non-ASCII ratio → ``zh`` bucket for CJK).
+
+    One pass per language profile, each a single vectorized
+    ``count_substring_regex`` over the batch — O(|langs|) kernels total.
+    """
+    text = _text_col(batch, column)
+    n = len(text)
+    n_words = pc.max_element_wise(
+        pc.count_substring_regex(text, r"\S+").cast(pa.float64()),
+        pa.scalar(1.0))
+    scores = np.zeros((len(_STOPWORDS), n), dtype=np.float64)
+    langs = list(_STOPWORDS)
+    for i, lang in enumerate(langs):
+        sw_re = r"(?i)\b(" + "|".join(sorted(_STOPWORDS[lang])) + r")\b"
+        hits = pc.count_substring_regex(text, sw_re).cast(pa.float64())
+        scores[i] = pc.divide(hits, n_words).to_numpy(zero_copy_only=False)
+    best = scores.argmax(axis=0)
+    best_score = scores.max(axis=0)
+    # CJK detection: ratio of non-ASCII chars
+    n_chars = pc.max_element_wise(
+        pc.utf8_length(text).cast(pa.float64()), pa.scalar(1.0))
+    non_ascii = pc.count_substring_regex(text, r"[^\x00-\x7F]").cast(pa.float64())
+    cjk = (pc.divide(non_ascii, n_chars).to_numpy(zero_copy_only=False) > 0.3)
+    pred = np.array([langs[b] for b in best], dtype=object)
+    pred[best_score < 0.02] = "und"
+    pred[cjk] = "zh"
+    return batch.append_column("lang_pred", pa.array(pred, pa.string()))
+
+
+# --- rolling-hash fingerprint ------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)       # FNV prime as multiplier
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def _fnv1a_u64(strings: np.ndarray) -> np.ndarray:
+    """Vectorized-ish FNV-1a over an object array of strings.  The per-
+    string loop is unavoidable without a C hash; cost is amortized by
+    hashing distinct tokens once per batch (see fingerprint)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = _FP_OFFSET
+        for b in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def hash_tokens_batch(texts: pa.Array, lowercase: bool = True):
+    """texts → (list-offsets, flat uint64 token hashes).
+
+    Tokenization + distinct-token hashing: Arrow does the split; Python
+    hashes each *distinct* token once (documents repeat tokens heavily),
+    then an integer take maps back — keeps the Python loop off the hot
+    dimension.
+    """
+    if lowercase:
+        texts = pc.utf8_lower(texts)
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(texts), r"[^a-z0-9]+" if lowercase else r"\W+")
+    flat = toks.flatten()
+    offsets = toks.offsets if hasattr(toks, "offsets") else toks.combine_chunks().offsets
+    vals = flat.to_numpy(zero_copy_only=False).astype(object)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    hu = _fnv1a_u64(uniq)
+    return offsets.to_numpy(zero_copy_only=False), hu[inv]
+
+
+def fingerprint(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``fp64`` — order-sensitive rolling hash over token hashes
+    (Rabin-Karp style: ``h = h * B + tok_hash`` per token).  Identical
+    normalized token sequences ⇒ identical fingerprints; deterministic
+    across processes (no PYTHONHASHSEED dependence)."""
+    text = _text_col(batch, column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    offsets, tok_h = hash_tokens_batch(text)
+    offsets = offsets.astype(np.int64)
+    fp = np.zeros(batch.num_rows, dtype=np.uint64)
+    total = len(tok_h)
+    if total:
+        # h = Σ tok_h[i] · B^(L-1-i)  (mod 2^64) — equivalent to the
+        # rolling h = h·B + tok recurrence, but fully vectorized:
+        # weights via a precomputed power table, segment sums via a
+        # cumulative-sum difference (uint64 wraparound is exact mod 2^64).
+        seg_len = np.diff(offsets)
+        max_len = int(seg_len.max(initial=0))
+        with np.errstate(over="ignore"):
+            powB = np.empty(max_len + 1, dtype=np.uint64)
+            powB[0] = np.uint64(1)
+            for k in range(1, max_len + 1):      # O(max tokens/doc), tiny
+                powB[k] = powB[k - 1] * _FP_BASE
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                offsets[:-1], seg_len)
+            expo = np.repeat(seg_len, seg_len) - 1 - within
+            prod = tok_h * powB[expo]
+            csum = np.concatenate(
+                [np.zeros(1, np.uint64), np.cumsum(prod, dtype=np.uint64)])
+            fp = csum[offsets[1:]] - csum[offsets[:-1]]
+    return batch.append_column("fp64", pa.array(fp, pa.uint64()))

@@ -1,0 +1,166 @@
+"""Tests for training-data ops: text analysis, dedup family, ANN search."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _docs():
+    return pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog near the river bank today",
+            "the quick brown fox jumps over the lazy dog near the river bank tonight",
+            "completely different text about ray data pipelines and arrow batches here",
+            "another unrelated document discussing knowledge graph construction at scale",
+            "the quick brown fox jumps over the lazy dog near the river bank today",
+            "short one",
+        ],
+    })
+
+
+class TestTextAnalysis:
+    def test_token_counts(self):
+        from tera_ray.text.analysis import token_stats
+
+        t = pa.table({"text": ["a b  c", "", "  ", "one", "x,y z"]})
+        out = token_stats(t)
+        assert out["n_tokens_ws"].to_pylist() == [3, 0, 0, 1, 2]
+        # BPE-ish: "x,y z" → ' ?x' ',' 'y' ' z' = 4 pieces
+        assert out["n_tokens_bpe"].to_pylist()[4] == 4
+
+    def test_quality_bounds_and_signals(self):
+        from tera_ray.text.analysis import quality_stats
+
+        t = pa.table({"text": ["the cat is on the mat and it is fine " * 10,
+                               "!!! ??? ,,,", ""]})
+        out = quality_stats(t)
+        q = out["quality"].to_pylist()
+        assert all(0.0 <= x <= 1.0 for x in q)
+        assert q[0] > q[1]  # clean prose beats punctuation soup
+        assert out["punct_ratio"].to_pylist()[1] > 0.5
+        assert out["stopword_ratio"].to_pylist()[0] > 0.3
+
+    def test_langid(self):
+        from tera_ray.text.analysis import langid
+
+        t = pa.table({"text": [
+            "the cat and the dog are in the house that it was for",
+            "der hund und die katze ist nicht im haus für den",
+            "le chat et le chien est dans la maison pour les",
+            "el perro y el gato es una casa de los en que no",
+            "你好世界 这是一个测试 中文文本",
+            "zzz qqq xxx",
+        ]})
+        assert langid(t)["lang_pred"].to_pylist() == [
+            "en", "de", "fr", "es", "zh", "und"]
+
+    def test_fingerprint_stable_and_order_sensitive(self):
+        from tera_ray.text.analysis import fingerprint
+
+        t = pa.table({"text": ["alpha beta gamma", "Alpha  beta GAMMA",
+                               "gamma beta alpha", ""]})
+        fp = fingerprint(t)["fp64"].to_pylist()
+        assert fp[0] == fp[1]          # normalization: case/whitespace
+        assert fp[0] != fp[2]          # order-sensitive
+        # identical when computed again (cross-run determinism)
+        assert fingerprint(t)["fp64"].to_pylist() == fp
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_order(self, ray_session):
+        from tera_ray.dedup.exact import dedup_exact
+
+        ds = ray.data.from_arrow(_docs())
+        out = dedup_exact(ds, keys=["text"], order_by="doc_id").take_all()
+        assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 5]
+
+    def test_minhash_clusters_near_dups(self, ray_session):
+        from tera_ray.dedup.minhash import minhash_dedup
+
+        ds = ray.data.from_arrow(_docs())
+        m = {r["src"]: r["dst"] for r in minhash_dedup(ds, threshold=0.5).take_all()}
+        assert m == {"1": "0", "4": "0"}
+
+    def test_minhash_exact_dup_at_high_threshold(self, ray_session):
+        from tera_ray.dedup.minhash import minhash_dedup
+
+        ds = ray.data.from_arrow(_docs())
+        m = {r["src"]: r["dst"] for r in minhash_dedup(ds, threshold=0.99).take_all()}
+        assert m == {"4": "0"}  # only the byte-identical pair survives
+
+    def test_simhash_finds_exact_and_near(self, ray_session):
+        from tera_ray.dedup.simhash import simhash_pairs
+
+        ds = ray.data.from_arrow(_docs())
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in simhash_pairs(ds, max_hamming=10).take_all()}
+        assert pairs[(0, 4)] == 0       # identical docs: distance 0
+        assert (0, 1) in pairs          # near-dup within 10 bits
+        assert (0, 2) not in pairs      # unrelated text excluded
+
+    def test_embed_cosine_pairs(self, ray_session):
+        from tera_ray.dedup.embed import cosine_dup_pairs
+
+        rng = np.random.RandomState(0)
+        V = rng.standard_normal((50, 16)).astype(np.float32)
+        V[7] = V[3] + 0.01 * rng.standard_normal(16)
+        emb = pa.table({
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float32()), 16)})
+        out = cosine_dup_pairs(ray.data.from_arrow(emb), threshold=0.95).take_all()
+        assert [(r["a"], r["b"]) for r in out] == [(3, 7)]
+        assert out[0]["cosine"] > 0.99
+
+
+class TestANN:
+    @pytest.fixture()
+    def emb(self):
+        rng = np.random.RandomState(1)
+        V = rng.standard_normal((200, 32)).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float32()), 32)})
+        return V, t
+
+    def test_brute_matches_numpy_oracle(self, ray_session, emb):
+        from tera_ray.ann.search import brute_topk
+
+        V, t = emb
+        Q = V[[5, 17]]
+        res = brute_topk(ray.data.from_arrow(t).repartition(4),
+                         qids=[5, 17], Q=Q, k=5).take_all()
+        got = {}
+        for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        for qi, qid in [(0, 5), (1, 17)]:
+            sims = Vn @ Vn[[5, 17][qi]]
+            expect = list(np.lexsort((np.arange(len(sims)), -sims))[:5])
+            assert got[qid] == expect
+
+    def test_ivf_full_probe_equals_brute(self, ray_session, emb):
+        from tera_ray.ann.search import brute_topk, ivf_topk
+
+        V, t = emb
+        ds = ray.data.from_arrow(t)
+        b = brute_topk(ds, qids=[3], Q=V[[3]], k=8).take_all()
+        i = ivf_topk(ds, qids=[3], Q=V[[3]], k=8, n_centroids=16,
+                     nprobe=16).take_all()
+        key = lambda rows: [(r["vec_id"], r["rank"]) for r in
+                            sorted(rows, key=lambda r: r["rank"])]
+        assert key(b) == key(i)
+
+    def test_ivf_partial_probe_recall(self, ray_session, emb):
+        from tera_ray.ann.search import brute_topk, ivf_topk
+
+        V, t = emb
+        ds = ray.data.from_arrow(t)
+        b = {r["vec_id"] for r in brute_topk(ds, qids=[9], Q=V[[9]], k=10).take_all()}
+        i = {r["vec_id"] for r in ivf_topk(ds, qids=[9], Q=V[[9]], k=10,
+                                           n_centroids=16, nprobe=8).take_all()}
+        assert len(b & i) / len(b) >= 0.5  # partial probe keeps decent recall
