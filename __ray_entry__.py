@@ -1,44 +1,651 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship KG build; ``queries()`` — one entry per
+implemented operator (SURVEY.md §2 + training-data ops); ``oracle_sql()``
+— DuckDB parity SQL for every SQL-expressible query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Inputs: the driver's sf tables (``documents``, ``embeddings``,
+``events``, TPC-H-ish relations) for the training-data / relational
+operators, plus the deterministic synthetic transcript+lexicon fixtures
+(``tera_ray.sources.synthetic``, seed=42) for the KG pipelines — the
+transcript table shape comes from BASELINE.json ``input_hint`` and the
+driver's sf dirs don't carry one, so we synthesize it per the graft
+instructions.  Fixture-backed oracle SQL reads the fixture parquet via
+``read_parquet`` paths; fixtures are generated at import so both sides
+always see the same files.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tera_ray.schema import (
+    ECOTOX_NS,
+    NAN_VALUES,
+    RDF_TYPE,
+    RDF_VALUE,
+    RDFS_LABEL,
+    RDFS_SUBCLASSOF,
+)
+from tera_ray.sources.synthetic import fixture_dir
+from tera_ray.text.analysis import BPE_RE
+
+NS = ECOTOX_NS
+
+# sf dir → fixture scale (driver smoke = sf0.001, correctness = sf0.01)
+_FX_SCALE = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "t2"}
+
+# generated eagerly so oracle SQL (static strings with fixture paths)
+# and queries() always see the same files
+FX_T1 = fixture_dir("t1")
+FX_T2 = fixture_dir("t2")
+
+
+def _fx(sf_dir: str) -> str:
+    scale = _FX_SCALE.get(os.path.basename(os.path.normpath(sf_dir)), "t2")
+    return fixture_dir(scale)
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, name + ".parquet"), columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts, promote_options="permissive") if parts else None
+
+
+# --------------------------------------------------------------------------
+# entry: flagship pipeline at sf0.001
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG construction: sf0.001 ``documents`` re-shaped into the
+    ``input_hint`` transcript schema (conv_id=source, turn order by
+    doc_id) → actor-pool mention linking against the broadcast lexicon →
+    lineage-tagged triples → exact dedup (A1)."""
+    import ray
+    import ray.data
+
+    from tera_ray.pipelines.transcripts import build_lexicon, link_transcripts
+    from tera_ray.stages.base import dedup_triples
+
+    docs = _read("/root/testdata/sf0.001", "documents")
+
+    def to_transcript(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        base = pa.scalar(1_700_000_000_000_000, pa.int64())
+        return pa.table({
+            "conv_id": t["source"].combine_chunks().cast(pa.string()),
+            "turn_idx": t["doc_id"].combine_chunks().cast(pa.int32()),
+            "role": pa.array(["user", "assistant", "tool"] * (n // 3 + 1),
+                             pa.string())[:n],
+            "text": t["text"],
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pc.add(pc.multiply(t["doc_id"].combine_chunks().cast(pa.int64()),
+                                     pa.scalar(1_000_000, pa.int64())),
+                         base).cast(pa.timestamp("us")),
+        })
+
+    transcripts = docs.map_batches(to_transcript, batch_format="pyarrow")
+    lex_ref = build_lexicon(FX_T1)
+    triples = link_transcripts(transcripts, lex_ref, fuzzy=False,
+                               concurrency=(1, 4))
+    return dedup_triples(triples)
+
+
+# --------------------------------------------------------------------------
+# queries over the driver's sf tables
+# --------------------------------------------------------------------------
+
+def _q_docs_dedup_exact(sf_dir: str):
+    from tera_ray.dedup.exact import dedup_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_exact(ds, keys=["text"], order_by="doc_id")
+
+
+def _q_docs_token_stats(sf_dir: str):
+    from tera_ray.text.analysis import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens_ws", "n_tokens_bpe"]),
+        batch_format="pyarrow")
+
+
+def _q_docs_lang_counts(sf_dir: str):
+    from tera_ray.query.relational import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_agg(ds, ["lang"], [("lang", "count", "n"),
+                                      ("n_chars", "sum", "total_chars")])
+
+
+def _q_orders_top1(sf_dir: str):
+    from tera_ray.query.relational import top1_per_key
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return top1_per_key(ds, "o_custkey",
+                        [("o_totalprice", "descending"),
+                         ("o_orderkey", "ascending")])
+
+
+def _cents(price, disc=None):
+    x = price.combine_chunks() if isinstance(price, pa.ChunkedArray) else price
+    if disc is not None:
+        d = disc.combine_chunks() if isinstance(disc, pa.ChunkedArray) else disc
+        x = pc.multiply(x, pc.subtract(pa.scalar(1.0), d))
+    return pc.round(pc.multiply(x, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity").cast(pa.int64())
+
+
+def _q_revenue_by_segment(sf_dir: str):
+    from tera_ray.query.relational import grouped_agg
+    from tera_ray.state.mapping import join_partitions
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    npart = join_partitions()
+    j = li.join(orders, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, join_type="inner", num_partitions=npart,
+               on=("o_custkey",), right_on=("c_custkey",))
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+        })
+
+    return grouped_agg(j.map_batches(derive, batch_format="pyarrow"),
+                       ["c_mktsegment"],
+                       [("cents", "count", "n"),
+                        ("cents", "sum", "revenue_cents")])
+
+
+def _q_building_suppliers(sf_dir: str):
+    from tera_ray.query.relational import distinct_values
+    from tera_ray.state.mapping import join_partitions
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    npart = join_partitions()
+    j = orders.join(cust, join_type="inner", num_partitions=npart,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(j, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return distinct_values(j, "l_suppkey")
+
+
+def _q_pricing_summary(sf_dir: str):
+    from tera_ray.query.relational import grouped_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "base_cents": _cents(t["l_extendedprice"]),
+        })
+
+    return grouped_agg(li.map_batches(derive, batch_format="pyarrow"),
+                       ["l_returnflag", "l_linestatus"],
+                       [("l_quantity", "count", "n"),
+                        ("l_quantity", "sum", "sum_qty"),
+                        ("base_cents", "sum", "base_cents")])
+
+
+def _q_events_sessions(sf_dir: str):
+    from tera_ray.query.relational import ordered_group_concat
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+    return ordered_group_concat(
+        ev, "user_id",
+        [("ts", "ascending"), ("event_id", "ascending")],
+        "event_type", sep="|", out_names=("user_id", "n_events", "seq"))
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tera_ray.ann.search import brute_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    keep = pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64()))
+    qt = qt.filter(keep)
+    Q = np.asarray(qt["embedding"].to_pylist(), np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_topk(ds, qids=qt["vec_id"].to_pylist(), Q=Q, k=10,
+                     dtype=np.float64)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow")
+
+
+def _q_emb_cosine_dups(sf_dir: str):
+    from tera_ray.dedup.embed import cosine_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_dup_pairs(ds, threshold=0.5, bits=0, n_tables=1,
+                           max_bucket=1 << 20, dtype=np.float64)
+    return out.map_batches(lambda t: t.select(["a", "b"]),
+                           batch_format="pyarrow")
+
+
+# rows-only (non-SQL-expressible) over sf tables ---------------------------
+
+def _q_docs_quality(sf_dir: str):
+    from tera_ray.text.analysis import langid, quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(quality_stats, batch_format="pyarrow")
+            .map_batches(langid, batch_format="pyarrow")
+            .map_batches(lambda t: t.drop_columns(["text"]),
+                         batch_format="pyarrow"))
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from tera_ray.text.analysis import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "fp64"]), batch_format="pyarrow")
+
+
+def _q_docs_minhash(sf_dir: str):
+    from tera_ray.dedup.minhash import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.8)
+
+
+def _q_docs_simhash(sf_dir: str):
+    from tera_ray.dedup.simhash import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# KG queries over the synthetic transcript/lexicon fixtures
+# --------------------------------------------------------------------------
+
+def _kg_emit(sf_dir: str, table: str, fn):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(_fx(sf_dir), table + ".parquet"))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_kg_synonyms(sf_dir: str):
+    from tera_ray.stages.ecotox import emit_synonyms
+
+    return _kg_emit(sf_dir, "species_synonyms", emit_synonyms)
+
+
+def _q_kg_taxa(sf_dir: str):
+    from tera_ray.stages.ecotox import emit_taxa
+
+    return _kg_emit(sf_dir, "species", emit_taxa)
+
+
+def _q_kg_chemicals(sf_dir: str):
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    return _kg_emit(sf_dir, "chemicals", emit_chemicals)
+
+
+def _q_kg_hierarchy(sf_dir: str):
+    from tera_ray.stages.ecotox import emit_ecotox_hierarchy
+
+    return _kg_emit(sf_dir, "species", emit_ecotox_hierarchy)
+
+
+def _q_kg_star(sf_dir: str):
+    import ray.data
+
+    from tera_ray.query.kg import endpoint_star_join
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_results, emit_tests
+
+    fx = _fx(sf_dir)
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow")
+    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow")
+    triples = dedup_triples(tests.union(results))
+    star = endpoint_star_join(triples)
+    return star.select(["chemical", "species", "conc_value", "endpoint", "effect"])
+
+
+def _q_kg_unionfind(sf_dir: str):
+    import ray.data
+
+    from tera_ray.state.linkage import canonical_mapping, connected_components
+    from tera_ray.state.mapping import threshold
+
+    pairs = ray.data.read_parquet(os.path.join(_fx(sf_dir), "sameas_pairs.parquet"))
+    comp = connected_components(threshold(pairs, 0.9))
+    return canonical_mapping(comp).map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+
+
+def _q_kg_conversations(sf_dir: str):
+    import ray.data
+
+    from tera_ray.query.relational import ordered_group_concat
+
+    ts = ray.data.read_parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return ordered_group_concat(
+        ts, "conv_id", [("turn_idx", "ascending"), ("ts", "ascending")],
+        "text", sep="\x1f", out_names=("conv_id", "n_turns", "seq"))
+
+
+def _q_kg_build(sf_dir: str):
+    from tera_ray.pipelines.transcripts import build_kg
+
+    return build_kg(_fx(sf_dir))
+
+
+def _q_kg_fuzzy_align(sf_dir: str):
+    import ray.data
+
+    from tera_ray.schema import NCBI_NS
+    from tera_ray.stages.align import blocked_fuzzy_align, label_bags
+    from tera_ray.stages.ecotox import emit_taxa
+    from tera_ray.stages.taxonomy import emit_names
+
+    fx = _fx(sf_dir)
+    names = ray.data.read_parquet(os.path.join(fx, "taxonomy_names.parquet")).map_batches(
+        emit_names, batch_format="pyarrow")
+    taxa = ray.data.read_parquet(os.path.join(fx, "species.parquet")).map_batches(
+        emit_taxa, batch_format="pyarrow")
+    ncbi_preds = (NCBI_NS + "scientific_name", NCBI_NS + "common_name",
+                  NCBI_NS + "uniqueName")
+    eco_preds = (NS + "latinName",)
+    return blocked_fuzzy_align(label_bags(names, ncbi_preds),
+                               label_bags(taxa, eco_preds), threshold=90.0)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # training-data / relational ops over the driver's sf tables
+        "docs_dedup_exact": _q_docs_dedup_exact,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_lang_counts": _q_docs_lang_counts,
+        "orders_top1_per_customer": _q_orders_top1,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "building_suppliers": _q_building_suppliers,
+        "pricing_summary": _q_pricing_summary,
+        "events_sessions": _q_events_sessions,
+        "ann_topk": _q_ann_topk,
+        "emb_cosine_dups": _q_emb_cosine_dups,
+        # rows-only training-data ops
+        "docs_quality": _q_docs_quality,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_minhash_dedup": _q_docs_minhash,
+        "docs_simhash_pairs": _q_docs_simhash,
+        # KG pipelines over deterministic transcript fixtures
+        "kg_synonym_triples": _q_kg_synonyms,
+        "kg_taxa_triples": _q_kg_taxa,
+        "kg_chemical_triples": _q_kg_chemicals,
+        "kg_hierarchy_triples": _q_kg_hierarchy,
+        "kg_endpoint_star": _q_kg_star,
+        "kg_unionfind": _q_kg_unionfind,
+        "kg_conversations": _q_kg_conversations,
+        "kg_build": _q_kg_build,
+        "kg_fuzzy_align": _q_kg_fuzzy_align,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sent(col: str) -> str:
+    """Sentinel-nullify expression mirroring cleaning.nullify_sentinels."""
+    vals = ", ".join(f"'{v}'" for v in NAN_VALUES)
+    return f"(CASE WHEN {col} IN ({vals}) THEN NULL ELSE trim({col}) END)"
+
+
+def _hierarchy_sql(fx: str) -> str:
+    from tera_ray.stages.ecotox import ECOTOX_LINEAGE_COLS, _RANK_FOR_COL
+
+    sents = ", ".join(f"'{v}'" for v in NAN_VALUES)
+
+    def scrub(c):
+        # quoted ("class" is reserved), VARCHAR-cast (all-null columns
+        # read back as non-string), sentinel-nullified, \W-scrubbed —
+        # the emitter runs with strip=False, so no trim here
+        q = f'"{c}"::VARCHAR'
+        return (f"regexp_replace(CASE WHEN {q} IN ({sents}) THEN NULL"
+                f" ELSE {q} END, '\\W', '', 'g')")
+
+    rank_case = "CASE " + " ".join(
+        f"WHEN {scrub(c)} IS NOT NULL THEN '{r}'"
+        for c, r in zip(ECOTOX_LINEAGE_COLS, _RANK_FOR_COL)
+    ) + " ELSE 'phylum_division' END"
+    base = (f"SELECT {scrub('species_number')} AS sn, "
+            + ", ".join(f'{scrub(c)} AS "{c}"' for c in ECOTOX_LINEAGE_COLS)
+            + f", {rank_case} AS rnk"
+            f" FROM read_parquet('{fx}/species.parquet')"
+            f" WHERE {scrub('species_number')} IS NOT NULL")
+    s_uri = f"'{NS}taxon/'||sn"
+    rank_uri = f"'{NS}rank/'||rnk"
+    parts = [
+        f"SELECT {rank_uri} AS subj, '{RDF_TYPE}' AS pred, '{NS}Rank' AS obj,"
+        f" FALSE AS obj_is_literal, 'ecotox_taxonomy' AS graph FROM b",
+        f"SELECT {s_uri}, '{NS}rank', {rank_uri}, FALSE, 'ecotox_taxonomy' FROM b",
+    ]
+    for j, c in enumerate(ECOTOX_LINEAGE_COLS):
+        left = [f"'{NS}taxon/'||\"{ECOTOX_LINEAGE_COLS[i]}\""
+                for i in range(j - 1, -1, -1)]
+        child = ("COALESCE(" + ", ".join(left + [s_uri]) + ")") if left else s_uri
+        parent = f"'{NS}taxon/'||\"{c}\""
+        parts.append(
+            f"SELECT {child}, '{RDF_TYPE}', {parent}, FALSE, 'ecotox_taxonomy'"
+            f" FROM b WHERE \"{c}\" IS NOT NULL AND rnk = 'species'")
+        parts.append(
+            f"SELECT {child}, '{RDFS_SUBCLASSOF}', {parent}, FALSE,"
+            f" 'ecotox_taxonomy' FROM b WHERE \"{c}\" IS NOT NULL"
+            f" AND rnk <> 'species'")
+    return f"WITH b AS ({base}) " + " UNION ALL ".join(parts)
+
+
+def _star_sql(fx: str) -> str:
+    sents = ", ".join(f"'{v}'" for v in NAN_VALUES)
+    return f"""
+WITH t AS (
+  SELECT trim(test_id) AS test_id, trim(test_cas) AS test_cas,
+         trim(species_number) AS species_number
+  FROM read_parquet('{fx}/tests.parquet')
+  WHERE test_id NOT IN ({sents}) AND test_cas NOT IN ({sents})
+    AND species_number NOT IN ({sents})
+), r AS (
+  SELECT trim(test_id) AS test_id, trim(endpoint) AS endpoint,
+         trim(conc1_mean) AS conc1_mean, trim(effect) AS effect
+  FROM read_parquet('{fx}/results.parquet')
+  WHERE test_id NOT IN ({sents}) AND endpoint NOT IN ({sents})
+    AND conc1_mean NOT IN ({sents}) AND conc1_unit NOT IN ({sents})
+    AND effect NOT IN ({sents})
+    AND length(regexp_replace(conc1_mean, '\\D', '', 'g')) > 0
+)
+SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
+       '{NS}taxon/'||t.species_number AS species,
+       regexp_replace(r.conc1_mean, '\\D', '', 'g') AS conc_value,
+       '{NS}endpoint/'||r.endpoint AS endpoint,
+       '{NS}effect/'||r.effect AS effect
+FROM r JOIN t USING (test_id)
+"""
+
+
+def _unionfind_sql(fx: str) -> str:
+    return f"""
+WITH RECURSIVE
+p AS (SELECT src, dst FROM read_parquet('{fx}/sameas_pairs.parquet')
+      WHERE score >= 0.9),
+e AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
+n AS (SELECT DISTINCT a AS v FROM e),
+reach(v, r) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT v AS src, min(r) AS dst FROM reach GROUP BY v HAVING min(r) <> v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = FX_T2
+    bpe = _sq(BPE_RE)
+    lit = "obj_is_literal"
+    g_tax = "'ecotox_taxonomy' AS graph"
+    return {
+        "docs_dedup_exact":
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "docs_token_stats":
+            "SELECT doc_id,"
+            " len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,"
+            f" len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_tokens_bpe"
+            " FROM documents",
+        "docs_lang_counts":
+            "SELECT lang, count(*) AS n,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+            " FROM documents GROUP BY lang",
+        "orders_top1_per_customer":
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)"
+            " WHERE rn = 1",
+        "revenue_by_segment":
+            "SELECT c_mktsegment, count(*) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)"
+            " AS BIGINT)) AS BIGINT) AS revenue_cents"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "building_suppliers":
+            "SELECT DISTINCT l_suppkey FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " WHERE c_mktsegment = 'BUILDING'",
+        "pricing_summary":
+            "SELECT l_returnflag, l_linestatus, count(*) AS n,"
+            " sum(l_quantity) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
+            " AS base_cents"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "events_sessions":
+            "SELECT user_id, count(*) AS n_events,"
+            " string_agg(event_type, '|' ORDER BY ts, event_id) AS seq"
+            " FROM events GROUP BY user_id",
+        "ann_topk":
+            "SELECT query_id, vec_id, rank FROM ("
+            " SELECT q.vec_id AS query_id, e.vec_id,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            " list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)"
+            " AS rank"
+            " FROM embeddings q CROSS JOIN embeddings e"
+            " WHERE q.vec_id IN (0, 1, 2))"
+            " WHERE rank <= 10",
+        "emb_cosine_dups":
+            "SELECT x.vec_id AS a, y.vec_id AS b"
+            " FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id"
+            " WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5",
+        "kg_synonym_triples":
+            f"SELECT '{NS}taxon/'||trim(species_number) AS subj,"
+            f" '{NS}synonym' AS pred, trim(latin_name) AS obj,"
+            f" TRUE AS {lit}, {g_tax}"
+            f" FROM read_parquet('{fx}/species_synonyms.parquet')"
+            f" WHERE {_sent('species_number')} IS NOT NULL"
+            f" AND {_sent('latin_name')} IS NOT NULL",
+        "kg_taxa_triples": f"""
+WITH b AS (
+  SELECT {_sent('species_number')} AS sn, {_sent('common_name')} AS cn,
+         {_sent('latin_name')} AS ln,
+         replace({_sent('ecotox_group')}, ' ', '') AS grp
+  FROM read_parquet('{fx}/species.parquet')
+  WHERE {_sent('species_number')} IS NOT NULL
+    AND {_sent('common_name')} IS NOT NULL
+    AND {_sent('latin_name')} IS NOT NULL
+    AND {_sent('ecotox_group')} IS NOT NULL
+), gx AS (
+  SELECT sn, unnest(string_split(grp, ',')) AS gname FROM b
+)
+SELECT '{NS}taxon/'||sn AS subj, '{NS}ecotoxGroup' AS pred,
+       '{NS}group/'||gname AS obj, FALSE AS {lit}, {g_tax}
+  FROM gx WHERE length(gname) > 0
+UNION ALL
+SELECT '{NS}group/'||gname, '{RDFS_LABEL}', gname, TRUE, 'ecotox_taxonomy'
+  FROM gx WHERE length(gname) > 0
+UNION ALL
+SELECT '{NS}taxon/'||sn, '{NS}commonName', cn, TRUE, 'ecotox_taxonomy'
+  FROM b WHERE length(cn) > 0
+UNION ALL
+SELECT '{NS}taxon/'||sn, '{NS}latinName', ln, TRUE, 'ecotox_taxonomy'
+  FROM b WHERE length(ln) > 0
+""",
+        "kg_chemical_triples": f"""
+WITH b AS (
+  SELECT {_sent('cas_number')} AS cas, {_sent('chemical_name')} AS cname,
+         {_sent('ecotox_group')} AS grp
+  FROM read_parquet('{fx}/chemicals.parquet')
+  WHERE {_sent('cas_number')} IS NOT NULL
+    AND {_sent('chemical_name')} IS NOT NULL
+    AND {_sent('ecotox_group')} IS NOT NULL
+), ax AS (
+  SELECT cas, unnest(string_split(cname, ', ')) AS alias FROM b
+), gx AS (
+  SELECT cas, unnest(string_split(grp, ',')) AS gname,
+         unnest(string_split(replace(replace(replace(grp, '/', ''), '.', ''),
+                ' ', ''), ',')) AS gscrub
+  FROM b
+)
+SELECT '{NS}cas/'||cas AS subj, '{RDF_TYPE}' AS pred, '{NS}Chemical' AS obj,
+       FALSE AS {lit}, 'ecotox_chemicals' AS graph FROM b
+UNION ALL
+SELECT '{NS}cas/'||cas, '{RDFS_LABEL}', alias, TRUE, 'ecotox_chemicals' FROM ax
+UNION ALL
+SELECT '{NS}cas/'||cas, '{RDFS_SUBCLASSOF}', '{NS}group/'||gscrub, FALSE,
+       'ecotox_chemicals' FROM gx
+UNION ALL
+SELECT '{NS}group/'||gscrub, '{RDFS_LABEL}', gname, TRUE,
+       'ecotox_chemicals' FROM gx
+UNION ALL
+SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
+       'ecotox_chemicals' FROM gx
+""",
+        "kg_hierarchy_triples": _hierarchy_sql(fx),
+        "kg_endpoint_star": _star_sql(fx),
+        "kg_unionfind": _unionfind_sql(fx),
+        "kg_conversations":
+            f"SELECT conv_id, count(*) AS n_turns,"
+            f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"
+            f" FROM read_parquet('{fx}/transcripts.parquet') GROUP BY conv_id",
+    }

@@ -35,13 +35,14 @@ class BruteScorer:
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = q["qids"]
         self.Q = q["Q"]                      # (|Q|, dim), normalized
+        self.dtype = self.Q.dtype
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        v = _normalize(_vecs(batch, self.vec_col))
+        v = _normalize(_vecs(batch, self.vec_col).astype(self.dtype))
         sims = self.Q @ v.T                  # (|Q|, rows)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
@@ -72,14 +73,17 @@ def _merge_topk(ds, k: int, id_col: str):
     return ds.groupby("query_id").map_groups(top, batch_format="pyarrow")
 
 
-def make_query_ref(qids: np.ndarray, Q: np.ndarray):
+def make_query_ref(qids: np.ndarray, Q: np.ndarray, dtype=np.float32):
+    """``dtype=np.float64`` makes cosines bit-match a float64 oracle
+    (e.g. DuckDB ``list_cosine_similarity``) given identical inputs."""
     return ray.put({"qids": np.asarray(qids, np.int64),
-                    "Q": _normalize(np.asarray(Q, np.float32))})
+                    "Q": _normalize(np.asarray(Q, dtype))})
 
 
 def brute_topk(ds, qids, Q, k: int = 10, id_col: str = "vec_id",
-               vec_col: str = "embedding", concurrency=None):
-    ref = make_query_ref(qids, Q)
+               vec_col: str = "embedding", concurrency=None,
+               dtype=np.float32):
+    ref = make_query_ref(qids, Q, dtype=dtype)
     kwargs = dict(batch_format="pyarrow",
                   concurrency=concurrency if concurrency is not None else (1, 8))
     local = ds.select_columns([id_col, vec_col]).map_batches(

@@ -23,25 +23,30 @@ def _planes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, bits)).astype(np.float32)
 
 
-def _vecs(t: pa.Table, vec_col: str) -> np.ndarray:
+def _vecs(t: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
     col = t[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
         n = len(col)
         flat = col.flatten().to_numpy(zero_copy_only=False)
-        return flat.reshape(n, -1).astype(np.float32)
+        return flat.reshape(n, -1).astype(dtype)
     return col.values.to_numpy(zero_copy_only=False).reshape(
-        len(col), -1).astype(np.float32)
+        len(col), -1).astype(dtype)
 
 
 def cosine_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                      threshold: float = 0.95, bits: int = 16,
-                     n_tables: int = 4, max_bucket: int = 1024):
-    """embeddings → (a, b, cosine) pairs with cosine ≥ threshold."""
+                     n_tables: int = 4, max_bucket: int = 1024,
+                     dtype=np.float32):
+    """embeddings → (a, b, cosine) pairs with cosine ≥ threshold.
+
+    ``bits=0, n_tables=1`` degrades to ONE bucket = exact all-pairs
+    (bounded by ``max_bucket``) — the small-scale / oracle-parity mode;
+    ``dtype=np.float64`` bit-matches a float64 SQL oracle."""
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = _vecs(t, vec_col)
+        v = _vecs(t, vec_col).astype(dtype)
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         v = v / np.maximum(norm, 1e-12)
         ids = t[id_col].combine_chunks()
@@ -60,12 +65,12 @@ def cosine_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             "bucket": pa.array(np.concatenate(keys), pa.uint64()),
             id_col: pa.concat_arrays(out_ids),
             "__v": pa.FixedSizeListArray.from_arrays(
-                pa.array(flat.reshape(-1), pa.float32()), flat.shape[1]),
+                pa.array(flat.reshape(-1)), flat.shape[1]),
         })
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        v = _vecs(t, "__v")
+        v = _vecs(t, "__v", dtype=dtype)
         order = np.argsort(ids, kind="stable")
         ids, v = ids[order], v[order]
         uniq, first = np.unique(ids, return_index=True)

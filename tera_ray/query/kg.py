@@ -1,0 +1,218 @@
+"""Query layer over the triple store (SURVEY §2.9, J2, J3).
+
+The reference queries an in-RAM rdflib graph with SPARQL
+(``tera/DataAccess.py``); here the KG is a triple Dataset and every
+query is a filter/join pipeline — no resident single-node index (T4).
+
+- Point lookups (G1/G5): predicate-constant filters.
+- Alt-labels (G2): join through the subPropertyOf closure.
+- Subgraph closure (G3): iterative frontier hash-join
+  (``construct_subgraph``, ``DataAccess.py:232-260``).
+- Semi-joins (J2): ``get_chemicals_from_species`` / inverse
+  (``DataAccess.py:882-924``).
+- Endpoint star-join (J3, flagship): one multi-way join over
+  per-predicate column tables replaces the reference's per-(chemical ×
+  species) SPARQL product loop (``DataAccess.py:996-1022``).
+
+Scale notes: per-predicate projections are filtered ONCE from the
+triple store in a single pass and materialized (they are orders of
+magnitude smaller than the store); the star-join then joins only these
+projections, keyed on test/result ids.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import ECOTOX_NS, RDF_TYPE, RDF_VALUE, RDFS_LABEL, UNIT_UNITS
+from ..state.mapping import join_partitions
+
+
+def filter_pred(triples, pred: str):
+    """G1-style single-pattern lookup: all (subj, obj) for a predicate."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["pred"], pred)
+        return t.filter(keep).select(["subj", "obj"])
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def query_type(triples, entity: str):
+    """``rdf:type`` objects of an entity (``DataAccess.py:107-124``)."""
+    return _subj_lookup(triples, RDF_TYPE, entity)
+
+
+def query_label(triples, entity: str):
+    """Labels of an entity (``DataAccess.py:145-161``)."""
+    return _subj_lookup(triples, RDFS_LABEL, entity)
+
+
+def _subj_lookup(triples, pred: str, entity: str):
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["pred"], pred), pc.equal(t["subj"], entity))
+        return t.filter(keep).select(["obj"])
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def project_preds(triples, preds: dict[str, str]):
+    """ONE pass over the store → {name: (key, val) pa.Table} for each
+    requested predicate.  The single filter keeps only needed rows; the
+    result is collected driver-side (projections are small)."""
+    uris = list(preds.values())
+    vs = pa.array(uris, pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["pred"], value_set=vs)).select(
+            ["subj", "pred", "obj"])
+
+    proj = triples.map_batches(f, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(proj.iter_batches(batch_format="pyarrow", batch_size=None))
+        or [pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj", pa.string())]).empty_table()],
+        promote_options="permissive")
+    out = {}
+    for name, uri in preds.items():
+        sub = tbl.filter(pc.equal(tbl["pred"], uri))
+        out[name] = pa.table({"key": sub["subj"], name: sub["obj"]})
+    return out
+
+
+def _join(left: pa.Table, right: pa.Table, lkey: str, rkey: str,
+          how: str = "inner") -> pa.Table:
+    return left.join(right, keys=[lkey], right_keys=[rkey], join_type=how)
+
+
+def endpoint_star_join(triples, ns: str = ECOTOX_NS,
+                       chemicals: list[str] | None = None,
+                       species: list[str] | None = None) -> pa.Table:
+    """J3 flagship: effects table ``(chemical, species, conc_value,
+    conc_unit, endpoint, effect)`` from the triple store.
+
+    The reference loops SPARQL per (chemical, species) pair
+    (``DataAccess.py:996-1022``); here ONE projection pass + hash joins
+    + an ``is_in`` filter replace the product loop.  Projections are
+    Arrow tables (small); joins run in Arrow's C++ kernel.
+    """
+    p = project_preds(triples, {
+        "species": ns + "species",
+        "chemical": ns + "chemical",
+        "result": ns + "hasResult",
+        "endpoint": ns + "endpoint",
+        "effect": ns + "effect",
+        "concentration": ns + "concentration",
+        "value": RDF_VALUE,
+        "unit": UNIT_UNITS,
+    })
+    # tests: key=test uri
+    t = _join(p["species"], p["chemical"], "key", "key")
+    t = _join(t, p["result"], "key", "key")            # + result uri
+    # results: key=result uri
+    r = _join(p["endpoint"], p["effect"], "key", "key", how="left outer")
+    r = _join(r, p["concentration"], "key", "key")
+    c = _join(p["value"].rename_columns(["ckey", "conc_value"]),
+              p["unit"].rename_columns(["ckey", "conc_unit"]),
+              "ckey", "ckey", how="left outer")
+    r = _join(r, c, "concentration", "ckey")
+    out = _join(t.rename_columns(["test", "species", "chemical", "result"]),
+                r.rename_columns(["result", "endpoint", "effect", "concentration",
+                                  "conc_value", "conc_unit"]),
+                "result", "result")
+    if chemicals is not None:
+        out = out.filter(pc.is_in(out["chemical"],
+                                  value_set=pa.array(chemicals, pa.string())))
+    if species is not None:
+        out = out.filter(pc.is_in(out["species"],
+                                  value_set=pa.array(species, pa.string())))
+    return out.select(["chemical", "species", "conc_value", "conc_unit",
+                       "endpoint", "effect"])
+
+
+def chemicals_from_species(triples, species: list[str], ns: str = ECOTOX_NS):
+    """J2 semi-join (``DataAccess.py:882-902``): distinct chemicals
+    tested on any of ``species``."""
+    p = project_preds(triples, {"species": ns + "species",
+                                "chemical": ns + "chemical"})
+    keep = p["species"].filter(
+        pc.is_in(p["species"]["species"], value_set=pa.array(species, pa.string())))
+    j = _join(keep, p["chemical"], "key", "key")
+    u = pc.unique(j["chemical"].combine_chunks())
+    return pa.table({"chemical": pc.take(u, pc.sort_indices(u))})
+
+
+def species_from_chemicals(triples, chems: list[str], ns: str = ECOTOX_NS):
+    """J2 inverse (``DataAccess.py:904-924``)."""
+    p = project_preds(triples, {"species": ns + "species",
+                                "chemical": ns + "chemical"})
+    keep = p["chemical"].filter(
+        pc.is_in(p["chemical"]["chemical"], value_set=pa.array(chems, pa.string())))
+    j = _join(keep, p["species"], "key", "key")
+    u = pc.unique(j["species"].combine_chunks())
+    return pa.table({"species": pc.take(u, pc.sort_indices(u))})
+
+
+def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
+                       num_partitions: int | None = None):
+    """G3 BFS closure (``DataAccess.py:232-260``): iterative frontier
+    expansion over outgoing edges until fixpoint or ``max_hops``.
+
+    Each round: frontier ⋈ triples on subj → next frontier = new objs
+    (non-literal).  The store side of the join stays distributed; the
+    frontier is a small Dataset.  Returns the reached triple Dataset.
+    """
+    import ray
+    import ray.data
+
+    num_partitions = join_partitions(num_partitions)
+    non_lit = triples.filter(expr="obj_is_literal == False").select_columns(
+        ["subj", "obj"]).materialize()
+    seen: set[str] = set(seeds)
+    frontier = list(seeds)
+    reached_parts = []
+    for _ in range(max_hops):
+        if not frontier:
+            break
+        fr = ray.data.from_arrow(
+            pa.table({"subj": pa.array(frontier, pa.string())}))
+        step = non_lit.join(fr, join_type="inner",
+                            num_partitions=num_partitions, on=("subj",))
+        objs = set()
+        for b in step.iter_batches(batch_format="pyarrow", batch_size=None):
+            objs.update(b["obj"].to_pylist())
+        reached_parts.append(frontier)
+        frontier = sorted(objs - seen)
+        seen |= objs
+    # final subgraph: all triples whose subj was reached
+    nodes = pa.array(sorted(seen), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["subj"], value_set=nodes))
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def khop_related(triples, entity: str, pred: str, up: int, down: int):
+    """G4 documented intent (the reference's siblings/cousins are broken
+    as shipped, ``DataAccess.py:181-211``): walk ``up`` hops along
+    ``pred`` (child→parent direction), then ``down`` hops back.
+    up=1, down=1 ⇒ siblings; 2,2 ⇒ cousins."""
+    edges = None
+    for b in filter_pred(triples, pred).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        edges = b if edges is None else pa.concat_tables([edges, b])
+    if edges is None or edges.num_rows == 0:
+        return pa.table({"entity": pa.array([], pa.string())})
+    cur = {entity}
+    for _ in range(up):                  # child → parent
+        keep = edges.filter(pc.is_in(edges["subj"],
+                                     value_set=pa.array(sorted(cur), pa.string())))
+        cur = set(keep["obj"].to_pylist())
+    for _ in range(down):                # parent → children
+        keep = edges.filter(pc.is_in(edges["obj"],
+                                     value_set=pa.array(sorted(cur), pa.string())))
+        cur = set(keep["subj"].to_pylist())
+    cur.discard(entity)
+    return pa.table({"entity": pa.array(sorted(cur), pa.string())})

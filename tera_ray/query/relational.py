@@ -1,0 +1,133 @@
+"""Generic distributed relational operators over Ray Datasets.
+
+These back the engine's SQL-comparable query surface (driver contract /
+``__ray_entry__.py``) and generalize patterns used across the KG
+pipelines: hash-bucketed top-1 per key (SURVEY A3), deterministic
+grouped aggregation with explicit output names, and ordered per-group
+sequence reconstruction (K4 over arbitrary tables).
+
+Design: aggregations pre-combine inside ``map_batches`` where possible;
+the groupby shuffle then moves only partial states.  Output column names
+are explicit so oracle-SQL comparisons are name-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_of(col, num_buckets: int) -> pa.Array:
+    import pandas.core.util.hashing as ph
+
+    vals = col.combine_chunks().to_pandas() if isinstance(col, pa.ChunkedArray) else col.to_pandas()
+    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
+    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
+
+
+def top1_per_key(ds, key: str, order: list[tuple[str, str]],
+                 num_buckets: int = 64):
+    """One row per ``key``: first under ``order`` (list of
+    (column, 'ascending'|'descending')).  Deterministic: include a
+    unique tie-break column in ``order``.
+
+    Two-phase: per-batch local top-1 (combiner) → hash-bucket shuffle →
+    per-bucket top-1.  Shuffle volume = one row per (batch, key)."""
+
+    def local_top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + order)
+        t = t.take(idx)
+        k = t[key].combine_chunks().cast(pa.string())
+        v = k.to_numpy(zero_copy_only=False)
+        starts = np.ones(len(v), dtype=bool)
+        starts[1:] = v[1:] != v[:-1]
+        return t.filter(pa.array(starts))
+
+    def add_b(t: pa.Table) -> pa.Table:
+        t = local_top1(t)
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return local_top1(t).drop_columns(["__b"])
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """groupby(keys) with explicit output names.
+
+    ``aggs``: (input_col, fn, output_name), fn ∈ {count, sum, min, max}.
+    Implemented as per-batch partial aggregation (vectorized Arrow
+    ``group_by``) + a final merge groupby — the combiner halves shuffle
+    volume vs a naive groupby and mirrors how the 100 TB path must run.
+    """
+    spec = [(c, f, o) for c, f, o in aggs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for c, f, o in spec:
+            if f == "count":
+                cols[o] = pa.array(np.ones(t.num_rows, np.int64))
+            else:
+                cols[o] = t[c]
+        tt = pa.table(cols)
+        merge_fns = [(o, "sum" if f == "count" else f) for _, f, o in spec]
+        g = tt.group_by(keys, use_threads=False).aggregate(merge_fns)
+        ren = {f"{o}_{'sum' if f == 'count' else f}": o for _, f, o in spec}
+        return g.rename_columns([ren.get(n, n) for n in g.schema.names])
+
+    def merge(t: pa.Table) -> pa.Table:
+        merge_fns = [(o, "sum" if f in ("count", "sum") else f)
+                     for _, f, o in spec]
+        g = t.group_by(keys, use_threads=False).aggregate(merge_fns)
+        ren = {f"{o}_{fn}": o for (_, _, o), (_, fn) in zip(spec, merge_fns)}
+        return g.rename_columns([ren.get(n, n) for n in g.schema.names])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys[0] if len(keys) == 1 else keys)
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
+                         value_col: str, sep: str = "|",
+                         out_names: tuple[str, str, str] = ("key", "n", "seq")):
+    """K4 over arbitrary tables: per key, count + order-stable
+    concatenation of ``value_col`` (conversation/session reconstruction).
+    Mirrors SQL ``string_agg(value, sep ORDER BY ...) GROUP BY key``."""
+    kname, nname, sname = out_names
+
+    def per_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=order)
+        t = t.take(idx)
+        vals = t[value_col].to_pylist()
+        return pa.table({
+            kname: pa.array([t[key][0].as_py()]),
+            nname: pa.array([t.num_rows], pa.int64()),
+            sname: pa.array([sep.join("" if v is None else str(v) for v in vals)]),
+        })
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
+def distinct_values(ds, col: str, out_name: str | None = None,
+                    num_buckets: int = 64):
+    """Distinct values of one column (A5) via local-unique → bucket
+    shuffle → unique; never collects the full column on the driver."""
+    out = out_name or col
+
+    def local(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col].combine_chunks())
+        tt = pa.table({out: u})
+        return tt.append_column("__b", _bucket_of(tt[out], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({out: pc.unique(t[out].combine_chunks())})
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -48,7 +48,7 @@ def connected_components(
     with the node's own comp.  Early-exit on an order-insensitive
     checksum of ``(node, comp)`` — one cheap aggregate pass per round.
     """
-    num_partitions = join_partitions(num_partitions)
+    num_buckets = join_partitions(num_partitions)
     sym = _sym_edges(edges).materialize()
 
     # comp0 = min(node, min neighbor) — first propagation round for free
@@ -78,18 +78,55 @@ def connected_components(
 
         return ds.map_batches(h, batch_format="pyarrow").sum("h")
 
+    # Per-round propagation is a pure groupby-aggregate shuffle (the
+    # north rule's union-find shape; also robust where Ray's hash join
+    # loses schema on empty partitions): tag edge rows (node, nbr, ∅)
+    # and comp rows (node, ∅, comp), bucket by hash(node) so every row
+    # of a node co-locates, join within the bucket with the in-memory
+    # Arrow kernel, emit (nbr, comp) messages, then a vectorized
+    # groupby(node).min(comp) folds messages with current comps.
+    def _node_bucket(t: pa.Table) -> pa.Array:
+        import numpy as np
+
+        from ..stages.base import hash_column
+
+        h = hash_column(t, keys=("node",)).to_numpy(zero_copy_only=False)
+        return pa.array((h % num_buckets).astype(np.int32), pa.int32())
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "nbr": t["nbr"],
+             "comp": pa.nulls(t.num_rows, pa.string()), "__b": _node_bucket(t)}
+        )
+
+    def _tag_comp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "nbr": pa.nulls(t.num_rows, pa.string()),
+             "comp": t["comp"], "__b": _node_bucket(t)}
+        )
+
+    def _bucket_msgs(t: pa.Table) -> pa.Table:
+        has_comp = pc.is_valid(t["comp"].combine_chunks())
+        ctbl = t.filter(has_comp).select(["node", "comp"])
+        etbl = t.filter(pc.invert(has_comp)).select(["node", "nbr"])
+        out = [ctbl]
+        if etbl.num_rows and ctbl.num_rows:
+            j = etbl.join(ctbl, keys=["node"], join_type="inner")
+            out.append(pa.table({"node": j["nbr"], "comp": j["comp"]}))
+        return pa.concat_tables(out, promote_options="none")
+
+    tagged_sym = sym.map_batches(_tag_edges, batch_format="pyarrow").materialize()
+
     prev_sum = checksum(comp)
     for _ in range(max_rounds):
-        # propagate comp across edges: nbr receives node's comp
-        prop = sym.join(
-            comp, join_type="inner", num_partitions=num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t["nbr"], "comp": t["comp"]}),
-            batch_format="pyarrow",
+        msgs = (
+            tagged_sym.union(
+                comp.map_batches(_tag_comp, batch_format="pyarrow"))
+            .groupby("__b")
+            .map_groups(_bucket_msgs, batch_format="pyarrow")
         )
         comp = (
-            comp.union(prop)
-            .groupby("node")
+            msgs.groupby("node")
             .min("comp")
             .map_batches(
                 lambda t: pa.table({"node": t["node"], "comp": t["min(comp)"]}),
