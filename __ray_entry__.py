@@ -153,19 +153,29 @@ def _cents(price, disc=None):
                     round_mode="half_towards_infinity").cast(pa.int64())
 
 
+def _dim_orders_cust(sf_dir: str, segment: str | None = None) -> pa.Table:
+    """orders ⋈ customer as a driver-side Arrow table — the broadcast
+    small side (dimension-scale: ≤150k rows at sf0.1).  The fact table
+    (lineitem) then joins map-side with zero shuffle."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    if segment is not None:
+        cust = cust.filter(pc.equal(cust["c_mktsegment"], segment))
+    return orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"],
+                       join_type="inner")
+
+
 def _q_revenue_by_segment(sf_dir: str):
-    from tera_ray.query.relational import grouped_agg
-    from tera_ray.state.mapping import join_partitions
+    from tera_ray.query.relational import broadcast_join, grouped_agg
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    npart = join_partitions()
-    j = li.join(orders, join_type="inner", num_partitions=npart,
-                on=("l_orderkey",), right_on=("o_orderkey",))
-    j = j.join(cust, join_type="inner", num_partitions=npart,
-               on=("o_custkey",), right_on=("c_custkey",))
+    j = broadcast_join(li, _dim_orders_cust(sf_dir),
+                       "l_orderkey", "o_orderkey")
 
     def derive(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -180,18 +190,11 @@ def _q_revenue_by_segment(sf_dir: str):
 
 
 def _q_building_suppliers(sf_dir: str):
-    from tera_ray.query.relational import distinct_values
-    from tera_ray.state.mapping import join_partitions
+    from tera_ray.query.relational import broadcast_join, distinct_values
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.filter(expr="c_mktsegment == 'BUILDING'")
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    npart = join_partitions()
-    j = orders.join(cust, join_type="inner", num_partitions=npart,
-                    on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(j, join_type="inner", num_partitions=npart,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = broadcast_join(li, _dim_orders_cust(sf_dir, segment="BUILDING"),
+                       "l_orderkey", "o_orderkey")
     return distinct_values(j, "l_suppkey")
 
 

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+  python bench.py                 # headline pipelines at $GRAFT_SF_DIR
+  python bench.py --scaling       # same KG-build job at 2 CPU levels
+                                  # (fresh processes) + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+This script OWNS its Ray session (init/shutdown) — library code never
+does.  The KG pipelines run over the deterministic synthetic transcript
+fixture (500k turns; BASELINE.json input_hint shape); document /
+embedding / relational pipelines run over the sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+FIXTURE_SCALE = os.environ.get("GRAFT_FIXTURE_SCALE", "bench")
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(ds) -> int:
+    """Drive a Dataset to completion without collecting it (streaming
+    consumption; the driver sees only per-batch counts)."""
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += b.num_rows
+    return n
+
+
+def bench_kg_build(fx: str) -> float:
+    from tera_ray.pipelines.transcripts import build_kg
+
+    t0 = time.perf_counter()
+    _consume(build_kg(fx))
+    return time.perf_counter() - t0
+
+
+def bench_text_stages(sf: str) -> float:
+    import ray.data
+
+    from tera_ray.text.analysis import fingerprint, langid, quality_stats, token_stats
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = (ds.map_batches(token_stats, batch_format="pyarrow")
+           .map_batches(quality_stats, batch_format="pyarrow")
+           .map_batches(langid, batch_format="pyarrow")
+           .map_batches(fingerprint, batch_format="pyarrow"))
+    _consume(out)
+    return time.perf_counter() - t0
+
+
+def bench_minhash(sf: str) -> float:
+    import ray.data
+
+    from tera_ray.dedup.minhash import minhash_dedup
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    _consume(minhash_dedup(ds, threshold=0.8))
+    return time.perf_counter() - t0
+
+
+def bench_ann(sf: str) -> float:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tera_ray.ann.search import brute_topk
+
+    t0 = time.perf_counter()
+    path = os.path.join(sf, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, 64)
+    Q = np.asarray(head["embedding"].to_pylist(), np.float32)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    _consume(brute_topk(ds, qids=head["vec_id"].to_pylist(), Q=Q, k=10))
+    return time.perf_counter() - t0
+
+
+def bench_star_join(fx: str) -> float:
+    import ray.data
+
+    from tera_ray.query.kg import endpoint_star_join
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_results, emit_tests
+
+    t0 = time.perf_counter()
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow")
+    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow")
+    endpoint_star_join(dedup_triples(tests.union(results)))
+    return time.perf_counter() - t0
+
+
+def bench_relational(sf: str) -> float:
+    """Runs the same implementation the driver-judged query uses
+    (broadcast-join + combiner groupby)."""
+    import __ray_entry__ as entry_mod
+
+    t0 = time.perf_counter()
+    _consume(entry_mod._q_revenue_by_segment(sf))
+    return time.perf_counter() - t0
+
+
+def run_suite(num_cpus: int) -> dict:
+    from tera_ray.sources.synthetic import SCALES, fixture_dir
+
+    fx = fixture_dir(FIXTURE_SCALE)
+    n_turns = SCALES.get(FIXTURE_SCALE, FIXTURE_SCALE)
+    _init_ray(num_cpus)
+    try:
+        queries = {
+            "kg_build": bench_kg_build(fx),
+            "text_stages": bench_text_stages(SF_DIR),
+            "minhash_dedup": bench_minhash(SF_DIR),
+            "ann_topk": bench_ann(SF_DIR),
+            "star_join": bench_star_join(fx),
+            "relational_join_agg": bench_relational(SF_DIR),
+        }
+    finally:
+        import ray
+
+        ray.shutdown()
+    total = sum(queries.values())
+    return {
+        "metric": "headline pipeline wall time (kg_build over "
+                  f"{n_turns}-turn transcripts + doc/embedding/relational "
+                  "stages over sf tables)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "kg_turns_per_sec": round(n_turns / queries["kg_build"], 1),
+    }
+
+
+def _scale_worker(num_cpus: int):
+    """One fresh-process measurement: KG build only (the headline)."""
+    from tera_ray.sources.synthetic import SCALES, fixture_dir
+
+    fx = fixture_dir(FIXTURE_SCALE)
+    n_turns = SCALES.get(FIXTURE_SCALE, FIXTURE_SCALE)
+    _init_ray(num_cpus)
+    try:
+        sec = bench_kg_build(fx)
+    finally:
+        import ray
+
+        ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(sec, 3),
+                      "turns_per_sec": round(n_turns / sec, 1)}))
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    # warm the fixture cache before timing anything
+    from tera_ray.sources.synthetic import fixture_dir
+
+    fixture_dir(FIXTURE_SCALE)
+    results = []
+    for n in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scale-worker", str(n)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    lo, hi = results[0], results[-1]
+    speedup = lo["sec"] / hi["sec"]
+    ideal = levels[-1] / levels[0]
+    return {
+        "metric": "kg_build scaling efficiency "
+                  f"({levels[0]}→{levels[-1]} CPUs, fresh ray sessions)",
+        "value": round(speedup / ideal, 3),
+        "unit": "efficiency",
+        "levels": results,
+        "speedup": round(speedup, 2),
+        "ideal_speedup": ideal,
+        "sf": SF_DIR,
+        "num_cpus": levels[-1],
+    }
+
+
+if __name__ == "__main__":
+    if "--_scale-worker" in sys.argv:
+        _scale_worker(int(sys.argv[sys.argv.index("--_scale-worker") + 1]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite(NUM_CPUS)))

@@ -271,24 +271,25 @@ def build_lexicon(data_dir: str, endpoints=(), effects=()):
     return ray.put(lex)
 
 
-def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
-             concurrency=None, batch_size: int = 4096):
-    """End-to-end KG construction over a fixture directory: transcripts →
-    linked mention triples, unioned with the lexicon-table emitters and
-    static axioms, exact-deduped (SURVEY A1).  Returns a lazy Dataset.
+def lexicon_triples(data_dir: str) -> pa.Table:
+    """Run the lexicon-table emitters driver-side, returning ONE Arrow
+    table (lineage columns nulled).
+
+    The emitters are pure ``pa.Table → pa.Table`` functions; lexicon
+    tables are small BY DEFINITION (they are broadcast into linker
+    actors), so emitting them through 6 separate Ray datasets costs ~10s
+    of per-dataset/union overhead to produce ~50k rows.  Driver-side
+    emission is ~ms and enters the pipeline as one ``from_arrow``
+    block.  Dump-scale inputs keep the distributed path
+    (``read_parquet(...).map_batches(emit_*)``, see ``stages/``).
     """
     import os
 
+    import pyarrow.parquet as pq
+
     from ..stages import ecotox
 
-    lex_ref = build_lexicon(data_dir)
-    transcripts = ray.data.read_parquet(os.path.join(data_dir, "transcripts.parquet"))
-    triples = link_transcripts(
-        transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
-        batch_size=batch_size,
-    )
-
-    parts = [triples]
+    parts = []
     for name, fn in [
         ("species", ecotox.emit_taxa),
         ("species", ecotox.emit_ecotox_hierarchy),
@@ -299,14 +300,43 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     ]:
         path = os.path.join(data_dir, name + ".parquet")
         if os.path.exists(path):
-            ds = ray.data.read_parquet(path).map_batches(fn, batch_format="pyarrow")
-            parts.append(with_lineage(ds))
-    axioms = ray.data.from_arrow(ecotox.ecotox_taxonomy_axioms())
-    parts.append(with_lineage(axioms))
+            parts.append(fn(pq.read_table(path)))
+    parts.append(ecotox.ecotox_taxonomy_axioms())
+    t = pa.concat_tables(parts, promote_options="none")
+    n = t.num_rows
+    return pa.table(
+        {
+            **{c: t[c] for c in t.schema.names},
+            "conv_id": pa.nulls(n, pa.string()),
+            "turn_idx": pa.nulls(n, pa.int32()),
+        },
+        schema=TRIPLE_LINEAGE_SCHEMA,
+    )
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
+
+def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
+             concurrency=None, batch_size: int = 4096,
+             override_num_blocks: int | None = None):
+    """End-to-end KG construction over a fixture directory: transcripts →
+    linked mention triples, unioned with the (driver-side) lexicon-table
+    triples and static axioms, exact-deduped (SURVEY A1).  Returns a
+    lazy Dataset.
+    """
+    import os
+
+    lex_ref = build_lexicon(data_dir)
+    if override_num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        override_num_blocks = max(8, 2 * ncpu)
+    transcripts = ray.data.read_parquet(
+        os.path.join(data_dir, "transcripts.parquet"),
+        override_num_blocks=override_num_blocks,
+    )
+    triples = link_transcripts(
+        transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    out = triples.union(ray.data.from_arrow(lexicon_triples(data_dir)))
     if dedup:
         out = dedup_triples(out)
     return out

@@ -114,6 +114,31 @@ def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
 
 
+def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str,
+                   how: str = "inner", max_small_bytes: int = 1 << 28):
+    """Map-side hash join against a broadcast small side.
+
+    The small table ships ONCE via ``ray.put``; every batch joins with
+    Arrow's in-memory kernel — no shuffle of the big side at all.  This
+    is the right plan whenever one side fits a worker heap (dimension
+    tables, mapping tables, lexicons); the shuffle ``Dataset.join`` is
+    reserved for genuinely large×large joins (SURVEY §7.3).
+    """
+    import ray
+
+    assert small.nbytes <= max_small_bytes, (
+        f"small side is {small.nbytes}B > {max_small_bytes}B; "
+        "use Dataset.join for large×large")
+    ref = ray.put(small)
+
+    def j(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        return t.join(s, keys=[left_key], right_keys=[right_key],
+                      join_type=how)
+
+    return ds.map_batches(j, batch_format="pyarrow")
+
+
 def distinct_values(ds, col: str, out_name: str | None = None,
                     num_buckets: int = 64):
     """Distinct values of one column (A5) via local-unique → bucket

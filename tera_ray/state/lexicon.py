@@ -22,6 +22,7 @@ import re
 from collections import defaultdict
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 _WORD_SPLIT = re.compile(r"\s+")
@@ -70,6 +71,56 @@ def levenshtein(a: str, b: str, maxd: int = 2) -> int:
     return prev[la]
 
 
+def levenshtein_batch(a: str, mat: np.ndarray, lens: np.ndarray,
+                      maxd: int = 2) -> np.ndarray:
+    """Levenshtein distance of ``a`` against K padded candidates at once.
+
+    ``mat``: (K, Lmax) uint32 codepoints, 0-padded; ``lens``: true
+    lengths.  One vectorized DP row per char of ``a``; the serial
+    insertion dependency becomes a min-plus prefix scan
+    (``min_k(cur_k + (j-k))`` = ``minimum.accumulate(cur - j) + j``).
+    Early-exits when every lane's row minimum exceeds ``maxd``.
+    Returns distances clipped to ``maxd + 1``.
+    """
+    K, Lmax = mat.shape
+    la = len(a)
+    big = np.int32(maxd + 1)
+    out = np.full(K, big, np.int32)
+    feasible = np.abs(lens - la) <= maxd
+    if not feasible.any() or la == 0:
+        if la == 0:
+            out[lens <= maxd] = lens[lens <= maxd].astype(np.int32)
+        return out
+    acodes = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    j_idx = np.arange(Lmax + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (K, Lmax + 1)).copy()
+    for i in range(1, la + 1):
+        sub = prev[:, :-1] + (mat != acodes[i - 1])
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
+        # insertion via min-plus prefix scan along j
+        t = cur - j_idx
+        np.minimum.accumulate(t, axis=1, out=t)
+        cur = t + j_idx
+        if cur.min() > maxd:
+            return out
+        prev = cur
+    d = prev[np.arange(K), lens]
+    np.minimum(d, big, out=d)
+    return d
+
+
+def _pack_spans(spans: list[str]):
+    """Candidate list → (codepoint matrix, lengths) for levenshtein_batch."""
+    lens = np.array([len(s) for s in spans], np.int64)
+    lmax = int(lens.max(initial=1))
+    mat = np.zeros((len(spans), lmax), np.uint32)
+    for k, s in enumerate(spans):
+        mat[k, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lens
+
+
 @dataclass
 class Lexicon:
     """Alias → entity-URI index over token spans.
@@ -81,9 +132,9 @@ class Lexicon:
 
     spans: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
     max_len: int = 1
-    fuzzy_blocks: dict[tuple[str, int], list[tuple[str, str, str]]] = field(
-        default_factory=dict
-    )
+    # (prefix2, n_tokens) → (sorted [(span, uri, kind)], packed codepoint
+    # matrix, lengths) — see build_fuzzy
+    fuzzy_blocks: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self._fuzzy_memo: dict[str, tuple[str, str] | None] = {}
@@ -103,12 +154,25 @@ class Lexicon:
         char position >= 2 (``sources/synthetic.py``), so the prefix
         block retains recall — the blocking-recall assumption is tested
         in tests/test_linker.py.
+
+        Each block is packed once into a codepoint matrix so a query
+        span scores ALL block candidates in one vectorized
+        ``levenshtein_batch`` call instead of K Python DP runs — this is
+        the cold-path cost (distinct misspelled spans never hit the
+        memo, and with dump-scale lexicons a block holds hundreds of
+        candidates).
         """
         blocks: dict[tuple[str, int], list[tuple[str, str, str]]] = defaultdict(list)
         for first, d in self.spans.items():
             for span, (uri, kind) in d.items():
                 blocks[(span[:2], span.count(" ") + 1)].append((span, uri, kind))
-        self.fuzzy_blocks = dict(blocks)
+        packed = {}
+        for key, items in blocks.items():
+            items.sort()  # deterministic candidate order
+            spans = [s for s, _, _ in items]
+            mat, lens = _pack_spans(spans)
+            packed[key] = (items, mat, lens)
+        self.fuzzy_blocks = packed
 
     # --- matching ---
     def match_tokens(
@@ -151,13 +215,16 @@ class Lexicon:
                 res = memo[span]
             else:
                 res = None
-                cands = self.fuzzy_blocks.get((span[:2], ln))
-                if cands:
-                    bkey = None
-                    for cspan, uri, kind in cands:
-                        d = levenshtein(span, cspan, 2)
-                        if d <= 2:
-                            key = (d, cspan, uri)  # deterministic best
+                blk = self.fuzzy_blocks.get((span[:2], ln))
+                if blk is not None:
+                    items, mat, lens = blk
+                    dists = levenshtein_batch(span, mat, lens, 2)
+                    ok = dists <= 2
+                    if ok.any():
+                        bkey = None
+                        for k in np.flatnonzero(ok):
+                            cspan, uri, kind = items[k]
+                            key = (int(dists[k]), cspan, uri)  # deterministic best
                             if bkey is None or key < bkey:
                                 bkey, res = key, (uri, kind)
                 if len(memo) < 1_000_000:
