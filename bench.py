@@ -175,16 +175,21 @@ def _scale_worker(num_cpus: int):
                       "turns_per_sec": round(n_turns / sec, 1)}))
 
 
+SCALING_FIXTURE = os.environ.get("GRAFT_SCALING_FIXTURE", "scale")
+
+
 def run_scaling(levels=(8, 32)) -> dict:
-    # warm the fixture cache before timing anything
+    # a larger fixture than the headline bench so per-job fixed costs
+    # (actor spawn, read head, driver consume) don't mask scaling
     from tera_ray.sources.synthetic import fixture_dir
 
-    fixture_dir(FIXTURE_SCALE)
+    fixture_dir(SCALING_FIXTURE)
     results = []
+    env = dict(os.environ, GRAFT_FIXTURE_SCALE=SCALING_FIXTURE)
     for n in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_scale-worker", str(n)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True, check=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))

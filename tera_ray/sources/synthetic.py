@@ -300,7 +300,13 @@ def gen_sameas_pairs(rng) -> dict[str, list]:
     return {"src": src, "dst": dst, "score": score}
 
 
-SCALES = {"t1": 1_000, "t2": 20_000, "bench": 500_000}
+SCALES = {"t1": 1_000, "t2": 20_000, "bench": 500_000, "scale": 2_000_000}
+
+# transcripts bigger than this are written as a multi-file dataset so
+# ray.data.read_parquet parallelizes the read (single-file reads start
+# as ONE task and only then split blocks — a serial head at scale)
+_MULTIFILE_THRESHOLD = 100_000
+_MULTIFILE_ROWS = 62_500
 
 
 def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
@@ -324,7 +330,14 @@ def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
     def w(name, data):
         t = data if isinstance(data, pa.Table) else pa.table(
             {k: pa.array(v) for k, v in data.items()})
-        pq.write_table(t, os.path.join(out, name + ".parquet"))
+        path = os.path.join(out, name + ".parquet")
+        if name == "transcripts" and t.num_rows > _MULTIFILE_THRESHOLD:
+            os.makedirs(path, exist_ok=True)
+            for i, lo in enumerate(range(0, t.num_rows, _MULTIFILE_ROWS)):
+                pq.write_table(t.slice(lo, _MULTIFILE_ROWS),
+                               os.path.join(path, f"part-{i:04d}.parquet"))
+        else:
+            pq.write_table(t, path)
 
     w("species", species)
     w("species_synonyms", synonyms)

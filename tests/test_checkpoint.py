@@ -1,0 +1,94 @@
+"""Checkpoint/resume + lineage-manifest tests (SURVEY §5.5, north rule)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpoint:
+    def test_write_read_roundtrip_and_manifest(self, tmp_path):
+        from tera_ray.state.checkpoint import read_manifest, read_stage, write_stage
+
+        t = pa.table({
+            "subj": [f"s{i % 7}" for i in range(100)],
+            "pred": ["p"] * 100,
+            "obj": [str(i) for i in range(100)],
+        })
+        ds = ray.data.from_arrow(t)
+        write_stage(ds, str(tmp_path), "s1", "fp1", num_partitions=4)
+        m = read_manifest(str(tmp_path), "s1")
+        assert m["row_count"] == 100
+        assert m["input_fingerprint"] == "fp1"
+        assert sum(m["partitions"].values()) == 100
+        assert len(m["partitions"]) <= 4
+        back = read_stage(str(tmp_path), "s1").take_all()
+        assert sorted(r["obj"] for r in back) == sorted(t["obj"].to_pylist())
+        assert all(set(r) == {"subj", "pred", "obj"} for r in back[:3])
+
+    def test_incomplete_stage_reruns(self, tmp_path):
+        from tera_ray.state.checkpoint import run_stage
+
+        t = pa.table({"subj": ["a", "b"], "pred": ["p", "p"], "obj": ["1", "2"]})
+        calls = []
+
+        def factory():
+            calls.append(1)
+            return ray.data.from_arrow(t)
+
+        # simulate a killed run: partition dir exists, no manifest
+        os.makedirs(tmp_path / "st" / "part=0", exist_ok=True)
+        _, skipped = run_stage(factory, str(tmp_path), "st", "fpX",
+                               num_partitions=2)
+        assert not skipped and calls == [1]
+        # second run: manifest present + fingerprint matches → skip
+        _, skipped2 = run_stage(factory, str(tmp_path), "st", "fpX",
+                                num_partitions=2)
+        assert skipped2 and calls == [1]
+        # changed input fingerprint → rerun
+        _, skipped3 = run_stage(factory, str(tmp_path), "st", "fpY",
+                                num_partitions=2)
+        assert not skipped3 and calls == [1, 1]
+
+    def test_build_kg_checkpointed_resume_identical(self, tmp_path, fixtures_t1):
+        from tera_ray.state.checkpoint import build_kg_checkpointed, read_manifest
+
+        kg1, skipped1 = build_kg_checkpointed(fixtures_t1, str(tmp_path / "c"),
+                                              fuzzy=False)
+        n1 = kg1.count()
+        assert skipped1 == {"link": False, "lexicon": False, "kg": False}
+        m1 = {s: read_manifest(str(tmp_path / "c"), s)
+              for s in ("link", "lexicon", "kg")}
+
+        kg2, skipped2 = build_kg_checkpointed(fixtures_t1, str(tmp_path / "c"),
+                                              fuzzy=False)
+        assert skipped2 == {"link": True, "lexicon": True, "kg": True}
+        assert kg2.count() == n1
+        m2 = {s: read_manifest(str(tmp_path / "c"), s)
+              for s in ("link", "lexicon", "kg")}
+        for s in m1:  # byte-identical manifests modulo timestamp
+            a = {k: v for k, v in m1[s].items() if k != "written_at"}
+            b = {k: v for k, v in m2[s].items() if k != "written_at"}
+            assert a == b
+
+        # resumed output matches a fresh full build (A1-level equality)
+        from tera_ray.pipelines.transcripts import build_kg
+
+        fresh = build_kg(fixtures_t1, fuzzy=False)
+        def spo(ds):
+            rows = ds.take_all()
+            return sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
+        assert spo(kg2) == spo(fresh)
+
+    def test_manifest_json_is_valid_lineage(self, tmp_path, fixtures_t1):
+        from tera_ray.state.checkpoint import build_kg_checkpointed
+
+        build_kg_checkpointed(fixtures_t1, str(tmp_path / "c2"), fuzzy=False)
+        p = tmp_path / "c2" / "link" / "_MANIFEST.json"
+        m = json.loads(p.read_text())
+        assert m["partition_key"] == "conv_id"
+        assert m["row_count"] == sum(m["partitions"].values()) > 0
