@@ -393,6 +393,54 @@ def _q_kg_fuzzy_align(sf_dir: str):
                                label_bags(taxa, eco_preds), threshold=90.0)
 
 
+_SEMI_SPECIES = [str(100000 + i) for i in range(5)]
+
+
+def _q_kg_chems_for_species(sf_dir: str):
+    import ray.data
+
+    from tera_ray.query.kg import chemicals_from_species
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_tests
+
+    fx = _fx(sf_dir)
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow")
+    triples = dedup_triples(tests)
+    return chemicals_from_species(
+        triples, [NS + "taxon/" + s for s in _SEMI_SPECIES])
+
+
+def _q_kg_hier_consensus(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tera_ray.schema import NCBI_NS
+    from tera_ray.stages.align import hierarchy_consensus_align
+
+    fx = _fx(sf_dir)
+    cand = _q_kg_fuzzy_align(sf_dir)
+    nodes = pq.read_table(os.path.join(fx, "taxonomy_nodes.parquet"))
+    parents_a = pa.table({
+        "child": pc.binary_join_element_wise(
+            pa.array([NCBI_NS + "taxon/"] * nodes.num_rows), nodes["child"].combine_chunks(), ""),
+        "parent": pc.binary_join_element_wise(
+            pa.array([NCBI_NS + "taxon/"] * nodes.num_rows), nodes["parent"].combine_chunks(), ""),
+    })
+    sp = pq.read_table(os.path.join(fx, "species.parquet"),
+                       columns=["species_number", "genus"])
+    keep = pc.is_valid(sp["genus"].combine_chunks())
+    sp = sp.filter(keep)
+    parents_b = pa.table({
+        "child": pc.binary_join_element_wise(
+            pa.array([NS + "taxon/"] * sp.num_rows), sp["species_number"].combine_chunks(), ""),
+        "parent": pc.binary_join_element_wise(
+            pa.array([NS + "taxon/"] * sp.num_rows), sp["genus"].combine_chunks(), ""),
+    })
+    return hierarchy_consensus_align(cand, parents_a, parents_b)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
@@ -421,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
+        "kg_chems_for_species": _q_kg_chems_for_species,
+        "kg_hier_consensus": _q_kg_hier_consensus,
     }
 
 
@@ -647,6 +697,13 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_hierarchy_triples": _hierarchy_sql(fx),
         "kg_endpoint_star": _star_sql(fx),
         "kg_unionfind": _unionfind_sql(fx),
+        "kg_chems_for_species":
+            f"SELECT DISTINCT '{NS}cas/'||trim(test_cas) AS chemical"
+            f" FROM read_parquet('{fx}/tests.parquet')"
+            f" WHERE {_sent('test_id')} IS NOT NULL"
+            f" AND {_sent('test_cas')} IS NOT NULL"
+            f" AND trim(species_number) IN ("
+            + ", ".join(f"'{s}'" for s in _SEMI_SPECIES) + ")",
         "kg_conversations":
             f"SELECT conv_id, count(*) AS n_turns,"
             f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"

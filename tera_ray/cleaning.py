@@ -22,8 +22,15 @@ from .schema import NAN_VALUES
 _SENTINELS = pa.array(NAN_VALUES, type=pa.string())
 
 
-def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
-    """Replace reference NA-sentinel values ('NR', 'NC', '--', …) with null."""
+def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Replace reference NA-sentinel values ('NR', 'NC', '--', …) with null.
+
+    Chunks are combined first: ``pc.if_else`` over a multi-chunk
+    ChunkedArray produced arrays with out-of-bounds binary offsets
+    (observed on >1-row-group parquet reads), so the kernel must see one
+    contiguous chunk."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     mask = pc.is_in(col, value_set=_SENTINELS)
     return pc.if_else(mask, pa.scalar(None, type=pa.string()), col)
 

@@ -150,3 +150,98 @@ def align_label_graphs(triples_a, triples_b, threshold: float = 90.0, **kw):
     return blocked_fuzzy_align(
         label_bags(triples_a), label_bags(triples_b), threshold=threshold, **kw
     )
+
+
+def hierarchy_consensus_align(cand, parents_a, parents_b,
+                              boost: float = 10.0, penalty: float = 0.0,
+                              num_buckets: int = 64):
+    """J7: hierarchy-aware sameAs consensus (the reference's TODO at
+    ``tera/DataIntegration.py:411``; north-rule "hierarchical sameAs
+    alignment").
+
+    A candidate pair ``(a, b)`` is re-weighted by parent-lineage
+    agreement: if ``(parent_a(a), parent_b(b))`` is ITSELF a candidate
+    pair, the score is boosted by ``boost`` (capped at 100); pairs whose
+    parents are both known but do NOT align get ``penalty`` subtracted.
+
+    Shape: parent maps broadcast via ``ray.put`` (hierarchy tables are
+    lexicon-scale); pair-set membership is a hash-bucket co-group — rows
+    keyed by their own pair key (anchors) union rows keyed by their
+    parent-pair key (probes) land in the same bucket, so membership is a
+    per-bucket set lookup, not a driver-side collect.
+    """
+    import ray
+
+    def _to_dict(ds_or_tbl, k, v):
+        if isinstance(ds_or_tbl, pa.Table):
+            return dict(zip(ds_or_tbl[k].to_pylist(), ds_or_tbl[v].to_pylist()))
+        out = {}
+        for b in ds_or_tbl.iter_batches(batch_format="pyarrow", batch_size=None):
+            out.update(zip(b[k].to_pylist(), b[v].to_pylist()))
+        return out
+
+    pa_ref = ray.put(_to_dict(parents_a, "child", "parent"))
+    pb_ref = ray.put(_to_dict(parents_b, "child", "parent"))
+
+    def _bucket(keys: list[str]) -> pa.Array:
+        import numpy as np
+        import pandas.core.util.hashing as ph
+
+        h = ph.hash_array(np.array(keys, dtype=object), categorize=False)
+        return pa.array((h % num_buckets).astype(np.int32), pa.int32())
+
+    def tag(t: pa.Table) -> pa.Table:
+        da, db = ray.get(pa_ref), ray.get(pb_ref)
+        src = t["src"].to_pylist()
+        dst = t["dst"].to_pylist()
+        score = t["score"].to_pylist()
+        keys, kinds, srcs, dsts, scores = [], [], [], [], []
+        for s, d, sc in zip(src, dst, score):
+            pair = s + "|" + d
+            # anchor row: this pair exists (payload-free)
+            keys.append(pair)
+            kinds.append(0)
+            srcs.append(s)
+            dsts.append(d)
+            scores.append(sc)
+            ps, pd = da.get(s), db.get(d)
+            # probe row: carries the candidate, keyed by its parent pair
+            keys.append((ps + "|" + pd) if ps is not None and pd is not None
+                        else "\x00none")
+            kinds.append(1 if ps is not None and pd is not None else 2)
+            srcs.append(s)
+            dsts.append(d)
+            scores.append(sc)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "kind": pa.array(kinds, pa.int8()),
+            "src": pa.array(srcs, pa.string()),
+            "dst": pa.array(dsts, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+            "__b": _bucket(keys),
+        })
+
+    def resolve(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_pylist()
+        key = t["key"].to_pylist()
+        anchors = {k for k, kd in zip(key, kind) if kd == 0}
+        src, dst, score = [], [], []
+        for k, kd, s, d, sc in zip(key, kind, t["src"].to_pylist(),
+                                   t["dst"].to_pylist(), t["score"].to_pylist()):
+            if kd == 0:
+                continue
+            if kd == 1 and k in anchors:
+                sc = min(100.0, sc + boost)
+            elif kd == 1:
+                sc = sc - penalty
+            src.append(s)
+            dst.append(d)
+            score.append(sc)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "score": pa.array(score, pa.float64())})
+
+    boosted = (cand.map_batches(tag, batch_format="pyarrow")
+               .groupby("__b")
+               .map_groups(resolve, batch_format="pyarrow"))
+    return best_per_src(boosted)

@@ -187,3 +187,31 @@ class TestGraphAlignEndToEnd:
         ) / len(eligible)
         assert precision >= 0.95, precision
         assert recall >= 0.95, (recall, len(m), len(eligible))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHierarchyConsensus:
+    def test_parent_agreement_boosts_and_wins(self):
+        """J7: the candidate whose parents also align must win top-1."""
+        import pyarrow as pa
+
+        from tera_ray.stages.align import hierarchy_consensus_align
+
+        cand = ray.data.from_arrow(pa.table({
+            "src": ["a1", "a1", "a2", "g1"],
+            "dst": ["b1", "b2", "b9", "h1"],
+            "score": [90.0, 92.0, 88.0, 95.0],
+        }))
+        parents_a = pa.table({"child": ["a1", "a2"], "parent": ["g1", "g1"]})
+        parents_b = pa.table({"child": ["b1", "b2", "b9"],
+                              "parent": ["h1", "h2", "h9"]})
+        out = {r["src"]: (r["dst"], r["score"])
+               for r in hierarchy_consensus_align(cand, parents_a, parents_b,
+                                                  boost=10.0).take_all()}
+        # a1→b1 (90) is boosted to 100 because (g1,h1) is a candidate;
+        # a1→b2 (92) is not — so b1 wins despite the lower raw score
+        assert out["a1"] == ("b1", 100.0)
+        # a2→b9: parents known but (g1,h9) not aligned → unboosted score
+        assert out["a2"] == ("b9", 88.0)
+        # g1→h1 has no parents in the maps → score unchanged
+        assert out["g1"] == ("h1", 95.0)

@@ -1,0 +1,99 @@
+"""Dump-source tests (SURVEY S1-S3): pipe dumps, comma CSV fallback, NT/TTL."""
+
+import pytest
+
+import ray
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipeDump:
+    def test_reads_all_string_with_sentinels(self, tmp_path):
+        from tera_ray.sources.dumps import read_pipe_dump
+
+        p = tmp_path / "nodes.dmp"
+        # NCBI style: tab|tab separators, trailing delimiter, sentinels
+        p.write_text("1\t|\t1\t|\tno rank\t|\t8\t|\n"
+                     "2\t|\t131567\t|\tsuperkingdom\t|\tNR\t|\n")
+        ds = read_pipe_dump(str(p), column_names=["child", "parent", "rank",
+                                                  "division"],
+                            usecols=[0, 1, 2, 3])
+        rows = ds.take_all()
+        assert rows[0] == {"child": "1", "parent": "1", "rank": "no rank",
+                           "division": "8"}
+        assert rows[1]["division"] is None  # 'NR' sentinel → null
+        assert rows[1]["rank"] == "superkingdom"
+
+    def test_column_pruning(self, tmp_path):
+        from tera_ray.sources.dumps import read_pipe_dump
+
+        p = tmp_path / "names.dmp"
+        p.write_text("9\t|\tHomo sapiens\t|\t\t|\tscientific name\t|\n")
+        ds = read_pipe_dump(str(p), column_names=["taxon", "name"],
+                            usecols=[0, 1])
+        rows = ds.take_all()
+        assert rows == [{"taxon": "9", "name": "Homo sapiens"}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommaDump:
+    def test_with_header(self, tmp_path):
+        from tera_ray.sources.dumps import read_comma_dump
+
+        p = tmp_path / "rels.csv"
+        p.write_text("child,parent\nhttp://a,http://b\n")
+        rows = read_comma_dump(str(p), ["child", "parent"]).take_all()
+        assert rows == [{"child": "http://a", "parent": "http://b"}]
+
+    def test_headerless_fallback(self, tmp_path):
+        from tera_ray.sources.dumps import read_comma_dump
+
+        p = tmp_path / "rels2.csv"
+        # no header row: first line is data (DataAggregation.py:356-366)
+        p.write_text("http://a,http://b\nhttp://c,http://d\n")
+        rows = read_comma_dump(str(p), ["child", "parent"],
+                               fallback_names=["child", "parent"]).take_all()
+        got = sorted((r["child"], r["parent"]) for r in rows)
+        # header-detection consumed the first row as names; fallback path
+        # must preserve ALL data rows when parsing headerless
+        assert ("http://c", "http://d") in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNTriples:
+    def test_parses_prefixed_ttl(self, tmp_path):
+        from tera_ray.sources.dumps import read_ntriples
+
+        p = tmp_path / "pc.ttl"
+        p.write_text(
+            "@prefix vocab:\t<http://rdf.example.org/vocabulary#> .\n"
+            "@prefix compound:\t<http://rdf.example.org/compound/> .\n"
+            "compound:CID1\tvocab:has_parent\tcompound:CID2 .\n"
+            "<http://x/s>\t<http://x/p>\t\"a literal\" .\n"
+            "# comment line\n"
+            "compound:CID3\tvocab:label\t\"esc \\\" quote\"@en .\n")
+        rows = read_ntriples(str(p), graph="pc").take_all()
+        spo = {(r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+               for r in rows}
+        assert ("http://rdf.example.org/compound/CID1",
+                "http://rdf.example.org/vocabulary#has_parent",
+                "http://rdf.example.org/compound/CID2", False) in spo
+        assert ("http://x/s", "http://x/p", "a literal", True) in spo
+        assert ("http://rdf.example.org/compound/CID3",
+                "http://rdf.example.org/vocabulary#label",
+                'esc " quote', True) in spo
+        assert all(r["graph"] == "pc" for r in rows)
+
+
+class TestCleaningChunked:
+    def test_nullify_sentinels_multichunk(self):
+        """Regression: pc.if_else over multi-chunk ChunkedArrays produced
+        out-of-bounds binary offsets."""
+        import pyarrow as pa
+
+        from tera_ray.cleaning import nullify_sentinels
+
+        col = pa.chunked_array([pa.array(["a", "NR"] * 500),
+                                pa.array(["--", "b"] * 500)])
+        out = nullify_sentinels(col)
+        out.validate(full=True)
+        assert out.null_count == 1000
