@@ -216,3 +216,25 @@ def khop_related(triples, entity: str, pred: str, up: int, down: int):
         cur = set(keep["subj"].to_pylist())
     cur.discard(entity)
     return pa.table({"entity": pa.array(sorted(cur), pa.string())})
+
+
+def query_alt_labels(triples, entity: str):
+    """G2 (``tera/DataAccess.py:213-230``): labels of ``entity`` via any
+    predicate declared ``subPropertyOf rdfs:label`` — a two-step lookup:
+    collect the subproperty closure (small), then one filtered pass."""
+    from ..schema import OWL_SUBPROPERTYOF
+
+    sub = filter_pred(triples, OWL_SUBPROPERTYOF)
+    label_preds = {RDFS_LABEL}
+    for b in sub.iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, o in zip(b["subj"].to_pylist(), b["obj"].to_pylist()):
+            if o == RDFS_LABEL:
+                label_preds.add(s)
+    vs = pa.array(sorted(label_preds), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["subj"], entity),
+                       pc.is_in(t["pred"], value_set=vs))
+        return t.filter(keep).select(["pred", "obj"])
+
+    return triples.map_batches(f, batch_format="pyarrow")

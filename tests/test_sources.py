@@ -97,3 +97,47 @@ class TestCleaningChunked:
         out = nullify_sentinels(col)
         out.validate(full=True)
         assert out.null_count == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogMap:
+    def test_txt_five_col(self, tmp_path):
+        from tera_ray.sources.mappings import read_logmap
+
+        p = tmp_path / "m.txt"
+        p.write_text("e1|e2|type|score|inst\n"
+                     "http://a/X1|http://b/Y1|=|0.97|true\n"
+                     "http://a/X1|http://b/Y1|=|0.91|true\n"
+                     "http://a/X2|http://b/Y2|=|0.40|true\n")
+        rows = read_logmap(str(p), threshold=0.9, strip=True).take_all()
+        assert rows == [{"src": "X1", "dst": "Y1", "score": 0.97}]
+
+    def test_txt_three_col(self, tmp_path):
+        from tera_ray.sources.mappings import read_logmap
+
+        p = tmp_path / "m3.txt"
+        p.write_text("e1|e2|score\nA|B|0.5\n")
+        rows = read_logmap(str(p)).take_all()
+        assert rows == [{"src": "A", "dst": "B", "score": 0.5}]
+
+    def test_alignment_rdf(self, tmp_path):
+        from tera_ray.sources.mappings import read_logmap
+
+        p = tmp_path / "m.rdf"
+        p.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:align="http://knowledgeweb.semanticweb.org/heterogeneity/">
+ <align:Cell rdf:about="#c1">
+  <align:alignmententity1 rdf:resource="http://x/E1"/>
+  <align:alignmententity2 rdf:resource="http://y/F1"/>
+  <align:alignmentmeasure rdf:datatype="xsd:float">0.88</align:alignmentmeasure>
+ </align:Cell>
+ <align:Cell rdf:about="#c2">
+  <align:alignmententity1 rdf:resource="http://x/E2"/>
+  <align:alignmententity2 rdf:resource="http://y/F2"/>
+  <align:alignmentmeasure rdf:datatype="xsd:float">0.45</align:alignmentmeasure>
+ </align:Cell>
+</rdf:RDF>""")
+        rows = read_logmap(str(p), threshold=0.5).take_all()
+        assert rows == [{"src": "http://x/E1", "dst": "http://y/F1",
+                         "score": 0.88}]
