@@ -296,11 +296,15 @@ def _q_docs_simhash(sf_dir: str):
 # KG queries over the synthetic transcript/lexicon fixtures
 # --------------------------------------------------------------------------
 
+EMIT_BATCH = 32768  # large batches: emitters are pure Arrow kernels, so
+                    # per-invocation overhead dominates below ~32k rows
+
+
 def _kg_emit(sf_dir: str, table: str, fn):
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(_fx(sf_dir), table + ".parquet"))
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=EMIT_BATCH)
 
 
 def _q_kg_synonyms(sf_dir: str):
@@ -336,9 +340,9 @@ def _q_kg_star(sf_dir: str):
 
     fx = _fx(sf_dir)
     tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
-        emit_tests, batch_format="pyarrow")
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
     results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
-        emit_results, batch_format="pyarrow")
+        emit_results, batch_format="pyarrow", batch_size=EMIT_BATCH)
     triples = dedup_triples(tests.union(results))
     star = endpoint_star_join(triples)
     return star.select(["chemical", "species", "conc_value", "endpoint", "effect"])
@@ -405,7 +409,7 @@ def _q_kg_chems_for_species(sf_dir: str):
 
     fx = _fx(sf_dir)
     tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
-        emit_tests, batch_format="pyarrow")
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
     triples = dedup_triples(tests)
     return chemicals_from_species(
         triples, [NS + "taxon/" + s for s in _SEMI_SPECIES])

@@ -108,9 +108,9 @@ def bench_star_join(fx: str) -> float:
 
     t0 = time.perf_counter()
     tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
-        emit_tests, batch_format="pyarrow")
+        emit_tests, batch_format="pyarrow", batch_size=32768)
     results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
-        emit_results, batch_format="pyarrow")
+        emit_results, batch_format="pyarrow", batch_size=32768)
     endpoint_star_join(dedup_triples(tests.union(results)))
     return time.perf_counter() - t0
 

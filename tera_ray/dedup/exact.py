@@ -20,9 +20,13 @@ import pyarrow.compute as pc
 from ..stages.base import hash_column
 
 
-def dedup_exact(ds, keys: list[str], order_by: str, num_buckets: int = 256):
+def dedup_exact(ds, keys: list[str], order_by: str,
+                num_buckets: int | None = None):
     """Keep exactly one row per distinct ``keys`` combination — the row
     with the minimal ``order_by`` value (deterministic tie-break)."""
+    from ..stages.base import _auto_buckets
+
+    num_buckets = _auto_buckets(num_buckets)
     assert num_buckets & (num_buckets - 1) == 0, "power of 2"
 
     def first_per_key(t: pa.Table) -> pa.Table:

@@ -129,7 +129,26 @@ def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
     return t.take(pc.take(g["__idx_min"].combine_chunks(), first))
 
 
-def dedup_triples(ds, keys=("subj", "pred", "obj"), num_buckets: int = 512):
+def _auto_buckets(requested: int | None, lo: int = 32, hi: int = 512) -> int:
+    """Power-of-2 bucket count sized to the cluster: enough buckets that
+    (dataset / buckets) fits a worker heap, few enough that the shuffle
+    isn't fragmented.  100 TB callers pass an explicit larger value."""
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    b = 1
+    while b < min(hi, max(lo, cpus)):
+        b <<= 1
+    return b
+
+
+def dedup_triples(ds, keys=("subj", "pred", "obj"),
+                  num_buckets: int | None = None):
     """Exact triple dedup (SURVEY A1) — rdflib set semantics.
 
     Two-phase: a per-batch local dedup (combiner; cuts shuffle volume),
@@ -152,6 +171,7 @@ def dedup_triples(ds, keys=("subj", "pred", "obj"), num_buckets: int = 512):
     def per_bucket(t: pa.Table) -> pa.Table:
         return dedup_table(t, keys).drop_columns(["__b"])
 
+    num_buckets = _auto_buckets(num_buckets)
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
     return (
         ds.map_batches(local, batch_format="pyarrow")
