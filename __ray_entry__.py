@@ -377,6 +377,13 @@ def _q_kg_build(sf_dir: str):
     return build_kg(_fx(sf_dir))
 
 
+def _q_kg_canonical(sf_dir: str):
+    """Full E1+E2 flagship: build → align → union-find → rewrite → dedup."""
+    from tera_ray.pipelines.transcripts import build_kg_canonical
+
+    return build_kg_canonical(_fx(sf_dir))
+
+
 def _q_kg_fuzzy_align(sf_dir: str):
     import ray.data
 
@@ -472,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
+        "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
         "kg_chems_for_species": _q_kg_chems_for_species,
         "kg_hier_consensus": _q_kg_hier_consensus,

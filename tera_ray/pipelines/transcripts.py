@@ -287,7 +287,7 @@ def lexicon_triples(data_dir: str) -> pa.Table:
 
     import pyarrow.parquet as pq
 
-    from ..stages import ecotox
+    from ..stages import ecotox, taxonomy
 
     parts = []
     for name, fn in [
@@ -297,11 +297,15 @@ def lexicon_triples(data_dir: str) -> pa.Table:
         ("chemicals", ecotox.emit_chemicals),
         ("tests", ecotox.emit_tests),
         ("results", ecotox.emit_results),
+        ("taxonomy_nodes", taxonomy.emit_hierarchy),
+        ("taxonomy_names", taxonomy.emit_names),
+        ("divisions", taxonomy.emit_divisions),
     ]:
         path = os.path.join(data_dir, name + ".parquet")
         if os.path.exists(path):
             parts.append(fn(pq.read_table(path)))
     parts.append(ecotox.ecotox_taxonomy_axioms())
+    parts.append(taxonomy.static_axioms())
     t = pa.concat_tables(parts, promote_options="none")
     n = t.num_rows
     return pa.table(
@@ -340,3 +344,83 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     if dedup:
         out = dedup_triples(out)
     return out
+
+
+def canonicalize_kg(kg, sameas, threshold_score: float = 0.9,
+                    broadcast: bool = True):
+    """E2 tail: sameAs mapping → transitive canonical ids → KG rewrite.
+
+    ``sameas``: (src, dst, score) Dataset (from fuzzy/consensus
+    alignment or an ingested mapping file).  Pipeline:
+    threshold → distributed union-find (A6) → canonical mapping
+    (min member id) → join-rewrite of subj / non-literal obj (M19/J1)
+    → exact dedup (A1).  ``broadcast=True`` ships the canonical map via
+    ``ray.put`` (alias clusters are small relative to the store);
+    ``broadcast=False`` takes the two-shuffle join path.
+    """
+    from ..stages.base import dedup_triples
+    from ..state.linkage import (
+        canonical_mapping,
+        connected_components,
+        rewrite_triples,
+    )
+    from ..state.mapping import threshold
+
+    comp = connected_components(threshold(sameas, threshold_score))
+    mapping = canonical_mapping(comp)
+    rewritten = rewrite_triples(kg, mapping, broadcast=broadcast)
+    return dedup_triples(rewritten)
+
+
+def build_kg_canonical(data_dir: str, fuzzy: bool = True,
+                       align_threshold: float = 90.0,
+                       same_threshold: float = 0.9):
+    """Full E1+E2 flagship: build the KG, align the NCBI-style taxonomy
+    names against the ECOTOX-style species labels (J5 + J7 consensus),
+    then canonicalize alias clusters through union-find and rewrite.
+
+    The sameAs score scale is 0-100 (fuzzy ratio); ``same_threshold`` is
+    applied after normalizing to 0-1.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..schema import NCBI_NS
+    from ..stages.align import blocked_fuzzy_align, label_bags
+    from ..stages.taxonomy import emit_names
+
+    kg = build_kg(data_dir, fuzzy=fuzzy)
+
+    names_path = os.path.join(data_dir, "taxonomy_names.parquet")
+    if not os.path.exists(names_path):
+        return kg
+    names = ray.data.read_parquet(names_path).map_batches(
+        emit_names, batch_format="pyarrow")
+    ncbi_preds = (NCBI_NS + "scientific_name", NCBI_NS + "common_name",
+                  NCBI_NS + "uniqueName")
+    eco_preds = (ECOTOX_NS + "latinName",)
+    cand = blocked_fuzzy_align(
+        label_bags(names, ncbi_preds),
+        label_bags(with_lineage_dropped(kg), eco_preds),
+        threshold=align_threshold)
+
+    def to_unit_scale(t):
+        import pyarrow.compute as _pc
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "score": _pc.divide(t["score"], 100.0)})
+
+    sameas = cand.map_batches(to_unit_scale, batch_format="pyarrow")
+    return canonicalize_kg(kg, sameas, threshold_score=same_threshold)
+
+
+def with_lineage_dropped(ds):
+    """Lineage-tagged triples → plain 5-col triples (for stages that
+    expect the core schema)."""
+    def drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns(
+            [c for c in ("conv_id", "turn_idx") if c in t.schema.names])
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -39,6 +39,7 @@ def connected_components(
     edges,
     max_rounds: int = 16,
     num_partitions: int | None = None,
+    small_threshold: int = 2_000_000,
 ):
     """Edges ``(src, dst)`` → component table ``(node, comp)`` with
     ``comp`` = min member id of the node's connected component.
@@ -50,6 +51,39 @@ def connected_components(
     """
     num_buckets = join_partitions(num_partitions)
     sym = _sym_edges(edges).materialize()
+
+    # Small-graph fast path: alias-cluster edge sets are typically tiny
+    # relative to the triple store, and each distributed round costs
+    # several fixed-overhead shuffles.  Below the threshold, run exact
+    # union-find driver-side (same min-member semantics) and return the
+    # result as a single-block Dataset; the shuffle path below is the
+    # 100 TB route.
+    if sym.count() <= small_threshold:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        allnodes: set[str] = set()
+        for b in sym.iter_batches(batch_format="pyarrow", batch_size=None):
+            for a, c in zip(b["node"].to_pylist(), b["nbr"].to_pylist()):
+                allnodes.add(a)
+                ra, rc = find(a), find(c)
+                if ra != rc:
+                    # union by min id ⇒ canonical id = min member
+                    lo, hi = (ra, rc) if ra < rc else (rc, ra)
+                    parent[hi] = lo
+        nodes = sorted(allnodes)
+        comp_tbl = pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "comp": pa.array([find(n) for n in nodes], pa.string()),
+        })
+        return ray.data.from_arrow(comp_tbl)
 
     # comp0 = min(node, min neighbor) — first propagation round for free
     comp = (

@@ -94,10 +94,23 @@ class TestUnionFind:
             self.edges([("A1", "B1"), ("B1", "C1"), ("C1", "D1"), ("D1", "E1"),
                         ("A2", "B2"), ("B2", "C2")]),
             num_partitions=2,
+            small_threshold=0,  # force the distributed shuffle path
         ).take_all()
         got = {r["node"]: r["comp"] for r in comp}
         assert got == {"B1": "A1", "C1": "A1", "D1": "A1", "E1": "A1", "A1": "A1",
                        "A2": "A2", "B2": "A2", "C2": "A2"}
+
+    def test_small_fast_path_matches_distributed(self):
+        from tera_ray.state.linkage import connected_components
+
+        pairs = [("A1", "B1"), ("B1", "C1"), ("C1", "D1"), ("D1", "E1"),
+                 ("A2", "B2"), ("B2", "C2")]
+        fast = {r["node"]: r["comp"] for r in
+                connected_components(self.edges(pairs)).take_all()}
+        dist = {r["node"]: r["comp"] for r in
+                connected_components(self.edges(pairs), num_partitions=2,
+                                     small_threshold=0).take_all()}
+        assert fast == dist
 
     def test_fixture_sameas_with_threshold(self, fixtures_t1):
         from tera_ray.state.linkage import canonical_mapping, connected_components
