@@ -1,0 +1,158 @@
+"""Query-layer unit tests (SURVEY G1-G5, J2, J3) + relational operators."""
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+from tera_ray.schema import ECOTOX_NS as NS
+from tera_ray.schema import RDF_VALUE, TRIPLE_SCHEMA, UNIT_UNITS
+
+
+def T(rows):
+    s, p, o, lit = zip(*rows)
+    return pa.table({
+        "subj": pa.array(s, pa.string()), "pred": pa.array(p, pa.string()),
+        "obj": pa.array(o, pa.string()),
+        "obj_is_literal": pa.array(lit, pa.bool_()),
+        "graph": pa.array(["g"] * len(s), pa.string()),
+    }, schema=TRIPLE_SCHEMA)
+
+
+def _kg():
+    rows = []
+    # two tests: t1 (sp1, ch1) with 2 results; t2 (sp2, ch2) with 1
+    for tid, sp, ch in [("t1", "sp1", "ch1"), ("t2", "sp2", "ch2")]:
+        rows += [(NS + "test/" + tid, NS + "species", NS + "taxon/" + sp, False),
+                 (NS + "test/" + tid, NS + "chemical", NS + "cas/" + ch, False)]
+    for tid, rid, ep, ef, cv in [("t1", "r1", "LC50", "MOR", "10"),
+                                 ("t1", "r2", "NOEC", "GRO", "5"),
+                                 ("t2", "r3", "EC50", "REP", "7")]:
+        rows += [(NS + "test/" + tid, NS + "hasResult", "_:" + rid, False),
+                 ("_:" + rid, NS + "endpoint", NS + "endpoint/" + ep, False),
+                 ("_:" + rid, NS + "effect", NS + "effect/" + ef, False),
+                 ("_:" + rid, NS + "concentration", "_:c" + rid, False),
+                 ("_:c" + rid, RDF_VALUE, cv, True),
+                 ("_:c" + rid, UNIT_UNITS, "http://qudt.org/vocab/unit#MilligramPerLitre", False)]
+    # small hierarchy for BFS/khop: sp1,sp2 subClassOf gen1; sp3 under gen2
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    rows += [(NS + "taxon/sp1", sub, NS + "taxon/gen1", False),
+             (NS + "taxon/sp2", sub, NS + "taxon/gen1", False),
+             (NS + "taxon/sp3", sub, NS + "taxon/gen2", False)]
+    return ray.data.from_arrow(T(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKGQueries:
+    def test_star_join(self):
+        from tera_ray.query.kg import endpoint_star_join
+
+        star = endpoint_star_join(_kg())
+        got = sorted(map(tuple, star.to_pylist()[0].keys() and [
+            (r["chemical"], r["species"], r["conc_value"], r["endpoint"],
+             r["effect"]) for r in star.to_pylist()]))
+        assert got == sorted([
+            (NS + "cas/ch1", NS + "taxon/sp1", "10", NS + "endpoint/LC50", NS + "effect/MOR"),
+            (NS + "cas/ch1", NS + "taxon/sp1", "5", NS + "endpoint/NOEC", NS + "effect/GRO"),
+            (NS + "cas/ch2", NS + "taxon/sp2", "7", NS + "endpoint/EC50", NS + "effect/REP"),
+        ])
+
+    def test_star_join_filters(self):
+        from tera_ray.query.kg import endpoint_star_join
+
+        star = endpoint_star_join(_kg(), chemicals=[NS + "cas/ch2"])
+        assert star.num_rows == 1
+        assert star["species"][0].as_py() == NS + "taxon/sp2"
+
+    def test_semi_joins(self):
+        from tera_ray.query.kg import chemicals_from_species, species_from_chemicals
+
+        kg = _kg()
+        c = chemicals_from_species(kg, [NS + "taxon/sp1"])
+        assert c["chemical"].to_pylist() == [NS + "cas/ch1"]
+        s = species_from_chemicals(kg, [NS + "cas/ch1", NS + "cas/ch2"])
+        assert s["species"].to_pylist() == [NS + "taxon/sp1", NS + "taxon/sp2"]
+
+    def test_bfs_subgraph(self):
+        from tera_ray.query.kg import construct_subgraph
+
+        sub = construct_subgraph(_kg(), [NS + "test/t1"])
+        rows = sub.take_all()
+        subjects = {r["subj"] for r in rows}
+        # reaches the test, its results, concentrations, and species chain
+        assert NS + "test/t1" in subjects
+        assert "_:r1" in subjects and "_:cr1" in subjects
+        assert NS + "taxon/sp1" in subjects
+        # does NOT reach t2's branch
+        assert "_:r3" not in subjects
+
+    def test_khop_siblings(self):
+        from tera_ray.query.kg import khop_related
+
+        sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+        sib = khop_related(_kg(), NS + "taxon/sp1", sub, 1, 1)
+        assert sib["entity"].to_pylist() == [NS + "taxon/sp2"]
+
+    def test_dedup_idempotent(self):
+        from tera_ray.stages.base import dedup_triples
+
+        kg = _kg().union(_kg())  # duplicate every triple
+        once = dedup_triples(kg)
+        base = sorted((r["subj"], r["pred"], r["obj"])
+                      for r in _kg().take_all())
+        got1 = sorted((r["subj"], r["pred"], r["obj"]) for r in once.take_all())
+        assert got1 == base
+        twice = dedup_triples(dedup_triples(_kg().union(_kg())))
+        got2 = sorted((r["subj"], r["pred"], r["obj"]) for r in twice.take_all())
+        assert got2 == base
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_top1_per_key(self):
+        from tera_ray.query.relational import top1_per_key
+
+        t = pa.table({"k": ["a", "a", "b", "b", "b"],
+                      "v": [3.0, 5.0, 1.0, 1.0, 0.5],
+                      "id": [1, 2, 3, 4, 5]})
+        out = top1_per_key(ray.data.from_arrow(t), "k",
+                           [("v", "descending"), ("id", "ascending")])
+        got = {r["k"]: (r["v"], r["id"]) for r in out.take_all()}
+        assert got == {"a": (5.0, 2), "b": (1.0, 3)}
+
+    def test_grouped_agg(self):
+        from tera_ray.query.relational import grouped_agg
+
+        t = pa.table({"k": ["x", "y", "x", "x"], "v": [1, 2, 3, 4]})
+        out = grouped_agg(ray.data.from_arrow(t).repartition(3), ["k"],
+                          [("v", "count", "n"), ("v", "sum", "s"),
+                           ("v", "min", "lo"), ("v", "max", "hi")])
+        got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in out.take_all()}
+        assert got == {"x": (3, 8, 1, 4), "y": (1, 2, 2, 2)}
+
+    def test_broadcast_join(self):
+        from tera_ray.query.relational import broadcast_join
+
+        big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": list("abcd")}))
+        small = pa.table({"kk": [1, 2], "w": ["X", "Y"]})
+        out = broadcast_join(big, small, "k", "kk").take_all()
+        got = sorted((r["k"], r["v"], r["w"]) for r in out)
+        assert got == [(1, "a", "X"), (2, "b", "Y"), (2, "d", "Y")]
+
+    def test_ordered_group_concat(self):
+        from tera_ray.query.relational import ordered_group_concat
+
+        t = pa.table({"k": ["u", "u", "u", "w"], "ord": [2, 0, 1, 5],
+                      "txt": ["c", "a", "b", "z"]})
+        out = ordered_group_concat(ray.data.from_arrow(t), "k",
+                                   [("ord", "ascending")], "txt",
+                                   out_names=("k", "n", "seq"))
+        got = {r["k"]: (r["n"], r["seq"]) for r in out.take_all()}
+        assert got == {"u": (3, "a|b|c"), "w": (1, "z")}
+
+    def test_distinct_values(self):
+        from tera_ray.query.relational import distinct_values
+
+        t = pa.table({"x": [3, 1, 3, 2, 1]})
+        out = distinct_values(ray.data.from_arrow(t).repartition(2), "x")
+        assert sorted(r["x"] for r in out.take_all()) == [1, 2, 3]
