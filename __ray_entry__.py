@@ -220,6 +220,27 @@ def _q_pricing_summary(sf_dir: str):
                         ("base_cents", "sum", "base_cents")])
 
 
+def _q_orders_top100(sf_dir: str):
+    """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
+    then a driver-cheap limit)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(100)
+    rank = [0]
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        r = pa.array(range(rank[0] + 1, rank[0] + n + 1), pa.int64())
+        rank[0] += n
+        return t.append_column("rank", r)
+
+    # limit(100) → single small block on the driver path; rank assigned
+    # in order (deterministic because the sort is total)
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    return add_rank(tbl)
+
+
 def _q_events_sessions(sf_dir: str):
     from tera_ray.query.relational import ordered_group_concat
 
@@ -404,6 +425,34 @@ def _q_kg_fuzzy_align(sf_dir: str):
                                label_bags(taxa, eco_preds), threshold=90.0)
 
 
+def _q_kg_traits(sf_dir: str):
+    from tera_ray.stages.traits import emit_traits
+
+    return _kg_emit(sf_dir, "traits", emit_traits)
+
+
+def _q_kg_term_labels(sf_dir: str):
+    from tera_ray.stages.traits import emit_term_labels
+
+    return _kg_emit(sf_dir, "terms", emit_term_labels)
+
+
+def _q_kg_eol_subclasses(sf_dir: str):
+    from tera_ray.stages.traits import emit_subclasses
+
+    return _kg_emit(sf_dir, "eol_rels", emit_subclasses)
+
+
+def _q_chem_tanimoto(sf_dir: str):
+    import ray.data
+
+    from tera_ray.dedup.fingerprint import tanimoto_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chem_fingerprints.parquet"))
+    return tanimoto_pairs(ds, threshold=0.7)
+
+
 _SEMI_SPECIES = [str(100000 + i) for i in range(5)]
 
 
@@ -459,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
         "orders_top1_per_customer": _q_orders_top1,
+        "orders_top100": _q_orders_top100,
         "revenue_by_segment": _q_revenue_by_segment,
         "building_suppliers": _q_building_suppliers,
         "pricing_summary": _q_pricing_summary,
@@ -472,6 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_docs_simhash,
         # KG pipelines over deterministic transcript fixtures
         "kg_synonym_triples": _q_kg_synonyms,
+        "kg_traits_triples": _q_kg_traits,
+        "kg_term_labels": _q_kg_term_labels,
+        "kg_eol_subclasses": _q_kg_eol_subclasses,
+        "chem_tanimoto": _q_chem_tanimoto,
         "kg_taxa_triples": _q_kg_taxa,
         "kg_chemical_triples": _q_kg_chemicals,
         "kg_hierarchy_triples": _q_kg_hierarchy,
@@ -492,6 +546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _sq(s: str) -> str:
     return s.replace("'", "''")
+
+
+# URL-shape regex mirroring tera_ray.stages.traits._URL_RE
+_URL_SQL = r"^https?://[^\s/$.?#][^\s]*$"
 
 
 def _sent(col: str) -> str:
@@ -609,6 +667,10 @@ def oracle_sql() -> dict[str, str]:
             " SELECT *, row_number() OVER (PARTITION BY o_custkey"
             " ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)"
             " WHERE rn = 1",
+        "orders_top100":
+            "SELECT o_orderkey, o_totalprice, row_number() OVER ("
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank"
+            " FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
         "revenue_by_segment":
             "SELECT c_mktsegment, count(*) AS n,"
             " CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)"
@@ -650,6 +712,36 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet('{fx}/species_synonyms.parquet')"
             f" WHERE {_sent('species_number')} IS NOT NULL"
             f" AND {_sent('latin_name')} IS NOT NULL",
+        "kg_traits_triples":
+            f"SELECT 'https://eol.org/pages/'||trim(page_id) AS subj,"
+            f" trim(predicate) AS pred, trim(value_uri) AS obj,"
+            f" FALSE AS {lit}, 'eol_traits' AS graph"
+            f" FROM read_parquet('{fx}/traits.parquet')"
+            f" WHERE regexp_matches(trim(predicate), '{_URL_SQL}')"
+            f" AND regexp_matches(trim(value_uri), '{_URL_SQL}')",
+        "kg_term_labels":
+            f"SELECT trim(uri) AS subj, '{RDFS_LABEL}' AS pred,"
+            f" trim(name) AS obj, TRUE AS {lit}, 'eol_traits' AS graph"
+            f" FROM read_parquet('{fx}/terms.parquet')"
+            f" WHERE regexp_matches(trim(uri), '{_URL_SQL}')"
+            f" AND length(trim(name)) > 0",
+        "kg_eol_subclasses":
+            f"SELECT trim(child) AS subj, '{RDFS_SUBCLASSOF}' AS pred,"
+            f" trim(parent) AS obj, FALSE AS {lit}, 'eol_traits' AS graph"
+            f" FROM read_parquet('{fx}/eol_rels.parquet')"
+            f" WHERE regexp_matches(trim(child), '{_URL_SQL}')"
+            f" AND regexp_matches(trim(parent), '{_URL_SQL}')",
+        "chem_tanimoto":
+            f"SELECT x.cas_number AS a, y.cas_number AS b,"
+            f" round(bit_count(x.fp & y.fp) /"
+            f" (bit_count(x.fp) + bit_count(y.fp) - bit_count(x.fp & y.fp)),"
+            f" 6) AS tanimoto"
+            f" FROM read_parquet('{fx}/chem_fingerprints.parquet') x"
+            f" JOIN read_parquet('{fx}/chem_fingerprints.parquet') y"
+            f" ON x.cas_number < y.cas_number"
+            f" WHERE bit_count(x.fp & y.fp) /"
+            f" (bit_count(x.fp) + bit_count(y.fp) - bit_count(x.fp & y.fp))"
+            f" >= 0.7",
         "kg_taxa_triples": f"""
 WITH b AS (
   SELECT {_sent('species_number')} AS sn, {_sent('common_name')} AS cn,

@@ -291,6 +291,62 @@ def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng):
     return table.take(pa.array(perm))
 
 
+_TRAIT_PREDS = [
+    "http://eol.org/schema/terms/ExtinctionStatus",
+    "http://eol.org/schema/terms/Habitat",
+    "http://rs.tdwg.org/dwc/terms/habitat",
+    "http://eol.org/schema/terms/ecoregion",
+]
+_TRAIT_VALUES = [
+    "http://eol.org/schema/terms/extant",
+    "http://eol.org/schema/terms/extinct",
+    "http://purl.obolibrary.org/obo/ENVO_00000873",
+    "http://purl.obolibrary.org/obo/ENVO_00002030",
+]
+
+
+def gen_eol(n_pages: int, rng) -> tuple[dict, dict, dict]:
+    """EOL-style traits / terms / rels tables (SURVEY M9-M11 fixtures).
+    ~10% of trait rows carry a non-URL value (gated out by the
+    emitters, as in the reference's validators.url checks)."""
+    pages = [str(1_000_000 + i) for i in range(n_pages)]
+    n_traits = n_pages * 3
+    traits = {
+        "page_id": [pages[rng.randint(n_pages)] for _ in range(n_traits)],
+        "predicate": [_TRAIT_PREDS[rng.randint(len(_TRAIT_PREDS))]
+                      for _ in range(n_traits)],
+        "value_uri": [
+            _TRAIT_VALUES[rng.randint(len(_TRAIT_VALUES))]
+            if rng.rand() < 0.9 else "not a url"
+            for _ in range(n_traits)],
+    }
+    uris = sorted(set(_TRAIT_PREDS + _TRAIT_VALUES))
+    terms = {"uri": uris, "name": ["term %d" % i for i in range(len(uris))]}
+    n_rels = n_pages
+    rels = {
+        "child": ["https://eol.org/pages/" + pages[rng.randint(n_pages)]
+                  for _ in range(n_rels)],
+        "parent": ["https://eol.org/pages/" + str(2_000_000 + rng.randint(50))
+                   if rng.rand() < 0.9 else "bad uri"
+                   for _ in range(n_rels)],
+    }
+    return traits, terms, rels
+
+
+def gen_fingerprints(chemicals: dict[str, list], rng) -> dict[str, list]:
+    """Per-chemical 63-bit fingerprint ints (tanimoto fixtures; cf. the
+    PubChem binary fingerprints, ``tera/DataAccess.py:486-497``).
+    Chemicals in the same ecotox_group share ~2/3 of their bits so
+    similarity search has structure."""
+    groups = sorted(set(chemicals["ecotox_group"]))
+    base = {g: int(rng.randint(0, 1 << 62)) for g in groups}
+    fps = []
+    for g in chemicals["ecotox_group"]:
+        noise = int(rng.randint(0, 1 << 62)) & int(rng.randint(0, 1 << 62))
+        fps.append((base[g] & ~noise) | (noise & int(rng.randint(0, 1 << 62))))
+    return {"cas_number": list(chemicals["cas_number"]), "fp": fps}
+
+
 def gen_sameas_pairs(rng) -> dict[str, list]:
     """Mapping-fixture with sub-threshold rows, duplicate pairs, and
     a->b->c chains (FIXTURES.md §4a)."""
@@ -326,6 +382,10 @@ def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
     tests, results = gen_tests_results(max(100, n_turns // 10), species, chemicals, rng)
     transcripts = gen_transcripts(n_turns, species, synonyms, chemicals, rng)
     sameas = gen_sameas_pairs(rng)
+    # independent stream so pre-existing tables stay byte-identical
+    rng2 = np.random.RandomState(SEED + 1)
+    traits, terms, rels = gen_eol(max(50, n_turns // 40), rng2)
+    fingerprints = gen_fingerprints(chemicals, rng2)
 
     def w(name, data):
         t = data if isinstance(data, pa.Table) else pa.table(
@@ -349,6 +409,10 @@ def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
     w("results", results)
     w("transcripts", transcripts)
     w("sameas_pairs", sameas)
+    w("traits", traits)
+    w("terms", terms)
+    w("eol_rels", rels)
+    w("chem_fingerprints", fingerprints)
     with open(done, "w") as f:
         f.write("ok")
     return out
