@@ -133,10 +133,13 @@ class NTriplesParser:
             elif lit is not None:
                 terms.append((lit.replace('\\"', '"'), True))
             elif local is not None:
-                base = self.prefixes.get(pfx or "")
-                if base is None:
-                    return None
-                terms.append((base + local, False))
+                if pfx == "_":  # blank node: keep the _:id form verbatim
+                    terms.append(("_:" + local, False))
+                else:
+                    base = self.prefixes.get(pfx or "")
+                    if base is None:
+                        return None
+                    terms.append((base + local, False))
             if len(terms) == 3:
                 break
         if len(terms) != 3:

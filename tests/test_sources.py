@@ -141,3 +141,51 @@ class TestLogMap:
         rows = read_logmap(str(p), threshold=0.5).take_all()
         assert rows == [{"src": "http://x/E1", "dst": "http://y/F1",
                          "score": 0.88}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSinksAndEnrich:
+    def test_nt_sink_roundtrip(self, tmp_path):
+        import pyarrow as pa
+
+        from tera_ray.sources.dumps import read_ntriples
+        from tera_ray.sources.sinks import write_ntriples
+        from tera_ray.schema import TRIPLE_SCHEMA
+
+        t = pa.table({
+            "subj": ["http://x/a", "_:b1", "http://x/c"],
+            "pred": ["http://p/1", "http://p/2", "http://p/3"],
+            "obj": ["http://y/z", 'lit with "quote"\nand newline', "_:b2"],
+            "obj_is_literal": [False, True, False],
+            "graph": ["g"] * 3,
+        }, schema=TRIPLE_SCHEMA)
+        files = write_ntriples(ray.data.from_arrow(t), str(tmp_path / "nt"))
+        assert files
+        back = read_ntriples(files, graph="g").take_all()
+        got = sorted((r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+                     for r in back)
+        # our NT parser reads single-line triples; the escaped newline
+        # literal round-trips as its escaped form
+        assert ("http://x/a", "http://p/1", "http://y/z", False) in got
+        assert ("http://x/c", "http://p/3", "_:b2", False) in got
+
+    def test_enrich_actor_with_memo(self, fixtures_t1):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tera_ray.state.enrich import enrich, fingerprint_features
+
+        snap = pq.read_table(os.path.join(fixtures_t1, "chem_fingerprints.parquet"))
+        chems = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "chemicals.parquet"))
+        out = enrich(chems, snap, "cas_number", fingerprint_features,
+                     [("fp_bits", pa.int64()), ("fp_hex", pa.string())],
+                     concurrency=(1, 2)).take_all()
+        by_cas = {r["cas_number"]: r for r in out}
+        fps = {c: f for c, f in zip(snap["cas_number"].to_pylist(),
+                                    snap["fp"].to_pylist())}
+        for cas, fp in list(fps.items())[:5]:
+            assert by_cas[cas]["fp_bits"] == bin(fp).count("1")
+            assert by_cas[cas]["fp_hex"] == hex(fp)
