@@ -501,6 +501,108 @@ def _q_kg_hier_consensus(sf_dir: str):
     return hierarchy_consensus_align(cand, parents_a, parents_b)
 
 
+# NCBI taxonomy emitters (M5-M7) + query layer (G2-G4) + J1 ----------------
+
+def _ncbi_ns():
+    from tera_ray.schema import NCBI_NS
+
+    return NCBI_NS
+
+
+def _q_kg_ncbi_hierarchy(sf_dir: str):
+    from tera_ray.stages.taxonomy import emit_hierarchy
+
+    return _kg_emit(sf_dir, "taxonomy_nodes", emit_hierarchy)
+
+
+def _q_kg_ncbi_names(sf_dir: str):
+    from tera_ray.stages.taxonomy import emit_names
+
+    return _kg_emit(sf_dir, "taxonomy_names", emit_names)
+
+
+def _q_kg_divisions(sf_dir: str):
+    from tera_ray.stages.taxonomy import emit_divisions
+
+    return _kg_emit(sf_dir, "divisions", emit_divisions)
+
+
+def _q_kg_subgraph(sf_dir: str):
+    """G3 BFS closure from one species over the NCBI hierarchy triples."""
+    from tera_ray.query.kg import construct_subgraph
+
+    tri = _q_kg_ncbi_hierarchy(sf_dir)
+    return construct_subgraph(tri, [_ncbi_ns() + "taxon/900000"])
+
+
+def _q_kg_siblings(sf_dir: str):
+    """G4 k-hop (up=1, down=1 ⇒ siblings) along subClassOf."""
+    from tera_ray.query.kg import khop_related
+    from tera_ray.schema import RDFS_SUBCLASSOF as SUB
+
+    tri = _q_kg_ncbi_hierarchy(sf_dir)
+    return khop_related(tri, _ncbi_ns() + "taxon/950000", SUB, up=1, down=1)
+
+
+def _q_kg_alt_labels(sf_dir: str):
+    """G2: labels reachable via the subPropertyOf-of-rdfs:label closure."""
+    from tera_ray.query.kg import query_alt_labels
+
+    tri = _q_kg_ncbi_names(sf_dir)
+    return query_alt_labels(tri, _ncbi_ns() + "taxon/900000")
+
+
+def _q_kg_convert_id(sf_dir: str):
+    """J1 multi-hop id pivot: compose the sameAs mapping with itself
+    (x→y ∘ y→z ⇒ x→z, min score)."""
+    import ray.data
+
+    from tera_ray.state.mapping import compose
+
+    m = ray.data.read_parquet(os.path.join(_fx(sf_dir), "sameas_pairs.parquet"))
+    return compose(m, m)
+
+
+def _q_docs_ngram_jaccard(sf_dir: str):
+    from tera_ray.dedup.ngram import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN with every list probed (exact ⇒ oracle-checkable; lower
+    ``nprobe`` is the approximate scale path, recall-tested in pytest)."""
+    import pyarrow.parquet as pq
+
+    from tera_ray.ann.search import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    keep = pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64()))
+    qt = qt.filter(keep)
+    Q = np.asarray(qt["embedding"].to_pylist(), np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qids=qt["vec_id"].to_pylist(), Q=Q, k=10,
+                   n_centroids=8, nprobe=8, dtype=np.float64)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): synthetic binary image payloads →
+    actor-pool decode stage → per-image feature scalars."""
+    import ray.data
+
+    from tera_ray.multimodal.media import decode_images, synthetic_media
+
+    ds = ray.data.from_arrow(synthetic_media(200))
+    out = decode_images(ds, out_size=16, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.select(["media_id", "px_mean", "px_std"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
@@ -537,6 +639,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_align": _q_kg_fuzzy_align,
         "kg_chems_for_species": _q_kg_chems_for_species,
         "kg_hier_consensus": _q_kg_hier_consensus,
+        # NCBI taxonomy emitters + KG query layer + id pivot
+        "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
+        "kg_ncbi_names": _q_kg_ncbi_names,
+        "kg_divisions": _q_kg_divisions,
+        "kg_subgraph": _q_kg_subgraph,
+        "kg_siblings": _q_kg_siblings,
+        "kg_alt_labels": _q_kg_alt_labels,
+        "kg_convert_id": _q_kg_convert_id,
+        # additional training-data ops
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "ann_ivf_topk": _q_ann_ivf,
+        "media_features": _q_media_features,
     }
 
 
@@ -626,6 +740,177 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}endpoint/'||r.endpoint AS endpoint,
        '{NS}effect/'||r.effect AS effect
 FROM r JOIN t USING (test_id)
+"""
+
+
+def _ncbi_hierarchy_sql(fx: str) -> str:
+    """M5 oracle: mirrors ``stages.taxonomy.emit_hierarchy`` (clean =
+    sentinel-nullify → dropna all cols → trim; rank/division spaces →
+    underscores)."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    g = "'ncbi_taxonomy'"
+    return f"""
+WITH b AS (
+  SELECT {_sent('child')} AS child, {_sent('parent')} AS parent,
+         {_sent('rank')} AS rank_raw,
+         replace({_sent('rank')}, ' ', '_') AS rnk,
+         replace({_sent('division')}, ' ', '_') AS dvn
+  FROM read_parquet('{fx}/taxonomy_nodes.parquet')
+  WHERE {_sent('child')} IS NOT NULL AND {_sent('parent')} IS NOT NULL
+    AND {_sent('rank')} IS NOT NULL AND {_sent('division')} IS NOT NULL
+)
+SELECT '{NNS}taxon/'||child AS subj, '{NNS}rank' AS pred,
+       '{NNS}rank/'||rnk AS obj, FALSE AS obj_is_literal, {g} AS graph
+  FROM b WHERE rnk <> 'no_rank'
+UNION ALL
+SELECT '{NNS}rank/'||rnk, '{RDFS_LABEL}', rank_raw, TRUE, {g}
+  FROM b WHERE rnk <> 'no_rank'
+UNION ALL
+SELECT '{NNS}rank/'||rnk, '{RDF_TYPE}', '{NNS}Rank', FALSE, {g}
+  FROM b WHERE rnk <> 'no_rank'
+UNION ALL
+SELECT '{NNS}taxon/'||child, '{RDF_TYPE}', '{NNS}taxon/'||parent, FALSE, {g}
+  FROM b WHERE rnk = 'species'
+UNION ALL
+SELECT '{NNS}taxon/'||child, '{RDF_TYPE}', '{NNS}division/'||dvn, FALSE, {g}
+  FROM b WHERE rnk = 'species'
+UNION ALL
+SELECT '{NNS}taxon/'||child, '{RDFS_SUBCLASSOF}', '{NNS}taxon/'||parent,
+       FALSE, {g} FROM b WHERE rnk <> 'species'
+UNION ALL
+SELECT '{NNS}taxon/'||child, '{RDFS_SUBCLASSOF}', '{NNS}division/'||dvn,
+       FALSE, {g} FROM b WHERE rnk <> 'species'
+"""
+
+
+def _ncbi_names_sql(fx: str) -> str:
+    """M6 oracle: mirrors ``stages.taxonomy.emit_names``."""
+    from tera_ray.schema import (
+        NCBI_NS as NNS,
+        OWL_SUBPROPERTYOF as SUBP,
+        RDFS_DOMAIN as DOM,
+        SKOS_PREFLABEL as PREF,
+    )
+
+    g = "'ncbi_taxonomy'"
+    return f"""
+WITH b AS (
+  SELECT {_sent('taxon')} AS tx, {_sent('name')} AS nm,
+         {_sent('unique_name')} AS un, {_sent('name_type')} AS nt_raw,
+         replace({_sent('name_type')}, ' ', '_') AS nt
+  FROM read_parquet('{fx}/taxonomy_names.parquet')
+  WHERE {_sent('taxon')} IS NOT NULL AND {_sent('name')} IS NOT NULL
+    AND {_sent('unique_name')} IS NOT NULL AND {_sent('name_type')} IS NOT NULL
+)
+SELECT '{NNS}taxon/'||tx AS subj, '{NNS}uniqueName' AS pred, un AS obj,
+       TRUE AS obj_is_literal, {g} AS graph FROM b WHERE length(un) > 0
+UNION ALL
+SELECT '{NNS}uniqueName', '{SUBP}', '{RDFS_LABEL}', FALSE, {g}
+  FROM b WHERE length(un) > 0
+UNION ALL
+SELECT '{NNS}uniqueName', '{SUBP}', '{PREF}', FALSE, {g}
+  FROM b WHERE length(un) > 0
+UNION ALL
+SELECT '{NNS}'||nt, '{SUBP}', '{RDFS_LABEL}', FALSE, {g}
+  FROM b WHERE length(nm) > 0
+UNION ALL
+SELECT '{NNS}taxon/'||tx, '{NNS}'||nt, nm, TRUE, {g} FROM b WHERE length(nm) > 0
+UNION ALL
+SELECT '{NNS}'||nt, '{RDFS_LABEL}', nt_raw, TRUE, {g} FROM b WHERE length(nm) > 0
+UNION ALL
+SELECT '{NNS}'||nt, '{DOM}', '{NNS}Taxon', FALSE, {g} FROM b WHERE length(nm) > 0
+"""
+
+
+def _divisions_sql(fx: str) -> str:
+    """M7 oracle: mirrors ``stages.taxonomy.emit_divisions`` (dropna spans
+    the unused ``acronym`` column too — faithful to the emitter's
+    column selection)."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    g = "'ncbi_taxonomy'"
+    return f"""
+WITH b AS (
+  SELECT {_sent('division')} AS dv, {_sent('name')} AS nm
+  FROM read_parquet('{fx}/divisions.parquet')
+  WHERE {_sent('division')} IS NOT NULL AND {_sent('acronym')} IS NOT NULL
+    AND {_sent('name')} IS NOT NULL
+)
+SELECT '{NNS}division/'||dv AS subj, '{RDF_TYPE}' AS pred,
+       '{NNS}Division' AS obj, FALSE AS obj_is_literal, {g} AS graph FROM b
+UNION ALL
+SELECT '{NNS}division/'||dv, '{RDFS_LABEL}', nm, TRUE, {g} FROM b
+"""
+
+
+def _subgraph_sql(fx: str) -> str:
+    """G3 oracle: transitive closure of outgoing non-literal edges from
+    the seed, then every hierarchy triple whose subject was reached."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    seed = NNS + "taxon/900000"
+    return f"""
+WITH RECURSIVE h AS (SELECT * FROM ({_ncbi_hierarchy_sql(fx)})),
+e AS (SELECT DISTINCT subj, obj FROM h WHERE NOT obj_is_literal),
+reach(v) AS (
+  SELECT '{seed}'
+  UNION
+  SELECT e.obj FROM reach JOIN e ON e.subj = reach.v
+)
+SELECT h.subj, h.pred, h.obj, h.obj_is_literal, h.graph
+FROM h JOIN reach r ON h.subj = r.v
+"""
+
+
+def _siblings_sql(fx: str) -> str:
+    from tera_ray.schema import NCBI_NS as NNS
+
+    x = NNS + "taxon/950000"
+    return f"""
+WITH h AS ({_ncbi_hierarchy_sql(fx)}),
+e AS (SELECT subj, obj FROM h WHERE pred = '{RDFS_SUBCLASSOF}'),
+up AS (SELECT DISTINCT obj AS v FROM e WHERE subj = '{x}')
+SELECT DISTINCT e.subj AS entity FROM e JOIN up ON e.obj = up.v
+WHERE e.subj <> '{x}'
+"""
+
+
+def _alt_labels_sql(fx: str) -> str:
+    from tera_ray.schema import NCBI_NS as NNS, OWL_SUBPROPERTYOF as SUBP
+
+    ent = NNS + "taxon/900000"
+    return f"""
+WITH n AS ({_ncbi_names_sql(fx)}),
+lp AS (
+  SELECT DISTINCT subj AS p FROM n
+  WHERE pred = '{SUBP}' AND obj = '{RDFS_LABEL}'
+  UNION SELECT '{RDFS_LABEL}'
+)
+SELECT pred, obj FROM n WHERE subj = '{ent}' AND pred IN (SELECT p FROM lp)
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS g
+  FROM toks WHERE len(l) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, l[g]||' '||l[g+1]||' '||l[g+2] AS s FROM pos
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, i / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i / (sa.n + sb.n - i) >= 0.5
 """
 
 
@@ -812,4 +1097,26 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"SELECT conv_id, count(*) AS n_turns,"
             f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"
             f" FROM read_parquet('{fx}/transcripts.parquet') GROUP BY conv_id",
+        "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
+        "kg_ncbi_names": _ncbi_names_sql(fx),
+        "kg_divisions": _divisions_sql(fx),
+        "kg_subgraph": _subgraph_sql(fx),
+        "kg_siblings": _siblings_sql(fx),
+        "kg_alt_labels": _alt_labels_sql(fx),
+        "kg_convert_id":
+            f"SELECT a.src AS src, b.dst AS dst,"
+            f" least(a.score, b.score) AS score"
+            f" FROM read_parquet('{fx}/sameas_pairs.parquet') a"
+            f" JOIN read_parquet('{fx}/sameas_pairs.parquet') b"
+            f" ON a.dst = b.src",
+        "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "ann_ivf_topk":
+            "SELECT query_id, vec_id, rank FROM ("
+            " SELECT q.vec_id AS query_id, e.vec_id,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            " list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id)"
+            " AS rank"
+            " FROM embeddings q CROSS JOIN embeddings e"
+            " WHERE q.vec_id IN (0, 1, 2))"
+            " WHERE rank <= 10",
     }

@@ -118,23 +118,26 @@ def train_centroids(sample: np.ndarray, n_centroids: int, rounds: int = 5,
 
 def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_size: int = 10_000):
+             sample_size: int = 10_000, dtype=np.float32):
     """Approximate top-k: score only vectors whose IVF list is among the
     query's ``nprobe`` nearest centroids.  Probing all lists
-    (nprobe == n_centroids) recovers the exact brute-force result."""
+    (nprobe == n_centroids) recovers the exact brute-force result;
+    combined with ``dtype=np.float64`` the scores bit-match a float64
+    SQL oracle (see ``make_query_ref``)."""
     sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
     sample = np.asarray([r[vec_col] for r in sample_rows], np.float32)
     C = train_centroids(sample, n_centroids)
-    Qn = _normalize(np.asarray(Q, np.float32))
-    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]      # (|Q|, nprobe)
+    Qn = _normalize(np.asarray(Q, dtype))
+    probe = np.argsort(-(Qn @ C.T.astype(dtype)), axis=1)[:, :nprobe]
     # query → allowed lists, inverted to list → queries probing it
     ref = ray.put({"C": C, "qids": np.asarray(qids, np.int64),
-                   "Q": Qn, "probe": probe, "k": k})
+                   "Q": Qn, "probe": probe, "k": k, "dtype": dtype})
 
     class IVFScorer:
         def __init__(self, ref, id_col, vec_col):
             st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
             self.C, self.qids, self.Q, self.k = st["C"], st["qids"], st["Q"], st["k"]
+            self.dtype = st.get("dtype", np.float32)
             # list id → row indices of queries probing it
             self.by_list: dict[int, np.ndarray] = {}
             for qi, lists in enumerate(st["probe"]):
@@ -145,8 +148,8 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-            v = _normalize(_vecs(batch, self.vec_col))
-            assign = (v @ self.C.T).argmax(axis=1)
+            v = _normalize(_vecs(batch, self.vec_col, dtype=self.dtype))
+            assign = (v @ self.C.T.astype(self.dtype)).argmax(axis=1)
             out_q, out_i, out_s = [], [], []
             for li in np.unique(assign):
                 quers = self.by_list.get(int(li))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -114,3 +115,26 @@ def read_logmap(path: str, threshold: float = 0.0, strip: bool = False,
         ds = ds.map_batches(lambda t: t.drop_columns(["__pair"]),
                             batch_format="pyarrow")
     return ds
+
+
+def read_wikidata_csv(path: str):
+    """Wikidata dump-CSV mapping (``DownloadedWikidata.load``,
+    ``tera/DataIntegration.py:286-291``): comma CSV with header
+    ``from,to``, everything string-typed → ``(src, dst, score=1.0)``
+    Dataset (the reference's dict mapping carries no score; 1.0 marks an
+    authoritative curated pair)."""
+    import ray.data
+    from pyarrow import csv as pacsv
+
+    conv = pacsv.ConvertOptions(column_types={"from": pa.string(),
+                                              "to": pa.string()})
+    ds = ray.data.read_csv(path, convert_options=conv)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["from"].cast(pa.string()),
+            "dst": t["to"].cast(pa.string()),
+            "score": pa.array(np.ones(t.num_rows), pa.float64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")

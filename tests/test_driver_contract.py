@@ -1,0 +1,90 @@
+"""Driver-contract parity: run ``queries()`` entries against their
+``oracle_sql()`` DuckDB oracles exactly the way the driver does (sf0.01,
+column-name-sorted, row-multiset compare).  Covers the query-layer /
+taxonomy / similarity entries added after the first correctness run;
+the full sweep is the driver's job."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+PARITY_KEYS = [
+    "kg_ncbi_hierarchy",
+    "kg_ncbi_names",
+    "kg_divisions",
+    "kg_subgraph",
+    "kg_siblings",
+    "kg_alt_labels",
+    "kg_convert_id",
+    "docs_ngram_jaccard",
+    "ann_ivf_topk",
+]
+
+_SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+
+
+def _rows(tbl: pa.Table):
+    cols = sorted(tbl.schema.names)
+    t = tbl.select(cols)
+    out = []
+    for r in t.to_pylist():
+        row = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 9) if math.isfinite(v) else v
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda x: tuple(str(v) for v in x))
+
+
+def _materialize(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+    return (pa.concat_tables(parts, promote_options="permissive")
+            if parts else pa.table({}))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("key", PARITY_KEYS)
+def test_query_matches_oracle(key):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    q = entry.queries()[key]
+    sql = entry.oracle_sql()[key]
+    got = _materialize(q(SF_DIR))
+
+    con = duckdb.connect()
+    for t in _SF_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/{t}.parquet')")
+    want = con.execute(sql).fetch_arrow_table()
+
+    assert sorted(got.schema.names) == sorted(want.schema.names), (
+        f"{key}: columns {got.schema.names} vs oracle {want.schema.names}")
+    g, w = _rows(got), _rows(want)
+    assert len(g) == len(w), f"{key}: {len(g)} rows vs oracle {len(w)}"
+    assert g == w, f"{key}: value mismatch (first diff: "\
+        f"{next(((a, b) for a, b in zip(g, w) if a != b), None)})"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_rows_only():
+    import __ray_entry__ as entry
+
+    got = _materialize(entry.queries()["media_features"](SF_DIR))
+    assert got.num_rows == 200
+    assert sorted(got.schema.names) == ["media_id", "px_mean", "px_std"]
+    # deterministic fake decoder ⇒ stable values across runs
+    again = _materialize(entry.queries()["media_features"](SF_DIR))
+    assert _rows(got) == _rows(again)

@@ -189,3 +189,18 @@ class TestSinksAndEnrich:
         for cas, fp in list(fps.items())[:5]:
             assert by_cas[cas]["fp_bits"] == bin(fp).count("1")
             assert by_cas[cas]["fp_hex"] == hex(fp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWikidataCSV:
+    def test_reads_from_to_header(self, tmp_path):
+        from tera_ray.sources.mappings import read_wikidata_csv
+
+        p = tmp_path / "wd.csv"
+        p.write_text("from,to\nQ1,CAS1\nQ2,CAS2\n")
+        rows = sorted(read_wikidata_csv(str(p)).take_all(),
+                      key=lambda r: r["src"])
+        assert rows == [
+            {"src": "Q1", "dst": "CAS1", "score": 1.0},
+            {"src": "Q2", "dst": "CAS2", "score": 1.0},
+        ]

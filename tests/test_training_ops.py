@@ -164,3 +164,58 @@ class TestANN:
         i = {r["vec_id"] for r in ivf_topk(ds, qids=[9], Q=V[[9]], k=10,
                                            n_centroids=16, nprobe=8).take_all()}
         assert len(b & i) / len(b) >= 0.5  # partial probe keeps decent recall
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccard:
+    def test_doc_shingles_strict_and_distinct(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from tera_ray.dedup.ngram import doc_shingles
+
+        texts = pa.array([
+            "the cat sat on the mat",      # 6 tokens -> 4 shingles
+            "too short",                   # < 3 tokens -> 0 shingles
+            "a b c a b c a b c",           # repeats -> distinct shingles
+            "",
+        ])
+        doc_idx, sh, sizes = doc_shingles(texts, n=3)
+        assert sizes.tolist() == [4, 0, 3, 0]
+        # distinct within doc: 'a b c a b c a b c' has 7 positional
+        # 3-grams but only 3 distinct ('a b c','b c a','c a b')
+        assert len(np.unique(sh[doc_idx == 2])) == 3
+
+    def test_pairs_match_bruteforce(self):
+        import pyarrow as pa
+
+        from tera_ray.dedup.ngram import ngram_jaccard_pairs
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",   # near-dup of 0
+            "one two three four five six",
+            "alpha beta gamma delta epsilon zeta",  # exact dup of 0
+        ]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts)})
+        got = {}
+        for r in ngram_jaccard_pairs(
+                ray.data.from_arrow(t), threshold=0.2).take_all():
+            got[(r["a"], r["b"])] = r["jaccard"]
+
+        def shingles(s):
+            toks = s.split()
+            return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+
+        want = {}
+        for i in range(4):
+            for j in range(i + 1, 4):
+                a, b = shingles(texts[i]), shingles(texts[j])
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.2:
+                    want[(i, j)] = jac
+        assert got == want
+        assert got[(0, 3)] == 1.0
