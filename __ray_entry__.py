@@ -589,6 +589,57 @@ def _q_ann_ivf(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_results_normalized(sf_dir: str):
+    """F1+F2 judged: normalize result concentrations to mg/L.  Distinct
+    unit strings are parsed/converted ONCE (`unit_parser` +
+    `unit_conversion`, `tera/utils.py:52-203` semantics) and the factor
+    table is broadcast-joined back — never per-row parsing (SURVEY §2.3
+    'distinct-then-join').  Dimensionally-incompatible units (molar,
+    mass/mass) get a null factor."""
+    import ray.data
+
+    from tera_ray.cleaning import clean_table
+    from tera_ray.query.relational import broadcast_join, distinct_values
+    from tera_ray.units import unit_conversion, unit_parser
+
+    ds = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "results.parquet"),
+        columns=["test_id", "conc1_mean", "conc1_unit"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = clean_table(t)
+        digits = pc.replace_substring_regex(
+            b["conc1_mean"].combine_chunks(), r"\D", "")
+        out = pa.table({"test_id": b["test_id"], "conc_value": digits,
+                        "conc_unit": b["conc1_unit"]})
+        return out.filter(pc.greater(pc.utf8_length(digits), 0))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    units = sorted(r["conc_unit"]
+                   for r in distinct_values(ds, "conc_unit").take_all())
+    target = unit_parser("mg/L")
+    factors = []
+    for u in units:
+        try:
+            factors.append(float(unit_conversion(unit_parser(u), target)))
+        except (AssertionError, ZeroDivisionError, ValueError):
+            factors.append(None)
+    small = pa.table({"conc_unit": pa.array(units, pa.string()),
+                      "factor": pa.array(factors, pa.float64())})
+    joined = broadcast_join(ds, small, "conc_unit", "conc_unit",
+                            how="left outer")
+
+    def fin(t: pa.Table) -> pa.Table:
+        val = t["conc_value"].combine_chunks().cast(pa.float64())
+        return pa.table({
+            "test_id": t["test_id"], "conc_value": t["conc_value"],
+            "conc_unit": t["conc_unit"],
+            "conc_mg_l": pc.multiply(val, t["factor"].combine_chunks()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing (rows-only): synthetic binary image payloads →
     actor-pool decode stage → per-image feature scalars."""
@@ -651,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "ann_ivf_topk": _q_ann_ivf,
         "media_features": _q_media_features,
+        "results_normalized": _q_results_normalized,
     }
 
 
@@ -1110,6 +1162,26 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" JOIN read_parquet('{fx}/sameas_pairs.parquet') b"
             f" ON a.dst = b.src",
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        # factor literals are physical constants (1 ug = 0.001 mg, …),
+        # independent of the engine's unit_conversion implementation
+        "results_normalized": f"""
+WITH r AS (
+  SELECT {_sent('test_id')} AS test_id,
+         regexp_replace({_sent('conc1_mean')}, '\\D', '', 'g') AS conc_value,
+         {_sent('conc1_unit')} AS conc_unit
+  FROM read_parquet('{fx}/results.parquet')
+  WHERE {_sent('test_id')} IS NOT NULL AND {_sent('conc1_mean')} IS NOT NULL
+    AND {_sent('conc1_unit')} IS NOT NULL
+), rr AS (
+  SELECT * FROM r WHERE length(conc_value) > 0
+), f AS (
+  SELECT * FROM (VALUES ('mg/L', 1.0), ('ug/L', 0.001),
+                        ('ng/L', 0.000001), ('g/L', 1000.0)) AS t(u, factor)
+)
+SELECT rr.test_id, rr.conc_value, rr.conc_unit,
+       CAST(rr.conc_value AS DOUBLE) * f.factor AS conc_mg_l
+FROM rr LEFT JOIN f ON rr.conc_unit = f.u
+""",
         "ann_ivf_topk":
             "SELECT query_id, vec_id, rank FROM ("
             " SELECT q.vec_id AS query_id, e.vec_id,"

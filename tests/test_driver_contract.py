@@ -23,6 +23,7 @@ PARITY_KEYS = [
     "kg_convert_id",
     "docs_ngram_jaccard",
     "ann_ivf_topk",
+    "results_normalized",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
