@@ -38,20 +38,31 @@ def _init_ray(num_cpus: int):
 
 
 def _consume(ds) -> int:
-    """Drive a Dataset to completion without collecting it (streaming
-    consumption; the driver sees only per-batch counts)."""
+    """Drive a Dataset to completion without collecting it.
+    ``batch_size=None`` passes blocks through zero-copy — re-batching to
+    a fixed size in the driver costs a serial slice/copy pass over the
+    whole output (measured +18s on the 5M-triple build)."""
     n = 0
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         n += b.num_rows
     return n
 
 
 def bench_kg_build(fx: str) -> float:
+    """Flagship build, terminated by its real sink: a distributed
+    partitioned-Parquet write (the driver never touches the triples)."""
+    import shutil
+    import tempfile
+
     from tera_ray.pipelines.transcripts import build_kg
 
-    t0 = time.perf_counter()
-    _consume(build_kg(fx))
-    return time.perf_counter() - t0
+    out = tempfile.mkdtemp(prefix="bench_kg_", dir="/tmp")
+    try:
+        t0 = time.perf_counter()
+        build_kg(fx).write_parquet(out)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def bench_text_stages(sf: str) -> float:

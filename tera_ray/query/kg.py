@@ -14,10 +14,12 @@ query is a filter/join pipeline — no resident single-node index (T4).
   per-predicate column tables replaces the reference's per-(chemical ×
   species) SPARQL product loop (``DataAccess.py:996-1022``).
 
-Scale notes: per-predicate projections are filtered ONCE from the
-triple store in a single pass and materialized (they are orders of
-magnitude smaller than the store); the star-join then joins only these
-projections, keyed on test/result ids.
+Scale notes: ``endpoint_star_join`` collects per-predicate projections
+driver-side — right for interactive queries over an already-filtered /
+modest store, wrong for a full-store scan (the effects projections are
+proportional to the store).  ``endpoint_star_join_distributed`` is the
+scale path: the same star expressed as ``Dataset.join`` shuffles keyed
+on test/result/concentration ids, nothing ever leaving the cluster.
 """
 
 from __future__ import annotations
@@ -129,6 +131,70 @@ def endpoint_star_join(triples, ns: str = ECOTOX_NS,
                                   value_set=pa.array(species, pa.string())))
     return out.select(["chemical", "species", "conc_value", "conc_unit",
                        "endpoint", "effect"])
+
+
+def _proj_ds(triples, uri: str, key_name: str, val_name: str):
+    """Distributed per-predicate projection: (subj→key, obj→val)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["pred"], uri))
+        return pa.table({key_name: s["subj"], val_name: s["obj"]})
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def endpoint_star_join_distributed(triples, ns: str = ECOTOX_NS,
+                                   num_buckets: int = 64):
+    """J3 at scale: the endpoint star as four hash-bucket co-group
+    shuffles (``bucket_multijoin``), keyed on the star's hub ids —
+    results hub, concentration node, tests hub, then the final
+    test⋈result stitch.  Same semantics as :func:`endpoint_star_join`
+    (species/chemical/hasResult inner on test; endpoint base, effect
+    left, concentration inner on result; value inner, unit left on the
+    concentration node) with no driver materialization anywhere.  Use
+    when the input is the full store rather than a pre-filtered slice;
+    ``num_buckets`` bounds per-task memory.
+    """
+    from .relational import bucket_multijoin
+
+    # results hub: (result, endpoint, effect?, conc)
+    res = bucket_multijoin([
+        (_proj_ds(triples, ns + "endpoint", "result", "endpoint"),
+         ["endpoint"], "inner"),
+        (_proj_ds(triples, ns + "effect", "result", "effect"),
+         ["effect"], "left"),
+        (_proj_ds(triples, ns + "concentration", "result", "conc"),
+         ["conc"], "inner"),
+    ], key="result", num_buckets=num_buckets)
+    # concentration node: (conc, value, unit?)  then attach to results
+    cv = bucket_multijoin([
+        (_proj_ds(triples, RDF_VALUE, "conc", "conc_value"),
+         ["conc_value"], "inner"),
+        (_proj_ds(triples, UNIT_UNITS, "conc", "conc_unit"),
+         ["conc_unit"], "left"),
+    ], key="conc", num_buckets=num_buckets)
+    res_full = bucket_multijoin([
+        (res, ["result", "endpoint", "effect"], "inner"),
+        (cv, ["conc_value", "conc_unit"], "inner"),
+    ], key="conc", num_buckets=num_buckets)
+    # tests hub: (test, species, chemical, result)
+    tst = bucket_multijoin([
+        (_proj_ds(triples, ns + "species", "test", "species"),
+         ["species"], "inner"),
+        (_proj_ds(triples, ns + "chemical", "test", "chemical"),
+         ["chemical"], "inner"),
+        (_proj_ds(triples, ns + "hasResult", "test", "result"),
+         ["result"], "inner"),
+    ], key="test", num_buckets=num_buckets)
+    out = bucket_multijoin([
+        (tst, ["species", "chemical"], "inner"),
+        (res_full, ["endpoint", "effect", "conc_value", "conc_unit"],
+         "inner"),
+    ], key="result", num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.select(["chemical", "species", "conc_value",
+                            "conc_unit", "endpoint", "effect"]),
+        batch_format="pyarrow")
 
 
 def chemicals_from_species(triples, species: list[str], ns: str = ECOTOX_NS):

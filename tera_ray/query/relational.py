@@ -139,6 +139,69 @@ def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str,
     return ds.map_batches(j, batch_format="pyarrow")
 
 
+def bucket_multijoin(parts, key: str, num_buckets: int = 64):
+    """Hash-bucket shuffle join of several keyed Datasets in ONE shuffle.
+
+    ``parts``: list of ``(ds, value_cols, how)`` — every ``ds`` carries a
+    ``key`` column plus its ``value_cols``; the first entry is the base,
+    each later one is folded in with ``how`` ∈ {"inner", "left"}.
+
+    Mechanics: every part is padded to the superset schema, tagged, and
+    unioned; one ``groupby(hash(key) % num_buckets)`` shuffle co-locates
+    all rows of a key; inside each bucket the parts are split back out
+    and joined with Arrow's vectorized ``Table.join``.
+
+    This is the engine's scale-join for DEEP join trees: unlike chained
+    ``Dataset.join`` operators (each of which pins ``num_partitions``
+    aggregator actors — a topology that deadlocks once concurrent joins
+    outnumber CPUs; observed with 7 joins × 4 partitions on 4 CPUs),
+    groupby shuffles hold no long-lived actors, so any number of stages
+    composes safely.  ``num_buckets`` bounds per-task memory: size it so
+    (total join input / num_buckets) fits a worker heap.
+
+    Missing columns are padded with STRING nulls purely to align the
+    union schema (merge reads only each part's real columns) — parts
+    sharing a column name must agree on its type.
+    """
+    all_cols: list[str] = []
+    for _, cols, _ in parts:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def tag(i, cols):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out = {key: t[key]}
+            for c in all_cols:
+                out[c] = t[c] if c in cols else pa.nulls(n, pa.string())
+            out["__src"] = pa.array(np.full(n, i, np.int8))
+            tt = pa.table(out)
+            return tt.append_column("__b", _bucket_of(tt[key], num_buckets))
+
+        return f
+
+    unioned = None
+    for i, (ds, cols, _) in enumerate(parts):
+        tagged = ds.map_batches(tag(i, cols), batch_format="pyarrow")
+        unioned = tagged if unioned is None else unioned.union(tagged)
+
+    hows = [how for _, _, how in parts]
+    part_cols = [cols for _, cols, _ in parts]
+
+    def merge(t: pa.Table) -> pa.Table:
+        src = t["__src"]
+        base = None
+        for i, (cols, how) in enumerate(zip(part_cols, hows)):
+            sub = t.filter(pc.equal(src, i)).select([key] + cols)
+            base = sub if base is None else base.join(
+                sub, keys=[key],
+                join_type="inner" if how == "inner" else "left outer")
+        return base.select([key] + all_cols)
+
+    return unioned.groupby("__b").map_groups(merge, batch_format="pyarrow")
+
+
 def distinct_values(ds, col: str, out_name: str | None = None,
                     num_buckets: int = 64):
     """Distinct values of one column (A5) via local-unique → bucket

@@ -156,3 +156,42 @@ class TestRelational:
         t = pa.table({"x": [3, 1, 3, 2, 1]})
         out = distinct_values(ray.data.from_arrow(t).repartition(2), "x")
         assert sorted(r["x"] for r in out.take_all()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedStarJoin:
+    def test_matches_driver_side_star(self, fixtures_t1):
+        import os
+
+        import pyarrow as pa
+
+        import ray.data
+
+        from tera_ray.query.kg import (
+            endpoint_star_join,
+            endpoint_star_join_distributed,
+        )
+        from tera_ray.stages.base import dedup_triples
+        from tera_ray.stages.ecotox import emit_results, emit_tests
+
+        tests = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "tests.parquet")).map_batches(
+            emit_tests, batch_format="pyarrow")
+        results = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "results.parquet")).map_batches(
+            emit_results, batch_format="pyarrow")
+        # materialize once: 8 downstream projections would otherwise
+        # re-execute the emit+dedup lineage per projection
+        triples = dedup_triples(tests.union(results)).materialize()
+
+        want = endpoint_star_join(triples)
+        got_parts = list(endpoint_star_join_distributed(triples).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        got = pa.concat_tables(got_parts, promote_options="permissive")
+
+        def rows(t):
+            return sorted(map(tuple, zip(*[t[c].to_pylist()
+                                           for c in sorted(t.schema.names)])))
+
+        assert got.num_rows == want.num_rows > 0
+        assert rows(got) == rows(want)
