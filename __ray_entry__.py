@@ -640,6 +640,33 @@ def _q_results_normalized(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _q_events_sessionized(sf_dir: str):
+    """Gap-based session windows over the events stream (engine-first
+    windowed aggregate; one hash-bucket shuffle, vectorized window)."""
+    from tera_ray.query.relational import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", _SESSION_GAP_US,
+                      tiebreak=["event_id"])
+
+
+_TRAIT_LOOKUP_PRED = "http://eol.org/schema/terms/Habitat"
+
+
+def _q_kg_trait_lookup(sf_dir: str):
+    """G5 point lookup: all (page, habitat) pairs via a predicate-constant
+    filter over the EOL trait triples (``TraitsAPI`` getters,
+    ``tera/DataAccess.py:681-779``)."""
+    from tera_ray.query.kg import filter_pred
+    from tera_ray.stages.traits import emit_traits
+
+    tri = _kg_emit(sf_dir, "traits", emit_traits)
+    return filter_pred(tri, _TRAIT_LOOKUP_PRED)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing (rows-only): synthetic binary image payloads →
     actor-pool decode stage → per-image feature scalars."""
@@ -703,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "media_features": _q_media_features,
         "results_normalized": _q_results_normalized,
+        "events_sessionized": _q_events_sessionized,
+        "kg_trait_lookup": _q_kg_trait_lookup,
     }
 
 
@@ -1191,4 +1220,28 @@ FROM rr LEFT JOIN f ON rr.conc_unit = f.u
             " FROM embeddings q CROSS JOIN embeddings e"
             " WHERE q.vec_id IN (0, 1, 2))"
             " WHERE rank <= 10",
+        "events_sessionized": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS ts_start, max(ts) AS ts_end
+FROM s GROUP BY user_id, session_id
+""",
+        "kg_trait_lookup":
+            f"SELECT 'https://eol.org/pages/'||trim(page_id) AS subj,"
+            f" trim(value_uri) AS obj"
+            f" FROM read_parquet('{fx}/traits.parquet')"
+            f" WHERE trim(predicate) = '{_TRAIT_LOOKUP_PRED}'"
+            f" AND regexp_matches(trim(value_uri), '{_URL_SQL}')",
     }

@@ -48,14 +48,22 @@ def _consume(ds) -> int:
     return n
 
 
-def bench_kg_build(fx: str) -> float:
-    """Flagship build, terminated by its real sink: a distributed
-    partitioned-Parquet write (the driver never touches the triples)."""
+def bench_kg_build(fx: str, sink: str = "write") -> float:
+    """Flagship build.  ``sink="write"`` terminates in the real sink (a
+    distributed partitioned-Parquet write; the driver never touches the
+    triples).  ``sink="count"`` terminates in a distributed aggregate —
+    used for the SCALING legs, where the single-node disk's fixed write
+    bandwidth would mask CPU scaling (a 4N-node cluster brings 4N disks;
+    one sandbox box does not)."""
     import shutil
     import tempfile
 
     from tera_ray.pipelines.transcripts import build_kg
 
+    if sink == "count":
+        t0 = time.perf_counter()
+        build_kg(fx).count()
+        return time.perf_counter() - t0
     out = tempfile.mkdtemp(prefix="bench_kg_", dir="/tmp")
     try:
         t0 = time.perf_counter()
@@ -177,7 +185,7 @@ def _scale_worker(num_cpus: int):
     n_turns = SCALES.get(FIXTURE_SCALE, FIXTURE_SCALE)
     _init_ray(num_cpus)
     try:
-        sec = bench_kg_build(fx)
+        sec = bench_kg_build(fx, sink="count")
     finally:
         import ray
 

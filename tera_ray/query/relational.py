@@ -202,6 +202,54 @@ def bucket_multijoin(parts, key: str, num_buckets: int = 64):
     return unioned.groupby("__b").map_groups(merge, batch_format="pyarrow")
 
 
+def sessionize(ds, key: str, ts_col: str, gap_us: int,
+               tiebreak: list[str] | None = None, num_buckets: int = 64):
+    """Gap-based session windows (engine-first streaming-window analog;
+    the reference is strictly batch, SURVEY §2.10).
+
+    Rows of one ``key`` are ordered by ``(ts_col, *tiebreak)``; a new
+    session opens when the gap to the previous row exceeds ``gap_us``
+    microseconds.  Returns one row per session:
+    ``(key, session_id, n_events, ts_start, ts_end)`` with per-key
+    1-based session ids.
+
+    One ``groupby(hash(key) % num_buckets)`` shuffle; the window runs
+    vectorized inside each bucket (numpy cumsum over the sorted array —
+    never a per-row or per-key Python call).
+    """
+    tiebreak = tiebreak or []
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def win(t: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending"), (ts_col, "ascending")] + [
+            (c, "ascending") for c in tiebreak]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        k = t[key].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        new_s = new_key | gap
+        sid_global = np.cumsum(new_s)
+        key_start = np.maximum.accumulate(np.where(new_key, sid_global, 0))
+        sid = (sid_global - key_start + 1).astype(np.int64)
+        tt = pa.table({key: t[key], "session_id": pa.array(sid),
+                       ts_col: t[ts_col]})
+        g = tt.group_by([key, "session_id"], use_threads=False).aggregate(
+            [(ts_col, "count"), (ts_col, "min"), (ts_col, "max")])
+        ren = {f"{ts_col}_count": "n_events", f"{ts_col}_min": "ts_start",
+               f"{ts_col}_max": "ts_end"}
+        g = g.rename_columns([ren.get(c, c) for c in g.schema.names])
+        return g.select([key, "session_id", "n_events", "ts_start", "ts_end"])
+
+    return (ds.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(win, batch_format="pyarrow"))
+
+
 def distinct_values(ds, col: str, out_name: str | None = None,
                     num_buckets: int = 64):
     """Distinct values of one column (A5) via local-unique → bucket

@@ -24,6 +24,8 @@ PARITY_KEYS = [
     "docs_ngram_jaccard",
     "ann_ivf_topk",
     "results_normalized",
+    "events_sessionized",
+    "kg_trait_lookup",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
