@@ -195,14 +195,80 @@ def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict, ngram: int = 3,
                      "jaccard": pa.array(sims, pa.float64())})
 
 
+def jaccard_verify_distributed(cand, texts, id_col: str = "doc_id",
+                               text_col: str = "text", ngram: int = 3,
+                               threshold: float = 0.8,
+                               num_buckets: int = 64):
+    """Distributed candidate verification — the 100 TB path for what
+    :func:`jaccard_verify` does on the driver.
+
+    Two hash-bucket co-group joins (``bucket_multijoin``) ship each
+    candidate pair its two texts; exact shingle-set Jaccard then runs
+    per batch ON THE WORKERS.  Nothing is collected driver-side, so an
+    LSH round with millions of candidates streams.
+
+    ``cand``: Dataset ``(a, b)``; ``texts``: Dataset ``(id, text)``.
+    Returns a Dataset ``(a, b, jaccard)`` of pairs ≥ ``threshold``.
+    """
+    from ..query.relational import bucket_multijoin
+
+    def to_str(name_from, name_to):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({name_to: t[name_from].cast(pa.string()),
+                             "text_" + name_to[0]: t[text_col]})
+
+        return f
+
+    cand_s = cand.map_batches(
+        lambda t: pa.table({"a": t["a"].cast(pa.string()),
+                            "b": t["b"].cast(pa.string())}),
+        batch_format="pyarrow")
+    ta = texts.map_batches(to_str(id_col, "a"), batch_format="pyarrow")
+    tb = texts.map_batches(to_str(id_col, "b"), batch_format="pyarrow")
+    s1 = bucket_multijoin([(cand_s, ["b"], "inner"),
+                           (ta, ["text_a"], "inner")],
+                          key="a", num_buckets=num_buckets)
+    s2 = bucket_multijoin([(s1, ["a", "text_a"], "inner"),
+                           (tb, ["text_b"], "inner")],
+                          key="b", num_buckets=num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        off_a, sh_a, n = shingle_hashes(
+            pc.fill_null(t["text_a"].combine_chunks(), ""), ngram)
+        off_b, sh_b, _ = shingle_hashes(
+            pc.fill_null(t["text_b"].combine_chunks(), ""), ngram)
+        a_ids = t["a"].to_pylist()
+        b_ids = t["b"].to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for i in range(n):
+            sa = set(sh_a[off_a[i]: off_a[i + 1]].tolist())
+            sb = set(sh_b[off_b[i]: off_b[i + 1]].tolist())
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(int(a_ids[i]))
+                keep_b.append(int(b_ids[i]))
+                sims.append(j)
+        return pa.table({"a": pa.array(keep_a, pa.int64()),
+                         "b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return s2.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 128, bands: int = 16, ngram: int = 3,
-                  threshold: float = 0.8, concurrency=None):
+                  threshold: float = 0.8, concurrency=None,
+                  verify: str = "driver"):
     """documents → (doc_id, canonical_id) near-dup cluster mapping.
 
-    Docs with no near-dup map to themselves.  Verification joins
+    Docs with no near-dup map to themselves.  ``verify="driver"`` joins
     candidate texts via an inner broadcast (collect of CANDIDATE ids
-    only — bounded by LSH selectivity, not corpus size).
+    only — bounded by LSH selectivity, not corpus size); at 100 TB pass
+    ``verify="distributed"`` to run the exact-Jaccard check as bucket
+    joins on the workers (:func:`jaccard_verify_distributed`) with no
+    driver collection at all.
     """
     import ray
 
@@ -218,6 +284,16 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         **kwargs)
     cand = candidate_pairs(sigs, bands=bands, rows_per_band=rows,
                            id_col=id_col)
+    if verify == "distributed":
+        verified = jaccard_verify_distributed(
+            cand, ds.select_columns([id_col, text_col]), id_col=id_col,
+            text_col=text_col, ngram=ngram, threshold=threshold)
+        edges = verified.map_batches(
+            lambda t: pa.table({"src": t["a"].cast(pa.string()),
+                                "dst": t["b"].cast(pa.string())}),
+            batch_format="pyarrow")
+        comp = connected_components(edges)
+        return canonical_mapping(comp)
     cand_tbl = pa.concat_tables(
         [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
         or [pa.table({"a": pa.array([], pa.int64()),

@@ -221,20 +221,33 @@ def species_from_chemicals(triples, chems: list[str], ns: str = ECOTOX_NS):
 
 
 def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       materialize_edges: bool = True):
     """G3 BFS closure (``DataAccess.py:232-260``): iterative frontier
     expansion over outgoing edges until fixpoint or ``max_hops``.
 
     Each round: frontier ⋈ triples on subj → next frontier = new objs
     (non-literal).  The store side of the join stays distributed; the
     frontier is a small Dataset.  Returns the reached triple Dataset.
+
+    Scale notes: ``materialize_edges=True`` caches the edge projection
+    in the object store across hops — right when the store fits cluster
+    memory; pass ``False`` on a 100 TB store (each hop then re-reads
+    through lineage, trading IO for memory).  The frontier/``seen`` sets
+    live on the driver — the documented partitioning assumption is that
+    the REACHED node-id set (not the store) fits driver memory; hub-free
+    seeds and bounded ``max_hops`` keep that true for entity
+    neighborhoods, which is this query's use (the reference's BFS has
+    the same property, one entity's closure).
     """
     import ray
     import ray.data
 
     num_partitions = join_partitions(num_partitions)
     non_lit = triples.filter(expr="obj_is_literal == False").select_columns(
-        ["subj", "obj"]).materialize()
+        ["subj", "obj"])
+    if materialize_edges:
+        non_lit = non_lit.materialize()
     seen: set[str] = set(seeds)
     frontier = list(seeds)
     reached_parts = []
@@ -264,7 +277,13 @@ def khop_related(triples, entity: str, pred: str, up: int, down: int):
     """G4 documented intent (the reference's siblings/cousins are broken
     as shipped, ``DataAccess.py:181-211``): walk ``up`` hops along
     ``pred`` (child→parent direction), then ``down`` hops back.
-    up=1, down=1 ⇒ siblings; 2,2 ⇒ cousins."""
+    up=1, down=1 ⇒ siblings; 2,2 ⇒ cousins.
+
+    Scale note: collects the ``pred`` edge projection driver-side —
+    valid because k-hop runs over ONTOLOGY edges (subClassOf / type
+    hierarchies), which are dictionary-sized next to the instance store;
+    for instance-scale predicates use ``construct_subgraph`` or a
+    ``bucket_multijoin`` pipeline instead."""
     edges = None
     for b in filter_pred(triples, pred).iter_batches(
             batch_format="pyarrow", batch_size=None):

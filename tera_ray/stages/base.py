@@ -126,9 +126,12 @@ def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
 
 
 def _auto_buckets(requested: int | None, lo: int = 32, hi: int = 512) -> int:
-    """Power-of-2 bucket count sized to the cluster: enough buckets that
-    (dataset / buckets) fits a worker heap, few enough that the shuffle
-    isn't fragmented.  100 TB callers pass an explicit larger value."""
+    """Power-of-2 bucket count sized to the cluster: ~16 reduce tasks
+    per CPU so the sort's reduce side pipelines instead of running a
+    handful of monolithic tasks (measured on the 20M-triple dedup at 32
+    CPUs: 32 buckets → 107s, 128 → 66s, 512 → 42-80s), bounded so
+    (dataset / buckets) fits a worker heap and the shuffle isn't
+    fragmented.  100 TB callers pass an explicit larger value."""
     if requested is not None:
         return requested
     try:
@@ -138,7 +141,7 @@ def _auto_buckets(requested: int | None, lo: int = 32, hi: int = 512) -> int:
     except Exception:
         cpus = 4
     b = 1
-    while b < min(hi, max(lo, cpus)):
+    while b < min(hi, max(lo, 16 * cpus)):
         b <<= 1
     return b
 

@@ -219,3 +219,21 @@ class TestNgramJaccard:
                     want[(i, j)] = jac
         assert got == want
         assert got[(0, 3)] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashDistributedVerify:
+    def test_matches_driver_verify(self):
+        import pyarrow.parquet as pq
+
+        from tera_ray.dedup.minhash import minhash_dedup
+
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["doc_id", "text"])
+        drv = sorted((r["src"], r["dst"])
+                     for r in minhash_dedup(ds, threshold=0.8).take_all())
+        dst = sorted((r["src"], r["dst"])
+                     for r in minhash_dedup(ds, threshold=0.8,
+                                            verify="distributed").take_all())
+        assert drv == dst and len(drv) > 0
