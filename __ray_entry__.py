@@ -640,6 +640,55 @@ def _q_results_normalized(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+_Q3_CUTOFF = "1998-06-15"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-style 3-table join: BUILDING-segment customers'
+    pre-cutoff orders x post-cutoff lineitems -> top-10 orders by
+    revenue.  Dimension side (customer ⋈ orders, filtered) broadcasts;
+    the fact scan joins map-side; one combiner groupby; one distributed
+    sort + limit."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from tera_ray.query.relational import broadcast_join, grouped_agg
+
+    cutoff = datetime.datetime.fromisoformat(_Q3_CUTOFF)
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.filter(pc.less(orders["o_orderdate"], cutoff))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    dim = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"],
+                      join_type="inner").select(["o_orderkey", "o_orderdate"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow")
+    j = broadcast_join(li, dim, "l_orderkey", "o_orderkey")
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+        })
+
+    agg = grouped_agg(j.map_batches(derive, batch_format="pyarrow"),
+                      ["o_orderkey", "o_orderdate"],
+                      [("cents", "sum", "revenue_cents")])
+    out = agg.sort(["revenue_cents", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+    return _collect(out)
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -732,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "results_normalized": _q_results_normalized,
         "events_sessionized": _q_events_sessionized,
         "kg_trait_lookup": _q_kg_trait_lookup,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -1244,4 +1294,18 @@ FROM s GROUP BY user_id, session_id
             f" FROM read_parquet('{fx}/traits.parquet')"
             f" WHERE trim(predicate) = '{_TRAIT_LOOKUP_PRED}'"
             f" AND regexp_matches(trim(value_uri), '{_URL_SQL}')",
+        "shipping_priority": f"""
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+""",
     }

@@ -26,6 +26,7 @@ PARITY_KEYS = [
     "results_normalized",
     "events_sessionized",
     "kg_trait_lookup",
+    "shipping_priority",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
