@@ -105,15 +105,30 @@ _TERM_RE = re.compile(
 )
 
 
+#: marker predicate for dead-letter rows (see ``NTriplesParser``)
+DEAD_LETTER_PRED = "tera:parseError"
+
+
 class NTriplesParser:
     """Stateful per-file parser: ``@prefix`` table accumulates as lines
-    stream through (prefix declarations precede use in TTL)."""
+    stream through (prefix declarations precede use in TTL).
 
-    def __init__(self, graph: str = "rdf"):
+    With ``dead_letter=True``, malformed DATA lines (not blank/comment/
+    prefix) are not silently dropped — they come out as rows with
+    ``pred == DEAD_LETTER_PRED`` (subj = offending line, obj = reason,
+    graph = ``<graph>__rejects``), so a pipeline can route them to a
+    dead-letter sink instead of swallowing errors (SURVEY §4 retries
+    row: deterministic, side-effect-free stages; no swallowed errors).
+    """
+
+    def __init__(self, graph: str = "rdf", dead_letter: bool = False):
         self.prefixes: dict[str, str] = {}
         self.graph = graph
+        self.dead_letter = dead_letter
 
     def parse_line(self, line: str):
+        """Returns a triple tuple, None (ignorable line), or a str
+        reject-reason."""
         line = line.strip()
         if not line or line.startswith("#"):
             return None
@@ -122,7 +137,7 @@ class NTriplesParser:
             self.prefixes[m.group(1)] = m.group(2)
             return None
         if not line.endswith("."):
-            return None
+            return "no terminating dot"
         body = line[:-1].rstrip()
         terms = []
         is_lit = False
@@ -138,44 +153,57 @@ class NTriplesParser:
                 else:
                     base = self.prefixes.get(pfx or "")
                     if base is None:
-                        return None
+                        return f"undeclared prefix {pfx!r}"
                     terms.append((base + local, False))
             if len(terms) == 3:
                 break
         if len(terms) != 3:
-            return None
+            return f"expected 3 terms, found {len(terms)}"
         (s, _), (p, _), (o, is_lit) = terms
         return s, p, o, is_lit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj, pred, obj, lit = [], [], [], []
+        subj, pred, obj, lit, graphs = [], [], [], [], []
         for line in batch["text"].to_pylist():
             r = self.parse_line(line)
-            if r is not None:
-                subj.append(r[0])
-                pred.append(r[1])
-                obj.append(r[2])
-                lit.append(r[3])
-        n = len(subj)
+            if r is None:
+                continue
+            if isinstance(r, str):
+                if self.dead_letter:
+                    subj.append(line.strip())
+                    pred.append(DEAD_LETTER_PRED)
+                    obj.append(r)
+                    lit.append(True)
+                    graphs.append(self.graph + "__rejects")
+                continue
+            subj.append(r[0])
+            pred.append(r[1])
+            obj.append(r[2])
+            lit.append(r[3])
+            graphs.append(self.graph)
         return pa.table({
             "subj": pa.array(subj, pa.string()),
             "pred": pa.array(pred, pa.string()),
             "obj": pa.array(obj, pa.string()),
             "obj_is_literal": pa.array(lit, pa.bool_()),
-            "graph": pa.array([self.graph] * n, pa.string()),
+            "graph": pa.array(graphs, pa.string()),
         }, schema=TRIPLE_SCHEMA)
 
 
-def read_ntriples(paths, graph: str = "rdf", concurrency=(1, 4)):
+def read_ntriples(paths, graph: str = "rdf", concurrency=(1, 4),
+                  dead_letter: bool = False):
     """TTL/NT file(s) → triple Dataset.
 
     One actor per FILE GROUP keeps the prefix table coherent: prefix
     declarations must be seen before use, so parallelism is per-file
     (``file_extensions`` grouping), matching the reference's per-file
-    ``Graph().parse`` accumulation."""
+    ``Graph().parse`` accumulation.  ``dead_letter=True`` keeps
+    malformed lines as ``DEAD_LETTER_PRED`` rows (filter on
+    ``graph == <graph>__rejects`` to split them into a rejects sink)."""
     import ray.data
 
     ds = ray.data.read_text(paths)
     return ds.map_batches(NTriplesParser,
-                          fn_constructor_kwargs={"graph": graph},
+                          fn_constructor_kwargs={"graph": graph,
+                                                 "dead_letter": dead_letter},
                           batch_format="pyarrow", concurrency=concurrency)

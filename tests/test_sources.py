@@ -17,7 +17,7 @@ class TestPipeDump:
         ds = read_pipe_dump(str(p), column_names=["child", "parent", "rank",
                                                   "division"],
                             usecols=[0, 1, 2, 3])
-        rows = ds.take_all()
+        rows = sorted(ds.take_all(), key=lambda r: r["child"])
         assert rows[0] == {"child": "1", "parent": "1", "rank": "no rank",
                            "division": "8"}
         assert rows[1]["division"] is None  # 'NR' sentinel → null
@@ -204,3 +204,27 @@ class TestWikidataCSV:
             {"src": "Q1", "dst": "CAS1", "score": 1.0},
             {"src": "Q2", "dst": "CAS2", "score": 1.0},
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeadLetter:
+    def test_malformed_lines_become_reject_rows(self, tmp_path):
+        from tera_ray.sources.dumps import DEAD_LETTER_PRED, read_ntriples
+
+        p = tmp_path / "bad.nt"
+        p.write_text(
+            "<http://x/a> <http://p/1> <http://y/z> .\n"
+            "this line has no dot\n"
+            "pfx:missing <http://p/2> <http://y/w> .\n"
+            "# comment is fine\n")
+        rows = read_ntriples(str(p), graph="g", dead_letter=True).take_all()
+        ok = [r for r in rows if r["graph"] == "g"]
+        bad = [r for r in rows if r["graph"] == "g__rejects"]
+        assert len(ok) == 1 and ok[0]["subj"] == "http://x/a"
+        assert len(bad) == 2
+        assert all(r["pred"] == DEAD_LETTER_PRED for r in bad)
+        reasons = sorted(r["obj"] for r in bad)
+        assert "no terminating dot" in reasons[1] or "no terminating dot" in reasons[0]
+        # default mode still silently skips (reference behavior)
+        rows2 = read_ntriples(str(p), graph="g").take_all()
+        assert len(rows2) == 1
