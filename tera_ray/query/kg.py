@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schema import ECOTOX_NS, RDF_TYPE, RDF_VALUE, RDFS_LABEL, UNIT_UNITS
-from ..state.mapping import join_partitions
 
 
 def filter_pred(triples, pred: str):
@@ -226,9 +225,12 @@ def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
     """G3 BFS closure (``DataAccess.py:232-260``): iterative frontier
     expansion over outgoing edges until fixpoint or ``max_hops``.
 
-    Each round: frontier ⋈ triples on subj → next frontier = new objs
-    (non-literal).  The store side of the join stays distributed; the
-    frontier is a small Dataset.  Returns the reached triple Dataset.
+    Each round: the (small, driver-held) frontier broadcast-filters the
+    distributed edge table (``is_in`` inside ``map_batches`` — no
+    shuffle, no per-hop join operator) → next frontier = new non-literal
+    objs.  ``num_partitions`` is kept for API compatibility (the
+    broadcast-filter path needs no partitioning).  Returns the reached
+    triple Dataset.
 
     Scale notes: ``materialize_edges=True`` caches the edge projection
     in the object store across hops — right when the store fits cluster
@@ -240,28 +242,26 @@ def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
     neighborhoods, which is this query's use (the reference's BFS has
     the same property, one entity's closure).
     """
-    import ray
-    import ray.data
-
-    num_partitions = join_partitions(num_partitions)
     non_lit = triples.filter(expr="obj_is_literal == False").select_columns(
         ["subj", "obj"])
     if materialize_edges:
         non_lit = non_lit.materialize()
     seen: set[str] = set(seeds)
     frontier = list(seeds)
-    reached_parts = []
     for _ in range(max_hops):
         if not frontier:
             break
-        fr = ray.data.from_arrow(
-            pa.table({"subj": pa.array(frontier, pa.string())}))
-        step = non_lit.join(fr, join_type="inner",
-                            num_partitions=num_partitions, on=("subj",))
+        # frontier is small (driver-held BFS set): broadcast-filter the
+        # distributed edge table instead of a shuffle join per hop
+        fr_arr = pa.array(sorted(frontier), pa.string())
+
+        def expand(t: pa.Table, fr=fr_arr) -> pa.Table:
+            return t.filter(pc.is_in(t["subj"], value_set=fr)).select(["obj"])
+
         objs = set()
-        for b in step.iter_batches(batch_format="pyarrow", batch_size=None):
+        for b in non_lit.map_batches(expand, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
             objs.update(b["obj"].to_pylist())
-        reached_parts.append(frontier)
         frontier = sorted(objs - seen)
         seen |= objs
     # final subgraph: all triples whose subj was reached
