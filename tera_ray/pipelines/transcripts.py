@@ -76,11 +76,55 @@ class LinkerStage:
         self.graph = graph
         self.fuzzy = fuzzy
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _structural(self, batch: pa.Table, t_uri: pa.Array) -> list[pa.Table]:
+        """Vectorized turn-structure triples (type / hasTurn /
+        precededBy) — pure Arrow kernels, no per-row Python."""
+        import pyarrow.compute as _pc
+
+        from ..stages.base import cat
+
         ns, graph = self.ns, self.graph
-        conv_ids = batch["conv_id"].to_pylist()
-        turn_idxs = batch["turn_idx"].to_pylist()
+        conv = batch["conv_id"].combine_chunks()
+        tix = batch["turn_idx"].combine_chunks()
+        n = len(conv)
+
+        def part(s, p, o, mask=None):
+            tbl = pa.table({
+                "subj": s if not isinstance(s, str) else pa.array([s] * n),
+                "pred": pa.array([p] * n, pa.string()),
+                "obj": o if not isinstance(o, str) else pa.array([o] * n),
+                "obj_is_literal": pa.array([False] * n, pa.bool_()),
+                "graph": pa.array([graph] * n, pa.string()),
+                "conv_id": conv,
+                "turn_idx": tix,
+            }, schema=TRIPLE_LINEAGE_SCHEMA)
+            return tbl.filter(mask) if mask is not None else tbl
+
+        c_uri = cat(ns + "conversation/", conv)
+        prev_uri = cat(ns, "turn/", conv, "/",
+                       _pc.subtract(tix, pa.scalar(1, pa.int32())).cast(pa.string()))
+        return [
+            part(t_uri, RDF_TYPE, ns + "Turn"),
+            part(c_uri, ns + "hasTurn", t_uri),
+            part(t_uri, ns + "precededBy", prev_uri,
+                 mask=_pc.greater(tix, 0)),
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from ..stages.base import cat
+
+        ns, graph = self.ns, self.graph
+        conv = batch["conv_id"].combine_chunks()
+        tix_arr = batch["turn_idx"].combine_chunks()
+        t_uri_arr = cat(ns, "turn/", conv, "/", tix_arr.cast(pa.string()))
+        parts = self._structural(batch, t_uri_arr)
+
+        conv_ids = conv.to_pylist()
+        turn_idxs = tix_arr.to_pylist()
         texts = batch["text"].to_pylist()
+        t_uris = t_uri_arr.to_pylist()
 
         subj, pred, obj, lit, l_conv, l_turn = [], [], [], [], [], []
 
@@ -92,14 +136,7 @@ class LinkerStage:
             l_conv.append(cid)
             l_turn.append(tix)
 
-        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
-            t_uri = turn_uri(ns, cid, tix)
-            c_uri = ns + "conversation/" + cid
-            emit(t_uri, RDF_TYPE, ns + "Turn", False, cid, tix)
-            emit(c_uri, ns + "hasTurn", t_uri, False, cid, tix)
-            if tix > 0:
-                emit(t_uri, ns + "precededBy", turn_uri(ns, cid, tix - 1),
-                     False, cid, tix)
+        for cid, tix, text, t_uri in zip(conv_ids, turn_idxs, texts, t_uris):
             if not text:
                 continue
             tokens = tokenize(text)
@@ -131,7 +168,7 @@ class LinkerStage:
                 emit(t_uri, ns + "hasResult", r_b, False, cid, tix)
 
         n = len(subj)
-        return pa.table(
+        mention_tbl = pa.table(
             {
                 "subj": pa.array(subj, pa.string()),
                 "pred": pa.array(pred, pa.string()),
@@ -143,6 +180,8 @@ class LinkerStage:
             },
             schema=TRIPLE_LINEAGE_SCHEMA,
         )
+        return pa.concat_tables(parts + [mention_tbl],
+                                promote_options="none")
 
     def _find_concentration(self, tokens: list[str]):
         """First (number, parseable-unit) token pair — the transcript
