@@ -131,34 +131,66 @@ def _band_flat(t: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.T
 
 
 def candidate_pairs(sig_ds, bands: int = 16, rows_per_band: int = 8,
-                    id_col: str = "doc_id", max_bucket: int = 256):
-    """LSH banding → candidate (a, b) pairs (a < b), deduplicated."""
+                    id_col: str = "doc_id", max_bucket: int = 256,
+                    num_buckets: int | None = None):
+    """LSH banding → candidate (a, b) pairs (a < b), deduplicated.
+
+    The shuffle groups by ``hash(band_key) % num_buckets``, NOT by the
+    raw band key — grouping on the key itself invokes the per-group fn
+    once per DISTINCT band (billions of 1-row Python calls at corpus
+    scale).  Within a bucket the per-band pair emission is a vectorized
+    polars pass: cold bands (≤ ``max_bucket`` members) self-join all
+    pairs; hot bands emit the star against the band's min id
+    (connectivity-preserving skew cap).
+    """
+    from ..stages.base import _auto_buckets
+
+    nb = _auto_buckets(num_buckets)
 
     def flat(t: pa.Table) -> pa.Table:
-        return _band_flat(t, bands, rows_per_band, id_col)
+        out = _band_flat(t, bands, rows_per_band, id_col)
+        b = pc.cast(pc.bit_wise_and(out["band_key"],
+                                    pa.scalar(nb - 1, pa.uint64())),
+                    pa.int32())
+        return out.append_column("__b", b)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = np.unique(t[id_col].to_numpy(zero_copy_only=False))
-        m = len(ids)
-        if m < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        if m > max_bucket:
-            # hot bucket: star against min id — preserves connectivity
-            a = np.full(m - 1, ids[0])
-            b = ids[1:]
-        else:
-            iu = np.triu_indices(m, k=1)
-            a, b = ids[iu[0]], ids[iu[1]]
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64())})
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        df = (pl.from_arrow(t.select(["band_key", id_col]))
+              .unique()
+              .with_columns(pl.len().over("band_key").alias("m"),
+                            pl.col(id_col).min().over("band_key").alias("mn")))
+        df = df.filter(pl.col("m") > 1)
+        if df.height == 0:
+            return empty
+        cold = df.filter(pl.col("m") <= max_bucket)
+        hot = df.filter(pl.col("m") > max_bucket)
+        parts = []
+        if cold.height:
+            j = cold.join(cold.select(["band_key", id_col]),
+                          on="band_key", suffix="_r").filter(
+                pl.col(id_col) < pl.col(id_col + "_r"))
+            parts.append(j.select(a=pl.col(id_col),
+                                  b=pl.col(id_col + "_r")))
+        if hot.height:
+            parts.append(hot.filter(pl.col(id_col) != pl.col("mn"))
+                         .select(a=pl.col("mn"), b=pl.col(id_col)))
+        if not parts:
+            return empty
+        out = pl.concat(parts).unique().to_arrow()
+        return out.cast(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
     from .exact import dedup_exact
 
     cand = (
         sig_ds.map_batches(flat, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
     )
     return dedup_exact(cand.map_batches(
         lambda t: t.append_column("__o", t["a"]), batch_format="pyarrow"),
