@@ -236,27 +236,48 @@ def reconstruct_conversations(ds, range_size: int | None = None):
     under a subsequent ``sort(['conv_id','turn_idx'])``.
     """
 
-    def sort_group(t: pa.Table) -> pa.Table:
+    from ..stages.base import hash_column
+
+    num_buckets = 64
+
+    def _with_bucket(t: pa.Table, keys) -> pa.Table:
+        import numpy as np
+
+        h = hash_column(t, keys=keys).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
+
+    # one task per hash BUCKET of the group key (per-conversation
+    # map_groups calls would mean one Python call per conversation);
+    # sorting the bucket by (group key, turn order) yields every
+    # conversation's rows contiguous and turn-ordered
+    def sort_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
         idx = pc.sort_indices(
-            t, sort_keys=[("turn_idx", "ascending"), ("ts", "ascending")]
+            t, sort_keys=[("conv_id", "ascending"),
+                          ("turn_idx", "ascending"), ("ts", "ascending")]
         )
         return t.take(idx)
 
     if range_size:
         def add_range(t: pa.Table) -> pa.Table:
             rng = pc.divide(t["turn_idx"], range_size).cast(pa.int32())
-            return t.append_column("turn_range", rng)
+            return _with_bucket(t.append_column("turn_range", rng),
+                                ("conv_id", "turn_range"))
 
         def drop_range(t: pa.Table) -> pa.Table:
             return t.drop_columns(["turn_range"])
 
         return (
             ds.map_batches(add_range, batch_format="pyarrow")
-            .groupby(["conv_id", "turn_range"])
-            .map_groups(sort_group, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(sort_bucket, batch_format="pyarrow")
             .map_batches(drop_range, batch_format="pyarrow")
         )
-    return ds.groupby("conv_id").map_groups(sort_group, batch_format="pyarrow")
+    return (ds.map_batches(lambda t: _with_bucket(t, ("conv_id",)),
+                           batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(sort_bucket, batch_format="pyarrow"))
 
 
 def conversation_digests(ds):
@@ -267,24 +288,46 @@ def conversation_digests(ds):
     """
     import hashlib
 
-    def digest(t: pa.Table) -> pa.Table:
+    from ..stages.base import hash_column
+
+    num_buckets = 64
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash_column(t, keys=("conv_id",)).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
+
+    def digest_bucket(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
-            t, sort_keys=[("turn_idx", "ascending"), ("ts", "ascending")]
+            t, sort_keys=[("conv_id", "ascending"),
+                          ("turn_idx", "ascending"), ("ts", "ascending")]
         )
         t = t.take(idx)
-        h = hashlib.sha1()
-        for txt in t["text"].to_pylist():
-            h.update((txt or "").encode("utf-8"))
-            h.update(b"\x1f")
-        return pa.table(
-            {
-                "conv_id": [t["conv_id"][0].as_py()],
-                "n_turns": pa.array([t.num_rows], pa.int64()),
-                "text_sha1": [h.hexdigest()],
-            }
-        )
+        cids = t["conv_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_c, out_n, out_h = [], [], []
+        start = 0
+        for i in range(1, len(cids) + 1):
+            if i == len(cids) or cids[i] != cids[i - 1]:
+                h = hashlib.sha1()
+                for txt in texts[start:i]:
+                    h.update((txt or "").encode("utf-8"))
+                    h.update(b"\x1f")
+                out_c.append(cids[start])
+                out_n.append(i - start)
+                out_h.append(h.hexdigest())
+                start = i
+        return pa.table({
+            "conv_id": pa.array(out_c, pa.string()),
+            "n_turns": pa.array(out_n, pa.int64()),
+            "text_sha1": pa.array(out_h, pa.string()),
+        })
 
-    return ds.groupby("conv_id").map_groups(digest, batch_format="pyarrow")
+    return (ds.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(digest_bucket, batch_format="pyarrow"))
 
 
 def build_lexicon(data_dir: str, endpoints=(), effects=()):

@@ -67,6 +67,7 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     volume vs a naive groupby and mirrors how the 100 TB path must run.
     """
     spec = [(c, f, o) for c, f, o in aggs]
+    num_buckets = 64
 
     def partial(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
@@ -79,9 +80,18 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         merge_fns = [(o, "sum" if f == "count" else f) for _, f, o in spec]
         g = tt.group_by(keys, use_threads=False).aggregate(merge_fns)
         ren = {f"{o}_{'sum' if f == 'count' else f}": o for _, f, o in spec}
-        return g.rename_columns([ren.get(n, n) for n in g.schema.names])
+        g = g.rename_columns([ren.get(n, n) for n in g.schema.names])
+        # shuffle key = hash bucket of the group keys, never the raw keys
+        # (per-distinct-key map_groups calls don't scale; merge is an
+        # Arrow group_by, so a bucket of many keys folds vectorized)
+        from ..stages.base import hash_column
+
+        h = hash_column(g, keys=tuple(keys)).to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
 
     def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
         merge_fns = [(o, "sum" if f in ("count", "sum") else f)
                      for _, f, o in spec]
         g = t.group_by(keys, use_threads=False).aggregate(merge_fns)
@@ -89,7 +99,7 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         return g.rename_columns([ren.get(n, n) for n in g.schema.names])
 
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(keys[0] if len(keys) == 1 else keys)
+            .groupby("__b")
             .map_groups(merge, batch_format="pyarrow"))
 
 
@@ -100,18 +110,36 @@ def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
     concatenation of ``value_col`` (conversation/session reconstruction).
     Mirrors SQL ``string_agg(value, sep ORDER BY ...) GROUP BY key``."""
     kname, nname, sname = out_names
+    num_buckets = 64
 
-    def per_group(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=order)
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        # one call per BUCKET (hash of key), not per distinct key — then
+        # a key-sorted run scan concatenates each key's values in order
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + order)
         t = t.take(idx)
+        ks = t[key].to_pylist()
         vals = t[value_col].to_pylist()
+        out_k, out_n, out_s = [], [], []
+        start = 0
+        for i in range(1, len(ks) + 1):
+            if i == len(ks) or ks[i] != ks[i - 1]:
+                out_k.append(ks[start])
+                out_n.append(i - start)
+                out_s.append(sep.join(
+                    "" if v is None else str(v) for v in vals[start:i]))
+                start = i
         return pa.table({
-            kname: pa.array([t[key][0].as_py()]),
-            nname: pa.array([t.num_rows], pa.int64()),
-            sname: pa.array([sep.join("" if v is None else str(v) for v in vals)]),
+            kname: pa.array(out_k, type=t[key].type),
+            nname: pa.array(out_n, pa.int64()),
+            sname: pa.array(out_s, pa.string()),
         })
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    return (ds.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str,
