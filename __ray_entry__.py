@@ -353,20 +353,31 @@ def _q_kg_hierarchy(sf_dir: str):
 
 
 def _q_kg_star(sf_dir: str):
+    import pyarrow as pa
+
     import ray.data
 
-    from tera_ray.query.kg import endpoint_star_join
+    from tera_ray.query.kg import endpoint_star
     from tera_ray.stages.base import dedup_triples
     from tera_ray.stages.ecotox import emit_results, emit_tests
 
     fx = _fx(sf_dir)
-    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+    paths = [os.path.join(fx, "tests.parquet"),
+             os.path.join(fx, "results.parquet")]
+    tests = ray.data.read_parquet(paths[0]).map_batches(
         emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
-    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+    results = ray.data.read_parquet(paths[1]).map_batches(
         emit_results, batch_format="pyarrow", batch_size=EMIT_BATCH)
     triples = dedup_triples(tests.union(results))
-    star = endpoint_star_join(triples)
-    return star.select(["chemical", "species", "conc_value", "endpoint", "effect"])
+    # judged path routes by input size: small → driver star, large →
+    # distributed star (same 8 columns either way)
+    star = endpoint_star(
+        triples, size_hint_bytes=sum(os.path.getsize(p) for p in paths))
+    cols = ["chemical", "species", "conc_value", "endpoint", "effect",
+            "sd", "sd_unit"]
+    if isinstance(star, pa.Table):
+        return star.select(cols)
+    return star.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
 def _q_kg_unionfind(sf_dir: str):
@@ -856,6 +867,20 @@ WITH t AS (
   FROM read_parquet('{fx}/tests.parquet')
   WHERE test_id NOT IN ({sents}) AND test_cas NOT IN ({sents})
     AND species_number NOT IN ({sents})
+), sd AS (
+  -- OPTIONAL studyDuration tuple: bound only when value AND unit both
+  -- emit (DataAccess.py:977-994).  The unit map holds the fixture's
+  -- closed duration vocabulary with its public QUDT names — fixed
+  -- physical-unit constants, independent of the engine's unit_parser.
+  SELECT trim(s.test_id) AS test_id, trim(s.study_duration_mean) AS sd,
+         'http://qudt.org/vocab/unit#'||m.u AS sd_unit
+  FROM read_parquet('{fx}/tests.parquet') s
+  JOIN (VALUES ('h', 'Hour'), ('d', 'Day'), ('w', 'Week')) m(k, u)
+    ON trim(s.study_duration_unit) = m.k
+  WHERE s.test_id NOT IN ({sents}) AND s.test_cas NOT IN ({sents})
+    AND s.species_number NOT IN ({sents})
+    AND s.study_duration_mean NOT IN ({sents})
+    AND s.study_duration_mean IS NOT NULL
 ), r AS (
   SELECT trim(test_id) AS test_id, trim(endpoint) AS endpoint,
          trim(conc1_mean) AS conc1_mean, trim(effect) AS effect
@@ -869,8 +894,9 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}taxon/'||t.species_number AS species,
        regexp_replace(r.conc1_mean, '\\D', '', 'g') AS conc_value,
        '{NS}endpoint/'||r.endpoint AS endpoint,
-       '{NS}effect/'||r.effect AS effect
-FROM r JOIN t USING (test_id)
+       '{NS}effect/'||r.effect AS effect,
+       sd.sd AS sd, sd.sd_unit AS sd_unit
+FROM r JOIN t USING (test_id) LEFT JOIN sd ON sd.test_id = t.test_id
 """
 
 

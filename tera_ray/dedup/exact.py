@@ -38,12 +38,17 @@ def dedup_exact(ds, keys: list[str], order_by: str,
             t, sort_keys=[(k, "ascending") for k in list(keys) + [order_by]])
         t = t.take(idx)
         # sorted by (keys, order_by) ⇒ the first row of each key run is
-        # the keeper; group starts found vectorized
-        cols = [t[k].combine_chunks().cast(pa.string()) for k in keys]
-        joined = pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 else cols[0]
-        v = joined.to_numpy(zero_copy_only=False)
-        starts = np.ones(len(v), dtype=bool)
-        starts[1:] = v[1:] != v[:-1]
+        # the keeper.  Boundaries are detected PER KEY COLUMN and OR-ed:
+        # a joined-string comparison would (a) nullify the whole tuple
+        # when any key is null, merging distinct tuples like (null,'a')
+        # vs (null,'b'), and (b) merge distinct keys containing the
+        # separator byte (round-1 advisor finding).  Object-array
+        # compare treats None == None as equal, matching SQL GROUP BY.
+        starts = np.zeros(t.num_rows, dtype=bool)
+        starts[0] = True
+        for k in keys:
+            v = t[k].combine_chunks().to_numpy(zero_copy_only=False)
+            starts[1:] |= v[1:] != v[:-1]
         return t.filter(pa.array(starts))
 
     def local(t: pa.Table) -> pa.Table:
@@ -56,8 +61,7 @@ def dedup_exact(ds, keys: list[str], order_by: str,
     def per_bucket(t: pa.Table) -> pa.Table:
         return first_per_key(t).drop_columns(["__b"])
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__b", per_bucket)

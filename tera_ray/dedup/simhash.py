@@ -64,7 +64,18 @@ def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_bucket: int = 512):
-    """documents → (a, b, hamming) pairs with distance ≤ max_hamming."""
+    """documents → (a, b, hamming) pairs with distance ≤ max_hamming.
+
+    Skew cap: a band bucket with more than ``max_bucket`` members emits
+    only STAR pairs against the bucket's min-id member instead of the
+    full O(m²) set — i.e. for such buckets the output is a connectivity-
+    preserving SUBSET of the documented pairs (adequate when pairs feed
+    transitive clustering; NOT the complete pair list).  Every capped
+    bucket is logged with its size; raise ``max_bucket`` for exhaustive
+    output on skewed corpora."""
+    import logging
+
+    logger = logging.getLogger(__name__)
     bands = max_hamming + 1
     width = 64 // bands
     masks = []
@@ -102,6 +113,10 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         if m < 2:
             return empty
         if m > max_bucket:
+            logger.warning(
+                "simhash band bucket capped: %d members > max_bucket=%d; "
+                "emitting star pairs only (subset of the ≤max_hamming "
+                "contract for this bucket)", m, max_bucket)
             a_i = np.zeros(m - 1, np.int64)
             b_i = np.arange(1, m, dtype=np.int64)
         else:
@@ -117,9 +132,10 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         simhash_stage(id_col, text_col), batch_format="pyarrow")
-    cand = (sigs.map_batches(flat, batch_format="pyarrow")
-            .groupby("band_key")
-            .map_groups(pairs, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    cand = bucketed_map_groups(
+        sigs.map_batches(flat, batch_format="pyarrow"), "band_key", pairs)
     return dedup_exact(
         cand.map_batches(lambda t: t.append_column("__o", t["a"]),
                          batch_format="pyarrow"),

@@ -19,11 +19,9 @@ import pyarrow.compute as pc
 
 
 def _bucket_of(col, num_buckets: int) -> pa.Array:
-    import pandas.core.util.hashing as ph
+    from ..stages.base import bucket_column
 
-    vals = col.combine_chunks().to_pandas() if isinstance(col, pa.ChunkedArray) else col.to_pandas()
-    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
-    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
+    return bucket_column(col, num_buckets)
 
 
 def top1_per_key(ds, key: str, order: list[tuple[str, str]],
@@ -53,9 +51,10 @@ def top1_per_key(ds, key: str, order: list[tuple[str, str]],
     def per_bucket(t: pa.Table) -> pa.Table:
         return local_top1(t).drop_columns(["__b"])
 
-    return (ds.map_batches(add_b, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(per_bucket, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
 
 
 def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
@@ -98,9 +97,10 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         ren = {f"{o}_{fn}": o for (_, _, o), (_, fn) in zip(spec, merge_fns)}
         return g.rename_columns([ren.get(n, n) for n in g.schema.names])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(merge, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), "__b", merge)
 
 
 def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
@@ -116,30 +116,33 @@ def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
         return t.append_column("__b", _bucket_of(t[key], num_buckets))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        # one call per BUCKET (hash of key), not per distinct key — then
-        # a key-sorted run scan concatenates each key's values in order
+        # one call per BUCKET (hash of key), not per distinct key; the
+        # in-bucket group-concat is polars' native str.join after the
+        # order-stable sort — fully vectorized, no per-row Python
+        import polars as pl
+
         idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + order)
         t = t.take(idx)
-        ks = t[key].to_pylist()
-        vals = t[value_col].to_pylist()
-        out_k, out_n, out_s = [], [], []
-        start = 0
-        for i in range(1, len(ks) + 1):
-            if i == len(ks) or ks[i] != ks[i - 1]:
-                out_k.append(ks[start])
-                out_n.append(i - start)
-                out_s.append(sep.join(
-                    "" if v is None else str(v) for v in vals[start:i]))
-                start = i
+        vals = t[value_col].combine_chunks()
+        if not pa.types.is_string(vals.type) and not pa.types.is_large_string(vals.type):
+            vals = vals.cast(pa.string())
+        df = pl.DataFrame({
+            "k": pl.from_arrow(t[key].combine_chunks()),
+            "v": pl.from_arrow(pc.fill_null(vals, "")),
+        })
+        g = (df.group_by("k", maintain_order=True)
+             .agg(n=pl.len(), s=pl.col("v").str.join(sep)))
+        out = g.to_arrow()
         return pa.table({
-            kname: pa.array(out_k, type=t[key].type),
-            nname: pa.array(out_n, pa.int64()),
-            sname: pa.array(out_s, pa.string()),
+            kname: out["k"].combine_chunks().cast(t[key].type),
+            nname: out["n"].combine_chunks().cast(pa.int64()),
+            sname: out["s"].combine_chunks().cast(pa.string()),
         })
 
-    return (ds.map_batches(bucketed, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(per_bucket, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(bucketed, batch_format="pyarrow"), "__b", per_bucket)
 
 
 def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str,
@@ -227,7 +230,9 @@ def bucket_multijoin(parts, key: str, num_buckets: int = 64):
                 join_type="inner" if how == "inner" else "left outer")
         return base.select([key] + all_cols)
 
-    return unioned.groupby("__b").map_groups(merge, batch_format="pyarrow")
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(unioned, "__b", merge)
 
 
 def sessionize(ds, key: str, ts_col: str, gap_us: int,
@@ -251,6 +256,14 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         return t.append_column("__b", _bucket_of(t[key], num_buckets))
 
     def win(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key: pa.array([], t[key].type),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "ts_start": pa.array([], t[ts_col].type),
+                "ts_end": pa.array([], t[ts_col].type),
+            })
         sort_keys = [(key, "ascending"), (ts_col, "ascending")] + [
             (c, "ascending") for c in tiebreak]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
@@ -273,9 +286,10 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         g = g.rename_columns([ren.get(c, c) for c in g.schema.names])
         return g.select([key, "session_id", "n_events", "ts_start", "ts_end"])
 
-    return (ds.map_batches(bucketed, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(win, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(bucketed, batch_format="pyarrow"), "__b", win)
 
 
 def distinct_values(ds, col: str, out_name: str | None = None,
@@ -292,6 +306,7 @@ def distinct_values(ds, col: str, out_name: str | None = None,
     def per_bucket(t: pa.Table) -> pa.Table:
         return pa.table({out: pc.unique(t[out].combine_chunks())})
 
-    return (ds.map_batches(local, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(per_bucket, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__b", per_bucket)

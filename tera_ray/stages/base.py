@@ -108,6 +108,24 @@ def hash_column(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Array:
     return pa.array(h.to_numpy(), type=pa.uint64())
 
 
+def bucket_column(col, num_buckets: int, seed: int = 42) -> pa.Array:
+    """Shared bucket-id helper: polars native column hash mod
+    ``num_buckets`` as int32.  Accepts a pa.Array / pa.ChunkedArray /
+    python list; used by every hash-bucketed shuffle in the engine so
+    bucket assignment is computed by ONE fast native kernel (~16× the
+    pandas object hasher) with one seed."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        s = pl.from_arrow(col)
+    else:
+        s = pl.Series(col)
+    h = s.hash(seed=seed).to_numpy()
+    return pa.array((h % num_buckets).astype("int32"), type=pa.int32())
+
+
 def dedup_table(t: pa.Table, keys=("subj", "pred", "obj")) -> pa.Table:
     """In-memory exact dedup keeping the first row per key (pure Arrow —
     pandas round-trips would mangle nullable int32 lineage columns)."""
@@ -146,6 +164,44 @@ def _auto_buckets(requested: int | None, lo: int = 32, hi: int = 512) -> int:
     return b
 
 
+def bucketed_map_groups(ds, key, fn, **map_kwargs):
+    """``ds.groupby(key).map_groups(fn)`` with schema-typed empty output.
+
+    Ray's ``GroupedData.map_groups`` wraps ``fn`` in a generator that
+    yields once per group, so an empty sorted block yields NOTHING and
+    the executor emits a schema-less empty RefBundle ("Operator produced
+    a RefBundle with a different schema" warnings; downstream stages see
+    a schema-free block).  This helper keeps the identical semantics —
+    the same ``sort(key)`` co-location Ray's own implementation relies
+    on — but applies ``fn`` per key-run via numpy boundary detection and,
+    for an EMPTY block, calls ``fn`` on the empty typed table so the
+    output block keeps its schema (every per-group fn in this engine is
+    total on empty input).
+    """
+    import numpy as np
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return fn(t)
+        change = np.zeros(t.num_rows - 1, dtype=bool)
+        for k in keys:
+            v = t[k].combine_chunks().to_numpy(zero_copy_only=False)
+            change |= v[1:] != v[:-1]
+        bounds = [0, *(np.flatnonzero(change) + 1).tolist(), t.num_rows]
+        outs = [fn(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                for i in range(len(bounds) - 1)]
+        outs = [o for o in outs if o is not None and o.num_rows > 0]
+        if not outs:
+            return fn(t.slice(0, 0))
+        return pa.concat_tables(outs, promote_options="none")
+
+    per_block.__name__ = getattr(fn, "__name__", "per_group")
+    return ds.sort(keys).map_batches(
+        per_block, batch_size=None, batch_format="pyarrow", **map_kwargs)
+
+
 def dedup_triples(ds, keys=("subj", "pred", "obj"),
                   num_buckets: int | None = None):
     """Exact triple dedup (SURVEY A1) — rdflib set semantics.
@@ -172,8 +228,5 @@ def dedup_triples(ds, keys=("subj", "pred", "obj"),
 
     num_buckets = _auto_buckets(num_buckets)
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    return bucketed_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__b", per_bucket)

@@ -32,11 +32,9 @@ MANIFEST = "_MANIFEST.json"
 
 
 def _hash_partition(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
-    import pandas.core.util.hashing as ph
+    from ..stages.base import bucket_column
 
-    vals = col.combine_chunks().to_pandas() if isinstance(col, pa.ChunkedArray) else col.to_pandas()
-    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
-    return pa.array((h % num_partitions).astype(np.int64), type=pa.int64())
+    return bucket_column(col, num_partitions).cast(pa.int64())
 
 
 def write_stage(ds, root: str, stage: str, input_fingerprint: str,
@@ -49,6 +47,16 @@ def write_stage(ds, root: str, stage: str, input_fingerprint: str,
     written files, NOT from a driver-side collect.
     """
     stage_dir = os.path.join(root, stage)
+    # A crashed run leaves partial parquet files with NO manifest; Ray's
+    # write_parquet uses unique filenames, so re-executing into the same
+    # directory would keep the stale files and both the manifest row
+    # count and read_stage would silently include them.  Clear first:
+    # the manifest (written last, atomic rename) is the only completion
+    # certificate, so deleting an uncertified directory is always safe.
+    if os.path.isdir(stage_dir):
+        import shutil
+
+        shutil.rmtree(stage_dir)
     os.makedirs(stage_dir, exist_ok=True)
 
     def add_part(t: pa.Table) -> pa.Table:

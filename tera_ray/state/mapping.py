@@ -39,11 +39,9 @@ def join_partitions(requested: int | None = None) -> int:
 
 
 def _bucket(col, num_buckets: int) -> pa.Array:
-    import pandas.core.util.hashing as ph
+    from ..stages.base import bucket_column
 
-    vals = col.combine_chunks().to_pandas() if isinstance(col, pa.ChunkedArray) else col.to_pandas()
-    h = ph.hash_array(vals.to_numpy(dtype=object), categorize=False)
-    return pa.array((h % num_buckets).astype(np.int32), type=pa.int32())
+    return bucket_column(col, num_buckets)
 
 
 def first_per_key(t: pa.Table, key: str, order: list[tuple[str, str]]) -> pa.Table:
@@ -78,11 +76,10 @@ def best_per_src(ds, key: str = "src", num_buckets: int = 64):
             t, key, [("score", "descending"), ("dst", "ascending")]
         ).drop_columns(["__b"])
 
-    return (
-        ds.map_batches(add_b, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
 
 
 def threshold(ds, min_score: float):
@@ -151,14 +148,26 @@ def apply_dict_column(
         for name in t.schema.names:
             col = t[name]
             if name in columns:
-                s = col.combine_chunks().to_pandas()
-                repl = s.map(m)
-                keep = repl.notna()
+                # Pure-Arrow rewrite: dictionary-encode the column, map
+                # only the DISTINCT values through the dict (Python cost
+                # = cardinality, not rows), then take back out — no
+                # object-dtype pandas round-trip.
+                arr = col.combine_chunks().cast(pa.string())
+                enc = arr.dictionary_encode()
+                vals = enc.dictionary.to_pylist()
+                repl = [m.get(v) for v in vals]
+                repl_arr = pa.array(
+                    [r if r is not None else v for v, r in zip(vals, repl)],
+                    type=pa.string())
+                hit = pa.array([r is not None for r in repl], type=pa.bool_())
+                mapped = pc.take(repl_arr, enc.indices)
+                hit_full = pc.fill_null(pc.take(hit, enc.indices), False)
                 if only_when is not None:
                     gate = only_when(t)
-                    keep &= gate.to_pandas() if not isinstance(gate, np.ndarray) else gate
-                s = s.where(~keep, repl)
-                col = pa.array(s, type=pa.string())
+                    if isinstance(gate, np.ndarray):
+                        gate = pa.array(gate)
+                    hit_full = pc.and_(hit_full, pc.fill_null(gate, False))
+                col = pc.if_else(hit_full, mapped, arr)
             out[name] = col
         return pa.table(out)
 

@@ -30,6 +30,30 @@ class TestCheckpoint:
         assert sorted(r["obj"] for r in back) == sorted(t["obj"].to_pylist())
         assert all(set(r) == {"subj", "pred", "obj"} for r in back[:3])
 
+    def test_rerun_clears_stale_partial_files(self, tmp_path):
+        """A crashed run leaves partial parquet files (no manifest);
+        re-executing the stage must NOT count or serve those stale rows
+        (round-1 advisor high finding)."""
+        import pyarrow.parquet as pq
+
+        from tera_ray.state.checkpoint import read_manifest, read_stage, write_stage
+
+        t = pa.table({"subj": ["a", "b", "c"], "pred": ["p"] * 3,
+                      "obj": ["1", "2", "3"]})
+        # simulate a partial crashed write: stray parquet, no manifest
+        stale_dir = tmp_path / "st" / "part=0"
+        os.makedirs(stale_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"subj": ["STALE"] * 50, "pred": ["p"] * 50,
+                      "obj": ["x"] * 50, "part": ["0"] * 50}),
+            stale_dir / "stale_000.parquet")
+        write_stage(ray.data.from_arrow(t), str(tmp_path), "st", "fp1",
+                    num_partitions=2)
+        m = read_manifest(str(tmp_path), "st")
+        assert m["row_count"] == 3, "stale rows leaked into the manifest"
+        back = read_stage(str(tmp_path), "st").take_all()
+        assert sorted(r["subj"] for r in back) == ["a", "b", "c"]
+
     def test_incomplete_stage_reruns(self, tmp_path):
         from tera_ray.state.checkpoint import run_stage
 

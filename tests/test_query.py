@@ -34,6 +34,13 @@ def _kg():
                  ("_:" + rid, NS + "concentration", "_:c" + rid, False),
                  ("_:c" + rid, RDF_VALUE, cv, True),
                  ("_:c" + rid, UNIT_UNITS, "http://qudt.org/vocab/unit#MilligramPerLitre", False)]
+    # studyDuration: t1 has the full BNode pattern (value+unit) → sd
+    # bound; t2 has value only → the OPTIONAL tuple fails → sd/sdu null
+    rows += [(NS + "test/t1", NS + "studyDuration", "_:m1", False),
+             ("_:m1", RDF_VALUE, "96", True),
+             ("_:m1", UNIT_UNITS, "http://qudt.org/vocab/unit#Hour", False),
+             (NS + "test/t2", NS + "studyDuration", "_:m2", False),
+             ("_:m2", RDF_VALUE, "48", True)]
     # small hierarchy for BFS/khop: sp1,sp2 subClassOf gen1; sp3 under gen2
     sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
     rows += [(NS + "taxon/sp1", sub, NS + "taxon/gen1", False),
@@ -48,14 +55,19 @@ class TestKGQueries:
         from tera_ray.query.kg import endpoint_star_join
 
         star = endpoint_star_join(_kg())
+        hour = "http://qudt.org/vocab/unit#Hour"
         got = sorted(map(tuple, star.to_pylist()[0].keys() and [
             (r["chemical"], r["species"], r["conc_value"], r["endpoint"],
-             r["effect"]) for r in star.to_pylist()]))
+             r["effect"], r["sd"], r["sd_unit"]) for r in star.to_pylist()]),
+            key=lambda x: tuple("" if v is None else v for v in x))
         assert got == sorted([
-            (NS + "cas/ch1", NS + "taxon/sp1", "10", NS + "endpoint/LC50", NS + "effect/MOR"),
-            (NS + "cas/ch1", NS + "taxon/sp1", "5", NS + "endpoint/NOEC", NS + "effect/GRO"),
-            (NS + "cas/ch2", NS + "taxon/sp2", "7", NS + "endpoint/EC50", NS + "effect/REP"),
-        ])
+            (NS + "cas/ch1", NS + "taxon/sp1", "10", NS + "endpoint/LC50",
+             NS + "effect/MOR", "96", hour),
+            (NS + "cas/ch1", NS + "taxon/sp1", "5", NS + "endpoint/NOEC",
+             NS + "effect/GRO", "96", hour),
+            (NS + "cas/ch2", NS + "taxon/sp2", "7", NS + "endpoint/EC50",
+             NS + "effect/REP", None, None),
+        ], key=lambda x: tuple("" if v is None else v for v in x))
 
     def test_star_join_filters(self):
         from tera_ray.query.kg import endpoint_star_join
@@ -190,8 +202,10 @@ class TestDistributedStarJoin:
         got = pa.concat_tables(got_parts, promote_options="permissive")
 
         def rows(t):
-            return sorted(map(tuple, zip(*[t[c].to_pylist()
-                                           for c in sorted(t.schema.names)])))
+            return sorted(
+                tuple("" if v is None else v for v in row)
+                for row in zip(*[t[c].to_pylist()
+                                 for c in sorted(t.schema.names)]))
 
         assert got.num_rows == want.num_rows > 0
         assert rows(got) == rows(want)

@@ -186,14 +186,19 @@ class TestBuildKG:
 
 @pytest.mark.usefixtures("ray_session")
 class TestScopedDedup:
-    def test_scoped_equals_global_set(self, fixtures_t1):
+    def test_scoped_equals_global_multiset(self, fixtures_t1):
         """Dedup pushdown: with unique (conv_id, turn_idx) rows, local
-        per-batch dedup + driver-side lexicon dedup is set-identical to
-        the global shuffle dedup."""
+        per-batch dedup + driver-side lexicon dedup is row-multiset
+        identical to the global shuffle dedup.  Multiset (Counter), not
+        set: a set compare could not detect scoped mode emitting the
+        same triple from two batches, which would break the A1
+        no-duplicates contract (round-1 advisor finding)."""
+        from collections import Counter
+
         from tera_ray.pipelines.transcripts import build_kg
 
         def spo(ds):
-            out = set()
+            out = Counter()
             for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
                 out.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
                                b["obj"].to_pylist()))
@@ -202,3 +207,6 @@ class TestScopedDedup:
         g = spo(build_kg(fixtures_t1))
         s = spo(build_kg(fixtures_t1, dedup_mode="scoped"))
         assert g == s and len(g) > 0
+        # the scoped output itself must contain no duplicate triples
+        assert all(c == 1 for c in s.values()), (
+            f"{sum(c > 1 for c in s.values())} duplicated triples in scoped mode")
