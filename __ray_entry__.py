@@ -416,6 +416,31 @@ def _q_kg_canonical(sf_dir: str):
     return build_kg_canonical(_fx(sf_dir))
 
 
+def _q_kg_build_checkpointed(sf_dir: str):
+    """Flagship build through the resumable stage boundaries (north rule
+    "checkpoint-resumable stage boundaries" made driver-visible): a cold
+    run writes every stage's partitioned Parquet + manifest, then a
+    second run MUST skip all stages via manifest match — asserted here,
+    so this judged entry fails if resume ever re-executes work.  Returns
+    the KG re-opened from the checkpoint store (rows-only check; content
+    equality with the direct build is pytest-asserted in
+    tests/test_checkpoint.py)."""
+    import shutil
+    import tempfile
+
+    from tera_ray.state.checkpoint import build_kg_checkpointed
+
+    fx = _fx(sf_dir)
+    ckpt = os.path.join(tempfile.gettempdir(), "tera_ray_ckpt",
+                        os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _, skipped_cold = build_kg_checkpointed(fx, ckpt, fuzzy=False)
+    assert not any(skipped_cold.values()), skipped_cold
+    kg, skipped_warm = build_kg_checkpointed(fx, ckpt, fuzzy=False)
+    assert all(skipped_warm.values()), skipped_warm
+    return kg
+
+
 def _q_kg_fuzzy_align(sf_dir: str):
     import ray.data
 
@@ -462,6 +487,45 @@ def _q_chem_tanimoto(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(_fx(sf_dir), "chem_fingerprints.parquet"))
     return tanimoto_pairs(ds, threshold=0.7)
+
+
+def _q_chem_enrich(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from tera_ray.pipelines.chemistry import enrich_chemicals
+
+    fx = _fx(sf_dir)
+    chems = ray.data.read_parquet(
+        os.path.join(fx, "chemicals.parquet"),
+        columns=["cas_number", "chemical_name"])
+    snapshot = pq.read_table(os.path.join(fx, "chem_fingerprints.parquet"))
+    return enrich_chemicals(chems, snapshot)
+
+
+def _tests_triples(sf_dir: str):
+    import ray.data
+
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_tests
+
+    tests = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    return dedup_triples(tests)
+
+
+def _q_kg_species_list(sf_dir: str):
+    from tera_ray.query.kg import list_species
+
+    return list_species(_tests_triples(sf_dir))
+
+
+def _q_kg_chemicals_list(sf_dir: str):
+    from tera_ray.query.kg import list_chemicals
+
+    return list_chemicals(_tests_triples(sf_dir))
 
 
 _SEMI_SPECIES = [str(100000 + i) for i in range(5)]
@@ -766,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_labels": _q_kg_term_labels,
         "kg_eol_subclasses": _q_kg_eol_subclasses,
         "chem_tanimoto": _q_chem_tanimoto,
+        "chem_enrich": _q_chem_enrich,
         "kg_taxa_triples": _q_kg_taxa,
         "kg_chemical_triples": _q_kg_chemicals,
         "kg_hierarchy_triples": _q_kg_hierarchy,
@@ -773,9 +838,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
+        "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
         "kg_chems_for_species": _q_kg_chems_for_species,
+        "kg_species_list": _q_kg_species_list,
+        "kg_chemicals_list": _q_kg_chemicals_list,
         "kg_hier_consensus": _q_kg_hier_consensus,
         # NCBI taxonomy emitters + KG query layer + id pivot
         "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
@@ -1071,6 +1139,143 @@ WHERE i / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def _fuzzy_align_sql(fx: str) -> str:
+    """J4 oracle: mirrors the blocked fuzzy alignment chain — label bags
+    from ``emit_names`` (NCBI scientific/common/uniqueName) × ``emit_taxa``
+    (ECOTOX latinName), 3-char-prefix blocking, exact-match short-circuit,
+    Levenshtein ratio ≥ 90 for leftovers, best-per-src with (score desc,
+    dst asc) tie-break.  DuckDB ``levenshtein`` computes the same exact
+    edit distance the engine's banded scorer reports for emitted pairs."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    return f"""
+WITH nb AS (
+  SELECT {_sent('taxon')} AS tx, {_sent('name')} AS nm,
+         {_sent('unique_name')} AS un,
+         replace({_sent('name_type')}, ' ', '_') AS nt
+  FROM read_parquet('{fx}/taxonomy_names.parquet')
+  WHERE {_sent('taxon')} IS NOT NULL AND {_sent('name')} IS NOT NULL
+    AND {_sent('unique_name')} IS NOT NULL AND {_sent('name_type')} IS NOT NULL
+), l AS (
+  SELECT '{NNS}taxon/'||tx AS entity, lower(un) AS label
+  FROM nb WHERE length(un) > 0
+  UNION ALL
+  SELECT '{NNS}taxon/'||tx, lower(nm)
+  FROM nb WHERE length(nm) > 0 AND nt IN ('scientific_name', 'common_name')
+), sb AS (
+  SELECT {_sent('species_number')} AS num, {_sent('latin_name')} AS ln
+  FROM read_parquet('{fx}/species.parquet')
+  WHERE {_sent('species_number')} IS NOT NULL
+    AND {_sent('common_name')} IS NOT NULL
+    AND {_sent('latin_name')} IS NOT NULL
+    AND {_sent('ecotox_group')} IS NOT NULL
+), r AS (
+  SELECT '{NS}taxon/'||num AS entity, lower(ln) AS label
+  FROM sb WHERE length(ln) > 0
+), exact AS (
+  SELECT l.entity AS src, r.entity AS dst, 100.0 AS score
+  FROM l JOIN r ON l.label = r.label
+), fz AS (
+  SELECT l.entity AS src, r.entity AS dst,
+         100.0 * (1.0 - CAST(levenshtein(l.label, r.label) AS DOUBLE)
+                  / greatest(length(l.label), length(r.label))) AS score
+  FROM l JOIN r ON substr(l.label, 1, 3) = substr(r.label, 1, 3)
+   AND l.label <> r.label
+  WHERE NOT EXISTS (SELECT 1 FROM r r2 WHERE r2.label = l.label)
+), cand AS (
+  SELECT * FROM exact
+  UNION ALL
+  SELECT src, dst, score FROM fz WHERE score >= 90.0
+), best AS (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+  FROM cand
+)
+SELECT src, dst, score FROM best WHERE rn = 1
+"""
+
+
+def _hier_consensus_sql(fx: str) -> str:
+    """J7 oracle: the fuzzy-align result re-weighted by parent-lineage
+    agreement — +10 (capped at 100) when the pair's (NCBI parent, ECOTOX
+    genus) is itself an aligned pair; penalty 0 otherwise (the judged
+    call's defaults).  Parent URIs join RAW columns exactly as the
+    judged query builds them (no sentinel cleaning)."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    return f"""
+WITH best AS ({_fuzzy_align_sql(fx)}),
+pa_ AS (
+  SELECT '{NNS}taxon/'||child AS c, '{NNS}taxon/'||parent AS p
+  FROM read_parquet('{fx}/taxonomy_nodes.parquet')
+),
+pb_ AS (
+  SELECT '{NS}taxon/'||species_number AS c, '{NS}taxon/'||genus AS p
+  FROM read_parquet('{fx}/species.parquet') WHERE genus IS NOT NULL
+)
+SELECT b.src AS src, b.dst AS dst,
+       CASE WHEN pa_.p IS NOT NULL AND pb_.p IS NOT NULL
+                 AND EXISTS (SELECT 1 FROM best b3
+                             WHERE b3.src = pa_.p AND b3.dst = pb_.p)
+            THEN least(100.0, b.score + 10.0)
+            ELSE b.score END AS score
+FROM best b
+LEFT JOIN pa_ ON pa_.c = b.src
+LEFT JOIN pb_ ON pb_.c = b.dst
+"""
+
+
+def _minhash_dedup_sql() -> str:
+    """Near-dup cluster oracle: exact shingle-set Jaccard ≥ 0.8 edges +
+    recursive min-id components.  The shingle definition replicates
+    ``dedup.minhash.shingle_hashes`` exactly: tokens are a REGEX SPLIT
+    of the trimmed lowercase text on ``[^a-z0-9]+`` (split, not
+    extract — punctuation edges yield empty tokens that join shingles),
+    3-gram shingles for docs with ≥ 3 tokens, one whole-doc shingle
+    otherwise.  Valid as an oracle because LSH at 128 perms / 16 bands
+    is lossless on the fixture's duplicate groups (their Jaccard is far
+    above the 0.948-collision point at J = 0.8); the engine result is
+    verified by the SAME exact-Jaccard check, so edge sets coincide.
+    Component ids compare as STRINGS (the engine casts ids to string
+    before union-find), hence the VARCHAR min."""
+    return """
+WITH RECURSIVE tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text), ' '||chr(9)||chr(10)||chr(13)),
+                            '[^a-z0-9]+') AS l
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, l[g]||chr(31)||l[g+1]||chr(31)||l[g+2] AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS g
+        FROM tk WHERE len(l) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, list_aggregate(l, 'string_agg', chr(31)) AS s
+  FROM tk WHERE len(l) < 3
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), ed AS (
+  SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b
+  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+), e AS (
+  SELECT a, b FROM ed UNION SELECT b, a FROM ed
+), n AS (
+  SELECT DISTINCT a AS v FROM e
+), reach(v, r) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT v AS src, min(r) AS dst, 1.0 AS score
+FROM reach GROUP BY v HAVING min(r) <> v
+"""
+
+
 def _unionfind_sql(fx: str) -> str:
     return f"""
 WITH RECURSIVE
@@ -1242,6 +1447,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
 """,
         "kg_hierarchy_triples": _hierarchy_sql(fx),
         "kg_endpoint_star": _star_sql(fx),
+        # fp_bits/fp_hex mirror bin(int).count('1') / hex(int) — fixed
+        # integer identities, independent of the engine implementation
+        "chem_enrich":
+            f"SELECT '{NS}cas/'||c.cas_number AS chemical,"
+            f" c.cas_number AS cas_number,"
+            f" CAST(length(string_split(coalesce(c.chemical_name, ''),"
+            f" ', ')) AS BIGINT) AS n_synonyms,"
+            f" CAST(bit_count(f.fp) AS BIGINT) AS fp_bits,"
+            f" '0x'||lower(to_hex(f.fp)) AS fp_hex"
+            f" FROM read_parquet('{fx}/chemicals.parquet') c"
+            f" LEFT JOIN read_parquet('{fx}/chem_fingerprints.parquet') f"
+            f" USING (cas_number)",
         "kg_unionfind": _unionfind_sql(fx),
         "kg_chems_for_species":
             f"SELECT DISTINCT '{NS}cas/'||trim(test_cas) AS chemical"
@@ -1250,6 +1467,21 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" AND {_sent('test_cas')} IS NOT NULL"
             f" AND trim(species_number) IN ("
             + ", ".join(f"'{s}'" for s in _SEMI_SPECIES) + ")",
+        "kg_fuzzy_align": _fuzzy_align_sql(fx),
+        "kg_hier_consensus": _hier_consensus_sql(fx),
+        "docs_minhash_dedup": _minhash_dedup_sql(),
+        "kg_species_list":
+            f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
+            f" FROM read_parquet('{fx}/tests.parquet')"
+            f" WHERE {_sent('test_id')} IS NOT NULL"
+            f" AND {_sent('test_cas')} IS NOT NULL"
+            f" AND {_sent('species_number')} IS NOT NULL",
+        "kg_chemicals_list":
+            f"SELECT DISTINCT '{NS}cas/'||trim(test_cas) AS chemical"
+            f" FROM read_parquet('{fx}/tests.parquet')"
+            f" WHERE {_sent('test_id')} IS NOT NULL"
+            f" AND {_sent('test_cas')} IS NOT NULL"
+            f" AND {_sent('species_number')} IS NOT NULL",
         "kg_conversations":
             f"SELECT conv_id, count(*) AS n_turns,"
             f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"

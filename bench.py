@@ -134,6 +134,42 @@ def bench_star_join(fx: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_star_join_dist(fx: str) -> float:
+    """The distributed star — the judged default above the size
+    threshold; benched so the scale path's cost is tracked."""
+    import ray.data
+
+    from tera_ray.query.kg import endpoint_star_join_distributed
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_results, emit_tests
+
+    t0 = time.perf_counter()
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=32768)
+    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow", batch_size=32768)
+    _consume(endpoint_star_join_distributed(
+        dedup_triples(tests.union(results))))
+    return time.perf_counter() - t0
+
+
+def bench_conversations(fx: str) -> float:
+    """K4 conversation reconstruction over the transcript fixture
+    (the ordered_group_concat hot path)."""
+    import ray.data
+
+    from tera_ray.query.relational import ordered_group_concat
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"),
+                               columns=["conv_id", "turn_idx", "ts", "text"])
+    out = ordered_group_concat(
+        ds, "conv_id", [("turn_idx", "ascending"), ("ts", "ascending")],
+        "text", sep="\x1f", out_names=("conv_id", "n_turns", "seq"))
+    _consume(out)
+    return time.perf_counter() - t0
+
+
 def bench_relational(sf: str) -> float:
     """Runs the same implementation the driver-judged query uses
     (broadcast-join + combiner groupby)."""
@@ -157,6 +193,8 @@ def run_suite(num_cpus: int) -> dict:
             "minhash_dedup": bench_minhash(SF_DIR),
             "ann_topk": bench_ann(SF_DIR),
             "star_join": bench_star_join(fx),
+            "star_join_dist": bench_star_join_dist(fx),
+            "conversations": bench_conversations(fx),
             "relational_join_agg": bench_relational(SF_DIR),
         }
     finally:

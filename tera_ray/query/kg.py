@@ -282,6 +282,40 @@ def species_from_chemicals(triples, chems: list[str], ns: str = ECOTOX_NS):
     return pa.table({"species": pc.take(u, pc.sort_indices(u))})
 
 
+def _typed_test_objects(triples, edge_uri: str, out_name: str,
+                        ns: str, num_buckets: int):
+    """Distinct objects of ``edge_uri`` on subjects typed ``ns:Test`` —
+    fully distributed: one co-group shuffle keyed on the test uri, then
+    a distinct over the objects (never a driver collect)."""
+    from .relational import bucket_multijoin, distinct_values
+
+    typed = triples.map_batches(
+        lambda t: pa.table({"test": t.filter(pc.and_(
+            pc.equal(t["pred"], RDF_TYPE),
+            pc.equal(t["obj"], ns + "Test")))["subj"]}),
+        batch_format="pyarrow")
+    edges = _proj_ds(triples, edge_uri, "test", out_name)
+    joined = bucket_multijoin([(typed, [], "inner"),
+                               (edges, [out_name], "inner")],
+                              key="test", num_buckets=num_buckets)
+    return distinct_values(joined, out_name, num_buckets=num_buckets)
+
+
+def list_chemicals(triples, ns: str = ECOTOX_NS, num_buckets: int = 64):
+    """Chemicals used in at least one experiment
+    (``DataAccess.py:926-939``): distinct ``?c`` where ``?t rdf:type
+    ns:Test ; ns:chemical ?c``."""
+    return _typed_test_objects(triples, ns + "chemical", "chemical", ns,
+                               num_buckets)
+
+
+def list_species(triples, ns: str = ECOTOX_NS, num_buckets: int = 64):
+    """Species used in at least one experiment
+    (``DataAccess.py:941-954``)."""
+    return _typed_test_objects(triples, ns + "species", "species", ns,
+                               num_buckets)
+
+
 def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
                        num_partitions: int | None = None,
                        materialize_edges: bool = True):

@@ -30,6 +30,7 @@ RDFS_RANGE = RDFS + "range"
 OWL_SUBPROPERTYOF = OWL + "subPropertyOf"
 # The reference's misspelled disjointness predicate (DataAggregation.py:215)
 OWL_DISJOINWITH = OWL + "disjoinWith"
+OWL_SAMEAS = OWL + "sameAs"
 SKOS_PREFLABEL = SKOS + "prefLabel"
 UNIT_UNITS = UNIT + "units"
 

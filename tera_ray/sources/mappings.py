@@ -138,3 +138,29 @@ def read_wikidata_csv(path: str):
         })
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def endpoint_mapping(triples):
+    """J6/missing-item parity with the reference's ``EndpointMapping``
+    (``tera/DataIntegration.py:122-141``): collect every ``owl:sameAs``
+    pair from a graph into a ``(src, dst, score=1.0)`` mapping Dataset.
+
+    The reference pulls the pairs from a live SPARQL endpoint; the
+    engine's graphs are triple Datasets, so the "endpoint" is the KG
+    itself — one streaming predicate filter, no driver materialization.
+    The result composes with the rest of the mapping algebra
+    (``state.mapping.compose`` / ``best_per_src`` / ``invert``).
+    """
+    import pyarrow.compute as pc
+
+    from ..schema import OWL_SAMEAS
+
+    def pick(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["pred"], OWL_SAMEAS))
+        return pa.table({
+            "src": s["subj"].combine_chunks().cast(pa.string()),
+            "dst": s["obj"].combine_chunks().cast(pa.string()),
+            "score": pa.array(np.ones(s.num_rows), pa.float64()),
+        })
+
+    return triples.map_batches(pick, batch_format="pyarrow")

@@ -210,17 +210,32 @@ def rewrite_triples(
         m = to_dict(mapping) if not isinstance(mapping, dict) else mapping
         ref = ray.put(m)
 
+        def _rewrite_arr(arr: pa.Array, d: dict, gate=None) -> pa.Array:
+            # pure-Arrow rewrite: map only the DISTINCT values through
+            # the dict (Python cost = cardinality), take back out — no
+            # object-dtype pandas round-trip on the hot triple columns
+            enc = arr.dictionary_encode()
+            vals = enc.dictionary.to_pylist()
+            repl = [d.get(v) for v in vals]
+            repl_arr = pa.array(
+                [r if r is not None else v for v, r in zip(vals, repl)],
+                type=pa.string())
+            hit = pa.array([r is not None for r in repl], type=pa.bool_())
+            mapped = pc.take(repl_arr, enc.indices)
+            hit_full = pc.fill_null(pc.take(hit, enc.indices), False)
+            if gate is not None:
+                hit_full = pc.and_(hit_full, gate)
+            return pc.if_else(hit_full, mapped, arr)
+
         def rw(t: pa.Table) -> pa.Table:
             d = ray.get(ref)
-            subj = t["subj"].combine_chunks().to_pandas()
-            obj = t["obj"].combine_chunks().to_pandas()
-            lit = t["obj_is_literal"].combine_chunks().to_pandas()
-            subj = subj.where(~subj.isin(d), subj.map(d))
-            repl = obj.map(d)
-            obj = obj.where(~(repl.notna() & ~lit), repl)
+            subj = t["subj"].combine_chunks()
+            obj = t["obj"].combine_chunks()
+            not_lit = pc.invert(pc.fill_null(
+                t["obj_is_literal"].combine_chunks(), False))
             out = {c: t[c] for c in t.schema.names}
-            out["subj"] = pa.array(subj, pa.string())
-            out["obj"] = pa.array(obj, pa.string())
+            out["subj"] = _rewrite_arr(subj, d)
+            out["obj"] = _rewrite_arr(obj, d, gate=not_lit)
             return pa.table(out)
 
         return triples.map_batches(rw, batch_format="pyarrow")

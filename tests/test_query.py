@@ -209,3 +209,20 @@ class TestDistributedStarJoin:
 
         assert got.num_rows == want.num_rows > 0
         assert rows(got) == rows(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestListHelpers:
+    def test_list_species_and_chemicals(self):
+        from tera_ray.query.kg import list_chemicals, list_species
+        from tera_ray.schema import RDF_TYPE
+
+        # _kg() has species/chemical edges but no rdf:type Test rows —
+        # add the type triple for t1 only; t2's edges must NOT count
+        base = _kg()
+        extra = T([(NS + "test/t1", RDF_TYPE, NS + "Test", False)])
+        kg = base.union(ray.data.from_arrow(extra))
+        sp = sorted(r["species"] for r in list_species(kg).take_all())
+        ch = sorted(r["chemical"] for r in list_chemicals(kg).take_all())
+        assert sp == [NS + "taxon/sp1"]
+        assert ch == [NS + "cas/ch1"]

@@ -228,3 +228,27 @@ class TestDeadLetter:
         # default mode still silently skips (reference behavior)
         rows2 = read_ntriples(str(p), graph="g").take_all()
         assert len(rows2) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEndpointMapping:
+    def test_sameas_pairs_become_mapping(self):
+        import pyarrow as pa
+
+        import ray
+
+        from tera_ray.schema import OWL_SAMEAS, TRIPLE_SCHEMA
+        from tera_ray.sources.mappings import endpoint_mapping
+
+        rows = [("a", OWL_SAMEAS, "x", False), ("b", OWL_SAMEAS, "y", False),
+                ("a", "http://example.org/other", "z", False)]
+        s, p, o, lit = zip(*rows)
+        t = pa.table({
+            "subj": pa.array(s, pa.string()), "pred": pa.array(p, pa.string()),
+            "obj": pa.array(o, pa.string()),
+            "obj_is_literal": pa.array(lit, pa.bool_()),
+            "graph": pa.array(["g"] * 3, pa.string()),
+        }, schema=TRIPLE_SCHEMA)
+        out = endpoint_mapping(ray.data.from_arrow(t)).take_all()
+        assert sorted((r["src"], r["dst"], r["score"]) for r in out) == [
+            ("a", OWL_SAMEAS and "x", 1.0), ("b", "y", 1.0)]

@@ -237,3 +237,62 @@ class TestMinhashDistributedVerify:
                      for r in minhash_dedup(ds, threshold=0.8,
                                             verify="distributed").take_all())
         assert drv == dst and len(drv) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTanimotoBanding:
+    def test_banded_equals_broadcast(self):
+        """Property: popcount-band blocking loses no pair >= threshold
+        (and adds none) vs the exact broadcast all-pairs scorer."""
+        import numpy as np
+        import pyarrow as pa
+
+        from tera_ray.dedup.fingerprint import tanimoto_pairs
+
+        rng = np.random.RandomState(7)
+        n = 400
+        # mixed-density fingerprints incl. exact dup groups and sparse rows
+        fps = rng.randint(0, 1 << 62, size=n, dtype=np.int64).astype(np.uint64)
+        fps[:40] = fps[40:80]                  # forced duplicates
+        fps[80:100] &= np.uint64(0xFF)         # very sparse
+        fps[100] = 0                           # empty fingerprint
+        t = pa.table({
+            "cas_number": pa.array([f"c{i:04d}" for i in range(n)]),
+            "fp": pa.array(fps, pa.uint64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(7)
+
+        def rows(out):
+            return sorted((r["a"], r["b"], r["tanimoto"])
+                          for r in out.take_all())
+
+        for thr in (0.5, 0.8, 1.0):
+            banded = rows(tanimoto_pairs(ds, threshold=thr))
+            broad = rows(tanimoto_pairs(ds, threshold=thr, mode="broadcast"))
+            assert banded == broad, f"threshold={thr}"
+        assert len(rows(tanimoto_pairs(ds, threshold=0.5))) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChemEnrich:
+    def test_features_join_and_missing_keys(self):
+        import pyarrow as pa
+
+        from tera_ray.pipelines.chemistry import enrich_chemicals
+
+        chems = ray.data.from_arrow(pa.table({
+            "cas_number": ["c1", "c2", "c3"],
+            "chemical_name": ["alpha, alpha technical", "beta", None],
+        }))
+        snap = pa.table({"cas_number": ["c1", "c2"],
+                         "fp": pa.array([0b1011, 0], pa.int64())})
+        rows = {r["cas_number"]: r
+                for r in enrich_chemicals(chems, snap).take_all()}
+        assert rows["c1"]["fp_bits"] == 3 and rows["c1"]["fp_hex"] == "0xb"
+        assert rows["c1"]["n_synonyms"] == 2
+        assert rows["c2"]["fp_bits"] == 0 and rows["c2"]["fp_hex"] == "0x0"
+        assert rows["c2"]["n_synonyms"] == 1
+        # c3 missing from the snapshot -> null features (reference
+        # prints-and-skips on PubChem NotFound)
+        assert rows["c3"]["fp_bits"] is None and rows["c3"]["fp_hex"] is None
+        assert rows["c3"]["chemical"].endswith("cas/c3")
