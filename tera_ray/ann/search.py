@@ -70,7 +70,9 @@ def _merge_topk(ds, k: int, id_col: str):
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         })
 
-    return ds.groupby("query_id").map_groups(top, batch_format="pyarrow")
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(ds, "query_id", top)
 
 
 def make_query_ref(qids: np.ndarray, Q: np.ndarray, dtype=np.float32):

@@ -98,10 +98,12 @@ def cosine_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     from .exact import dedup_exact
 
-    cand = (ds.select_columns([id_col, vec_col])
-            .map_batches(bucketize, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(pairs, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    cand = bucketed_map_groups(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(bucketize, batch_format="pyarrow"),
+        "bucket", pairs)
     return dedup_exact(
         cand.map_batches(lambda t: t.append_column("__o", t["a"]),
                          batch_format="pyarrow"),

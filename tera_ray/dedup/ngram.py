@@ -127,8 +127,9 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     shingled = ds.map_batches(
         _shingle_batch(n, id_col, text_col, num_buckets),
         batch_format="pyarrow")
-    local = shingled.groupby("bucket").map_groups(
-        _bucket_pairs(max_df), batch_format="pyarrow")
+    from ..stages.base import bucketed_map_groups
+
+    local = bucketed_map_groups(shingled, "bucket", _bucket_pairs(max_df))
     summed = grouped_agg(local, ["a", "b", "sa", "sb"],
                          [("inter", "sum", "inter")])
 

@@ -100,42 +100,72 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     def pairs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sig = t["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, sig = ids[order], sig[order]
-        uniq, first = np.unique(ids, return_index=True)
-        ids, sig = uniq, sig[first]
-        m = len(ids)
+        # one call per hash BUCKET of band keys (grouping on the raw
+        # band key would mean one Python call per distinct band —
+        # billions at corpus scale); bands are contiguous runs after an
+        # in-bucket sort, each scored with vectorized popcount hamming
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int64())})
-        if m < 2:
+        if t.num_rows == 0:
             return empty
-        if m > max_bucket:
-            logger.warning(
-                "simhash band bucket capped: %d members > max_bucket=%d; "
-                "emitting star pairs only (subset of the ≤max_hamming "
-                "contract for this bucket)", m, max_bucket)
-            a_i = np.zeros(m - 1, np.int64)
-            b_i = np.arange(1, m, dtype=np.int64)
-        else:
-            iu = np.triu_indices(m, k=1)
-            a_i, b_i = iu[0], iu[1]
-        d = _hamming(sig[a_i], sig[b_i])
-        keep = d <= max_hamming
-        return pa.table({"a": pa.array(ids[a_i[keep]], pa.int64()),
-                         "b": pa.array(ids[b_i[keep]], pa.int64()),
-                         "hamming": pa.array(d[keep], pa.int64())})
+        import pyarrow.compute as pc
+
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("band_key", "ascending"), (id_col, "ascending")]))
+        bands = t["band_key"].to_numpy(zero_copy_only=False)
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)
+        sig_all = t["simhash"].to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(bands[1:] != bands[:-1]) + 1
+        bounds = [0, *cuts.tolist(), len(bands)]
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            ids, sig = ids_all[s:e], sig_all[s:e]
+            uniq, first = np.unique(ids, return_index=True)
+            ids, sig = uniq, sig[first]
+            m = len(ids)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                logger.warning(
+                    "simhash band bucket capped: %d members > max_bucket=%d;"
+                    " emitting star pairs only (subset of the ≤max_hamming "
+                    "contract for this bucket)", m, max_bucket)
+                a_i = np.zeros(m - 1, np.int64)
+                b_i = np.arange(1, m, dtype=np.int64)
+            else:
+                iu = np.triu_indices(m, k=1)
+                a_i, b_i = iu[0], iu[1]
+            d = _hamming(sig[a_i], sig[b_i])
+            keep = d <= max_hamming
+            out_a.append(ids[a_i[keep]])
+            out_b.append(ids[b_i[keep]])
+            out_d.append(d[keep])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "hamming": pa.array(np.concatenate(out_d),
+                                             pa.int64())})
 
     from .exact import dedup_exact
 
+    from ..stages.base import _auto_buckets, bucketed_map_groups
+
+    nb = _auto_buckets(None)
+
+    def flat_b(t: pa.Table) -> pa.Table:
+        out = flat(t)
+        b = pc.cast(pc.bit_wise_and(out["band_key"],
+                                    pa.scalar(nb - 1, pa.uint64())),
+                    pa.int32())
+        return out.append_column("__b", b)
+
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         simhash_stage(id_col, text_col), batch_format="pyarrow")
-    from ..stages.base import bucketed_map_groups
-
     cand = bucketed_map_groups(
-        sigs.map_batches(flat, batch_format="pyarrow"), "band_key", pairs)
+        sigs.map_batches(flat_b, batch_format="pyarrow"), "__b", pairs)
     return dedup_exact(
         cand.map_batches(lambda t: t.append_column("__o", t["a"]),
                          batch_format="pyarrow"),

@@ -268,16 +268,18 @@ def reconstruct_conversations(ds, range_size: int | None = None):
         def drop_range(t: pa.Table) -> pa.Table:
             return t.drop_columns(["turn_range"])
 
-        return (
-            ds.map_batches(add_range, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(sort_bucket, batch_format="pyarrow")
-            .map_batches(drop_range, batch_format="pyarrow")
-        )
-    return (ds.map_batches(lambda t: _with_bucket(t, ("conv_id",)),
-                           batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(sort_bucket, batch_format="pyarrow"))
+        from ..stages.base import bucketed_map_groups
+
+        return bucketed_map_groups(
+            ds.map_batches(add_range, batch_format="pyarrow"),
+            "__b", sort_bucket).map_batches(drop_range,
+                                            batch_format="pyarrow")
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(lambda t: _with_bucket(t, ("conv_id",)),
+                       batch_format="pyarrow"),
+        "__b", sort_bucket)
 
 
 def conversation_digests(ds):
@@ -325,9 +327,11 @@ def conversation_digests(ds):
             "text_sha1": pa.array(out_h, pa.string()),
         })
 
-    return (ds.map_batches(bucketed, batch_format="pyarrow")
-            .groupby("__b")
-            .map_groups(digest_bucket, batch_format="pyarrow"))
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(bucketed, batch_format="pyarrow"),
+        "__b", digest_bucket)
 
 
 def build_lexicon(data_dir: str, endpoints=(), effects=()):

@@ -167,6 +167,22 @@ def endpoint_star_join_distributed(triples, ns: str = ECOTOX_NS,
     """
     from .relational import bucket_multijoin
 
+    # ONE narrowing pass over the store: keep only the 9 star predicates,
+    # materialized so the 9 per-predicate projections re-scan the (much
+    # smaller, cluster-resident, spillable) narrowed set instead of
+    # re-executing the full upstream lineage 9 times.
+    star_preds = pa.array([ns + p for p in ("species", "chemical",
+                                            "hasResult", "endpoint",
+                                            "effect", "concentration",
+                                            "studyDuration")]
+                          + [RDF_VALUE, UNIT_UNITS], pa.string())
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["pred"], value_set=star_preds)).select(
+            ["subj", "pred", "obj"])
+
+    triples = triples.map_batches(narrow, batch_format="pyarrow").materialize()
+
     # results hub: (result, endpoint, effect?, conc)
     res = bucket_multijoin([
         (_proj_ds(triples, ns + "endpoint", "result", "endpoint"),

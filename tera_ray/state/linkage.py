@@ -153,12 +153,12 @@ def connected_components(
 
     prev_sum = checksum(comp)
     for _ in range(max_rounds):
-        msgs = (
+        from ..stages.base import bucketed_map_groups
+
+        msgs = bucketed_map_groups(
             tagged_sym.union(
-                comp.map_batches(_tag_comp, batch_format="pyarrow"))
-            .groupby("__b")
-            .map_groups(_bucket_msgs, batch_format="pyarrow")
-        )
+                comp.map_batches(_tag_comp, batch_format="pyarrow")),
+            "__b", _bucket_msgs)
         comp = (
             msgs.groupby("node")
             .min("comp")
