@@ -504,6 +504,53 @@ def _q_chem_enrich(sf_dir: str):
     return enrich_chemicals(chems, snapshot)
 
 
+def _q_src_pipe_roundtrip(sf_dir: str):
+    """S1 driver-visible: species table → headerless pipe-CSV dump on
+    disk → ``read_pipe_dump`` → rows.  Oracle = trim+sentinel semantics
+    straight off the parquet, so the dump writer/reader pair is
+    validated end-to-end by the correctness gate."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyarrow import csv as pacsv
+
+    from tera_ray.sources.dumps import read_pipe_dump
+
+    fx = _fx(sf_dir)
+    src = pq.read_table(os.path.join(fx, "species.parquet"))
+    out_dir = os.path.join("/tmp", "tera_ray_dumps",
+                           os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    path = os.path.join(out_dir, "species.txt")
+    src = pa.table({n: src[n].cast(pa.string()) for n in src.schema.names})
+    pacsv.write_csv(src, path, pacsv.WriteOptions(include_header=False,
+                                                  delimiter="|"))
+    return read_pipe_dump(path, column_names=list(src.schema.names))
+
+
+def _q_src_nt_roundtrip(sf_dir: str):
+    """S3+S6 driver-visible: division triples → NT sink → NT reader →
+    (subj, pred, obj, obj_is_literal).  Oracle = the divisions SQL minus
+    the graph column, so the NT escape/parse pair must invert exactly."""
+    import shutil
+
+    from tera_ray.sources.dumps import read_ntriples
+    from tera_ray.sources.sinks import write_ntriples
+    from tera_ray.stages.taxonomy import emit_divisions
+
+    fx = _fx(sf_dir)
+    out_dir = os.path.join("/tmp", "tera_ray_nt",
+                           os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples = _kg_emit(sf_dir, "divisions", emit_divisions)
+    paths = write_ntriples(triples, out_dir)
+    back = read_ntriples(paths, graph="roundtrip")
+    return back.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
 def _tests_triples(sf_dir: str):
     import ray.data
 
@@ -844,6 +891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chems_for_species": _q_kg_chems_for_species,
         "kg_species_list": _q_kg_species_list,
         "kg_chemicals_list": _q_kg_chemicals_list,
+        "src_pipe_roundtrip": _q_src_pipe_roundtrip,
+        "src_nt_roundtrip": _q_src_nt_roundtrip,
         "kg_hier_consensus": _q_kg_hier_consensus,
         # NCBI taxonomy emitters + KG query layer + id pivot
         "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
@@ -1196,6 +1245,24 @@ SELECT src, dst, score FROM best WHERE rn = 1
 """
 
 
+def _pipe_roundtrip_sql(fx: str) -> str:
+    """S1 oracle: the dump reader applies trim-then-sentinel-null to
+    every column; mirror that per column straight off the parquet."""
+    import pyarrow.parquet as pq
+
+    vals = ", ".join(f"'{v}'" for v in NAN_VALUES)
+    cols = ", ".join(
+        f'(CASE WHEN trim(CAST("{n}" AS VARCHAR)) IN ({vals}) THEN NULL'
+        f' ELSE trim(CAST("{n}" AS VARCHAR)) END) AS "{n}"'
+        for n in pq.read_schema(os.path.join(fx, "species.parquet")).names)
+    return f"SELECT {cols} FROM read_parquet('{fx}/species.parquet')"
+
+
+def _nt_roundtrip_sql(fx: str) -> str:
+    return (f"SELECT subj, pred, obj, obj_is_literal FROM "
+            f"({_divisions_sql(fx)})")
+
+
 def _hier_consensus_sql(fx: str) -> str:
     """J7 oracle: the fuzzy-align result re-weighted by parent-lineage
     agreement — +10 (capped at 100) when the pair's (NCBI parent, ECOTOX
@@ -1469,6 +1536,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             + ", ".join(f"'{s}'" for s in _SEMI_SPECIES) + ")",
         "kg_fuzzy_align": _fuzzy_align_sql(fx),
         "kg_hier_consensus": _hier_consensus_sql(fx),
+        "src_pipe_roundtrip": _pipe_roundtrip_sql(fx),
+        "src_nt_roundtrip": _nt_roundtrip_sql(fx),
         "docs_minhash_dedup": _minhash_dedup_sql(),
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
