@@ -299,6 +299,32 @@ def _q_docs_fingerprint(sf_dir: str):
         lambda t: t.select(["doc_id", "fp64"]), batch_format="pyarrow")
 
 
+def _q_docs_quality_stats(sf_dir: str):
+    """The oracled subset of docs_quality: every signal is a regex-count
+    / arithmetic kernel DuckDB reproduces exactly (langid, which is not
+    SQL-expressible, stays in the rows-only docs_quality entry)."""
+    from tera_ray.text.analysis import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio",
+            "mean_word_len", "quality"]
+    return ds.map_batches(quality_stats, batch_format="pyarrow").map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def _q_events_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (engine-first windowed
+    aggregate; exact int64 µs window arithmetic)."""
+    from tera_ray.query.relational import tumbling_window_agg
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+    return tumbling_window_agg(
+        ds, "ts", 3_600_000_000, keys=["event_type"],
+        aggs=[("event_id", "count", "n_events"),
+              ("value", "min", "vmin"), ("value", "max", "vmax")])
+
+
 def _q_docs_minhash(sf_dir: str):
     from tera_ray.dedup.minhash import minhash_dedup
 
@@ -852,6 +878,46 @@ def _q_media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling (rows-only): k evenly-spaced frames per
+    synthetic clip through the actor-pool decode; returns one row per
+    (clip, frame) with tensor summary scalars."""
+    import numpy as np
+
+    import ray.data
+
+    from tera_ray.multimodal.media import sample_frames, synthetic_media
+
+    ds = ray.data.from_arrow(synthetic_media(100, kind="video"))
+    out = sample_frames(ds, num_frames=4, out_size=8, concurrency=(1, 4))
+
+    def summarize(t):
+        px = t["pixels"]
+        if isinstance(px, pa.ChunkedArray):
+            px = px.combine_chunks()
+        v = px.values.to_numpy(zero_copy_only=False).reshape(len(px), -1)
+        return pa.table({
+            "media_id": t["media_id"], "frame_idx": t["frame_idx"],
+            "px_mean": pa.array(v.mean(axis=1)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_media_audio(sf_dir: str):
+    """Audio feature extraction (rows-only): per-clip windowed RMS
+    energies through the actor pool."""
+    import ray.data
+
+    from tera_ray.multimodal.media import extract_audio_features, synthetic_media
+
+    ds = ray.data.from_arrow(synthetic_media(100, kind="audio"))
+    out = extract_audio_features(ds, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.select(["media_id", "n_windows", "rms_mean"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
@@ -868,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         # rows-only training-data ops
         "docs_quality": _q_docs_quality,
+        "docs_quality_stats": _q_docs_quality_stats,
+        "events_tumbling": _q_events_tumbling,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash_pairs": _q_docs_simhash,
@@ -906,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "ann_ivf_topk": _q_ann_ivf,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_audio": _q_media_audio,
         "results_normalized": _q_results_normalized,
         "events_sessionized": _q_events_sessionized,
         "kg_trait_lookup": _q_kg_trait_lookup,
@@ -1245,6 +1315,48 @@ SELECT src, dst, score FROM best WHERE rn = 1
 """
 
 
+def _quality_stats_sql() -> str:
+    """Mirrors text.analysis.quality_stats term by term: RE2 counts and
+    the same float expression order (IEEE doubles ⇒ identical bits)."""
+    from tera_ray.text.analysis import _STOPWORDS
+
+    sw = "|".join(sorted(_STOPWORDS["en"]))
+    return rf"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
+              AS DOUBLE) AS n_alpha,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[!-/:-@\[-`{{-~]')) AS DOUBLE)
+           AS n_punct,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+              AS DOUBLE) AS n_words,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '(?i)\b({sw})\b')) AS DOUBLE) AS n_sw
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+         n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+         least(n_sw / greatest(n_words, 1.0), 1.0) AS stopword_ratio,
+         n_alpha / greatest(n_words, 1.0) AS mean_word_len,
+         n_chars, n_punct
+  FROM c
+)
+SELECT doc_id,
+       round_even(alpha_ratio * 1e6, 0) / 1e6 AS alpha_ratio,
+       round_even(punct_ratio * 1e6, 0) / 1e6 AS punct_ratio,
+       round_even(stopword_ratio * 1e6, 0) / 1e6 AS stopword_ratio,
+       round_even(mean_word_len * 1e6, 0) / 1e6 AS mean_word_len,
+       round_even((least(greatest(n_chars / 200.0, 0.0), 1.0)
+                   * least(greatest(1.0 - punct_ratio * 3.0, 0.0), 1.0)
+                   * greatest(least(greatest(stopword_ratio * 4.0, 0.0), 1.0),
+                              0.1)) * 1e6, 0) / 1e6 AS quality
+FROM r
+"""
+
+
 def _pipe_roundtrip_sql(fx: str) -> str:
     """S1 oracle: the dump reader applies trim-then-sentinel-null to
     every column; mirror that per column straight off the parquet."""
@@ -1538,6 +1650,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_hier_consensus": _hier_consensus_sql(fx),
         "src_pipe_roundtrip": _pipe_roundtrip_sql(fx),
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
+        "docs_quality_stats": _quality_stats_sql(),
+        "events_tumbling":
+            "SELECT event_type,"
+            " epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start,"
+            " count(*) AS n_events, min(value) AS vmin, max(value) AS vmax"
+            " FROM events GROUP BY 1, 2",
         "docs_minhash_dedup": _minhash_dedup_sql(),
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"

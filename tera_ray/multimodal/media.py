@@ -136,6 +136,59 @@ class FrameSampleStage:
         })
 
 
+class AudioFeatureStage:
+    """Actor-pool stage: audio payload → fixed-size per-window energy
+    features (one row per clip; ``n_windows`` derived from duration at
+    ``window_ms``, capped at ``max_windows`` and zero-padded — fixed-size
+    outputs keep downstream Arrow zero-copy).  The PCM decode is stubbed
+    like the image path (``_fake_pixels``-style keystream); swapping in a
+    real decoder only replaces ``_decode_pcm``."""
+
+    def __init__(self, window_ms: int = 250, max_windows: int = 32):
+        self.window_ms = window_ms
+        self.max_windows = max_windows
+
+    def _decode_pcm(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        # 8 samples per ms of deterministic fake PCM in [-1, 1)
+        n = max(1, int(duration_ms)) * 8
+        raw = _fake_pixels(payload, n, 1).reshape(-1)[:n]
+        return raw.astype(np.float32) / 128.0 - 1.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pays = batch["payload"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        k = self.max_windows
+        feats = np.zeros((len(pays), k), np.float32)
+        n_win = np.zeros(len(pays), np.int32)
+        for i, (pay, dur) in enumerate(zip(pays, durs)):
+            pcm = self._decode_pcm(pay, dur or 0)
+            wlen = self.window_ms * 8
+            nw = min(k, max(1, len(pcm) // wlen))
+            n_win[i] = nw
+            for wi in range(nw):
+                seg = pcm[wi * wlen:(wi + 1) * wlen]
+                feats[i, wi] = np.sqrt(np.mean(seg * seg))  # RMS energy
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_windows": pa.array(n_win, pa.int32()),
+            "energy": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), k),
+            "rms_mean": pa.array(
+                [float(feats[i, :n_win[i]].mean()) for i in range(len(pays))],
+                pa.float64()),
+        })
+
+
+def extract_audio_features(ds, window_ms: int = 250, max_windows: int = 32,
+                           concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"window_ms": window_ms,
+                               "max_windows": max_windows},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def synthetic_media(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
     """Deterministic fixture media table (payload = seeded bytes)."""
     rng = np.random.RandomState(seed)

@@ -292,6 +292,36 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         ds.map_batches(bucketed, batch_format="pyarrow"), "__b", win)
 
 
+def tumbling_window_agg(ds, ts_col: str, window_us: int,
+                        keys: list[str] | None = None,
+                        aggs: list[tuple[str, str, str]] | None = None,
+                        window_name: str = "window_start"):
+    """Fixed-width (tumbling) time-window aggregation — the batch analog
+    of a streaming windowed aggregate (SURVEY §2.10; the reference is
+    strictly batch, so this is an engine-first operator like
+    :func:`sessionize`).
+
+    Each row lands in the window starting at
+    ``ts - (ts mod window_us)`` (exact int64 µs arithmetic — no float
+    rounding); the result is one row per (``keys``…, window) with the
+    requested ``aggs`` (same spec as :func:`grouped_agg`).  The window
+    assignment is a pure per-batch map; the only shuffle is
+    ``grouped_agg``'s combiner-then-bucket merge.
+    """
+    keys = list(keys or [])
+    aggs = list(aggs or [("*", "count", "n_events")])
+    w = window_us
+
+    def add_win(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        win = ts - ts % w
+        return t.append_column(window_name, pa.array(win, pa.int64()))
+
+    return grouped_agg(ds.map_batches(add_win, batch_format="pyarrow"),
+                       keys + [window_name], aggs)
+
+
 def distinct_values(ds, col: str, out_name: str | None = None,
                     num_buckets: int = 64):
     """Distinct values of one column (A5) via local-unique → bucket

@@ -109,7 +109,13 @@ def quality_stats(batch: pa.Table, column: str = "text") -> pa.Table:
         ("stopword_ratio", stopword_ratio), ("mean_word_len", mean_word_len),
         ("quality", quality),
     ]:
-        out = out.append_column(name, pc.round(col, ndigits=6))
+        # explicit scale → round-half-even → unscale: the exact IEEE
+        # sequence SQL engines reproduce (``round_even(x*1e6, 0)/1e6``),
+        # so oracle comparisons agree to the bit; ``pc.round(ndigits=6)``
+        # takes a different internal path and drifts by 1 ulp on values
+        # like 0.086
+        scaled = pc.round(pc.multiply(col, pa.scalar(1e6)), ndigits=0)
+        out = out.append_column(name, pc.divide(scaled, pa.scalar(1e6)))
     return out
 
 

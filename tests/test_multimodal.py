@@ -49,3 +49,31 @@ class TestMultimodal:
         # distinct frames of one video decode differently (stub keyed on ts)
         f = [r for r in out if r["media_id"] == 0]
         assert list(f[0]["pixels"]) != list(f[1]["pixels"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioFeatures:
+    def test_window_counts_and_determinism(self):
+        import ray
+
+        from tera_ray.multimodal.media import (
+            extract_audio_features,
+            synthetic_media,
+        )
+
+        t = synthetic_media(20, kind="audio", seed=7)
+        ds = ray.data.from_arrow(t)
+        rows = {r["media_id"]: r
+                for r in extract_audio_features(ds).take_all()}
+        assert len(rows) == 20
+        durs = dict(zip(t["media_id"].to_pylist(),
+                        t["duration_ms"].to_pylist()))
+        for mid, r in rows.items():
+            expect = min(32, max(1, (durs[mid] * 8) // (250 * 8)))
+            assert r["n_windows"] == expect
+            assert len(r["energy"]) == 32           # fixed-size output
+            assert 0.0 <= r["rms_mean"] <= 1.5
+        # deterministic across a second run
+        rows2 = {r["media_id"]: r["rms_mean"]
+                 for r in extract_audio_features(ds).take_all()}
+        assert all(rows2[m] == rows[m]["rms_mean"] for m in rows)

@@ -226,3 +226,24 @@ class TestListHelpers:
         ch = sorted(r["chemical"] for r in list_chemicals(kg).take_all())
         assert sp == [NS + "taxon/sp1"]
         assert ch == [NS + "cas/ch1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTumblingWindow:
+    def test_hour_windows_per_key(self):
+        from tera_ray.query.relational import tumbling_window_agg
+
+        h = 3_600_000_000  # 1h in us
+        t = pa.table({
+            "k": ["a", "a", "a", "b"],
+            "ts": pa.array([10, h - 1, h + 5, 20], pa.int64()),
+            "v": [1.0, 5.0, 2.0, 9.0],
+        })
+        out = tumbling_window_agg(
+            ray.data.from_arrow(t).repartition(2), "ts", h, keys=["k"],
+            aggs=[("ts", "count", "n"), ("v", "min", "vmin"),
+                  ("v", "max", "vmax")])
+        got = {(r["k"], r["window_start"]): (r["n"], r["vmin"], r["vmax"])
+               for r in out.take_all()}
+        assert got == {("a", 0): (2, 1.0, 5.0), ("a", h): (1, 2.0, 2.0),
+                       ("b", 0): (1, 9.0, 9.0)}
