@@ -577,6 +577,32 @@ def _q_src_nt_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_endpoint_mapping(sf_dir: str):
+    """EndpointMapping parity (DataIntegration.py:122-141): owl:sameAs
+    triples in a graph → (src, dst, score) mapping Dataset.  The graph
+    here is the sameas fixture re-expressed as triples, so the oracle is
+    the fixture itself."""
+    import ray.data
+
+    from tera_ray.schema import OWL_SAMEAS
+    from tera_ray.sources.mappings import endpoint_mapping
+
+    pairs = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "sameas_pairs.parquet"))
+
+    def to_triples(t):
+        return pa.table({
+            "subj": t["src"].combine_chunks().cast(pa.string()),
+            "pred": pa.array([OWL_SAMEAS] * t.num_rows, pa.string()),
+            "obj": t["dst"].combine_chunks().cast(pa.string()),
+            "obj_is_literal": pa.array([False] * t.num_rows, pa.bool_()),
+            "graph": pa.array(["sameas"] * t.num_rows, pa.string()),
+        })
+
+    return endpoint_mapping(pairs.map_batches(to_triples,
+                                              batch_format="pyarrow"))
+
+
 def _tests_triples(sf_dir: str):
     import ray.data
 
@@ -961,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chemicals_list": _q_kg_chemicals_list,
         "src_pipe_roundtrip": _q_src_pipe_roundtrip,
         "src_nt_roundtrip": _q_src_nt_roundtrip,
+        "kg_endpoint_mapping": _q_kg_endpoint_mapping,
         "kg_hier_consensus": _q_kg_hier_consensus,
         # NCBI taxonomy emitters + KG query layer + id pivot
         "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
@@ -1650,6 +1677,9 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_hier_consensus": _hier_consensus_sql(fx),
         "src_pipe_roundtrip": _pipe_roundtrip_sql(fx),
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
+        "kg_endpoint_mapping":
+            f"SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"
+            f" 1.0 AS score FROM read_parquet('{fx}/sameas_pairs.parquet')",
         "docs_quality_stats": _quality_stats_sql(),
         "events_tumbling":
             "SELECT event_type,"
