@@ -247,3 +247,26 @@ class TestTumblingWindow:
                for r in out.take_all()}
         assert got == {("a", 0): (2, 1.0, 5.0), ("a", h): (1, 2.0, 2.0),
                        ("b", 0): (1, 9.0, 9.0)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEndpointStarRouting:
+    def test_routes_by_size_hint(self):
+        import ray.data
+
+        from tera_ray.query.kg import endpoint_star
+
+        kg = _kg()
+        small = endpoint_star(kg, size_hint_bytes=1)  # below threshold
+        assert isinstance(small, pa.Table)
+        big = endpoint_star(kg, size_hint_bytes=1 << 40)  # above threshold
+        assert isinstance(big, ray.data.Dataset)
+        rows_small = sorted(
+            tuple("" if r[c] is None else r[c]
+                  for c in sorted(small.schema.names))
+            for r in small.to_pylist())
+        rows_big = sorted(
+            tuple("" if r[c] is None else r[c]
+                  for c in sorted(big.schema().names))
+            for r in big.take_all())
+        assert rows_small == rows_big and len(rows_small) == 3
