@@ -1384,6 +1384,142 @@ FROM r
 """
 
 
+def _fingerprint_sql() -> str:
+    """Rolling FNV-1a document fingerprint, reproduced bit-for-bit in
+    SQL: per-token FNV-1a over ASCII codes (list_reduce with the xor
+    emulated on the low byte — token bytes are < 128 by construction),
+    then the Rabin-Karp combine mod 2^64 via HUGEINT arithmetic."""
+    B = "1099511628211::HUGEINT"
+    M = "18446744073709551616::HUGEINT"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, '')),
+                                 ' '||chr(9)||chr(10)||chr(13)),
+                            '[^a-z0-9]+') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(regexp_extract_all(t, '.'),
+                              c -> unicode(c)::HUGEINT)),
+             (h, b) -> ((h - (h % 256)
+                         + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                        * {B}) % {M})) AS hs
+  FROM tk
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(0::HUGEINT, hs),
+                        (h, x) -> (h * {B} + x) % {M}) AS UBIGINT) AS fp64
+FROM th
+"""
+
+
+def _docs_quality_sql() -> str:
+    """Full docs_quality oracle: the quality signals (see
+    ``_quality_stats_sql``) PLUS lang_pred — argmax stopword-profile hit
+    rate with numpy's first-wins tie-break expressed as ordered >=
+    comparisons, the < 0.02 'und' floor, and the non-ASCII 'zh'
+    override, exactly as text.analysis.langid computes them."""
+    from tera_ray.text.analysis import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hit_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(coalesce(text, ''),"
+        f" '(?i)\\b({'|'.join(sorted(_STOPWORDS[lg]))})\\b')) AS DOUBLE)"
+        f" AS h_{lg}"
+        for lg in langs)
+    s = {lg: f"(h_{lg} / greatest(n_words, 1.0))" for lg in langs}
+    best_lang = (
+        f"CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']}"
+        f" AND {s['en']} >= {s['es']} THEN 'en'"
+        f" WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'"
+        f" WHEN {s['fr']} >= {s['es']} THEN 'fr' ELSE 'es' END")
+    best_score = (f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})")
+    return rf"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]'))
+              AS DOUBLE) AS n_alpha,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[!-/:-@\[-`{{-~]')) AS DOUBLE)
+           AS n_punct,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+              AS DOUBLE) AS n_words,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[^\x00-\x7F]'))
+              AS DOUBLE) AS non_ascii,
+         {hit_cols}
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+         n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+         least(h_en / greatest(n_words, 1.0), 1.0) AS stopword_ratio,
+         n_alpha / greatest(n_words, 1.0) AS mean_word_len,
+         n_chars, n_punct,
+         CASE WHEN non_ascii / greatest(n_chars, 1.0) > 0.3 THEN 'zh'
+              WHEN {best_score} < 0.02 THEN 'und'
+              ELSE {best_lang} END AS lang_pred
+  FROM c
+)
+SELECT doc_id,
+       round_even(alpha_ratio * 1e6, 0) / 1e6 AS alpha_ratio,
+       round_even(punct_ratio * 1e6, 0) / 1e6 AS punct_ratio,
+       round_even(stopword_ratio * 1e6, 0) / 1e6 AS stopword_ratio,
+       round_even(mean_word_len * 1e6, 0) / 1e6 AS mean_word_len,
+       round_even((least(greatest(n_chars / 200.0, 0.0), 1.0)
+                   * least(greatest(1.0 - punct_ratio * 3.0, 0.0), 1.0)
+                   * greatest(least(greatest(stopword_ratio * 4.0, 0.0), 1.0),
+                              0.1)) * 1e6, 0) / 1e6 AS quality,
+       lang_pred
+FROM r
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    """SimHash all-pairs oracle: signatures rebuilt bit-for-bit in SQL
+    (per-token FNV-1a as in the fingerprint oracle, 64 bit-vote sums,
+    sign vector), then the documented contract — every (a < b) pair with
+    hamming ≤ 3 — checked directly via bit_count(xor).  Valid at fixture
+    scale where no band bucket exceeds the engine's star cap, so the
+    engine output IS the complete pair set."""
+    return """
+WITH tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, '')),
+                                 ' '||chr(9)||chr(10)||chr(13)),
+                            '[^a-z0-9]+') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(list_reduce(
+           list_prepend(14695981039346656037::HUGEINT,
+             list_transform(regexp_extract_all(t.tok, '.'),
+                            c -> unicode(c)::HUGEINT)),
+           (h, b) -> ((h - (h % 256)
+                       + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                      * 1099511628211::HUGEINT)
+                     % 18446744073709551616::HUGEINT) AS UBIGINT) AS th
+  FROM tk, unnest(tk.toks) AS t(tok)
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, unnest(generate_series(0, 63)) AS g(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+                               ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+  FROM votes GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""
+
+
 def _pipe_roundtrip_sql(fx: str) -> str:
     """S1 oracle: the dump reader applies trim-then-sentinel-null to
     every column; mirror that per column straight off the parquet."""
@@ -1681,6 +1817,9 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"
             f" 1.0 AS score FROM read_parquet('{fx}/sameas_pairs.parquet')",
         "docs_quality_stats": _quality_stats_sql(),
+        "docs_quality": _docs_quality_sql(),
+        "docs_fingerprint": _fingerprint_sql(),
+        "docs_simhash_pairs": _simhash_pairs_sql(),
         "events_tumbling":
             "SELECT event_type,"
             " epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start,"
