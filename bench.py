@@ -30,12 +30,8 @@ FIXTURE_SCALE = os.environ.get("GRAFT_FIXTURE_SCALE", "bench")
 def _init_ray(num_cpus: int):
     import ray
 
-    # give the object store ~50% of RAM (Ray's local default is ~43% on
-    # this box and it warns) — shuffle-heavy legs spill less
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR",
-             object_store_memory=int(os.environ.get(
-                 "GRAFT_OBJECT_STORE_BYTES", 48 * (1 << 30))))
+             logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
