@@ -325,6 +325,94 @@ def _q_events_tumbling(sf_dir: str):
               ("value", "min", "vmin"), ("value", "max", "vmax")])
 
 
+def _q_events_asof_view(sf_dir: str):
+    """Backward as-of join: each click matched to the user's most recent
+    strictly-prior view (temporal join — engine-first, no Dataset-API
+    equivalent; `tera_ray.query.temporal.asof_join`)."""
+    from tera_ray.query.temporal import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def mk_clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "click_id": t["event_id"]})
+
+    def mk_views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        return pa.table({"user_id": t["user_id"], "view_ts": t["ts"],
+                         "view_id": t["event_id"]})
+
+    clicks = ev.map_batches(mk_clicks, batch_format="pyarrow")
+    views = ev.map_batches(mk_views, batch_format="pyarrow")
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="view_ts",
+        left_cols=["user_id", "ts", "click_id"],
+        right_cols=["view_ts", "view_id"],
+        strict=True, how="inner", right_tiebreak=["view_id"])
+
+
+_ATTR_WINDOW_US = 24 * 3_600_000_000  # 24h attribution window
+
+
+def _q_events_attribution(sf_dir: str):
+    """Interval (band) join: clicks within the 24h window preceding a
+    purchase by the same user (`tera_ray.query.temporal.interval_join`)."""
+    from tera_ray.query.temporal import interval_join
+
+    W = _ATTR_WINDOW_US
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def mk_clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "click_id": t["event_id"]})
+
+    def mk_purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = t["ts"].combine_chunks()
+        start = pc.subtract(ts.cast(pa.int64()), W).cast(pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"], "wstart": start,
+                         "wend": t["ts"], "purchase_id": t["event_id"]})
+
+    clicks = ev.map_batches(mk_clicks, batch_format="pyarrow")
+    purchases = ev.map_batches(mk_purchases, batch_format="pyarrow")
+    out = interval_join(
+        clicks, purchases, key="user_id", ts="ts",
+        start="wstart", end="wend", max_width_us=W,
+        point_cols=["user_id", "ts", "click_id"],
+        interval_cols=["wstart", "wend", "purchase_id"])
+    return out.map_batches(
+        lambda t: t.select(["user_id", "ts", "click_id", "purchase_id"]),
+        batch_format="pyarrow")
+
+
+def _q_events_sliding(sf_dir: str):
+    """Overlapping 2h windows hopping every 30min, per event_type
+    (`tera_ray.query.temporal.sliding_window_agg`: hop-level combiner,
+    partial-state replication — the shuffle never moves raw rows 4×)."""
+    from tera_ray.query.temporal import sliding_window_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type",
+                                          "value"])
+    return sliding_window_agg(
+        ds, "ts", 2 * 3_600_000_000, 1_800_000_000, keys=["event_type"],
+        aggs=[("event_id", "count", "n_events"),
+              ("value", "min", "vmin"), ("value", "max", "vmax")])
+
+
+def _q_lineitem_quantiles(sf_dir: str):
+    """Exact continuous quantiles of l_extendedprice via multi-pass
+    histogram selection (`tera_ray.query.relational.exact_quantiles`) —
+    bit-identical to SQL quantile_cont without a global sort."""
+    from tera_ray.query.relational import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
+
+
 def _q_docs_minhash(sf_dir: str):
     from tera_ray.dedup.minhash import minhash_dedup
 
@@ -962,6 +1050,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_quality_stats": _q_docs_quality_stats,
         "events_tumbling": _q_events_tumbling,
+        "events_asof_view": _q_events_asof_view,
+        "events_attribution": _q_events_attribution,
+        "events_sliding": _q_events_sliding,
+        "lineitem_quantiles": _q_lineitem_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash_pairs": _q_docs_simhash,
@@ -1826,6 +1918,39 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " count(*) AS n_events, min(value) AS vmin, max(value) AS vmax"
             " FROM events GROUP BY 1, 2",
         "docs_minhash_dedup": _minhash_dedup_sql(),
+        "events_asof_view":
+            "WITH o AS (SELECT user_id, ts, event_id, event_type,"
+            " last_value(CASE WHEN event_type='view' THEN event_id END"
+            " IGNORE NULLS) OVER w AS view_id,"
+            " last_value(CASE WHEN event_type='view' THEN ts END"
+            " IGNORE NULLS) OVER w AS view_ts"
+            " FROM events WHERE event_type IN ('click','view')"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"
+            " SELECT user_id, ts, event_id AS click_id, view_ts, view_id"
+            " FROM o WHERE event_type='click' AND view_id IS NOT NULL",
+        "events_attribution":
+            "SELECT c.user_id, c.ts, c.event_id AS click_id,"
+            " p.event_id AS purchase_id"
+            " FROM events p JOIN events c ON c.user_id = p.user_id"
+            " WHERE p.event_type='purchase' AND c.event_type='click'"
+            " AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts",
+        "events_sliding":
+            "SELECT event_type,"
+            " (epoch_us(ts) - epoch_us(ts) % 1800000000)"
+            " - i*1800000000 AS window_start,"
+            " count(*) AS n_events, min(value) AS vmin, max(value) AS vmax"
+            " FROM events CROSS JOIN"
+            " (SELECT unnest(generate_series(0,3)) AS i) GROUP BY 1, 2",
+        "lineitem_quantiles":
+            "SELECT CAST(0.25 AS DOUBLE) AS q,"
+            " quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem"
+            " UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5)"
+            " FROM lineitem"
+            " UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75)"
+            " FROM lineitem"
+            " UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9)"
+            " FROM lineitem",
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
             f" FROM read_parquet('{fx}/tests.parquet')"

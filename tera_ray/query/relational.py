@@ -322,6 +322,170 @@ def tumbling_window_agg(ds, ts_col: str, window_us: int,
                        keys + [window_name], aggs)
 
 
+def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 2048,
+                    collect_cap: int = 2_000_000, max_rounds: int = 6):
+    """EXACT continuous quantiles (SQL ``quantile_cont`` semantics:
+    linear interpolation at rank ``q*(n-1)``) without sorting the
+    dataset.
+
+    Multi-pass histogram selection — the scalable exact algorithm:
+
+    1. one pass for global ``(n, min, max)`` (per-batch partials, tiny
+       reduce);
+    2. iterative passes histogramming only the still-open value
+       brackets (``num_bins`` uniform bins per bracket) to narrow each
+       target order-statistic's bracket until it holds ≤
+       ``collect_cap`` rows (one pass narrows each bracket ~num_bins×,
+       so 100 TB needs ~3 rounds);
+    3. one final pass collecting just the bracketed values (bounded by
+       ``collect_cap`` per bracket) — the order statistics are read off
+       a driver-side sort of that small set.
+
+    Every pass is a full-stream ``map_batches`` with small outputs —
+    nothing large ever lands on the driver.  Pathological inputs (mass
+    concentrated within float-epsilon ranges) stop narrowing after
+    ``max_rounds`` and collect whatever the bracket holds.
+
+    Returns a pyarrow Table ``(q double, value double)`` sorted by q
+    (a small result — materialized, like every scalar aggregate here).
+    """
+    # multi-pass algorithm → pin the (single-column) projection in the
+    # object store once instead of re-running the upstream per pass
+    ds = ds.map_batches(lambda t: t.select([col]),
+                        batch_format="pyarrow").materialize()
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().cast(pa.float64())
+        v = pc.drop_null(v)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                         "hi": pa.array([pc.max(v).as_py()], pa.float64())})
+
+    rows = ds.map_batches(stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    assert n > 0, "exact_quantiles on an empty column"
+    glo = min(r["lo"] for r in rows if r["lo"] is not None)
+    ghi = max(r["hi"] for r in rows if r["hi"] is not None)
+
+    # target 0-based integer ranks (floor and ceil of each q*(n-1))
+    want: dict[int, None] = {}
+    for q in qs:
+        h = q * (n - 1)
+        want[int(np.floor(h))] = None
+        want[int(np.ceil(h))] = None
+    ranks = sorted(want)
+    # per-rank bracket: [lo, hi] inclusive + count of values strictly < lo
+    brk = {k: [glo, ghi, 0, n] for k in ranks}  # lo, hi, below, size
+
+    for _ in range(max_rounds):
+        open_ranks = [k for k in ranks if brk[k][3] > collect_cap
+                      and brk[k][1] > brk[k][0]]
+        if not open_ranks:
+            break
+        # merge duplicate brackets so one histogram serves equal ranges
+        uniq: list[tuple[float, float]] = []
+        for k in open_ranks:
+            rng = (brk[k][0], brk[k][1])
+            if rng not in uniq:
+                uniq.append(rng)
+        B = len(uniq)
+
+        def hist(t: pa.Table, _uniq=tuple(uniq)) -> pa.Table:
+            v = pc.drop_null(t[col].combine_chunks().cast(pa.float64()))
+            x = v.to_numpy(zero_copy_only=False)
+            bids, bins_, cnts = [], [], []
+            for bi, (lo, hi) in enumerate(_uniq):
+                m = x[(x >= lo) & (x <= hi)]
+                if len(m) == 0:
+                    continue
+                # bin edges assigned by EXACT comparisons (searchsorted),
+                # never float division — the narrowing below-count must
+                # agree bit-exactly with the collect pass's `x >= nlo`
+                edges = lo + (hi - lo) / num_bins * np.arange(1, num_bins)
+                j = np.searchsorted(edges, m, side="right")
+                c = np.bincount(j, minlength=num_bins)
+                nz = np.flatnonzero(c)
+                bids.append(np.full(len(nz), bi, np.int64))
+                bins_.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not bids:
+                return pa.table({"bid": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"bid": pa.array(np.concatenate(bids)),
+                             "bin": pa.array(np.concatenate(bins_)),
+                             "cnt": pa.array(np.concatenate(cnts))})
+
+        hrows = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        acc = np.zeros((B, num_bins), np.int64)
+        for r in hrows:
+            acc[r["bid"], r["bin"]] += r["cnt"]
+        for k in open_ranks:
+            lo, hi, below, _sz = brk[k]
+            bi = uniq.index((lo, hi))
+            cum = np.cumsum(acc[bi])
+            local = k - below  # 0-based rank within bracket
+            j = int(np.searchsorted(cum, local + 1))
+            w = (hi - lo) / num_bins
+            nlo = lo if j == 0 else lo + j * w
+            nhi = hi if j == num_bins - 1 else lo + (j + 1) * w
+            nbelow = below + (0 if j == 0 else int(cum[j - 1]))
+            nsz = int(acc[bi][j])
+            if nhi <= nlo or (nlo == lo and nhi == hi):
+                brk[k] = [lo, hi, below, 0]  # cannot narrow; force collect
+            else:
+                brk[k] = [nlo, nhi, nbelow, nsz]
+
+    final = [(brk[k][0], brk[k][1]) for k in ranks]
+    uniq_f: list[tuple[float, float]] = []
+    for rng in final:
+        if rng not in uniq_f:
+            uniq_f.append(rng)
+
+    def collect(t: pa.Table, _uniq=tuple(uniq_f)) -> pa.Table:
+        v = pc.drop_null(t[col].combine_chunks().cast(pa.float64()))
+        x = v.to_numpy(zero_copy_only=False)
+        bids, vals = [], []
+        for bi, (lo, hi) in enumerate(_uniq):
+            m = x[(x >= lo) & (x <= hi)]
+            if len(m):
+                bids.append(np.full(len(m), bi, np.int64))
+                vals.append(m)
+        if not bids:
+            return pa.table({"bid": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        return pa.table({"bid": pa.array(np.concatenate(bids)),
+                         "val": pa.array(np.concatenate(vals), pa.float64())})
+
+    crows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    byb: dict[int, list] = {i: [] for i in range(len(uniq_f))}
+    for r in crows:
+        byb[r["bid"]].append(r["val"])
+    sorted_vals = {i: np.sort(np.asarray(v, np.float64))
+                   for i, v in byb.items()}
+    at_rank: dict[int, float] = {}
+    for k in ranks:
+        lo, hi, below, _ = brk[k]
+        bi = uniq_f.index((lo, hi))
+        at_rank[k] = float(sorted_vals[bi][k - below])
+    out_q, out_v = [], []
+    for q in qs:
+        h = q * (n - 1)
+        kf, kc = int(np.floor(h)), int(np.ceil(h))
+        frac = h - kf
+        vlo, vhi = at_rank[kf], at_rank[kc]
+        out_q.append(float(q))
+        out_v.append(vlo + frac * (vhi - vlo))
+    order = np.argsort(out_q, kind="stable")
+    return pa.table({"q": pa.array(np.asarray(out_q)[order], pa.float64()),
+                     "value": pa.array(np.asarray(out_v)[order],
+                                       pa.float64())})
+
+
 def distinct_values(ds, col: str, out_name: str | None = None,
                     num_buckets: int = 64):
     """Distinct values of one column (A5) via local-unique → bucket

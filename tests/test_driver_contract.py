@@ -27,6 +27,10 @@ PARITY_KEYS = [
     "events_sessionized",
     "kg_trait_lookup",
     "shipping_priority",
+    "events_asof_view",
+    "events_attribution",
+    "events_sliding",
+    "lineitem_quantiles",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
