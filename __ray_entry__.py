@@ -413,6 +413,87 @@ def _q_lineitem_quantiles(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
 
 
+def _q_lineitem_window(sf_dir: str):
+    """Analytic window functions over per-order line sequences
+    (`tera_ray.query.window.window_funcs`: one bucket shuffle, one
+    vectorized run-boundary pass per bucket)."""
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_partkey"])
+    # l_linenumber repeats in this synthetic data — the full order list
+    # is a unique composite so lag/lead/cumsum are deterministic
+    return window_funcs(
+        ds, keys=["l_orderkey"],
+        order=[("l_linenumber", "ascending"), ("l_quantity", "ascending"),
+               ("l_partkey", "ascending")],
+        specs=[("row_number", None, "rn"),
+               ("lag", "l_quantity", "prev_qty"),
+               ("lead", "l_quantity", "next_qty"),
+               ("cumsum", "l_quantity", "run_qty")])
+
+
+def _q_orders_rank(sf_dir: str):
+    """rank/dense_rank with real ties (priority strings repeat within a
+    customer) — tie groups defined by the order columns exactly as SQL."""
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+    return window_funcs(
+        ds, keys=["o_custkey"], order=[("o_orderpriority", "ascending")],
+        specs=[("rank", None, "rk"), ("dense_rank", None, "drk")])
+
+
+def _q_orders_top3(sf_dir: str):
+    """Top-3 orders per customer by price (A3 generalized to top-k:
+    per-batch local top-k combiner → one bucket shuffle)."""
+    from tera_ray.query.relational import topk_per_key
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return topk_per_key(
+        ds, "o_custkey",
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 3)
+
+
+def _q_customers_no_urgent(sf_dir: str):
+    """Anti join: customers with no 1-URGENT order (broadcast right-key
+    set, no shuffle of the left side)."""
+    from tera_ray.query.relational import key_semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return key_semi_join(cust, urgent, "c_custkey", "o_custkey", anti=True)
+
+
+def _q_orders_building_semi(sf_dir: str):
+    """Semi join: orders of BUILDING-segment customers."""
+    from tera_ray.query.relational import key_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    bld = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
+    return key_semi_join(orders, bld, "o_custkey", "c_custkey")
+
+
+def _q_events_heavy_users(sf_dir: str):
+    """EXACT heavy hitters (users with ≥0.7% of all events): per-batch
+    locally-frequent candidate pruning (superset guarantee) + exact
+    verify pass (`tera_ray.query.relational.heavy_hitters`)."""
+    from tera_ray.query.relational import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", 0.007)
+
+
 def _q_docs_minhash(sf_dir: str):
     from tera_ray.dedup.minhash import minhash_dedup
 
@@ -1054,6 +1135,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "events_sliding": _q_events_sliding,
         "lineitem_quantiles": _q_lineitem_quantiles,
+        "lineitem_window": _q_lineitem_window,
+        "orders_rank": _q_orders_rank,
+        "orders_top3_per_customer": _q_orders_top3,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "orders_building_semi": _q_orders_building_semi,
+        "events_heavy_users": _q_events_heavy_users,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash_pairs": _q_docs_simhash,
@@ -1951,6 +2038,37 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " FROM lineitem"
             " UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9)"
             " FROM lineitem",
+        "lineitem_window":
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_partkey,"
+            " row_number() OVER w AS rn,"
+            " lag(l_quantity) OVER w AS prev_qty,"
+            " lead(l_quantity) OVER w AS next_qty,"
+            " sum(l_quantity) OVER (PARTITION BY l_orderkey"
+            " ORDER BY l_linenumber, l_quantity, l_partkey"
+            " ROWS UNBOUNDED PRECEDING) AS run_qty"
+            " FROM lineitem WINDOW w AS (PARTITION BY l_orderkey"
+            " ORDER BY l_linenumber, l_quantity, l_partkey)",
+        "orders_rank":
+            "SELECT o_custkey, o_orderkey, o_orderpriority,"
+            " rank() OVER w AS rk, dense_rank() OVER w AS drk"
+            " FROM orders"
+            " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority)",
+        "orders_top3_per_customer":
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM"
+            " (SELECT *, row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)"
+            " WHERE rn <= 3",
+        "customers_no_urgent":
+            "SELECT c_custkey, c_name FROM customer"
+            " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')",
+        "orders_building_semi":
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+            " WHERE o_custkey IN (SELECT c_custkey FROM customer"
+            " WHERE c_mktsegment = 'BUILDING')",
+        "events_heavy_users":
+            "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
+            " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
             f" FROM read_parquet('{fx}/tests.parquet')"

@@ -504,3 +504,192 @@ def distinct_values(ds, col: str, out_name: str | None = None,
 
     return bucketed_map_groups(
         ds.map_batches(local, batch_format="pyarrow"), "__b", per_bucket)
+
+def topk_per_key(ds, key: str, order: list[tuple[str, str]], k: int,
+                 num_buckets: int = 64):
+    """Top ``k`` rows per ``key`` under ``order`` (generalizes
+    ``top1_per_key``).  Deterministic: include a unique tie-break column
+    in ``order``.
+
+    Two-phase: per-batch local top-k (combiner — a batch can contribute
+    at most k rows per key to the shuffle) → hash-bucket shuffle →
+    per-bucket top-k.  Shuffle volume ≤ k rows per (batch, key)."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")] + order)
+        t = t.take(idx)
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.ones(len(kv), dtype=bool)
+        starts[1:] = kv[1:] != kv[:-1]
+        start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(len(kv)), 0))
+        rn = np.arange(len(kv)) - start_idx
+        return t.filter(pa.array(rn < k))
+
+    def add_b(t: pa.Table) -> pa.Table:
+        t = local_topk(t)
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return local_topk(t).drop_columns(["__b"])
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
+
+
+def key_semi_join(ds, right, left_key: str, right_key: str,
+                  anti: bool = False, num_buckets: int = 64,
+                  broadcast_limit: int = 2_000_000):
+    """Semi / anti join: rows of ``ds`` whose ``left_key`` appears
+    (``anti=False``) or does not appear (``anti=True``) in ``right``'s
+    ``right_key`` column.  Null semantics are EXISTS / NOT EXISTS (the
+    sane ones), not NOT-IN's: null right keys are ignored, and a null
+    left key matches nothing (excluded from semi, kept by anti).
+
+    Plan: distinct right keys (local-unique combiner + bucket shuffle);
+    if the distinct-key count fits ``broadcast_limit`` the key set
+    ships once via ``ray.put`` and every batch filters map-side with
+    ``pc.is_in`` — no shuffle of the big side (the common shape:
+    filtering a fact table by a dimension selection).  Larger key sets
+    fall back to a bucketed co-group shuffle of both sides.
+    """
+    import ray
+
+    keys_ds = distinct_values(right, right_key, out_name="__k",
+                              num_buckets=num_buckets)
+    kt = pa.concat_tables(
+        list(keys_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    kt = kt.filter(pc.is_valid(kt["__k"]))
+    if kt.num_rows <= broadcast_limit:
+        vs = kt["__k"].combine_chunks()
+        ref = ray.put(vs)
+
+        def flt(t: pa.Table) -> pa.Table:
+            mem = pc.is_in(t[left_key].combine_chunks(),
+                           value_set=ray.get(ref))
+            mem = pc.fill_null(mem, False)
+            return t.filter(pc.invert(mem) if anti else mem)
+
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+    # large key set: bucketed co-group (one shuffle of both sides)
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+    ltype = dict(zip(names, types))[left_key]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__isk", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.append_column("__b", _bucket_of(t[left_key], num_buckets))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["__k"]))   # null right keys ignored
+        cols = {n: pa.nulls(t.num_rows, ty)
+                for n, ty in zip(names, types)}
+        cols[left_key] = t["__k"].cast(ltype)
+        cols["__isk"] = pa.array(np.ones(t.num_rows, np.int8))
+        tt = pa.table(cols)
+        return tt.append_column("__b", _bucket_of(tt[left_key], num_buckets))
+
+    unioned = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        isk = t["__isk"].combine_chunks().to_numpy(zero_copy_only=False)
+        left = t.filter(pa.array(isk == 0))
+        kset = pc.unique(t.filter(pa.array(isk == 1))[left_key]
+                         .combine_chunks())
+        mem = pc.fill_null(
+            pc.is_in(left[left_key].combine_chunks(), value_set=kset),
+            False)
+        out = left.filter(pc.invert(mem) if anti else mem)
+        return out.drop_columns(["__isk", "__b"])
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(unioned, "__b", per_bucket)
+
+
+def heavy_hitters(ds, col: str, threshold: float, num_buckets: int = 64,
+                  max_candidates: int = 5_000_000):
+    """EXACT frequent items: values of ``col`` with global count ≥
+    ``threshold × total_rows`` — two full passes, no global groupby of
+    the raw column.
+
+    Pass 1 (candidate pruning): each batch keeps only values that are
+    locally frequent (batch count ≥ threshold × batch rows).  Any
+    globally-heavy value must be locally frequent in ≥1 batch (if
+    c_i < θ·m_i in every batch then Σc_i < θ·n), so the union of batch
+    survivors is a SUPERSET of the answer — at most ⌈1/θ⌉ values per
+    batch enter the shuffle.  Survivors are distinct-reduced
+    distributedly and broadcast (``max_candidates`` guards the
+    pathological all-batches-disjoint case — the candidate table, not
+    the data, must fit the driver).
+
+    Pass 2 (exact verify): per batch, exact counts of candidate values
+    + the batch row count; one tiny grouped merge; filter ≥ θ·n.
+
+    Returns a pa.Table ``(col, cnt)`` (small by construction — the
+    answer has ≤ 1/θ rows).
+    """
+    import ray
+
+    assert 0.0 < threshold <= 1.0
+
+    def local_frequent(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__v": pa.nulls(0, t.schema.field(col).type)})
+        g = (t.select([col]).group_by([col], use_threads=False)
+             .aggregate([([], "count_all")]))
+        keep = pc.greater_equal(
+            g["count_all"].combine_chunks().cast(pa.float64()),
+            pa.scalar(threshold * t.num_rows, pa.float64()))
+        return pa.table({"__v": g.filter(keep)[col].combine_chunks()})
+
+    cand_ds = distinct_values(
+        ds.map_batches(local_frequent, batch_format="pyarrow"), "__v",
+        num_buckets=num_buckets)
+    cand = pa.concat_tables(
+        list(cand_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert cand.num_rows <= max_candidates, (
+        f"{cand.num_rows} candidates exceed max_candidates; raise the "
+        "threshold or max_candidates")
+    ref = ray.put(cand["__v"].combine_chunks())
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        c = t[col].combine_chunks()
+        hit = t.select([col]).filter(
+            pc.fill_null(pc.is_in(c, value_set=vs), False))
+        g = (hit.group_by([col], use_threads=False)
+             .aggregate([([], "count_all")]))
+        vals = g[col].combine_chunks()
+        # one sentinel row (__v=null) carries the batch row count so the
+        # global total survives batches with zero candidate hits
+        v_out = pa.concat_arrays([vals, pa.nulls(1, vals.type)])
+        cnt = pa.concat_arrays([
+            g["count_all"].combine_chunks().cast(pa.int64()),
+            pa.array([0], pa.int64())])
+        tot = np.zeros(len(v_out), np.int64)
+        tot[-1] = t.num_rows
+        return pa.table({"__v": v_out, "cnt": cnt,
+                         "total": pa.array(tot, pa.int64())})
+
+    parts = ds.map_batches(count_cands, batch_format="pyarrow")
+    # distributed reduce of the partials (≤1/θ + 1 rows per batch) —
+    # only the per-candidate result table ever reaches the driver
+    merged = grouped_agg(parts, ["__v"], [("cnt", "sum", "cnt"),
+                                          ("total", "sum", "total")])
+    agg = pa.concat_tables(
+        list(merged.iter_batches(batch_format="pyarrow", batch_size=None)))
+    total = pc.sum(agg["total"]).as_py() or 0
+    agg = agg.filter(pc.is_valid(agg["__v"]))
+    g = agg.group_by(["__v"], use_threads=False).aggregate([("cnt", "sum")])
+    keep = pc.greater_equal(g["cnt_sum"].combine_chunks().cast(pa.float64()),
+                            pa.scalar(threshold * total, pa.float64()))
+    out = g.filter(keep)
+    return pa.table({col: out["__v"].combine_chunks(),
+                     "cnt": out["cnt_sum"].combine_chunks()})

@@ -1,0 +1,162 @@
+"""Partitioned analytic (window) functions over Ray Datasets.
+
+SQL ``fn() OVER (PARTITION BY keys ORDER BY order)`` for the sequence
+functions a transcript/event pipeline needs: ``row_number``, ``rank``,
+``dense_rank``, ``lag``, ``lead``, and running ``cumsum``.  The
+reference has no analytic functions (its only ordering is rdflib set
+iteration); this operator generalizes the engine's K4
+ordered-reconstruction machinery (SURVEY §2.7) to arbitrary
+per-partition sequences.
+
+Shape: ONE hash-bucket shuffle on the partition keys (all rows of one
+key land in one bucket), then a single sort + vectorized numpy
+run-boundary pass per bucket computes every requested function for ALL
+partitions in the bucket at once — no per-key loop, no per-row Python.
+
+Partitioning assumption (custom-operator contract): per-key row count
+fits a worker heap; ``num_buckets`` bounds per-task memory.  A globally
+hot key skews its bucket but never breaks correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum")
+
+
+def _run_starts(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Boolean mask: row i starts a new run of ``cols`` values (row 0
+    always True).  Null-safe: null == null within a column counts as
+    equal (SQL PARTITION BY groups nulls together)."""
+    n = t.num_rows
+    starts = np.zeros(n, dtype=bool)
+    starts[0] = True
+    for c in cols:
+        col = t[c].combine_chunks()
+        eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+        both_null = pc.and_(pc.is_null(col.slice(1)),
+                            pc.is_null(col.slice(0, n - 1)))
+        same = pc.fill_null(pc.or_kleene(eq, both_null), False)
+        starts[1:] |= ~same.to_numpy(zero_copy_only=False)
+    return starts
+
+
+def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
+                 specs: list[tuple], num_buckets: int = 64):
+    """Append analytic columns to ``ds``.
+
+    ``specs``: list of ``(kind, col, out)`` or ``(kind, col, out, off)``:
+
+    - ``("row_number", None, out)`` — 1-based position in partition
+    - ``("rank", None, out)`` / ``("dense_rank", None, out)`` — ties
+      determined by the ``order`` columns
+    - ``("lag", col, out[, off])`` / ``("lead", col, out[, off])`` —
+      value ``off`` rows back/ahead (default 1), null past the edge
+    - ``("cumsum", col, out)`` — running sum over ``rows unbounded
+      preceding → current row``; nulls are ignored (SQL
+      aggregate-over-window semantics), output null until the first
+      non-null; output type float64
+
+    Output: the input columns plus the ``out`` columns.  Row order is
+    per-bucket sorted (order across buckets unspecified — the driver
+    contract compares sorted multisets).
+    """
+    for s in specs:
+        assert s[0] in _KINDS, f"unknown window fn {s[0]!r}"
+    keys = list(keys)
+    sort_keys = [(k, "ascending") for k in keys] + list(order)
+    order_cols = [c for c, _ in order]
+
+    from ..stages.base import bucketed_map_groups, hash_column
+
+    def add_b(t: pa.Table) -> pa.Table:
+        h = hash_column(t, keys=tuple(keys)).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
+
+    def _out_type(t: pa.Table, kind: str, col: str | None) -> pa.DataType:
+        if kind in ("row_number", "rank", "dense_rank"):
+            return pa.int64()
+        if kind in ("lag", "lead"):
+            return t.schema.field(col).type
+        return pa.float64()
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        if t.num_rows == 0:
+            out = t
+            for s in specs:
+                out = out.append_column(
+                    s[2], pa.nulls(0, _out_type(t, s[0], s[1])))
+            return out
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        kstart = _run_starts(t, keys)                   # partition starts
+        idx_arange = np.arange(n)
+        # index of the partition start for every row
+        start_idx = np.maximum.accumulate(np.where(kstart, idx_arange, 0))
+        rn = idx_arange - start_idx                     # 0-based row_number
+        out = t
+        if any(s[0] in ("rank", "dense_rank") for s in specs):
+            tstart = _run_starts(t, keys + order_cols)  # tie-run starts
+        for s in specs:
+            kind, col, name = s[0], s[1], s[2]
+            if kind == "row_number":
+                out = out.append_column(name, pa.array(rn + 1, pa.int64()))
+            elif kind == "rank":
+                tie_idx = np.maximum.accumulate(
+                    np.where(tstart, idx_arange, 0))
+                out = out.append_column(
+                    name, pa.array(rn[tie_idx] + 1, pa.int64()))
+            elif kind == "dense_rank":
+                d = np.cumsum(tstart)                   # distinct-run count
+                out = out.append_column(
+                    name, pa.array(d - d[start_idx] + 1, pa.int64()))
+            elif kind in ("lag", "lead"):
+                off = s[3] if len(s) > 3 else 1
+                vals = t[col].combine_chunks()
+                if kind == "lag":
+                    src = idx_arange - off
+                    ok = src >= start_idx
+                else:
+                    src = idx_arange + off
+                    # next partition's start bounds each row's lookahead
+                    starts_pos = np.flatnonzero(kstart)
+                    seg_ends = np.append(starts_pos[1:], n)
+                    nps = np.repeat(
+                        seg_ends, np.diff(np.append(starts_pos, n)))
+                    ok = src < nps
+                idx = pa.array(np.where(ok, src, 0), pa.int64())
+                shifted = pc.if_else(pa.array(ok), pc.take(vals, idx),
+                                     pa.scalar(None, vals.type))
+                out = out.append_column(name, shifted)
+            else:  # cumsum
+                # polars group-wise cum_sum: fresh sequential accumulation
+                # per partition (a whole-bucket cumsum minus partition
+                # base would leak float error across partitions)
+                import polars as pl
+
+                vals = t[col].combine_chunks().cast(pa.float64())
+                data = {f"__k{i}": pl.from_arrow(t[k].combine_chunks())
+                        for i, k in enumerate(keys)}
+                knames = list(data)
+                data["__v"] = pl.from_arrow(pc.fill_null(vals, 0.0))
+                run = (pl.DataFrame(data)
+                       .with_columns(__r=pl.col("__v").cum_sum().over(knames))
+                       ["__r"].to_numpy())
+                # null until the partition's first non-null value
+                isnull = pc.is_null(vals).to_numpy(zero_copy_only=False)
+                nn = np.cumsum(~isnull)
+                had = (nn - np.where(start_idx > 0,
+                                     nn[start_idx - 1], 0)) > 0
+                arr = pc.if_else(pa.array(had),
+                                 pa.array(run, pa.float64()),
+                                 pa.scalar(None, pa.float64()))
+                out = out.append_column(name, arr)
+        return out
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)

@@ -31,6 +31,12 @@ PARITY_KEYS = [
     "events_attribution",
     "events_sliding",
     "lineitem_quantiles",
+    "lineitem_window",
+    "orders_rank",
+    "orders_top3_per_customer",
+    "customers_no_urgent",
+    "orders_building_semi",
+    "events_heavy_users",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1,0 +1,112 @@
+"""Edge-case semantics of the analytic operators added in round 2:
+window functions, top-k per key, semi/anti join, exact heavy hitters.
+``num_buckets=1`` forces all keys into one bucket so in-bucket key
+isolation is what's tested, not the shuffle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def _mk(rows: dict, **kw):
+    import ray
+
+    return ray.data.from_arrow(pa.table(rows), **kw)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_partition_null_keys_and_cumsum_nulls():
+    from tera_ray.query.window import window_funcs
+
+    # null partition keys form ONE partition (SQL PARTITION BY); the
+    # value column is null until row 2 → cumsum null, then ignores nulls
+    ds = _mk({"k": [None, None, 1, 1], "o": [1, 2, 1, 2],
+              "v": [None, 5.0, 2.0, None]})
+    out = _collect(window_funcs(
+        ds, ["k"], [("o", "ascending")],
+        [("row_number", None, "rn"), ("cumsum", "v", "run")],
+        num_buckets=1))
+    got = {(r["k"], r["o"]): (r["rn"], r["run"]) for r in out.to_pylist()}
+    assert got[(None, 1)] == (1, None)      # no non-null v yet
+    assert got[(None, 2)] == (2, 5.0)
+    assert got[(1, 1)] == (1, 2.0)
+    assert got[(1, 2)] == (2, 2.0)          # null v ignored, sum carries
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_lag_lead_offsets():
+    from tera_ray.query.window import window_funcs
+
+    ds = _mk({"k": [1, 1, 1, 2], "o": [1, 2, 3, 1],
+              "v": [10, 20, 30, 99]})
+    out = _collect(window_funcs(
+        ds, ["k"], [("o", "ascending")],
+        [("lag", "v", "l2", 2), ("lead", "v", "f1")], num_buckets=1))
+    got = {(r["k"], r["o"]): (r["l2"], r["f1"]) for r in out.to_pylist()}
+    assert got[(1, 1)] == (None, 20)
+    assert got[(1, 3)] == (10, None)        # lead never crosses into k=2
+    assert got[(2, 1)] == (None, None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_small_groups_and_ties():
+    from tera_ray.query.relational import topk_per_key
+
+    ds = _mk({"k": ["a", "a", "a", "b"], "s": [5, 5, 1, 9],
+              "u": [2, 1, 3, 4]})
+    out = _collect(topk_per_key(
+        ds, "k", [("s", "descending"), ("u", "ascending")], 2,
+        num_buckets=1))
+    rows = sorted((r["k"], r["s"], r["u"]) for r in out.to_pylist())
+    # a: the two s=5 rows win, tie broken by u; b: group smaller than k
+    assert rows == [("a", 5, 1), ("a", 5, 2), ("b", 9, 4)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_null_semantics_both_paths():
+    from tera_ray.query.relational import key_semi_join
+
+    left = _mk({"k": [1, 2, None], "v": ["a", "b", "c"]})
+    right = _mk({"rk": [1, None]})
+    for limit in (10, 0):   # broadcast path, then co-group path
+        semi = _collect(key_semi_join(
+            left, right, "k", "rk", broadcast_limit=limit))
+        anti = _collect(key_semi_join(
+            left, right, "k", "rk", anti=True, broadcast_limit=limit))
+        assert sorted(semi["v"].to_pylist()) == ["a"]
+        # NOT EXISTS: null left key kept by anti, null right key ignored
+        assert sorted(anti["v"].to_pylist()) == ["b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_cross_batch_accumulation():
+    from tera_ray.query.relational import heavy_hitters
+
+    # value 7 is locally frequent in block 2 only; its GLOBAL share
+    # (30/200 = 15%) still must be found.  value 8 (19/200 = 9.5%)
+    # must not, even though it is locally frequent in block 2.
+    b1 = pa.table({"x": np.r_[np.arange(91) + 100, np.full(9, 8)]})
+    b2 = pa.table({"x": np.r_[np.arange(60) + 1000, np.full(30, 7),
+                              np.full(10, 8)]})
+    import ray
+
+    ds = ray.data.from_arrow([b1, b2])
+    out = heavy_hitters(ds, "x", 0.10)
+    got = dict(zip(out["x"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == {7: 30}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_threshold_inclusive():
+    from tera_ray.query.relational import heavy_hitters
+
+    ds = _mk({"x": [1, 1, 2, 3, 4, 5, 6, 7, 8, 9]})
+    out = heavy_hitters(ds, "x", 0.2)      # 1 has exactly 2/10 = 0.2
+    assert out["x"].to_pylist() == [1] and out["cnt"].to_pylist() == [2]
