@@ -312,6 +312,133 @@ def _q_docs_quality_stats(sf_dir: str):
         lambda t: t.select(cols), batch_format="pyarrow")
 
 
+# --- curation family (tera_ray/text/curation.py) ---------------------------
+
+_PII_AUG_SQL = (
+    "coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' mail a'||doc_id||'@ex'"
+    "||(doc_id % 7)||'.org' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' see https://w'||(doc_id % 5)"
+    "||'.example.com/p?id='||doc_id ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' node 10.'||(doc_id % 200)"
+    "||'.0.'||(doc_id % 250) ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' call 555-010-'"
+    "||lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END")
+
+
+def _pii_augment(t: pa.Table) -> pa.Table:
+    """Deterministically graft PII-shaped spans onto the synthetic docs
+    (which contain none) so the scrub/extract operators are genuinely
+    exercised; mirrored verbatim in SQL (``_PII_AUG_SQL``).  Fixture
+    synthesis, not the operator under test — the per-row format() loop
+    is acceptable here."""
+    ids = t["doc_id"].to_pylist()
+    base = pc.fill_null(t["text"], "").to_pylist()
+    out = []
+    for i, txt in zip(ids, base):
+        if i % 3 == 0:
+            txt += f" mail a{i}@ex{i % 7}.org"
+        if i % 4 == 0:
+            txt += f" see https://w{i % 5}.example.com/p?id={i}"
+        if i % 5 == 0:
+            txt += f" node 10.{i % 200}.0.{i % 250}"
+        if i % 6 == 0:
+            txt += f" call 555-010-{i % 10000:04d}"
+        out.append(txt)
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(out, pa.string())})
+
+
+def _q_docs_pii_scrub(sf_dir: str):
+    """PII redaction (URL → email → IPv4 → phone chain) with per-kind
+    counts — vectorized RE2 kernels, exactly reproduced by the nested
+    ``regexp_replace`` oracle."""
+    from tera_ray.text.curation import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(_pii_augment, batch_format="pyarrow")
+            .map_batches(pii_scrub, batch_format="pyarrow")
+            .map_batches(lambda t: t.drop_columns(["text"]),
+                         batch_format="pyarrow"))
+
+
+def _q_docs_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment — pure function of
+    the doc id (salted FNV-1a), stable under reruns and repartitioning."""
+    from tera_ray.text.curation import deterministic_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(deterministic_split, batch_format="pyarrow")
+
+
+def _q_docs_sample(sf_dir: str):
+    """Stratified deterministic sampling by language (the data-mixing
+    primitive: per-stratum keep rates, map-side only, no shuffle)."""
+    from tera_ray.text.curation import stratified_sample
+
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.map_batches(
+        lambda t: stratified_sample(t, "lang", rates),
+        batch_format="pyarrow")
+
+
+def _q_docs_contamination(sf_dir: str):
+    """Benchmark-contamination screen: docs with doc_id%10==0 play the
+    held-out benchmark; every other doc is scored for 3-gram shingle
+    overlap against the broadcast benchmark set."""
+    import numpy as np
+
+    from tera_ray.text.curation import contamination_check
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(rem_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].combine_chunks().to_numpy() % 10 == 0
+            return t.filter(pa.array(m if rem_zero else ~m))
+        return fn
+
+    bench_texts = _collect(ds.map_batches(
+        keep(True), batch_format="pyarrow"))["text"]
+    corpus = ds.map_batches(keep(False), batch_format="pyarrow")
+    return contamination_check(corpus, bench_texts, n=3).map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_docs_repetition(sf_dir: str):
+    """Intra-document repetition signals (dup-token and top-token
+    fractions — C4/Gopher-style boilerplate filters)."""
+    from tera_ray.text.curation import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def _q_docs_url_domains(sf_dir: str):
+    """URL extraction → domain rollup (polars ``extract_all`` — multiple
+    matches per doc — then the combiner-first grouped count)."""
+    from tera_ray.query.relational import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t["text"].combine_chunks())
+        df = (pl.DataFrame({"u": s.str.extract_all(r"https?://[^/\s]+")})
+              .explode("u").drop_nulls()
+              .select(pl.col("u").str.replace(r"^https?://", "")
+                      .alias("domain")))
+        arr = df.to_arrow()["domain"].combine_chunks().cast(pa.string())
+        return pa.table({"domain": arr})
+
+    doms = ds.map_batches(_pii_augment, batch_format="pyarrow").map_batches(
+        extract, batch_format="pyarrow")
+    return grouped_agg(doms, ["domain"], [("domain", "count", "n")])
+
+
 def _q_events_tumbling(sf_dir: str):
     """Tumbling 1-hour windows per event_type (engine-first windowed
     aggregate; exact int64 µs window arithmetic)."""
@@ -1142,6 +1269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_building_semi": _q_orders_building_semi,
         "events_heavy_users": _q_events_heavy_users,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_split": _q_docs_split,
+        "docs_sample": _q_docs_sample,
+        "docs_contamination": _q_docs_contamination,
+        "docs_repetition": _q_docs_repetition,
+        "docs_url_domains": _q_docs_url_domains,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash_pairs": _q_docs_simhash,
         # KG pipelines over deterministic transcript fixtures
@@ -1563,6 +1696,73 @@ FROM r
 """
 
 
+def _fnv_sql(expr: str) -> str:
+    """64-bit FNV-1a over the chars of ``expr`` in HUGEINT arithmetic —
+    the same low-byte-xor trick as the fingerprint oracle (valid because
+    every hashed char here is ASCII < 128, so the xor only ever touches
+    the low byte)."""
+    return (
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        f"list_transform(regexp_extract_all({expr}, '.'), "
+        "c -> unicode(c)::HUGEINT)), "
+        "(h, b) -> ((h - (h % 256)"
+        " + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)"
+        " * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
+
+
+def _pii_scrub_sql() -> str:
+    """Nested regexp_replace chain on the augmented text, counting each
+    pattern on the text AS IT STANDS at that point (mirrors
+    ``curation.pii_scrub``'s chain order: URL → email → IPv4 → phone)."""
+    from tera_ray.text.curation import PII_PATTERNS
+
+    u, e, i, p = (pat for _, pat, _ in PII_PATTERNS)
+    return rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{u}')) AS n_url,
+              regexp_replace(t0, '{u}', '<URL>', 'g') AS t1 FROM aug),
+s2 AS (SELECT *, len(regexp_extract_all(t1, '{e}')) AS n_email,
+              regexp_replace(t1, '{e}', '<EMAIL>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(t2, '{i}')) AS n_ipv4,
+              regexp_replace(t2, '{i}', '<IP>', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, len(regexp_extract_all(t3, '{p}')) AS n_phone,
+              regexp_replace(t3, '{p}', '<PHONE>', 'g') AS t4 FROM s3)
+SELECT doc_id, t4 AS clean, n_url, n_email, n_ipv4, n_phone,
+       n_url + n_email + n_ipv4 + n_phone AS n_redactions FROM s4
+"""
+
+
+def _contamination_sql() -> str:
+    """String 3-gram shingles (same tokenization as the ngram-jaccard
+    oracle); overlap counts equal the engine's hash-shingle counts
+    modulo 2^-64 collisions."""
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS g
+  FROM toks WHERE len(l) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, l[g]||' '||l[g+1]||' '||l[g+2] AS s FROM pos
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ov AS (
+  SELECT sh.doc_id, count(*) AS o FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(sz.n, 0) AS n_shingles,
+       coalesce(ov.o, 0) AS n_overlap,
+       coalesce(ov.o, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id % 10 <> 0
+"""
+
+
 def _fingerprint_sql() -> str:
     """Rolling FNV-1a document fingerprint, reproduced bit-for-bit in
     SQL: per-token FNV-1a over ASCII codes (list_reduce with the xor
@@ -1818,6 +2018,8 @@ def oracle_sql() -> dict[str, str]:
     bpe = _sq(BPE_RE)
     lit = "obj_is_literal"
     g_tax = "'ecotox_taxonomy' AS graph"
+    split_h = _fnv_sql("'split:'||doc_id::VARCHAR")
+    sample_h = _fnv_sql("'sample:'||doc_id::VARCHAR")
     return {
         "docs_dedup_exact":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -2098,6 +2300,43 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" JOIN read_parquet('{fx}/sameas_pairs.parquet') b"
             f" ON a.dst = b.src",
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "docs_pii_scrub": _pii_scrub_sql(),
+        "docs_split":
+            f"WITH h AS (SELECT doc_id,"
+            f" ({split_h} % 10000) AS b"
+            f" FROM documents)"
+            f" SELECT doc_id, CASE WHEN b < 9000 THEN 'train'"
+            f" WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "docs_sample":
+            f"WITH h AS (SELECT doc_id, lang,"
+            f" ({sample_h} % 1000000) AS b"
+            f" FROM documents)"
+            f" SELECT doc_id, lang FROM h WHERE b < CASE lang"
+            f" WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000"
+            f" WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000"
+            f" WHEN 'zh' THEN 50000 ELSE 0 END",
+        "docs_contamination": _contamination_sql(),
+        "docs_repetition":
+            "WITH toks AS (SELECT doc_id,"
+            " regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l"
+            " FROM documents),"
+            " s AS (SELECT doc_id, len(l) AS n_tokens,"
+            " len(list_distinct(l)) AS n_distinct,"
+            " CASE WHEN len(l) = 0 THEN 0 ELSE"
+            " list_max(list_transform(list_distinct(l),"
+            " t -> len(list_filter(l, x -> x = t)))) END AS top FROM toks)"
+            " SELECT doc_id, n_tokens, n_distinct,"
+            " CASE WHEN n_tokens = 0 THEN 0.0 ELSE"
+            " round_even((1.0 - n_distinct / n_tokens::DOUBLE)"
+            " * 1e6, 0) / 1e6 END AS dup_frac,"
+            " round_even((top / greatest(n_tokens, 1)::DOUBLE)"
+            " * 1e6, 0) / 1e6 AS top_frac FROM s",
+        "docs_url_domains":
+            f"WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t0"
+            f" FROM documents)"
+            r" SELECT d AS domain, count(*) AS n FROM"
+            r" (SELECT unnest(regexp_extract_all(t0,"
+            r" 'https?://([^/\s]+)', 1)) AS d FROM aug) GROUP BY d",
         # factor literals are physical constants (1 ug = 0.001 mg, …),
         # independent of the engine's unit_conversion implementation
         "results_normalized": f"""

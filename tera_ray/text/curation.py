@@ -1,0 +1,242 @@
+"""Training-data curation operators: PII scrubbing, deterministic
+train/val/test splits, stratified sampling, benchmark-contamination
+checking, and intra-document repetition scoring.
+
+Engine-first additions for the LLM-pipeline surface (the reference has
+no document curation at all — its closest analogue is the regex scrub
+in ``tera/DataAggregation.py``'s literal cleaning).  Every operator is
+a stateless vectorized ``map_batches`` stage (Arrow / numpy kernels,
+no shuffle) except ``contamination_check``, which broadcasts the
+benchmark shingle set once via ``ray.put``.
+
+Determinism contract: the split / sample operators hash entity ids
+with FNV-1a over a salted decimal string — reproducible bit-for-bit in
+SQL (see the ``_fnv_sql`` oracle helper in ``__ray_entry__.py``) and
+independent of row order, partitioning, and PYTHONHASHSEED, so a rerun
+or a resumed job assigns every row the same way.  At 100 TB this is
+the property that matters: membership is a pure function of the id,
+never of which block a row landed in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analysis import _fnv1a_u64
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+# Ordered redaction chain: URLs first (they may embed '@' and dotted
+# hosts that the later patterns would half-match), then emails, dotted
+# quads, phone-shaped digit runs.  RE2 syntax only (no lookaround) so
+# Arrow's and DuckDB's regex engines agree exactly.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(batch: pa.Table, column: str = "text",
+              out_col: str = "clean") -> pa.Table:
+    """Redact PII-shaped spans, appending ``out_col`` plus one
+    ``n_<kind>`` count per pattern and the total ``n_redactions``.
+
+    Counts are taken on the text as it stands at that point in the
+    chain (post previous replacements), mirroring a nested
+    ``regexp_replace`` oracle.  One C-kernel pass per pattern — no
+    Python-level row loop.
+    """
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
+        text = pc.replace_substring_regex(text, pat, token)
+    out = batch.append_column(out_col, text)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        out = out.append_column(f"n_{name}", counts[name])
+        total = counts[name] if total is None else pc.add(total, counts[name])
+    return out.append_column("n_redactions", total)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling
+
+def _salted_fnv(ids: pa.Array | pa.ChunkedArray, salt: str) -> np.ndarray:
+    """FNV-1a over ``salt + str(id)`` per row → uint64.  Distinct salts
+    give independent assignments (the split hash and the sample hash
+    must not correlate, or val/test would oversample kept strata)."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    s = pc.cast(ids, pa.string())
+    vals = s.to_numpy(zero_copy_only=False).astype(object)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    hashed = _fnv1a_u64(np.array([salt + u for u in uniq], dtype=object))
+    return hashed[inv]
+
+
+def deterministic_split(batch: pa.Table, id_col: str = "doc_id",
+                        splits: tuple[tuple[str, float], ...] = (
+                            ("train", 0.90), ("val", 0.05), ("test", 0.05)),
+                        mod: int = 10_000, salt: str = "split:") -> pa.Table:
+    """Append ``split`` — a deterministic train/val/test label.
+
+    ``bucket = fnv1a(salt + id) % mod``; labels fill cumulative weight
+    ranges in order (train: [0, 9000), val: [9000, 9500), …).  Pure
+    function of the id: stable under reruns, re-partitioning, and
+    incremental appends — a new document never flips an old one's
+    split.
+    """
+    h = _salted_fnv(batch[id_col], salt)
+    bucket = (h % np.uint64(mod)).astype(np.int64)
+    labels = np.empty(len(bucket), dtype=object)
+    lo = 0
+    for name, w in splits:
+        hi = lo + int(round(w * mod))
+        labels[(bucket >= lo) & (bucket < hi)] = name
+        lo = hi
+    labels[bucket >= lo] = splits[-1][0]   # rounding slack → last split
+    return batch.append_column("split", pa.array(labels, pa.string()))
+
+
+def stratified_sample(batch: pa.Table, strata_col: str,
+                      rates: dict[str, float], id_col: str = "doc_id",
+                      default_rate: float = 0.0, mod: int = 1_000_000,
+                      salt: str = "sample:") -> pa.Table:
+    """Filter to a per-stratum deterministic sample — the data-mixing
+    primitive (e.g. keep 10% of crawl, 100% of curated sources).
+
+    A row survives iff ``fnv1a(salt + id) % mod < rate[stratum] * mod``.
+    Map-side only: no shuffle, no driver state, and the kept set is
+    reproducible row-for-row across runs and cluster sizes.
+    """
+    h = _salted_fnv(batch[id_col], salt) % np.uint64(mod)
+    strata = batch[strata_col]
+    if isinstance(strata, pa.ChunkedArray):
+        strata = strata.combine_chunks()
+    sv = strata.to_numpy(zero_copy_only=False).astype(object)
+    thresh = np.fromiter(
+        (int(round(rates.get(s, default_rate) * mod)) for s in sv),
+        dtype=np.uint64, count=len(sv))
+    return batch.filter(pa.array(h < thresh))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+
+class ContaminationStage:
+    """Flag documents sharing word-``n``-gram shingles with a benchmark
+    set (train/test contamination screening).
+
+    The benchmark shingle set is built ONCE driver-side (benchmarks are
+    eval sets — thousands of rows, not corpus-scale; documented
+    assumption) and shipped to every actor via ``ray.put``; each batch
+    then scores with one ``np.isin`` against the sorted hash array.
+    Use as ``ds.map_batches(ContaminationStage,
+    fn_constructor_kwargs={"bench_ref": ref}, concurrency=...)``.
+    """
+
+    def __init__(self, bench_ref, n: int = 3, column: str = "text",
+                 min_overlap: int = 1):
+        import ray
+
+        from ..dedup.ngram import doc_shingles
+
+        self._doc_shingles = doc_shingles
+        self.n, self.column, self.min_overlap = n, column, min_overlap
+        bench = ray.get(bench_ref)
+        _, sh, _ = doc_shingles(bench, n=n)
+        self.bench_set = np.unique(sh)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_of, sh, sizes = self._doc_shingles(batch[self.column], n=self.n)
+        hit = np.isin(sh, self.bench_set)
+        overlap = np.bincount(doc_of[hit], minlength=batch.num_rows)
+        return batch.append_column(
+            "n_shingles", pa.array(sizes, pa.int64())
+        ).append_column(
+            "n_overlap", pa.array(overlap.astype(np.int64))
+        ).append_column(
+            "contaminated", pa.array(overlap >= self.min_overlap))
+
+
+def contamination_check(ds, bench_texts: pa.Array | pa.ChunkedArray,
+                        n: int = 3, column: str = "text",
+                        min_overlap: int = 1, concurrency=(1, 8)):
+    """Dataset wrapper: broadcast ``bench_texts`` once, score every
+    batch.  Output = input columns + (n_shingles, n_overlap,
+    contaminated)."""
+    import ray
+
+    if isinstance(bench_texts, pa.ChunkedArray):
+        bench_texts = bench_texts.combine_chunks()
+    ref = ray.put(bench_texts)
+    return ds.map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs={"bench_ref": ref, "n": n, "column": column,
+                               "min_overlap": min_overlap},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition
+
+def repetition_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append repetition signals: ``n_tokens``, ``n_distinct``,
+    ``dup_frac`` (1 − distinct/total) and ``top_frac`` (most frequent
+    token's share) — the standard boilerplate/spam filters (C4/Gopher
+    style "repetition ratio" signals).
+
+    Tokenization matches the oracle exactly: ``[a-z0-9]+`` runs of the
+    lowercased text.  Per-doc distinct/top counts come from one global
+    ``np.unique`` over (doc, token-id) pairs — vectorized across the
+    whole batch, no per-row loop.
+    """
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(text, "")), r"[^a-z0-9]+")
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = batch.num_rows
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    seg_len = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len)[nonempty]
+    vals = flat.to_numpy(zero_copy_only=False).astype(object)[nonempty]
+    n_tokens = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    if len(vals):
+        _, inv = np.unique(vals, return_inverse=True)
+        pair, counts = np.unique(
+            doc_of * np.int64(len(vals) + 1) + inv, return_counts=True)
+        pair_doc = pair // np.int64(len(vals) + 1)
+        n_distinct = np.bincount(pair_doc, minlength=n_docs).astype(np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, pair_doc, counts)
+    else:
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+    safe = np.maximum(n_tokens, 1).astype(np.float64)
+    # round-half-even at 1e-6, the exact sequence SQL reproduces (see
+    # quality_stats for why pc.round(ndigits=) drifts by 1 ulp)
+    def r6(x):
+        return np.round(x * 1e6) / 1e6
+
+    # empty docs have no repetition (not 1 − 0/1 = 1)
+    dup_frac = r6(np.where(n_tokens > 0, 1.0 - n_distinct / safe, 0.0))
+    top_frac = r6(top / safe)
+    out = batch
+    for name, arr in [("n_tokens", n_tokens), ("n_distinct", n_distinct)]:
+        out = out.append_column(name, pa.array(arr))
+    for name, arr in [("dup_frac", dup_frac), ("top_frac", top_frac)]:
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out

@@ -37,6 +37,12 @@ PARITY_KEYS = [
     "customers_no_urgent",
     "orders_building_semi",
     "events_heavy_users",
+    "docs_pii_scrub",
+    "docs_split",
+    "docs_sample",
+    "docs_contamination",
+    "docs_repetition",
+    "docs_url_domains",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
