@@ -611,6 +611,42 @@ def _q_orders_building_semi(sf_dir: str):
     return key_semi_join(orders, bld, "o_custkey", "c_custkey")
 
 
+def _q_lineitem_orders_join(sf_dir: str):
+    """Large×large inner equi-join (symmetric co-group shuffle — neither
+    side is broadcastable at scale)."""
+    from tera_ray.query.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+
+def _q_orders_customer_left(sf_dir: str):
+    """Left outer join with real null fill (right side filtered to
+    BUILDING-segment customers)."""
+    from tera_ray.query.relational import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    bld = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
+    return hash_join(orders, bld, on="o_custkey", right_on="c_custkey",
+                     how="left")
+
+
+def _q_orders_priority_quantiles(sf_dir: str):
+    """Per-group exact quantile_cont (vectorized rank-grid gather, one
+    bucket shuffle)."""
+    from tera_ray.query.relational import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_quantiles(ds, "o_orderpriority", "o_totalprice",
+                             [0.25, 0.5, 0.75])
+
+
 def _q_events_heavy_users(sf_dir: str):
     """EXACT heavy hitters (users with ≥0.7% of all events): per-batch
     locally-frequent candidate pruning (superset guarantee) + exact
@@ -1268,6 +1304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "orders_building_semi": _q_orders_building_semi,
         "events_heavy_users": _q_events_heavy_users,
+        "lineitem_orders_join": _q_lineitem_orders_join,
+        "orders_customer_left": _q_orders_customer_left,
+        "orders_priority_quantiles": _q_orders_priority_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_split": _q_docs_split,
@@ -2271,6 +2310,21 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "events_heavy_users":
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
             " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",
+        "lineitem_orders_join":
+            "SELECT l_orderkey, l_linenumber, l_extendedprice,"
+            " o_custkey, o_totalprice FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey",
+        "orders_customer_left":
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders"
+            " LEFT JOIN (SELECT * FROM customer"
+            " WHERE c_mktsegment = 'BUILDING') c"
+            " ON o_custkey = c_custkey",
+        "orders_priority_quantiles":
+            "WITH a AS (SELECT o_orderpriority,"
+            " quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS vs"
+            " FROM orders GROUP BY 1)"
+            " SELECT o_orderpriority, unnest([0.25, 0.5, 0.75]) AS q,"
+            " unnest(vs) AS value FROM a",
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
             f" FROM read_parquet('{fx}/tests.parquet')"

@@ -693,3 +693,141 @@ def heavy_hitters(ds, col: str, threshold: float, num_buckets: int = 64,
     out = g.filter(keep)
     return pa.table({col: out["__v"].combine_chunks(),
                      "cnt": out["cnt_sum"].combine_chunks()})
+
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              how: str = "inner", num_buckets: int = 64,
+              rsuffix: str = "_r"):
+    """General large×large equi-join: ONE hash-bucket co-group shuffle.
+
+    Both sides are tagged and unioned (padded to the superset schema
+    with TYPED nulls), co-located by ``hash(key) % num_buckets``, and
+    joined per bucket with Arrow's vectorized ``Table.join``.  ``how``
+    ∈ {"inner", "left", "right", "full"}; null keys never match (SQL
+    semantics), and the join-key column keeps the LEFT name.  Right
+    columns colliding with a left name get ``rsuffix``.
+
+    This is the symmetric-shuffle path for two genuinely large sides —
+    use :func:`broadcast_join` when one side is driver-small, and
+    :func:`bucket_multijoin` for deep star trees on one key.  Unlike a
+    chained ``Dataset.join`` it pins no aggregator actors (see the
+    deadlock note on :func:`bucket_multijoin`); ``num_buckets`` bounds
+    per-task memory: size it so (join input / num_buckets) fits a
+    worker heap.
+    """
+    right_on = right_on or on
+    how_map = {"inner": "inner", "left": "left outer",
+               "right": "right outer", "full": "full outer"}
+    assert how in how_map, f"unsupported how={how!r}"
+
+    def _pa_schema(ds):
+        s = ds.schema()
+        return getattr(s, "base_schema", s)
+
+    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    key_type = lsch.field(on).type
+    assert key_type == rsch.field(right_on).type, (
+        f"join key types differ: {key_type} vs {rsch.field(right_on).type}")
+    lvals = [n for n in lsch.names if n != on]
+    rvals = [n for n in rsch.names if n != right_on]
+    rename = {c: (c + rsuffix if c in [on] + lvals else c) for c in rvals}
+    out_cols = [on] + lvals + [rename[c] for c in rvals]
+    types = {on: key_type}
+    for c in lvals:
+        types[c] = lsch.field(c).type
+    for c in rvals:
+        types[rename[c]] = rsch.field(c).type
+
+    def tag(src, key_name, own_cols, ren):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {on: t[key_name]}
+            for c in out_cols[1:]:
+                cols[c] = pa.nulls(n, types[c])
+            for c in own_cols:
+                cols[ren.get(c, c)] = t[c]
+            tt = pa.table({c: cols[c] for c in out_cols})
+            tt = tt.append_column("__src", pa.array(np.full(n, src, np.int8)))
+            return tt.append_column("__b", _bucket_of(tt[on], num_buckets))
+        return f
+
+    unioned = left.map_batches(tag(0, on, lvals, {}),
+                               batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on, rvals, rename),
+                          batch_format="pyarrow"))
+
+    lside = [on] + lvals
+    rside = [on] + [rename[c] for c in rvals]
+
+    def merge(t: pa.Table) -> pa.Table:
+        src = t["__src"]
+        lt = t.filter(pc.equal(src, 0)).select(lside)
+        rt = t.filter(pc.equal(src, 1)).select(rside)
+        # Arrow drops null-key rows from outer results only on the
+        # opposite side; SQL keeps a left row with a null key in LEFT
+        # joins (it just matches nothing) — Table.join already does.
+        return lt.join(rt, keys=[on], join_type=how_map[how]).select(out_cols)
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(unioned, "__b", merge)
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: list[float],
+                      num_buckets: int = 64):
+    """Per-key EXACT continuous quantiles (``quantile_cont`` semantics:
+    linear interpolation at rank ``q*(n-1)``, nulls ignored).
+
+    One bucket shuffle co-locates each key's values; inside a bucket
+    ONE sort by (key, value) + run-boundary offsets give every group's
+    order statistics, gathered for all groups × all qs in a handful of
+    numpy takes — no per-group Python loop.  A single KEY's values must
+    fit a worker (the per-key analogue of a sort); for quantiles over
+    an unbounded single column use :func:`exact_quantiles`' histogram
+    passes instead.
+
+    Returns rows ``(key, q double, value double)``.
+    """
+    qarr = np.asarray(list(qs), np.float64)
+
+    def add_b(t: pa.Table) -> pa.Table:
+        t = t.select([key, col]).filter(pc.is_valid(t[col]))
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kt = t[key].type
+        if t.num_rows == 0:
+            return pa.table({key: pa.nulls(0, kt),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            (col, "ascending")])
+        t = t.take(idx)
+        kv = t[key].combine_chunks()
+        k_np = kv.to_numpy(zero_copy_only=False)
+        v = t[col].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        starts = np.ones(len(k_np), dtype=bool)
+        starts[1:] = k_np[1:] != k_np[:-1]
+        s_idx = np.flatnonzero(starts)
+        lens = np.diff(np.append(s_idx, len(k_np)))
+        # (G, Q) rank grid → floor/ceil gathers + linear interpolation
+        h = np.outer(lens - 1, qarr)
+        kf = np.floor(h).astype(np.int64)
+        frac = h - kf
+        kc = np.ceil(h).astype(np.int64)
+        base = s_idx[:, None]
+        vlo = v[base + kf]
+        vhi = v[base + kc]
+        vals = vlo + frac * (vhi - vlo)
+        g = len(s_idx)
+        return pa.table({
+            key: kv.take(pa.array(np.repeat(s_idx, len(qarr)))),
+            "q": pa.array(np.tile(qarr, g), pa.float64()),
+            "value": pa.array(vals.ravel(), pa.float64()),
+        })
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)

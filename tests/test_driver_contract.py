@@ -43,6 +43,9 @@ PARITY_KEYS = [
     "docs_contamination",
     "docs_repetition",
     "docs_url_domains",
+    "lineitem_orders_join",
+    "orders_customer_left",
+    "orders_priority_quantiles",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -7,6 +7,7 @@ import ray
 
 from tera_ray.schema import ECOTOX_NS as NS
 from tera_ray.schema import RDF_VALUE, TRIPLE_SCHEMA, UNIT_UNITS
+from tera_ray.query.relational import grouped_quantiles, hash_join
 
 
 def T(rows):
@@ -270,3 +271,101 @@ class TestEndpointStarRouting:
                   for c in sorted(big.schema().names))
             for r in big.take_all())
         assert rows_small == rows_big and len(rows_small) == 3
+
+
+class TestHashJoin:
+    """hash_join: symmetric co-group shuffle equi-join."""
+
+
+    def _sides(self):
+        import ray.data
+
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, None, 2], pa.int64()),
+            "lv": ["a", "b", "c", "d", "e"],
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array([2, 2, 4, None], pa.int64()),
+            "rv": ["x", "y", "z", "w"],
+        }))
+        return left, right
+
+    def _rows(self, ds):
+        t = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+        return sorted(
+            (tuple(r.values()) for r in t.to_pylist()),
+            key=lambda x: tuple(str(v) for v in x))
+
+    def test_inner_ignores_null_keys(self, ray_session):
+        left, right = self._sides()
+        out = self._rows(hash_join(left, right, on="k", right_on="rk"))
+        assert out == sorted([(2, "b", "x"), (2, "b", "y"),
+                              (2, "e", "x"), (2, "e", "y")],
+                             key=lambda x: tuple(str(v) for v in x))
+
+    def test_left_keeps_unmatched_and_null_key_rows(self, ray_session):
+        left, right = self._sides()
+        out = self._rows(hash_join(left, right, on="k", right_on="rk",
+                                   how="left"))
+        assert len(out) == 7          # 4 matches + rows 1, 3, null
+        assert (1, "a", None) in out
+        assert (None, "d", None) in out
+
+    def test_full_outer(self, ray_session):
+        left, right = self._sides()
+        out = self._rows(hash_join(left, right, on="k", right_on="rk",
+                                   how="full"))
+        # 4 matches + left-only {1, 3, None} + right-only {4, None}
+        assert len(out) == 9
+        assert (4, None, "z") in out
+
+    def test_collision_gets_suffix(self, ray_session):
+        import ray.data
+
+        left = ray.data.from_arrow(pa.table({"k": [1], "v": ["l"]}))
+        right = ray.data.from_arrow(pa.table({"k": [1], "v": ["r"]}))
+        out = hash_join(left, right, on="k")
+        t = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+        assert sorted(t.schema.names) == ["k", "v", "v_r"]
+        assert t.to_pylist() == [{"k": 1, "v": "l", "v_r": "r"}]
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        rng = np.random.default_rng(7)
+        ks = rng.integers(0, 5, 500)
+        vs = rng.normal(size=500)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "v": pa.array(vs, pa.float64()),
+        })).repartition(4)
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        out = pa.concat_tables(list(
+            grouped_quantiles(ds, "k", "v", qs)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        got = {(r["k"], r["q"]): r["value"] for r in out.to_pylist()}
+        assert len(got) == 5 * len(qs)
+        for k in range(5):
+            grp = np.sort(vs[ks == k])
+            for q in qs:
+                h = q * (len(grp) - 1)
+                lo, hi = int(np.floor(h)), int(np.ceil(h))
+                want = grp[lo] + (h - lo) * (grp[hi] - grp[lo])
+                assert got[(k, q)] == pytest.approx(want, abs=1e-12)
+
+    def test_nulls_ignored(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.table({
+            "k": ["a", "a", "a"],
+            "v": pa.array([1.0, None, 3.0], pa.float64()),
+        }))
+        out = pa.concat_tables(list(
+            grouped_quantiles(ds, "k", "v", [0.5])
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        assert out.to_pylist() == [{"k": "a", "q": 0.5, "value": 2.0}]
