@@ -611,6 +611,16 @@ def _q_orders_building_semi(sf_dir: str):
     return key_semi_join(orders, bld, "o_custkey", "c_custkey")
 
 
+def _q_emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (vector-column groupby mean:
+    np.add.at partial per batch, combiner-first (key, dim) shuffle of
+    8-byte sums — the vectors themselves never move)."""
+    from tera_ray.ann.aggregate import vector_group_mean
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return vector_group_mean(ds, "label", "embedding")
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large inner equi-join (symmetric co-group shuffle — neither
     side is broadcastable at scale)."""
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_building_semi": _q_orders_building_semi,
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
+        "emb_label_centroids": _q_emb_label_centroids,
         "orders_customer_left": _q_orders_customer_left,
         "orders_priority_quantiles": _q_orders_priority_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -2310,6 +2321,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "events_heavy_users":
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
             " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",
+        "emb_label_centroids":
+            "WITH u AS (SELECT label, unnest(embedding) AS v,"
+            " unnest(range(0, len(embedding))) AS dim FROM embeddings)"
+            " SELECT label, dim,"
+            " round_even(avg(v::DOUBLE) * 1e6, 0) / 1e6 AS mean"
+            " FROM u GROUP BY label, dim",
         "lineitem_orders_join":
             "SELECT l_orderkey, l_linenumber, l_extendedprice,"
             " o_custkey, o_totalprice FROM lineitem"

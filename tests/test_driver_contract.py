@@ -46,6 +46,7 @@ PARITY_KEYS = [
     "lineitem_orders_join",
     "orders_customer_left",
     "orders_priority_quantiles",
+    "emb_label_centroids",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

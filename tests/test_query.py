@@ -369,3 +369,47 @@ class TestGroupedQuantiles:
             grouped_quantiles(ds, "k", "v", [0.5])
             .iter_batches(batch_format="pyarrow", batch_size=None)))
         assert out.to_pylist() == [{"k": "a", "q": 0.5, "value": 2.0}]
+
+
+class TestVectorGroupMean:
+    def test_matches_numpy_across_batches(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from tera_ray.ann.aggregate import vector_group_mean
+
+        rng = np.random.default_rng(3)
+        labels = rng.integers(0, 4, 200)
+        mat = rng.normal(size=(200, 8)).astype(np.float32)
+        t = pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        out = pa.concat_tables(list(
+            vector_group_mean(ds, "label", "embedding", round_digits=None)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        got = {(r["label"], r["dim"]): r["mean"] for r in out.to_pylist()}
+        assert len(got) == 4 * 8
+        for lb in range(4):
+            want = mat[labels == lb].astype(np.float64).mean(axis=0)
+            for d in range(8):
+                assert got[(lb, d)] == pytest.approx(want[d], abs=1e-9)
+
+    def test_string_keys(self, ray_session):
+        import ray.data
+
+        from tera_ray.ann.aggregate import vector_group_mean
+
+        t = pa.table({
+            "src": ["a", "b", "a"],
+            "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], [3.0, 6.0]],
+                                  pa.list_(pa.float32())),
+        })
+        out = pa.concat_tables(list(
+            vector_group_mean(ray.data.from_arrow(t), "src", "embedding")
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        got = {(r["src"], r["dim"]): r["mean"] for r in out.to_pylist()}
+        assert got == {("a", 0): 2.0, ("a", 1): 4.0,
+                       ("b", 0): 3.0, ("b", 1): 4.0}
