@@ -611,6 +611,41 @@ def _q_orders_building_semi(sf_dir: str):
     return key_semi_join(orders, bld, "o_custkey", "c_custkey")
 
 
+def _q_docs_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing for training prep: a
+    distributed EXCLUSIVE prefix-sum of token counts in doc_id order
+    (`ordered_prefix_sum` — range-bucket scan, only bucket scalars touch
+    the driver) assigns every document its byte-exact position in the
+    2048-token chunk stream."""
+    from tera_ray.query.relational import ordered_prefix_sum
+    from tera_ray.text.analysis import token_stats
+
+    CHUNK = 2048
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(token_stats, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    scanned = ordered_prefix_sum(counted, "doc_id", "n_tokens_ws")
+
+    def place(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = t["prefix"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n_tokens_ws"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = p // CHUNK
+        last = np.where(n > 0, (p + n - 1) // CHUNK, first)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens_ws"],
+            "prefix": t["prefix"],
+            "first_chunk": pa.array(first.astype(np.int64)),
+            "chunk_offset": pa.array((p % CHUNK).astype(np.int64)),
+            "last_chunk": pa.array(last.astype(np.int64)),
+        })
+
+    return scanned.map_batches(place, batch_format="pyarrow")
+
+
 def _q_emb_label_centroids(sf_dir: str):
     """Per-label embedding centroids (vector-column groupby mean:
     np.add.at partial per batch, combiner-first (key, dim) shuffle of
@@ -1316,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
+        "docs_pack_chunks": _q_docs_pack_chunks,
         "orders_customer_left": _q_orders_customer_left,
         "orders_priority_quantiles": _q_orders_priority_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -2321,6 +2357,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "events_heavy_users":
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
             " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",
+        "docs_pack_chunks":
+            r"WITH c AS (SELECT doc_id,"
+            r" len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n"
+            r" FROM documents),"
+            " p AS (SELECT doc_id, n, coalesce(sum(n) OVER"
+            " (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING), 0)::BIGINT AS prefix FROM c)"
+            " SELECT doc_id, n AS n_tokens, prefix,"
+            " prefix // 2048 AS first_chunk,"
+            " prefix % 2048 AS chunk_offset,"
+            " CASE WHEN n = 0 THEN prefix // 2048"
+            " ELSE (prefix + n - 1) // 2048 END AS last_chunk FROM p",
         "emb_label_centroids":
             "WITH u AS (SELECT label, unnest(embedding) AS v,"
             " unnest(range(0, len(embedding))) AS dim FROM embeddings)"

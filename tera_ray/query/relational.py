@@ -831,3 +831,94 @@ def grouped_quantiles(ds, key: str, col: str, qs: list[float],
 
     return bucketed_map_groups(
         ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
+
+
+def ordered_prefix_sum(ds, order_col: str, val_col: str,
+                       num_buckets: int = 64, out_col: str = "prefix"):
+    """EXCLUSIVE running sum of ``val_col`` in ``order_col`` order — the
+    distributed scan primitive (sequence packing, offset assignment,
+    cumulative budgets).
+
+    Three passes over a materialized 2-column projection:
+
+    1. global (min, max) of ``order_col`` (per-batch partials, tiny
+       reduce);
+    2. per-range-bucket sums (uniform buckets over [min, max]; one
+       ``grouped_agg`` whose output is ``num_buckets`` scalars) —
+       the driver turns these into exclusive bucket offsets;
+    3. bucket co-group shuffle; inside a bucket: sort by ``order_col``,
+       local exclusive cumsum + that bucket's offset.
+
+    Nothing larger than ``num_buckets`` scalars ever reaches the
+    driver, and the only shuffle is the range-bucket co-group — the
+    same cost profile as a sort.  ``order_col`` must be numeric and
+    UNIQUE (ties would make "exclusive" ambiguous); values need not be
+    dense — skewed ranges just imbalance buckets, they don't break
+    correctness.
+    """
+    proj = ds.map_batches(lambda t: t.select([order_col, val_col]),
+                          batch_format="pyarrow").materialize()
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t[order_col].combine_chunks().cast(pa.float64()))
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                         "hi": pa.array([pc.max(v).as_py()], pa.float64())})
+
+    mm = pa.concat_tables(list(
+        proj.map_batches(minmax, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert mm.num_rows > 0, "ordered_prefix_sum on an empty dataset"
+    lo = pc.min(mm["lo"]).as_py()
+    hi = pc.max(mm["hi"]).as_py()
+    span = (hi - lo) or 1.0
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        b = ((x - lo) / span * num_buckets).astype(np.int64)
+        return np.clip(b, 0, num_buckets - 1)
+
+    def bucket_sums(t: pa.Table) -> pa.Table:
+        x = t[order_col].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        v = t[val_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = bucket_of(x)
+        present = np.unique(b)
+        sums = np.bincount(b, weights=v, minlength=num_buckets)
+        return pa.table({"__pb": pa.array(present),
+                         "s": pa.array(sums[present].astype(np.int64))})
+
+    sums = pa.concat_tables(list(
+        grouped_agg(proj.map_batches(bucket_sums, batch_format="pyarrow"),
+                    ["__pb"], [("s", "sum", "s")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    per_bucket_sum = np.zeros(num_buckets, np.int64)
+    for r in sums.to_pylist():
+        per_bucket_sum[r["__pb"]] = r["s"]
+    offsets = np.concatenate([[0], np.cumsum(per_bucket_sum)[:-1]])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        x = t[order_col].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return t.append_column(
+            "__pb", pa.array(bucket_of(x).astype(np.int32)))
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__pb"]).append_column(
+                out_col, pa.array([], pa.int64()))
+        b = int(t["__pb"][0].as_py())
+        idx = pc.sort_indices(t, sort_keys=[(order_col, "ascending")])
+        t = t.take(idx)
+        v = t[val_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        run = offsets[b] + np.concatenate([[0], np.cumsum(v)[:-1]])
+        return t.drop_columns(["__pb"]).append_column(
+            out_col, pa.array(run.astype(np.int64)))
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        proj.map_batches(add_b, batch_format="pyarrow"), "__pb", scan_bucket)

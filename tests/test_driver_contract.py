@@ -47,6 +47,7 @@ PARITY_KEYS = [
     "orders_customer_left",
     "orders_priority_quantiles",
     "emb_label_centroids",
+    "docs_pack_chunks",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -413,3 +413,28 @@ class TestVectorGroupMean:
         got = {(r["src"], r["dim"]): r["mean"] for r in out.to_pylist()}
         assert got == {("a", 0): 2.0, ("a", 1): 4.0,
                        ("b", 0): 3.0, ("b", 1): 4.0}
+
+
+class TestOrderedPrefixSum:
+    def test_exclusive_scan_non_dense_keys(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from tera_ray.query.relational import ordered_prefix_sum
+
+        rng = np.random.default_rng(11)
+        # sparse, shuffled, negative-to-positive order keys
+        order = rng.permutation(np.arange(-500, 1500, 7))
+        vals = rng.integers(0, 50, len(order))
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(order, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        })).repartition(6)
+        out = pa.concat_tables(list(
+            ordered_prefix_sum(ds, "k", "v", num_buckets=8)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        got = dict(zip(out["k"].to_pylist(), out["prefix"].to_pylist()))
+        srt = np.argsort(order)
+        want = np.concatenate([[0], np.cumsum(vals[srt])[:-1]])
+        for k, w in zip(order[srt], want):
+            assert got[k] == w
