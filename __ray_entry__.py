@@ -611,6 +611,72 @@ def _q_orders_building_semi(sf_dir: str):
     return key_semi_join(orders, bld, "o_custkey", "c_custkey")
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped composite: revenue per ASIA nation where customer
+    and supplier share the nation.  Dims (region/nation/supplier) are
+    driver-small lookups shipped once; the two FACT joins — orders ⋈
+    customers-in-region and lineitem ⋈ that — run as symmetric
+    ``hash_join`` co-group shuffles, then a combiner-first grouped sum.
+    The plan a 100 TB run needs: no fact table is ever broadcast or
+    driver-materialized."""
+    import numpy as np
+
+    from tera_ray.query.relational import grouped_agg, hash_join
+
+    nat = _collect(_read(sf_dir, "nation"))
+    reg = _collect(_read(sf_dir, "region"))
+    asia = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    nat_in = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia))
+    sup = _collect(_read(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"]))
+    # dense int lookup arrays → vectorized np take inside the fact maps
+    sk_all = sup["s_suppkey"].combine_chunks().to_numpy()
+    sup_lut = np.full(int(sk_all.max()) + 1, -1, np.int64)
+    sup_lut[sk_all] = sup["s_nationkey"].combine_chunks().to_numpy()
+    nk_all = np.asarray(nat_in["n_nationkey"].to_pylist(), np.int64)
+    name_lut = np.full(int(nat["n_nationkey"].combine_chunks()
+                           .to_numpy().max()) + 1, "", object)
+    name_lut[nk_all] = np.asarray(nat_in["n_name"].to_pylist(), object)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["c_nationkey"].combine_chunks().to_numpy(), nk_all))),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_cust = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        s_nat = sup_lut[np.clip(sk, 0, len(sup_lut) - 1)]
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "s_nationkey": pa.array(s_nat),
+            "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+        })
+
+    li_n = li.map_batches(derive, batch_format="pyarrow")
+    joined = hash_join(li_n, ord_cust, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"],
+                              pc.cast(t["c_nationkey"], pa.int64())))
+        nk = t["s_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(name_lut[nk], pa.string()),
+            "cents": t["cents"],
+        })
+
+    return grouped_agg(joined.map_batches(to_nation, batch_format="pyarrow"),
+                       ["n_name"], [("cents", "sum", "revenue_cents")])
+
+
 def _q_docs_pack_chunks(sf_dir: str):
     """Concat-and-chunk sequence packing for training prep: a
     distributed EXCLUSIVE prefix-sum of token counts in doc_id order
@@ -1352,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
         "docs_pack_chunks": _q_docs_pack_chunks,
+        "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
         "orders_priority_quantiles": _q_orders_priority_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
@@ -2357,6 +2424,17 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "events_heavy_users":
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
             " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",
+        "nation_revenue":
+            "SELECT n_name, CAST(sum(CAST("
+            "round(l_extendedprice*(1-l_discount)*100) AS BIGINT))"
+            " AS BIGINT) AS revenue_cents"
+            " FROM region JOIN nation ON n_regionkey = r_regionkey"
+            " JOIN customer ON c_nationkey = n_nationkey"
+            " JOIN orders ON o_custkey = c_custkey"
+            " JOIN lineitem ON l_orderkey = o_orderkey"
+            " JOIN supplier ON s_suppkey = l_suppkey"
+            " AND s_nationkey = c_nationkey"
+            " WHERE r_name = 'ASIA' GROUP BY n_name",
         "docs_pack_chunks":
             r"WITH c AS (SELECT doc_id,"
             r" len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n"

@@ -48,6 +48,7 @@ PARITY_KEYS = [
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",
+    "nation_revenue",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
