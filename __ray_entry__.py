@@ -220,6 +220,37 @@ def _q_pricing_summary(sf_dir: str):
                         ("base_cents", "sum", "base_cents")])
 
 
+def _q_lineitem_price_stats(sf_dir: str):
+    """Moment aggregates (avg / sample stddev / sample variance) via
+    the mergeable-moments combiner in ``grouped_agg`` — one shuffle of
+    (n, Σx, Σx²) triples per group, never raw rows.  Outputs are
+    rounded identically in engine and oracle (float64 moment math and
+    DuckDB's streaming variance agree to ~1e-9 relative; rounding
+    removes the last-bit ambiguity)."""
+    from tera_ray.query.relational import grouped_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    g = grouped_agg(li, ["l_returnflag"],
+                    [("l_extendedprice", "avg", "avg_price"),
+                     ("l_extendedprice", "std", "std_price"),
+                     ("l_quantity", "avg", "avg_qty"),
+                     ("l_quantity", "var", "var_qty"),
+                     ("l_returnflag", "count", "n")])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "avg_price": pc.round(t["avg_price"], 4),
+            "std_price": pc.round(t["std_price"], 4),
+            "avg_qty": pc.round(t["avg_qty"], 6),
+            "var_qty": pc.round(t["var_qty"], 6),
+            "n": t["n"],
+        })
+
+    return g.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_orders_top100(sf_dir: str):
     """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
     then a driver-cheap limit)."""
@@ -732,6 +763,28 @@ def _q_lineitem_orders_join(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+
+def _q_customer_urgent_full(sf_dir: str):
+    """FULL OUTER join with unmatched rows on BOTH sides: BUILDING
+    customers (left-only when they placed no urgent order) against
+    per-customer 1-URGENT order counts (right-only for non-BUILDING
+    customers).  The co-group shuffle coalesces the key exactly like
+    SQL ``COALESCE(l.k, r.k)``."""
+    from tera_ray.query.relational import grouped_agg, hash_join
+
+    bld = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    cnt = grouped_agg(urgent, ["o_custkey"],
+                      [("o_custkey", "count", "urgent_cnt")])
+    return hash_join(bld, cnt, on="c_custkey", right_on="o_custkey",
+                     how="full")
 
 
 def _q_orders_customer_left(sf_dir: str):
@@ -1398,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": _q_revenue_by_segment,
         "building_suppliers": _q_building_suppliers,
         "pricing_summary": _q_pricing_summary,
+        "lineitem_price_stats": _q_lineitem_price_stats,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -1420,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_chunks": _q_docs_pack_chunks,
         "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
+        "customer_urgent_full": _q_customer_urgent_full,
         "orders_priority_quantiles": _q_orders_priority_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_pii_scrub": _q_docs_pii_scrub,
@@ -2211,6 +2266,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
             " AS base_cents"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "lineitem_price_stats":
+            "SELECT l_returnflag,"
+            " round(avg(l_extendedprice), 4) AS avg_price,"
+            " round(stddev_samp(l_extendedprice), 4) AS std_price,"
+            " round(avg(l_quantity), 6) AS avg_qty,"
+            " round(var_samp(l_quantity), 6) AS var_qty,"
+            " count(*) AS n"
+            " FROM lineitem GROUP BY l_returnflag",
         "events_sessions":
             "SELECT user_id, count(*) AS n_events,"
             " string_agg(event_type, '|' ORDER BY ts, event_id) AS seq"
@@ -2462,6 +2525,15 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " LEFT JOIN (SELECT * FROM customer"
             " WHERE c_mktsegment = 'BUILDING') c"
             " ON o_custkey = c_custkey",
+        "customer_urgent_full":
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,"
+            " c.c_mktsegment, o.urgent_cnt"
+            " FROM (SELECT c_custkey, c_mktsegment FROM customer"
+            " WHERE c_mktsegment = 'BUILDING') c"
+            " FULL OUTER JOIN (SELECT o_custkey, count(*) AS urgent_cnt"
+            " FROM orders WHERE o_orderpriority = '1-URGENT'"
+            " GROUP BY o_custkey) o"
+            " ON c.c_custkey = o.o_custkey",
         "orders_priority_quantiles":
             "WITH a AS (SELECT o_orderpriority,"
             " quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS vs"

@@ -60,25 +60,52 @@ def top1_per_key(ds, key: str, order: list[tuple[str, str]],
 def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     """groupby(keys) with explicit output names.
 
-    ``aggs``: (input_col, fn, output_name), fn ∈ {count, sum, min, max}.
-    Implemented as per-batch partial aggregation (vectorized Arrow
-    ``group_by``) + a final merge groupby — the combiner halves shuffle
-    volume vs a naive groupby and mirrors how the 100 TB path must run.
+    ``aggs``: (input_col, fn, output_name), fn ∈ {count, sum, min, max,
+    avg, var, std}.  Implemented as per-batch partial aggregation
+    (vectorized Arrow ``group_by``) + a final merge groupby — the
+    combiner halves shuffle volume vs a naive groupby and mirrors how
+    the 100 TB path must run.
+
+    ``avg``/``var``/``std`` decompose into mergeable moments (valid
+    count, sum, sum of squares in float64); ``var``/``std`` are SAMPLE
+    statistics (DuckDB ``var_samp``/``stddev_samp``: NULL for n<2).
+    The sum-of-squares form trades a little numerical head-room for a
+    single shuffle; values up to ~1e7 keep ~9 significant digits.
     """
     spec = [(c, f, o) for c, f, o in aggs]
     num_buckets = 64
+    # physical partial columns: (phys_name, source, partial_fn) where
+    # source is an input column name, "__ones", or ("sq", col).
+    phys: list[tuple[str, object, str]] = []
+    for c, f, o in spec:
+        if f == "count":
+            phys.append((o, "__ones", "sum"))
+        elif f in ("sum", "min", "max"):
+            phys.append((o, c, f))
+        elif f in ("avg", "var", "std"):
+            phys.append((f"__{o}__n", c, "count"))
+            phys.append((f"__{o}__s", ("f64", c), "sum"))
+            if f in ("var", "std"):
+                phys.append((f"__{o}__ss", ("sq", c), "sum"))
+        else:
+            raise ValueError(f"unsupported agg fn {f!r}")
+
+    def _src(t: pa.Table, src):
+        if src == "__ones":
+            return pa.array(np.ones(t.num_rows, np.int64))
+        if isinstance(src, tuple):
+            v = pc.cast(t[src[1]], pa.float64())
+            return pc.multiply(v, v) if src[0] == "sq" else v
+        return t[src]
 
     def partial(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
-        for c, f, o in spec:
-            if f == "count":
-                cols[o] = pa.array(np.ones(t.num_rows, np.int64))
-            else:
-                cols[o] = t[c]
+        for name, src, _ in phys:
+            cols[name] = _src(t, src)
         tt = pa.table(cols)
-        merge_fns = [(o, "sum" if f == "count" else f) for _, f, o in spec]
-        g = tt.group_by(keys, use_threads=False).aggregate(merge_fns)
-        ren = {f"{o}_{'sum' if f == 'count' else f}": o for _, f, o in spec}
+        g = tt.group_by(keys, use_threads=False).aggregate(
+            [(name, fn) for name, _, fn in phys])
+        ren = {f"{name}_{fn}": name for name, _, fn in phys}
         g = g.rename_columns([ren.get(n, n) for n in g.schema.names])
         # shuffle key = hash bucket of the group keys, never the raw keys
         # (per-distinct-key map_groups calls don't scale; merge is an
@@ -91,11 +118,33 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
 
     def merge(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__b"])
-        merge_fns = [(o, "sum" if f in ("count", "sum") else f)
-                     for _, f, o in spec]
+        merge_fns = [(name, "sum" if fn in ("count", "sum") else fn)
+                     for name, _, fn in phys]
         g = t.group_by(keys, use_threads=False).aggregate(merge_fns)
-        ren = {f"{o}_{fn}": o for (_, _, o), (_, fn) in zip(spec, merge_fns)}
-        return g.rename_columns([ren.get(n, n) for n in g.schema.names])
+        ren = {f"{name}_{fn}": name for (name, _, _), (_, fn)
+               in zip(phys, merge_fns)}
+        g = g.rename_columns([ren.get(n, n) for n in g.schema.names])
+        out = {k: g[k] for k in keys}
+        for c, f, o in spec:
+            if f in ("count", "sum", "min", "max"):
+                out[o] = g[o]
+                continue
+            n = pc.cast(g[f"__{o}__n"], pa.float64())
+            s = g[f"__{o}__s"]
+            mean = pc.if_else(pc.greater(n, 0), pc.divide(s, n),
+                              pa.scalar(None, pa.float64()))
+            if f == "avg":
+                out[o] = mean
+                continue
+            ss = g[f"__{o}__ss"]
+            # sample variance: (ss - s²/n) / (n-1); clamp tiny negative
+            # rounding residue to 0; NULL when n < 2.
+            num = pc.subtract(ss, pc.multiply(mean, s))
+            v = pc.max_element_wise(
+                pc.divide(num, pc.subtract(n, 1)), pa.scalar(0.0))
+            v = pc.if_else(pc.greater(n, 1), v, pa.scalar(None, pa.float64()))
+            out[o] = pc.sqrt_checked(v) if f == "std" else v
+        return pa.table(out)
 
     from ..stages.base import bucketed_map_groups
 

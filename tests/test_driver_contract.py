@@ -45,6 +45,8 @@ PARITY_KEYS = [
     "docs_url_domains",
     "lineitem_orders_join",
     "orders_customer_left",
+    "customer_urgent_full",
+    "lineitem_price_stats",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

@@ -143,6 +143,44 @@ class TestRelational:
         got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in out.take_all()}
         assert got == {"x": (3, 8, 1, 4), "y": (1, 2, 2, 2)}
 
+    def test_grouped_agg_moments(self):
+        import numpy as np
+
+        from tera_ray.query.relational import grouped_agg
+
+        rng = np.random.default_rng(7)
+        k = np.repeat(["a", "b", "c"], [50, 7, 1])
+        v = np.round(rng.normal(1000.0, 250.0, size=58), 3)
+        t = pa.table({"k": k, "v": v})
+        out = grouped_agg(ray.data.from_arrow(t).repartition(4), ["k"],
+                          [("v", "avg", "m"), ("v", "std", "sd"),
+                           ("v", "var", "vr"), ("v", "count", "n")])
+        got = {r["k"]: r for r in out.take_all()}
+        for key in ("a", "b"):
+            seg = v[k == key]
+            assert got[key]["n"] == len(seg)
+            assert abs(got[key]["m"] - seg.mean()) < 1e-9
+            assert abs(got[key]["sd"] - seg.std(ddof=1)) < 1e-7
+            assert abs(got[key]["vr"] - seg.var(ddof=1)) < 1e-6
+        # sample variance of a single value is NULL (var_samp semantics)
+        assert got["c"]["sd"] is None and got["c"]["vr"] is None
+        assert abs(got["c"]["m"] - v[k == "c"][0]) < 1e-12
+
+    def test_grouped_agg_moments_nulls(self):
+        from tera_ray.query.relational import grouped_agg
+
+        t = pa.table({"k": ["x", "x", "x", "y"],
+                      "v": [1.0, None, 3.0, None]})
+        out = grouped_agg(ray.data.from_arrow(t).repartition(2), ["k"],
+                          [("v", "avg", "m"), ("v", "std", "sd"),
+                           ("v", "count", "n")])
+        got = {r["k"]: r for r in out.take_all()}
+        # avg/std ignore nulls; count counts rows (count(*))
+        assert got["x"]["n"] == 3 and abs(got["x"]["m"] - 2.0) < 1e-12
+        assert abs(got["x"]["sd"] - 2 ** 0.5) < 1e-12
+        assert got["y"]["n"] == 1 and got["y"]["m"] is None
+        assert got["y"]["sd"] is None
+
     def test_broadcast_join(self):
         from tera_ray.query.relational import broadcast_join
 
