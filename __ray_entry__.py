@@ -251,6 +251,62 @@ def _q_lineitem_price_stats(sf_dir: str):
     return g.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): one raw-data shuffle at the
+    finest level, subtotals + grand total re-aggregated from its
+    (small, materialized) result — `tera_ray.query.relational.rollup_agg`."""
+    from tera_ray.query.relational import rollup_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return rollup_agg(orders.map_batches(derive, batch_format="pyarrow"),
+                      ["o_orderpriority", "o_orderstatus"],
+                      [("cents", "count", "n"), ("cents", "sum", "cents")])
+
+
+def _q_set_sides(sf_dir: str):
+    """Shared sides for the set-op queries: urgent-order customer keys
+    vs BUILDING-segment customer keys, both projected to one ``custkey``
+    column."""
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"custkey": t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]}),
+        batch_format="pyarrow")
+    bld = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"custkey": t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+    return urgent, bld
+
+
+def _q_custkeys_intersect(sf_dir: str):
+    """Distributed INTERSECT DISTINCT (side-flag groupby — null-safe,
+    one distinct-rows shuffle; `tera_ray.query.relational.set_op`)."""
+    from tera_ray.query.relational import set_op
+
+    urgent, bld = _q_set_sides(sf_dir)
+    return set_op(urgent, bld, "intersect")
+
+
+def _q_custkeys_except(sf_dir: str):
+    """Distributed EXCEPT DISTINCT (same machinery, left-only filter)."""
+    from tera_ray.query.relational import set_op
+
+    urgent, bld = _q_set_sides(sf_dir)
+    return set_op(urgent, bld, "except")
+
+
 def _q_orders_top100(sf_dir: str):
     """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
     then a driver-cheap limit)."""
@@ -1452,6 +1508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_suppliers": _q_building_suppliers,
         "pricing_summary": _q_pricing_summary,
         "lineitem_price_stats": _q_lineitem_price_stats,
+        "orders_rollup": _q_orders_rollup,
+        "custkeys_intersect": _q_custkeys_intersect,
+        "custkeys_except": _q_custkeys_except,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -2266,6 +2325,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
             " AS base_cents"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "custkeys_intersect":
+            "SELECT DISTINCT o_custkey AS custkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT'"
+            " INTERSECT"
+            " SELECT c_custkey FROM customer"
+            " WHERE c_mktsegment = 'BUILDING'",
+        "custkeys_except":
+            "SELECT DISTINCT o_custkey AS custkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT'"
+            " EXCEPT"
+            " SELECT c_custkey FROM customer"
+            " WHERE c_mktsegment = 'BUILDING'",
+        "orders_rollup":
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS n,"
+            " CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+            " AS cents"
+            " FROM orders"
+            " GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
         "lineitem_price_stats":
             "SELECT l_returnflag,"
             " round(avg(l_extendedprice), 4) AS avg_price,"

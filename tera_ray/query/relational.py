@@ -152,6 +152,134 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         ds.map_batches(partial, batch_format="pyarrow"), "__b", merge)
 
 
+def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """``GROUP BY ROLLUP(keys)``: hierarchical subtotals at every key
+    prefix plus the grand total.
+
+    ONE data-wide shuffle computes the finest level with
+    :func:`grouped_agg`; every coarser level re-aggregates the finest
+    RESULT (cardinality = distinct key combos, not raw rows), so the
+    rollup costs one real shuffle + len(keys) tiny ones — the only
+    scale-correct plan at 100 TB.  Restricted to the decomposable fns
+    {count, sum, min, max} (count folds into sum on re-aggregation;
+    avg/var moments are not preserved in finalized outputs — compute
+    those with :func:`grouped_agg` per level if needed).
+
+    Rolled-up key columns are typed NULLs, exactly like SQL ROLLUP; if
+    a key column itself contains NULLs the two are indistinguishable
+    without a GROUPING() marker (same caveat as plain SQL).
+    """
+    for _, f, _ in aggs:
+        assert f in ("count", "sum", "min", "max"), \
+            f"rollup_agg supports decomposable fns only, got {f!r}"
+    # materialize the finest level ONCE (it is the post-aggregation
+    # result — distinct key combos, small); without this every coarser
+    # level would lazily re-run the full input shuffle.
+    finest = grouped_agg(ds, keys, aggs).materialize()
+    # finalized outputs re-aggregate: count columns are already counts,
+    # so they fold by SUM; sum/min/max fold by themselves.
+    reagg = [(o, "sum" if f in ("count", "sum") else f, o)
+             for _, f, o in aggs]
+    outs = [o for _, _, o in aggs]
+
+    def _pa_schema(d):
+        s = d.schema()
+        return getattr(s, "base_schema", s)
+
+    key_types = {}
+    sch = _pa_schema(finest)
+    for k in keys:
+        key_types[k] = sch.field(k).type
+
+    def pad(level_keys):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in level_keys
+                           else pa.nulls(t.num_rows, key_types[k]))
+            for o in outs:
+                cols[o] = t[o]
+            return pa.table(cols)
+        return f
+
+    levels = [finest.map_batches(pad(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        sub = keys[:i]
+        levels.append(grouped_agg(finest, sub, reagg).map_batches(
+            pad(sub), batch_format="pyarrow"))
+    # grand total: constant grouping key, dropped after the fold
+    withc = finest.map_batches(
+        lambda t: t.append_column("__all", pa.array(
+            np.zeros(t.num_rows, np.int8))), batch_format="pyarrow")
+    total = grouped_agg(withc, ["__all"], reagg).map_batches(
+        lambda t: pad(())(t.drop_columns(["__all"])),
+        batch_format="pyarrow")
+    levels.append(total)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def set_op(left, right, op: str, num_buckets: int = 64):
+    """SQL set operations with DISTINCT semantics: ``op`` ∈
+    {"intersect", "except"} over two Datasets with identical schemas.
+
+    Both sides get a side flag, union, and ONE hash-bucket shuffle on
+    the full row (per-batch distinct-per-side combiner first, so the
+    shuffle moves distinct rows, not raw rows).  Inside a bucket a
+    single Arrow ``group_by(all cols)`` folds the side flags —
+    ``max(__l)``/``max(__r)`` — and a filter keeps rows present in both
+    (intersect) or left-only (except).  NULLs compare equal, exactly
+    like SQL set ops (Arrow group_by groups nulls together), which a
+    join-based plan would get wrong.
+    """
+    assert op in ("intersect", "except"), op
+
+    def _pa_schema(d):
+        s = d.schema()
+        return getattr(s, "base_schema", s)
+
+    cols = list(_pa_schema(left).names)
+    assert cols == list(_pa_schema(right).names), \
+        "set_op requires identical schemas"
+
+    from ..stages.base import hash_column
+
+    def tag(is_left):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            # per-side distinct combiner: shuffle distinct rows only
+            g = t.group_by(cols, use_threads=False).aggregate([])
+            n = g.num_rows
+            g = g.append_column("__l", pa.array(
+                np.full(n, 1 if is_left else 0, np.int8)))
+            g = g.append_column("__r", pa.array(
+                np.full(n, 0 if is_left else 1, np.int8)))
+            h = hash_column(g, keys=tuple(cols)).to_numpy(
+                zero_copy_only=False)
+            return g.append_column(
+                "__b", pa.array((h % num_buckets).astype(np.int32)))
+        return f
+
+    unioned = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.map_batches(tag(False), batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__b"]).group_by(
+            cols, use_threads=False).aggregate([("__l", "max"),
+                                                ("__r", "max")])
+        inl = pc.equal(g["__l_max"], 1)
+        inr = pc.equal(g["__r_max"], 1)
+        keep = (pc.and_(inl, inr) if op == "intersect"
+                else pc.and_(inl, pc.invert(inr)))
+        return g.filter(keep).select(cols)
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(unioned, "__b", per_bucket)
+
+
 def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
                          value_col: str, sep: str = "|",
                          out_names: tuple[str, str, str] = ("key", "n", "seq")):

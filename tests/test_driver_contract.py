@@ -47,6 +47,9 @@ PARITY_KEYS = [
     "orders_customer_left",
     "customer_urgent_full",
     "lineitem_price_stats",
+    "orders_rollup",
+    "custkeys_intersect",
+    "custkeys_except",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

@@ -181,6 +181,37 @@ class TestRelational:
         assert got["y"]["n"] == 1 and got["y"]["m"] is None
         assert got["y"]["sd"] is None
 
+    def test_rollup_agg(self):
+        from tera_ray.query.relational import rollup_agg
+
+        t = pa.table({"a": ["x", "x", "y", "y", "y"],
+                      "b": ["p", "q", "p", "p", "q"],
+                      "v": [1, 2, 4, 8, 16]})
+        out = rollup_agg(ray.data.from_arrow(t).repartition(3),
+                         ["a", "b"], [("v", "count", "n"),
+                                      ("v", "sum", "s")])
+        got = {(r["a"], r["b"]): (r["n"], r["s"]) for r in out.take_all()}
+        assert got == {
+            ("x", "p"): (1, 1), ("x", "q"): (1, 2),
+            ("y", "p"): (2, 12), ("y", "q"): (1, 16),
+            ("x", None): (2, 3), ("y", None): (3, 28),
+            (None, None): (5, 31)}
+
+    def test_set_op_null_safe(self):
+        from tera_ray.query.relational import set_op
+
+        l = ray.data.from_arrow(pa.table(
+            {"a": [1, 1, 2, None, 3], "b": ["x", "x", "y", None, "z"]}))
+        r = ray.data.from_arrow(pa.table(
+            {"a": [1, None, 4], "b": ["x", None, "w"]}))
+        inter = sorted(((r_["a"], r_["b"]) for r_ in
+                        set_op(l, r, "intersect").take_all()), key=str)
+        # SQL set ops: NULL row matches NULL row (unlike joins)
+        assert inter == sorted([(1, "x"), (None, None)], key=str)
+        exc = sorted(((r_["a"], r_["b"]) for r_ in
+                      set_op(l, r, "except").take_all()), key=str)
+        assert exc == [(2, "y"), (3, "z")]
+
     def test_broadcast_join(self):
         from tera_ray.query.relational import broadcast_join
 
