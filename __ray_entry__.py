@@ -307,6 +307,31 @@ def _q_custkeys_except(sf_dir: str):
     return set_op(urgent, bld, "except")
 
 
+def _q_orders_pivot(sf_dir: str):
+    """PIVOT order priorities into per-status count columns (wide
+    indicator combiner — the shuffle is already wide;
+    `tera_ray.query.relational.pivot_agg`)."""
+    from tera_ray.query.relational import pivot_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderpriority"])
+    return pivot_agg(orders, "o_orderstatus", "o_orderpriority",
+                     ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"])
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT/melt numeric lineitem columns to long form (pure
+    per-batch fan-out, no shuffle; `tera_ray.query.relational.unpivot`)."""
+    from tera_ray.query.relational import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def _q_orders_top100(sf_dir: str):
     """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
     then a driver-cheap limit)."""
@@ -1511,6 +1536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "custkeys_intersect": _q_custkeys_intersect,
         "custkeys_except": _q_custkeys_except,
+        "orders_pivot": _q_orders_pivot,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -2325,6 +2352,28 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
             " AS base_cents"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "orders_pivot":
+            "SELECT o_orderstatus,"
+            " sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0"
+            " END)::BIGINT AS n_1_urgent,"
+            " sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0"
+            " END)::BIGINT AS n_2_high,"
+            " sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0"
+            " END)::BIGINT AS n_3_medium,"
+            " sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1"
+            " ELSE 0 END)::BIGINT AS n_4_not_specified,"
+            " sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0"
+            " END)::BIGINT AS n_5_low"
+            " FROM orders GROUP BY o_orderstatus",
+        "lineitem_unpivot":
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,"
+            " l_quantity AS value FROM lineitem"
+            " UNION ALL"
+            " SELECT l_orderkey, l_linenumber, 'l_extendedprice',"
+            " l_extendedprice FROM lineitem"
+            " UNION ALL"
+            " SELECT l_orderkey, l_linenumber, 'l_discount',"
+            " l_discount FROM lineitem",
         "custkeys_intersect":
             "SELECT DISTINCT o_custkey AS custkey FROM orders"
             " WHERE o_orderpriority = '1-URGENT'"

@@ -280,6 +280,67 @@ def set_op(left, right, op: str, num_buckets: int = 64):
     return bucketed_map_groups(unioned, "__b", per_bucket)
 
 
+def sanitize_col(v) -> str:
+    """Deterministic pivot column name for a value: non-alnum → ``_``,
+    lowered."""
+    import re as _re
+
+    return _re.sub(r"[^0-9a-zA-Z]+", "_", str(v)).strip("_").lower()
+
+
+def pivot_agg(ds, key: str, pivot_col: str, values: list,
+              value_col: str | None = None, prefix: str = "n_"):
+    """PIVOT: one output column per declared ``values`` entry, holding
+    count(*) (``value_col=None``) or sum(value_col) where
+    ``pivot_col == value``.
+
+    The pivot values must be declared up front (same contract as SQL
+    PIVOT — static output schema).  Wide indicator columns are built
+    per batch with vectorized ``pc.equal``/``if_else`` and folded by
+    the :func:`grouped_agg` combiner, so the shuffle moves one row per
+    (key × batch), already wide — never a tall intermediate.
+    """
+    names = [prefix + sanitize_col(v) for v in values]
+    assert len(set(names)) == len(names), "pivot values collide after sanitize"
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        p = t[pivot_col]
+        for v, name in zip(values, names):
+            m = pc.equal(p, v)
+            if value_col is None:
+                cols[name] = pc.if_else(
+                    pc.fill_null(m, False),
+                    pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64()))
+            else:
+                cols[name] = pc.if_else(
+                    pc.fill_null(m, False), t[value_col],
+                    pa.scalar(0, t.schema.field(value_col).type))
+        return pa.table(cols)
+
+    return grouped_agg(ds.map_batches(widen, batch_format="pyarrow"),
+                       [key], [(n, "sum", n) for n in names])
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_name: str = "value"):
+    """UNPIVOT / melt: each row fans out to one row per ``value_cols``
+    entry, ``(id_cols..., name, value)``; values cast to float64 (the
+    SQL UNION ALL type-unification).  Pure per-batch transform — no
+    shuffle."""
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {i: t[i] for i in id_cols}
+            cols[name_col] = pa.array(np.repeat(c, t.num_rows))
+            cols[value_name] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return (pa.concat_tables(parts) if parts
+                else pa.table({i: t[i] for i in id_cols}))
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def ordered_group_concat(ds, key: str, order: list[tuple[str, str]],
                          value_col: str, sep: str = "|",
                          out_names: tuple[str, str, str] = ("key", "n", "seq")):

@@ -50,6 +50,8 @@ PARITY_KEYS = [
     "orders_rollup",
     "custkeys_intersect",
     "custkeys_except",
+    "orders_pivot",
+    "lineitem_unpivot",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

@@ -212,6 +212,23 @@ class TestRelational:
                       set_op(l, r, "except").take_all()), key=str)
         assert exc == [(2, "y"), (3, "z")]
 
+    def test_pivot_unpivot(self):
+        from tera_ray.query.relational import pivot_agg, unpivot
+
+        t = pa.table({"k": ["a", "a", "b"], "p": ["x", "y", "x"],
+                      "v": [10, 20, 5]})
+        d = ray.data.from_arrow(t).repartition(2)
+        wide = {r["k"]: (r["n_x"], r["n_y"])
+                for r in pivot_agg(d, "k", "p", ["x", "y"]).take_all()}
+        assert wide == {"a": (1, 1), "b": (1, 0)}
+        sums = {r["k"]: (r["s_x"], r["s_y"])
+                for r in pivot_agg(d, "k", "p", ["x", "y"],
+                                   value_col="v", prefix="s_").take_all()}
+        assert sums == {"a": (10, 20), "b": (5, 0)}
+        tall = sorted((r["k"], r["name"], r["value"]) for r in
+                      unpivot(d, ["k"], ["v"]).take_all())
+        assert tall == [("a", "v", 10.0), ("a", "v", 20.0), ("b", "v", 5.0)]
+
     def test_broadcast_join(self):
         from tera_ray.query.relational import broadcast_join
 
