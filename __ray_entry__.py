@@ -1286,6 +1286,22 @@ def _q_kg_subgraph(sf_dir: str):
     return construct_subgraph(tri, [_ncbi_ns() + "taxon/900000"])
 
 
+def _q_kg_closure(sf_dir: str):
+    """Full transitive closure with depth over the NCBI subClassOf
+    graph — semi-naive iterated hash-join
+    (`tera_ray.query.kg.transitive_closure`), recursive-CTE semantics."""
+    from tera_ray.query.kg import transitive_closure
+    from tera_ray.schema import RDFS_SUBCLASSOF as SUB
+
+    tri = _q_kg_ncbi_hierarchy(sf_dir)
+    edges = tri.map_batches(
+        lambda t: pa.table({
+            "src": t.filter(pc.equal(t["pred"], SUB))["subj"],
+            "dst": t.filter(pc.equal(t["pred"], SUB))["obj"]}),
+        batch_format="pyarrow")
+    return transitive_closure(edges)
+
+
 def _q_kg_siblings(sf_dir: str):
     """G4 k-hop (up=1, down=1 ⇒ siblings) along subClassOf."""
     from tera_ray.query.kg import khop_related
@@ -1601,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_divisions": _q_kg_divisions,
         "kg_subgraph": _q_kg_subgraph,
         "kg_siblings": _q_kg_siblings,
+        "kg_closure": _q_kg_closure,
         "kg_alt_labels": _q_kg_alt_labels,
         "kg_convert_id": _q_kg_convert_id,
         # additional training-data ops
@@ -1837,6 +1854,22 @@ reach(v) AS (
 )
 SELECT h.subj, h.pred, h.obj, h.obj_is_literal, h.graph
 FROM h JOIN reach r ON h.subj = r.v
+"""
+
+
+def _closure_sql(fx: str) -> str:
+    """Transitive-closure oracle: recursive CTE with UNION (distinct
+    (src, anc, depth) rows — one row per distinct path length)."""
+    return f"""
+WITH RECURSIVE h AS (SELECT * FROM ({_ncbi_hierarchy_sql(fx)})),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM h
+      WHERE pred = '{RDFS_SUBCLASSOF}'),
+c(src, anc, depth) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+  UNION
+  SELECT c.src, e.dst, c.depth + 1 FROM c JOIN e ON e.src = c.anc
+)
+SELECT src, anc, depth FROM c
 """
 
 
@@ -2686,6 +2719,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_divisions": _divisions_sql(fx),
         "kg_subgraph": _subgraph_sql(fx),
+        "kg_closure": _closure_sql(fx),
         "kg_siblings": _siblings_sql(fx),
         "kg_alt_labels": _alt_labels_sql(fx),
         "kg_convert_id":

@@ -24,6 +24,7 @@ on test/result/concentration ids, nothing ever leaving the cluster.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -436,3 +437,66 @@ def query_alt_labels(triples, entity: str):
         return t.filter(keep).select(["pred", "obj"])
 
     return triples.map_batches(f, batch_format="pyarrow")
+
+
+def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
+                       max_depth: int = 32, num_buckets: int = 16):
+    """Full transitive closure with path depth — the distributed
+    generalization of G3's single-seed BFS (``construct_subgraph``):
+    every ``(src, anc, depth)`` with a directed path of ``depth`` edges.
+    Matches SQL's ``WITH RECURSIVE ... UNION`` semantics exactly:
+    distinct (src, anc, depth) tuples, one row per distinct path length.
+
+    Semi-naive iteration: the round-``k`` frontier holds only
+    depth-``k`` tuples; each round hash-joins the frontier's ``anc``
+    against the edge relation's ``src`` (large×large bucketed co-group,
+    ``query.relational.hash_join``) and dedups the result — depth is
+    monotone in the round number, so a within-round distinct is a full
+    UNION dedup, and on a DAG the loop terminates at the longest path.
+    Edges and each frontier are materialized once per round (frontier
+    size = one closure layer, the working set of any closure algorithm);
+    the accumulated result is a lazy union, never collected.
+
+    Cycles would loop forever under pure CTE semantics (as in SQL);
+    ``max_depth`` bounds the iteration for safety.
+    """
+    import ray.data
+
+    from ..stages.base import dedup_triples
+    from .relational import hash_join
+
+    e0 = edges.map_batches(
+        lambda t: pa.table({"src": t[src_col], "dst": t[dst_col]}),
+        batch_format="pyarrow")
+    e = dedup_triples(e0, keys=("src", "dst"),
+                      num_buckets=num_buckets).materialize()
+
+    def stamp(depth):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": t["src"], "anc": t["dst"],
+                "depth": pa.array(np.full(t.num_rows, depth, np.int64))})
+        return f
+
+    frontier = e.map_batches(stamp(1), batch_format="pyarrow").materialize()
+    layers = [frontier]
+    depth = 1
+    while depth < max_depth and frontier.count() > 0:
+        depth += 1
+        # (src, anc) ⋈ (anc = e.src) → (src, e.dst, depth)
+        joined = hash_join(
+            frontier.map_batches(
+                lambda t: t.select(["src", "anc"]),
+                batch_format="pyarrow"),
+            e, on="anc", right_on="src", how="inner",
+            num_buckets=num_buckets)
+        nxt = joined.map_batches(stamp(depth), batch_format="pyarrow")
+        frontier = dedup_triples(nxt, keys=("src", "anc"),
+                                 num_buckets=num_buckets).materialize()
+        if frontier.count() == 0:
+            break
+        layers.append(frontier)
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.union(l)
+    return out

@@ -52,6 +52,7 @@ PARITY_KEYS = [
     "custkeys_except",
     "orders_pivot",
     "lineitem_unpivot",
+    "kg_closure",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

@@ -197,6 +197,21 @@ class TestRelational:
             ("x", None): (2, 3), ("y", None): (3, 28),
             (None, None): (5, 31)}
 
+    def test_transitive_closure_dag(self):
+        from tera_ray.query.kg import transitive_closure
+
+        # diamond a→{b,c}→d plus tail d→e: (a,d,2) must appear ONCE
+        # (two distinct paths, same length) and (a,e,3) once.
+        edges = ray.data.from_arrow(pa.table({
+            "src": ["a", "a", "b", "c", "d"],
+            "dst": ["b", "c", "d", "d", "e"]}))
+        rows = sorted((r["src"], r["anc"], r["depth"])
+                      for r in transitive_closure(edges).take_all())
+        assert rows == [
+            ("a", "b", 1), ("a", "c", 1), ("a", "d", 2), ("a", "e", 3),
+            ("b", "d", 1), ("b", "e", 2), ("c", "d", 1), ("c", "e", 2),
+            ("d", "e", 1)]
+
     def test_set_op_null_safe(self):
         from tera_ray.query.relational import set_op
 
