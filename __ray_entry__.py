@@ -332,6 +332,25 @@ def _q_lineitem_unpivot(sf_dir: str):
                    ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def _q_parts_triangles(sf_dir: str):
+    """Graph analytics: distinct triangles in the part co-occurrence
+    graph of 1-URGENT orders (parts sharing an order are connected).
+    Pair generation is one bucketed polars self-join; triangles are
+    the two-shuffle wedge plan (`tera_ray.query.graph`)."""
+    from tera_ray.query.graph import grouped_pairs, triangles
+    from tera_ray.query.relational import key_semi_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))["o_orderkey"]}),
+        batch_format="pyarrow")
+    li_u = key_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    edges = grouped_pairs(li_u, "l_orderkey", "l_partkey")
+    return triangles(edges)
+
+
 def _q_orders_top100(sf_dir: str):
     """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
     then a driver-cheap limit)."""
@@ -1553,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_intersect": _q_custkeys_intersect,
         "custkeys_except": _q_custkeys_except,
         "orders_pivot": _q_orders_pivot,
+        "parts_triangles": _q_parts_triangles,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
@@ -2385,6 +2405,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
             " AS base_cents"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "parts_triangles":
+            "WITH li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " WHERE o.o_orderpriority = '1-URGENT'),"
+            " e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey < b.l_partkey)"
+            " SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+            " FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v"
+            " JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v",
         "orders_pivot":
             "SELECT o_orderstatus,"
             " sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0"

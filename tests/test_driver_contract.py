@@ -53,6 +53,7 @@ PARITY_KEYS = [
     "orders_pivot",
     "lineitem_unpivot",
     "kg_closure",
+    "parts_triangles",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

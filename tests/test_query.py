@@ -212,6 +212,21 @@ class TestRelational:
             ("b", "d", 1), ("b", "e", 2), ("c", "d", 1), ("c", "e", 2),
             ("d", "e", 1)]
 
+    def test_grouped_pairs_and_triangles(self):
+        from tera_ray.query.graph import grouped_pairs, triangles
+
+        # groups: {1,2,3} and {2,3,4} → K3 on {1,2,3}, K3 on {2,3,4};
+        # edge (2,3) shared.  Triangles: (1,2,3) and (2,3,4).
+        t = pa.table({"g": ["x", "x", "x", "y", "y", "y"],
+                      "i": [1, 2, 3, 2, 3, 4]})
+        edges = grouped_pairs(ray.data.from_arrow(t).repartition(2),
+                              "g", "i")
+        es = sorted((r["u"], r["v"]) for r in edges.take_all())
+        assert es == [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        tri = sorted((r["a"], r["b"], r["c"])
+                     for r in triangles(edges).take_all())
+        assert tri == [(1, 2, 3), (2, 3, 4)]
+
     def test_set_op_null_safe(self):
         from tera_ray.query.relational import set_op
 
