@@ -351,6 +351,43 @@ def _q_parts_triangles(sf_dir: str):
     return triangles(edges)
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): 2^k grouping sets from ONE raw
+    shuffle (`tera_ray.query.relational.cube_agg`)."""
+    from tera_ray.query.relational import cube_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return cube_agg(orders.map_batches(derive, batch_format="pyarrow"),
+                    ["o_orderpriority", "o_orderstatus"],
+                    [("cents", "count", "n"), ("cents", "sum", "cents")])
+
+
+def _q_priority_distinct_parts(sf_dir: str):
+    """Exact per-key COUNT(DISTINCT): distinct (priority, part) pairs
+    shuffle (dedup combiner) + tiny grouped count
+    (`tera_ray.query.relational.grouped_count_distinct`); priorities
+    reach lineitem through the l_orderkey hash join."""
+    from tera_ray.query.relational import (grouped_count_distinct,
+                                           hash_join)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    return grouped_count_distinct(j, "o_orderpriority", "l_partkey",
+                                  out_name="n_parts")
+
+
 def _q_orders_top100(sf_dir: str):
     """K2/K-series: distributed sort + limit (all-to-all sort shuffle,
     then a driver-cheap limit)."""
@@ -1573,6 +1610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_except": _q_custkeys_except,
         "orders_pivot": _q_orders_pivot,
         "parts_triangles": _q_parts_triangles,
+        "orders_cube": _q_orders_cube,
+        "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
         "ann_topk": _q_ann_topk,
@@ -2449,6 +2488,16 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "orders_cube":
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS n,"
+            " CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+            " AS cents"
+            " FROM orders"
+            " GROUP BY CUBE (o_orderpriority, o_orderstatus)",
+        "priority_distinct_parts":
+            "SELECT o_orderpriority, count(DISTINCT l_partkey) AS n_parts"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY o_orderpriority",
         "orders_rollup":
             "SELECT o_orderpriority, o_orderstatus, count(*) AS n,"
             " CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"

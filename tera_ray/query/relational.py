@@ -152,26 +152,27 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         ds.map_batches(partial, batch_format="pyarrow"), "__b", merge)
 
 
-def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
-    """``GROUP BY ROLLUP(keys)``: hierarchical subtotals at every key
-    prefix plus the grand total.
+def _grouping_sets(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                   level_sets: list[tuple[str, ...]]):
+    """Shared GROUPING SETS engine behind :func:`rollup_agg` /
+    :func:`cube_agg`.
 
-    ONE data-wide shuffle computes the finest level with
-    :func:`grouped_agg`; every coarser level re-aggregates the finest
-    RESULT (cardinality = distinct key combos, not raw rows), so the
-    rollup costs one real shuffle + len(keys) tiny ones — the only
+    ONE data-wide shuffle computes the finest level (all ``keys``) with
+    :func:`grouped_agg`; every other grouping set re-aggregates the
+    finest RESULT (cardinality = distinct key combos, not raw rows), so
+    N grouping sets cost one real shuffle + N tiny ones — the only
     scale-correct plan at 100 TB.  Restricted to the decomposable fns
     {count, sum, min, max} (count folds into sum on re-aggregation;
     avg/var moments are not preserved in finalized outputs — compute
     those with :func:`grouped_agg` per level if needed).
 
-    Rolled-up key columns are typed NULLs, exactly like SQL ROLLUP; if
-    a key column itself contains NULLs the two are indistinguishable
-    without a GROUPING() marker (same caveat as plain SQL).
+    Rolled-up key columns are typed NULLs, exactly like SQL; if a key
+    column itself contains NULLs the two are indistinguishable without
+    a GROUPING() marker (same caveat as plain SQL).
     """
     for _, f, _ in aggs:
         assert f in ("count", "sum", "min", "max"), \
-            f"rollup_agg supports decomposable fns only, got {f!r}"
+            f"grouping sets support decomposable fns only, got {f!r}"
     # materialize the finest level ONCE (it is the post-aggregation
     # result — distinct key combos, small); without this every coarser
     # level would lazily re-run the full input shuffle.
@@ -186,10 +187,8 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         s = d.schema()
         return getattr(s, "base_schema", s)
 
-    key_types = {}
     sch = _pa_schema(finest)
-    for k in keys:
-        key_types[k] = sch.field(k).type
+    key_types = {k: sch.field(k).type for k in keys}
 
     def pad(level_keys):
         def f(t: pa.Table) -> pa.Table:
@@ -202,23 +201,44 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
             return pa.table(cols)
         return f
 
-    levels = [finest.map_batches(pad(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        sub = keys[:i]
-        levels.append(grouped_agg(finest, sub, reagg).map_batches(
-            pad(sub), batch_format="pyarrow"))
-    # grand total: constant grouping key, dropped after the fold
-    withc = finest.map_batches(
-        lambda t: t.append_column("__all", pa.array(
-            np.zeros(t.num_rows, np.int8))), batch_format="pyarrow")
-    total = grouped_agg(withc, ["__all"], reagg).map_batches(
-        lambda t: pad(())(t.drop_columns(["__all"])),
-        batch_format="pyarrow")
-    levels.append(total)
+    levels = []
+    for sub in level_sets:
+        sub = tuple(sub)
+        if sub == tuple(keys):
+            levels.append(finest.map_batches(pad(sub),
+                                             batch_format="pyarrow"))
+        elif sub:
+            levels.append(grouped_agg(finest, list(sub), reagg).map_batches(
+                pad(sub), batch_format="pyarrow"))
+        else:
+            # grand total: constant grouping key, dropped after the fold
+            withc = finest.map_batches(
+                lambda t: t.append_column("__all", pa.array(
+                    np.zeros(t.num_rows, np.int8))), batch_format="pyarrow")
+            levels.append(grouped_agg(withc, ["__all"], reagg).map_batches(
+                lambda t: pad(())(t.drop_columns(["__all"])),
+                batch_format="pyarrow"))
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """``GROUP BY ROLLUP(keys)``: subtotals at every key prefix plus
+    the grand total (see :func:`_grouping_sets` for plan and caveats)."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return _grouping_sets(ds, keys, aggs, sets)
+
+
+def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """``GROUP BY CUBE(keys)``: subtotals at every key subset (2^k
+    grouping sets; see :func:`_grouping_sets` for plan and caveats)."""
+    from itertools import combinations
+
+    sets = [s for r in range(len(keys), -1, -1)
+            for s in combinations(keys, r)]
+    return _grouping_sets(ds, keys, aggs, sets)
 
 
 def set_op(left, right, op: str, num_buckets: int = 64):
@@ -278,6 +298,22 @@ def set_op(left, right, op: str, num_buckets: int = 64):
     from ..stages.base import bucketed_map_groups
 
     return bucketed_map_groups(unioned, "__b", per_bucket)
+
+
+def grouped_count_distinct(ds, key: str, col: str,
+                           out_name: str = "n_distinct",
+                           num_buckets: int | None = None):
+    """Exact per-key COUNT(DISTINCT col): global exact dedup of
+    ``(key, col)`` pairs (combiner + one bucket shuffle — volume =
+    distinct pairs) followed by a tiny grouped count.  NULL ``col``
+    values are ignored, SQL COUNT(DISTINCT) semantics."""
+    from ..stages.base import dedup_triples
+
+    pairs = ds.map_batches(
+        lambda t: t.select([key, col]).filter(pc.is_valid(t[col])),
+        batch_format="pyarrow")
+    d = dedup_triples(pairs, keys=(key, col), num_buckets=num_buckets)
+    return grouped_agg(d, [key], [(col, "count", out_name)])
 
 
 def sanitize_col(v) -> str:

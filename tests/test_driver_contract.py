@@ -54,6 +54,8 @@ PARITY_KEYS = [
     "lineitem_unpivot",
     "kg_closure",
     "parts_triangles",
+    "orders_cube",
+    "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",
     "docs_pack_chunks",

@@ -227,6 +227,27 @@ class TestRelational:
                      for r in triangles(edges).take_all())
         assert tri == [(1, 2, 3), (2, 3, 4)]
 
+    def test_cube_and_count_distinct(self):
+        from tera_ray.query.relational import (cube_agg,
+                                               grouped_count_distinct)
+
+        t = pa.table({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                      "v": [1, 2, 4]})
+        d = ray.data.from_arrow(t).repartition(2)
+        got = {(r["a"], r["b"]): r["s"] for r in
+               cube_agg(d, ["a", "b"], [("v", "sum", "s")]).take_all()}
+        assert got == {
+            ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,
+            ("x", None): 3, ("y", None): 4,
+            (None, "p"): 5, (None, "q"): 2, (None, None): 7}
+        t2 = pa.table({"k": ["a", "a", "a", "b"],
+                       "v": [1, 1, 2, None]})
+        cd = {r["k"]: r["n_distinct"] for r in grouped_count_distinct(
+            ray.data.from_arrow(t2).repartition(2), "k", "v").take_all()}
+        # nulls ignored: b has no countable values → no row (SQL GROUP
+        # BY would keep b with 0; callers outer-join if they need it)
+        assert cd == {"a": 2}
+
     def test_set_op_null_safe(self):
         from tera_ray.query.relational import set_op
 
