@@ -351,6 +351,31 @@ def _q_parts_triangles(sf_dir: str):
     return triangles(edges)
 
 
+def _q_docs_top_tokens(sf_dir: str):
+    """Vocabulary building: corpus-wide top-100 tokens.  Per-batch
+    tokenize (vectorized RE2 split + value_counts combiner) → grouped
+    sum (shuffle volume = per-batch DISTINCT tokens, Zipf-bounded) →
+    global sort + limit over the vocab-sized count table."""
+    from tera_ray.query.relational import grouped_agg
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = t["text"].combine_chunks()
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(s, "")),
+                                   r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts")})
+
+    counts = grouped_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                         ["token"], [("cnt", "sum", "cnt")])
+    return counts.sort(["cnt", "token"],
+                       descending=[True, False]).limit(100)
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(priority, status): 2^k grouping sets from ONE raw
     shuffle (`tera_ray.query.relational.cube_agg`)."""
@@ -1611,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot": _q_orders_pivot,
         "parts_triangles": _q_parts_triangles,
         "orders_cube": _q_orders_cube,
+        "docs_top_tokens": _q_docs_top_tokens,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2488,6 +2514,12 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "docs_top_tokens":
+            "SELECT token, count(*) AS cnt FROM ("
+            " SELECT unnest(string_split_regex(lower(text), '\\W+'))"
+            " AS token FROM documents) t"
+            " WHERE token <> ''"
+            " GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
         "orders_cube":
             "SELECT o_orderpriority, o_orderstatus, count(*) AS n,"
             " CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"

@@ -55,6 +55,7 @@ PARITY_KEYS = [
     "kg_closure",
     "parts_triangles",
     "orders_cube",
+    "docs_top_tokens",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",
