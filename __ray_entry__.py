@@ -376,6 +376,31 @@ def _q_docs_top_tokens(sf_dir: str):
                        descending=[True, False]).limit(100)
 
 
+def _q_parts_pagerank(sf_dir: str):
+    """Iterative fixpoint: 3 PageRank power iterations over the urgent
+    part co-occurrence graph (`tera_ray.query.graph.pagerank` — per
+    iteration one hash join + combiner-grouped sum + left join; node
+    state re-materialized, never driver-collected).  Ranks rounded to
+    10 decimals in engine AND oracle (summation-order FP jitter is
+    ~1e-16)."""
+    from tera_ray.query.graph import grouped_pairs, pagerank
+    from tera_ray.query.relational import key_semi_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))["o_orderkey"]}),
+        batch_format="pyarrow")
+    li_u = key_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    edges = grouped_pairs(li_u, "l_orderkey", "l_partkey")
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank": pc.round(t["rank"], 10)}),
+        batch_format="pyarrow")
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(priority, status): 2^k grouping sets from ONE raw
     shuffle (`tera_ray.query.relational.cube_agg`)."""
@@ -1637,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _q_parts_triangles,
         "orders_cube": _q_orders_cube,
         "docs_top_tokens": _q_docs_top_tokens,
+        "parts_pagerank": _q_parts_pagerank,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2470,6 +2496,38 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
             " AS base_cents"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "parts_pagerank":
+            "WITH li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " WHERE o.o_orderpriority = '1-URGENT'),"
+            " e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+            " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey < b.l_partkey),"
+            " e AS (SELECT u AS src, v AS dst FROM e0"
+            " UNION ALL SELECT v, u FROM e0),"
+            " deg AS (SELECT src AS node, count(*) AS d FROM e"
+            " GROUP BY src),"
+            " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),"
+            " r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM deg),"
+            " s1 AS (SELECT e.dst AS node, sum(r0.r/deg.d) AS s FROM e"
+            " JOIN r0 ON r0.node = e.src JOIN deg ON deg.node = e.src"
+            " GROUP BY e.dst),"
+            " r1 AS (SELECT deg.node, 0.15/(SELECT n FROM nn)"
+            " + 0.85*coalesce(s1.s, 0) AS r FROM deg"
+            " LEFT JOIN s1 ON s1.node = deg.node),"
+            " s2 AS (SELECT e.dst AS node, sum(r1.r/deg.d) AS s FROM e"
+            " JOIN r1 ON r1.node = e.src JOIN deg ON deg.node = e.src"
+            " GROUP BY e.dst),"
+            " r2 AS (SELECT deg.node, 0.15/(SELECT n FROM nn)"
+            " + 0.85*coalesce(s2.s, 0) AS r FROM deg"
+            " LEFT JOIN s2 ON s2.node = deg.node),"
+            " s3 AS (SELECT e.dst AS node, sum(r2.r/deg.d) AS s FROM e"
+            " JOIN r2 ON r2.node = e.src JOIN deg ON deg.node = e.src"
+            " GROUP BY e.dst),"
+            " r3 AS (SELECT deg.node, 0.15/(SELECT n FROM nn)"
+            " + 0.85*coalesce(s3.s, 0) AS r FROM deg"
+            " LEFT JOIN s3 ON s3.node = deg.node)"
+            " SELECT node, round(r, 10) AS rank FROM r3",
         "parts_triangles":
             "WITH li AS (SELECT DISTINCT l.l_orderkey, l.l_partkey"
             " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"

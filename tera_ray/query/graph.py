@@ -102,3 +102,58 @@ def triangles(edges, num_buckets: int = 64):
                            num_buckets=num_buckets)
     return closed.map_batches(lambda t: t.select(["a", "b", "c"]),
                               batch_format="pyarrow")
+
+
+def pagerank(edges, iters: int = 3, damping: float = 0.85,
+             num_buckets: int = 64):
+    """PageRank over an undirected graph given as distinct edges
+    ``(u, v)`` — the canonical iterative-fixpoint benchmark for a
+    distributed engine.  Fixed ``iters`` power iterations (deterministic,
+    oracle-checkable); returns ``(node, rank)``.
+
+    State is a ``(node, degree, rank)`` Dataset re-materialized per
+    iteration (one row per node — the unavoidable working set; carrying
+    the degree in-row saves a per-iteration join).  Each iteration is
+    one hash-join (ranks → edge sources) + one grouped sum (combiner)
+    + one left join back onto the node list so zero-in-degree nodes
+    keep the teleport term.  No driver-side per-node state.
+    """
+    import ray.data  # noqa: F401  (ensures Dataset machinery loaded)
+
+    from .relational import grouped_agg, hash_join
+
+    both = edges.map_batches(
+        lambda t: pa.concat_tables([
+            pa.table({"src": t["u"], "dst": t["v"]}),
+            pa.table({"src": t["v"], "dst": t["u"]})]),
+        batch_format="pyarrow").materialize()
+    deg = grouped_agg(both, ["src"],
+                      [("src", "count", "d")]).materialize()
+    n = deg.count()
+    base = (1.0 - damping) / n
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "d": t["d"],
+                         "r": pa.array(np.full(t.num_rows, 1.0 / n))})
+
+    rank = deg.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        contrib = hash_join(rank, both, on="node", right_on="src",
+                            num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({
+                "dst": t["dst"],
+                "c": pc.divide(t["r"], pc.cast(t["d"], pa.float64()))}),
+            batch_format="pyarrow")
+        sums = grouped_agg(contrib, ["dst"], [("c", "sum", "s")])
+        j = hash_join(deg, sums, on="src", right_on="dst", how="left",
+                      num_buckets=num_buckets)
+        rank = j.map_batches(
+            lambda t: pa.table({
+                "node": t["src"], "d": t["d"],
+                "r": pc.add(pa.scalar(base), pc.multiply(
+                    pa.scalar(damping),
+                    pc.coalesce(t["s"], pa.scalar(0.0))))}),
+            batch_format="pyarrow").materialize()
+    return rank.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["r"]}),
+        batch_format="pyarrow")

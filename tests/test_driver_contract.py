@@ -56,6 +56,7 @@ PARITY_KEYS = [
     "parts_triangles",
     "orders_cube",
     "docs_top_tokens",
+    "parts_pagerank",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",

@@ -248,6 +248,19 @@ class TestRelational:
         # BY would keep b with 0; callers outer-join if they need it)
         assert cd == {"a": 2}
 
+    def test_pagerank_regular_graph(self):
+        from tera_ray.query.graph import pagerank
+
+        # 4-cycle: regular graph → stationary uniform rank 1/4 at any
+        # iteration count.
+        edges = ray.data.from_arrow(pa.table({
+            "u": [1, 2, 3, 1], "v": [2, 3, 4, 4]}))
+        got = {r["node"]: r["rank"]
+               for r in pagerank(edges, iters=4).take_all()}
+        assert set(got) == {1, 2, 3, 4}
+        for v in got.values():
+            assert abs(v - 0.25) < 1e-12
+
     def test_set_op_null_safe(self):
         from tera_ray.query.relational import set_op
 
