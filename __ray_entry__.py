@@ -376,6 +376,57 @@ def _q_docs_top_tokens(sf_dir: str):
                        descending=[True, False]).limit(100)
 
 
+def _q_docs_tfidf_top3(sf_dir: str):
+    """TF-IDF top-3 terms per document — a four-operator composition:
+    vectorized tokenize → tf (`grouped_agg` on (doc, token)) → df
+    (`grouped_count_distinct` on token) → broadcast df join + score →
+    `topk_per_key`.  The df table is vocab-bounded (Heaps' law), the
+    canonical broadcast side; scores rounded to 9 decimals in engine
+    AND oracle."""
+    import math
+
+    import ray
+
+    from tera_ray.query.relational import (broadcast_join, grouped_agg,
+                                           grouped_count_distinct,
+                                           topk_per_key)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = t["text"].combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(s, "")),
+                                       r"\W+")
+        flat = pc.list_flatten(lists)
+        did = pc.list_parent_indices(lists)
+        doc = pc.take(t["doc_id"].combine_chunks(), did)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": doc.filter(keep),
+                         "token": flat.filter(keep)})
+
+    tokens = ds.map_batches(toks, batch_format="pyarrow")
+    tf = grouped_agg(tokens, ["doc_id", "token"],
+                     [("token", "count", "tf")])
+    df = grouped_count_distinct(tokens, "token", "doc_id", out_name="df")
+    df_tbl = pa.concat_tables(
+        list(df.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+    scored = broadcast_join(tf, df_tbl, "token", "token")
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = pc.ln(pc.divide(pa.scalar(float(n_docs)),
+                              pc.cast(t["df"], pa.float64())))
+        s = pc.round(pc.multiply(pc.cast(t["tf"], pa.float64()), idf), 9)
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "score": s})
+
+    return topk_per_key(scored.map_batches(score, batch_format="pyarrow"),
+                        "doc_id",
+                        [("score", "descending"), ("token", "ascending")],
+                        k=3)
+
+
 def _q_parts_pagerank(sf_dir: str):
     """Iterative fixpoint: 3 PageRank power iterations over the urgent
     part co-occurrence graph (`tera_ray.query.graph.pagerank` — per
@@ -1663,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "docs_top_tokens": _q_docs_top_tokens,
         "parts_pagerank": _q_parts_pagerank,
+        "docs_tfidf_top3": _q_docs_tfidf_top3,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2572,6 +2624,22 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "docs_tfidf_top3":
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(string_split_regex(lower(text), '\\W+')) AS token"
+            " FROM documents),"
+            " tf AS (SELECT doc_id, token, count(*) AS tf FROM toks"
+            " WHERE token <> '' GROUP BY doc_id, token),"
+            " df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks"
+            " WHERE token <> '' GROUP BY token),"
+            " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+            " s AS (SELECT tf.doc_id, tf.token,"
+            " round(tf.tf * ln((SELECT n FROM nn)/df.df), 9) AS score"
+            " FROM tf JOIN df USING (token))"
+            " SELECT doc_id, token, score FROM"
+            " (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, token) AS rn FROM s)"
+            " WHERE rn <= 3",
         "docs_top_tokens":
             "SELECT token, count(*) AS cnt FROM ("
             " SELECT unnest(string_split_regex(lower(text), '\\W+'))"

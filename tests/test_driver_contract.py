@@ -57,6 +57,7 @@ PARITY_KEYS = [
     "orders_cube",
     "docs_top_tokens",
     "parts_pagerank",
+    "docs_tfidf_top3",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",
