@@ -376,6 +376,27 @@ def _q_docs_top_tokens(sf_dir: str):
                        descending=[True, False]).limit(100)
 
 
+def _q_events_props_sum(sf_dir: str):
+    """Semi-structured payloads: vectorized JSON-path extraction from
+    the ``events.props`` JSON string column (polars ``json_path_match``
+    per batch — no Python row loop) folded by the grouped combiner."""
+    from tera_ray.query.relational import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t["props"].combine_chunks())
+        k = s.str.json_path_match("$.k").cast(pl.Int64, strict=False)
+        return pa.table({"event_type": t["event_type"],
+                         "k": k.to_arrow()})
+
+    return grouped_agg(ds.map_batches(extract, batch_format="pyarrow"),
+                       ["event_type"],
+                       [("k", "sum", "k_sum"), ("k", "count", "n")])
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """TF-IDF top-3 terms per document — a four-operator composition:
     vectorized tokenize → tf (`grouped_agg` on (doc, token)) → df
@@ -1715,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "parts_pagerank": _q_parts_pagerank,
         "docs_tfidf_top3": _q_docs_tfidf_top3,
+        "events_props_sum": _q_events_props_sum,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2624,6 +2646,11 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "events_props_sum":
+            "SELECT event_type,"
+            " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            " AS k_sum, count(*) AS n"
+            " FROM events GROUP BY event_type",
         "docs_tfidf_top3":
             "WITH toks AS (SELECT doc_id,"
             " unnest(string_split_regex(lower(text), '\\W+')) AS token"

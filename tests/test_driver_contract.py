@@ -58,6 +58,7 @@ PARITY_KEYS = [
     "docs_top_tokens",
     "parts_pagerank",
     "docs_tfidf_top3",
+    "events_props_sum",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",
