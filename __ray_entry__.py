@@ -397,6 +397,18 @@ def _q_events_props_sum(sf_dir: str):
                        [("k", "sum", "k_sum"), ("k", "count", "n")])
 
 
+def _q_events_hll_users(sf_dir: str):
+    """HyperLogLog (p=14) approximate distinct users — the mergeable
+    sketch pipeline (`tera_ray.sketch.hll`): per-batch register
+    partials → grouped max (≤2^14 rows shuffle) → driver estimate.
+    FNV hashing makes the sketch deterministic, so the ORACLE
+    reproduces registers AND estimate bit-for-bit in SQL."""
+    from tera_ray.sketch.hll import approx_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return approx_count_distinct(ds, "user_id")
+
+
 def _q_docs_tfidf_top3(sf_dir: str):
     """TF-IDF top-3 terms per document — a four-operator composition:
     vectorized tokenize → tf (`grouped_agg` on (doc, token)) → df
@@ -1737,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pagerank": _q_parts_pagerank,
         "docs_tfidf_top3": _q_docs_tfidf_top3,
         "events_props_sum": _q_events_props_sum,
+        "events_hll_users": _q_events_hll_users,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2222,6 +2235,17 @@ def _fnv_sql(expr: str) -> str:
         " * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
 
 
+def _xor64_sql(a: str, b: str) -> str:
+    """64-bit XOR of two HUGEINT expressions in [0, 2^64): DuckDB's
+    ``xor`` is BIGINT-only, so xor the 32-bit halves separately and
+    recombine (bitwise ops are independent across the split)."""
+    return (
+        f"(xor((({a}) // 4294967296)::BIGINT,"
+        f" (({b}) // 4294967296)::BIGINT)::HUGEINT * 4294967296"
+        f" + xor((({a}) % 4294967296)::BIGINT,"
+        f" (({b}) % 4294967296)::BIGINT)::HUGEINT)")
+
+
 def _pii_scrub_sql() -> str:
     """Nested regexp_replace chain on the augmented text, counting each
     pattern on the text AS IT STANDS at that point (mirrors
@@ -2646,6 +2670,35 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "events_hll_users":
+            "WITH v AS (SELECT DISTINCT user_id::VARCHAR AS s"
+            " FROM events WHERE user_id IS NOT NULL),"
+            f" h0 AS (SELECT {_fnv_sql('s')} AS h FROM v),"
+            f" m1 AS (SELECT {_xor64_sql('h', 'h // 8589934592')} AS h"
+            " FROM h0),"
+            " m2 AS (SELECT (h * 1099511628211::HUGEINT)"
+            " % 18446744073709551616::HUGEINT AS h FROM m1),"
+            f" m3 AS (SELECT {_xor64_sql('h', 'h // 8589934592')} AS h"
+            " FROM m2),"
+            " m4 AS (SELECT (h * 1099511628211::HUGEINT)"
+            " % 18446744073709551616::HUGEINT AS h FROM m3),"
+            f" h AS (SELECT {_xor64_sql('h', 'h // 536870912')} AS h"
+            " FROM m4),"
+            " b AS (SELECT (h // 1125899906842624)::BIGINT AS reg,"
+            " (h % 1125899906842624)::BIGINT AS low FROM h),"
+            " r AS (SELECT reg, max(CASE WHEN low = 0 THEN 51"
+            " ELSE 50 - CAST(floor(log2(low)) AS BIGINT) END) AS rho"
+            " FROM b GROUP BY reg),"
+            " agg AS (SELECT count(*) AS nreg,"
+            " sum(pow(2.0, -rho)) AS s FROM r),"
+            " est AS (SELECT 16384 - nreg AS zeros,"
+            " s + (16384 - nreg) AS ss FROM agg),"
+            " e1 AS (SELECT zeros,"
+            " (0.7213/(1 + 1.079/16384)) * 16384 * 16384 / ss AS e"
+            " FROM est)"
+            " SELECT round(CASE WHEN e <= 2.5*16384 AND zeros > 0"
+            " THEN 16384 * ln(16384.0/zeros) ELSE e END, 6)"
+            " AS approx_n FROM e1",
         "events_props_sum":
             "SELECT event_type,"
             " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"

@@ -1,0 +1,119 @@
+"""HyperLogLog approximate distinct counting (Flajolet et al. 2007).
+
+The sketch custom-operator family: a fixed-size (2^p registers) mergeable
+summary whose per-batch partial IS the shuffle payload — the canonical
+shape for distinct-counting 100 TB streams where exact dedup would
+shuffle every distinct key.  At p=14 the standard error is
+1.04/√16384 ≈ 0.8% with a 16 KiB register table per batch.
+
+Deterministic by construction (FNV-1a value hashing, no RNG), so the
+whole pipeline — registers AND the final estimate — is reproducible
+bit-for-bit in DuckDB SQL (see the ``events_hll_users`` oracle), which
+is unusual for a sketch and lets the driver hash-verify it like any
+exact operator.
+
+Plan: per-batch (register, rho) partials over DISTINCT batch values
+(combiner — one row per touched register) → grouped ``max`` by register
+(≤2^p rows cross the shuffle in total) → driver-side estimate from the
+tiny register table (linear-counting small-range correction included).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+_MIX_P = np.uint64(1099511628211)  # FNV prime, 2^40-ish: h*P fits int128
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Finalizer over raw FNV-1a: two xorshift-multiply rounds.
+
+    Raw FNV's top bits barely avalanche on short ASCII keys (measured:
+    10k sequential ids touched only 840 of 2^14 registers — a 10×
+    under-estimate); two rounds restore register uniformity (7.5k
+    registers, < 1.5% estimate error at 100k).  Constants are chosen
+    SQL-reproducible: shifts are integer division and the multiplier is
+    < 2^41, so every intermediate fits DuckDB's int128 HUGEINT (a
+    splitmix64-style 64-bit multiplier would overflow it)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * _MIX_P
+        h = h ^ (h >> np.uint64(33))
+        h = h * _MIX_P
+        return h ^ (h >> np.uint64(29))
+
+
+def _registers_batch(vals: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) partials for one batch of STRING values.
+
+    rho = leading-zero count of the low (64-p) hash bits + 1; computed
+    via float64 log2, exact because the low bits fit 64-p ≤ 53 bits.
+    """
+    from ..text.analysis import _fnv1a_u64
+
+    low_bits = 64 - p
+    assert low_bits <= 53, "p too small for exact float64 bit-length"
+    uniq = np.unique(vals.astype(object))
+    h = _mix64(_fnv1a_u64(uniq))
+    idx = (h >> np.uint64(low_bits)).astype(np.int64)
+    low = (h & np.uint64((1 << low_bits) - 1)).astype(np.int64)
+    bl = np.where(low > 0,
+                  np.floor(np.log2(np.maximum(low, 1).astype(np.float64))
+                           ).astype(np.int64) + 1,
+                  0)
+    rho = (low_bits - bl + 1).astype(np.int64)
+    # per-batch combiner: max rho per register
+    order = np.lexsort((-rho, idx))
+    idx_s, rho_s = idx[order], rho[order]
+    first = np.ones(len(idx_s), dtype=bool)
+    first[1:] = idx_s[1:] != idx_s[:-1]
+    return idx_s[first], rho_s[first]
+
+
+def hll_registers(ds, col: str, p: int = 14):
+    """Dataset of merged HLL registers ``(reg, rho)`` for ``col``
+    (values hashed as their string representation)."""
+    from ..query.relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.string())
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        v = v.drop_null()
+        if len(v) == 0:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        idx, rho = _registers_batch(
+            v.to_numpy(zero_copy_only=False), p)
+        return pa.table({"reg": pa.array(idx), "rho": pa.array(rho)})
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["reg"], [("rho", "max", "rho")])
+
+
+def hll_estimate(registers: pa.Table, p: int = 14) -> float:
+    """Classic HLL estimator with the linear-counting small-range
+    correction; ``registers`` is the merged (reg, rho) table."""
+    m = 1 << p
+    rho = registers["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+    zeros = m - len(rho)
+    s = float(np.sum(np.exp2(-rho))) + float(zeros)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_count_distinct(ds, col: str, p: int = 14):
+    """One-row Dataset ``{approx_n: double}`` — the full distributed
+    sketch pipeline; only the ≤2^p register rows ever reach the driver."""
+    import ray.data
+
+    regs = pa.concat_tables(list(hll_registers(ds, col, p).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table(
+        {"approx_n": pa.array([round(hll_estimate(regs, p), 6)],
+                              pa.float64())}))

@@ -59,6 +59,7 @@ PARITY_KEYS = [
     "parts_pagerank",
     "docs_tfidf_top3",
     "events_props_sum",
+    "events_hll_users",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",
