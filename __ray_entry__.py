@@ -397,6 +397,17 @@ def _q_events_props_sum(sf_dir: str):
                        [("k", "sum", "k_sum"), ("k", "count", "n")])
 
 
+def _q_events_cms_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for 10 probe users — the
+    second sketch family member (`tera_ray.sketch.cms`): d×w mergeable
+    counters, grouped-sum shuffle of ≤ d·w rows, min-over-rows probe
+    reads.  Deterministic salted-FNV hashing → fully SQL-oracled."""
+    from tera_ray.sketch.cms import cms_point_estimates
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return cms_point_estimates(ds, "user_id", list(range(10)))
+
+
 def _q_events_hll_users(sf_dir: str):
     """HyperLogLog (p=14) approximate distinct users — the mergeable
     sketch pipeline (`tera_ray.sketch.hll`): per-batch register
@@ -1750,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top3": _q_docs_tfidf_top3,
         "events_props_sum": _q_events_props_sum,
         "events_hll_users": _q_events_hll_users,
+        "events_cms_counts": _q_events_cms_counts,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2235,6 +2247,63 @@ def _fnv_sql(expr: str) -> str:
         " * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
 
 
+def _mix64_ctes(prefix: str, src: str) -> tuple[str, str]:
+    """CTE chain reproducing ``tera_ray.sketch.hll._mix64`` over column
+    ``h`` of CTE ``src`` (other columns carried via ``* REPLACE``).
+    Returns (cte_sql_fragment, final_cte_name)."""
+    P = "1099511628211::HUGEINT"
+    M = "18446744073709551616::HUGEINT"
+    steps = [
+        _xor64_sql("h", "h // 8589934592"),
+        f"(h * {P}) % {M}",
+        _xor64_sql("h", "h // 8589934592"),
+        f"(h * {P}) % {M}",
+        _xor64_sql("h", "h // 536870912"),
+    ]
+    parts, cur = [], src
+    for i, e in enumerate(steps):
+        name = f"{prefix}{i}"
+        parts.append(f"{name} AS (SELECT * REPLACE ({e} AS h) FROM {cur})")
+        cur = name
+    return ", ".join(parts), cur
+
+
+def _cms_sql(width: int = 2048, depth: int = 4) -> str:
+    """Count-Min oracle: rebuilds the salted-FNV sketch counters and the
+    min-over-rows probe estimates bit-for-bit (`tera_ray.sketch.cms`)."""
+    probes = ", ".join(f"('{i}')" for i in range(10))
+    ctes = [
+        "ev AS (SELECT user_id::VARCHAR AS s FROM events"
+        " WHERE user_id IS NOT NULL)",
+        "vals AS (SELECT s, count(*) AS cnt FROM ev GROUP BY s)",
+        f"probes(key) AS (VALUES {probes})",
+    ]
+    est_legs = []
+    for j in range(depth):
+        salted_v = "s||'|" + str(j) + "'"
+        salted_p = "key||'|" + str(j) + "'"
+        ctes.append(
+            f"vh{j} AS (SELECT s, {_fnv_sql(salted_v)} AS h FROM vals)")
+        mix, fin = _mix64_ctes(f"vm{j}_", f"vh{j}")
+        ctes.append(mix)
+        ctes.append(f"ctr{j} AS (SELECT (h % {width})::BIGINT AS col,"
+                    f" sum(cnt) AS c FROM {fin} JOIN vals USING (s)"
+                    " GROUP BY 1)")
+        ctes.append(
+            f"ph{j} AS (SELECT key, {_fnv_sql(salted_p)} AS h"
+            " FROM probes)")
+        pmix, pfin = _mix64_ctes(f"pm{j}_", f"ph{j}")
+        ctes.append(pmix)
+        ctes.append(f"pc{j} AS (SELECT key, (h % {width})::BIGINT AS col"
+                    f" FROM {pfin})")
+        est_legs.append(f"SELECT key, coalesce(c, 0) AS c FROM pc{j}"
+                        f" LEFT JOIN ctr{j} USING (col)")
+    ctes.append("ests AS (" + " UNION ALL ".join(est_legs) + ")")
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT key, CAST(min(c) AS BIGINT) AS est_cnt"
+            " FROM ests GROUP BY key")
+
+
 def _xor64_sql(a: str, b: str) -> str:
     """64-bit XOR of two HUGEINT expressions in [0, 2^64): DuckDB's
     ``xor`` is BIGINT-only, so xor the 32-bit halves separately and
@@ -2670,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
             " EXCEPT"
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
+        "events_cms_counts": _cms_sql(),
         "events_hll_users":
             "WITH v AS (SELECT DISTINCT user_id::VARCHAR AS s"
             " FROM events WHERE user_id IS NOT NULL),"

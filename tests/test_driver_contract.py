@@ -60,6 +60,7 @@ PARITY_KEYS = [
     "docs_tfidf_top3",
     "events_props_sum",
     "events_hll_users",
+    "events_cms_counts",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",

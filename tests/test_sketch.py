@@ -29,3 +29,22 @@ class TestHLL:
         b = approx_count_distinct(
             ray.data.from_arrow(t).repartition(7), "v").take_all()[0]["approx_n"]
         assert a == b  # register max is order/partition invariant
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCMS:
+    def test_overestimate_and_accuracy(self):
+        from tera_ray.sketch.cms import cms_point_estimates
+
+        # zipf-ish: key k appears (50-k) times
+        keys = np.repeat(np.arange(50), 50 - np.arange(50))
+        rng = np.random.default_rng(11)
+        rng.shuffle(keys)
+        ds = ray.data.from_arrow(pa.table({"v": keys})).repartition(6)
+        probes = [0, 1, 2, 10, 49]
+        truth = {str(k): int((keys == k).sum()) for k in probes}
+        est = {r["key"]: r["est_cnt"] for r in
+               cms_point_estimates(ds, "v", probes).take_all()}
+        for k, t in truth.items():
+            assert est[k] >= t          # CMS never under-estimates
+            assert est[k] - t <= 0.01 * len(keys)  # εN bound, ε=e/2048
