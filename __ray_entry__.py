@@ -397,6 +397,37 @@ def _q_events_props_sum(sf_dir: str):
                        [("k", "sum", "k_sum"), ("k", "count", "n")])
 
 
+def _q_orders_by_month(sf_dir: str):
+    """Temporal scalar functions: truncate order timestamps to month
+    (Arrow ``floor_temporal`` — zero-copy vectorized) + grouped
+    count/sum combiner."""
+    from tera_ray.query.relational import grouped_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    return grouped_agg(orders.map_batches(derive, batch_format="pyarrow"),
+                       ["month"],
+                       [("cents", "count", "n"), ("cents", "sum", "cents")])
+
+
+def _q_custkey_orderkeys(sf_dir: str):
+    """Nested output: per customer the SORTED LIST of their order keys
+    (`tera_ray.query.relational.grouped_array_agg` — list column
+    assembled per bucket, no Python row loop)."""
+    from tera_ray.query.relational import grouped_array_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return grouped_array_agg(orders, "o_custkey", "o_orderkey",
+                             out_name="orderkeys")
+
+
 def _q_events_cms_counts(sf_dir: str):
     """Count-Min point-frequency estimates for 10 probe users — the
     second sketch family member (`tera_ray.sketch.cms`): d×w mergeable
@@ -1762,6 +1793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": _q_events_props_sum,
         "events_hll_users": _q_events_hll_users,
         "events_cms_counts": _q_events_cms_counts,
+        "orders_by_month": _q_orders_by_month,
+        "custkey_orderkeys": _q_custkey_orderkeys,
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
@@ -2740,6 +2773,17 @@ def oracle_sql() -> dict[str, str]:
             " SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING'",
         "events_cms_counts": _cms_sql(),
+        "orders_by_month":
+            "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)"
+            " AS month,"
+            " count(*) AS n,"
+            " CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+            " AS cents"
+            " FROM orders GROUP BY 1",
+        "custkey_orderkeys":
+            "SELECT o_custkey,"
+            " list_sort(array_agg(o_orderkey)) AS orderkeys"
+            " FROM orders GROUP BY o_custkey",
         "events_hll_users":
             "WITH v AS (SELECT DISTINCT user_id::VARCHAR AS s"
             " FROM events WHERE user_id IS NOT NULL),"

@@ -316,6 +316,45 @@ def grouped_count_distinct(ds, key: str, col: str,
     return grouped_agg(d, [key], [(col, "count", out_name)])
 
 
+def grouped_array_agg(ds, key: str, value_col: str,
+                      out_name: str = "values", num_buckets: int = 64):
+    """Per-key SORTED list of values — ``list_sort(array_agg(v))`` —
+    as a genuine Arrow list column (nested output type).
+
+    One bucket shuffle on the key; inside a bucket a single sort by
+    (key, value) + run-boundary offsets slice the flat value array into
+    a ListArray directly from the offsets — no per-group Python.  A
+    single key's values must fit a worker (same contract as any
+    per-key aggregation)."""
+    def add_b(t: pa.Table) -> pa.Table:
+        t = t.select([key, value_col])
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key).type
+        vt = t.schema.field(value_col).type
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             out_name: pa.array([], pa.list_(vt))})
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending"),
+                                            (value_col, "ascending")])
+        t = t.take(idx)
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.ones(len(kv), dtype=bool)
+        starts[1:] = kv[1:] != kv[:-1]
+        offs = np.flatnonzero(starts)
+        offsets = pa.array(np.concatenate([offs, [len(kv)]]).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets,
+                                         t[value_col].combine_chunks())
+        return pa.table({key: t[key].take(pa.array(offs.astype(np.int64))),
+                         out_name: lists})
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
+
+
 def sanitize_col(v) -> str:
     """Deterministic pivot column name for a value: non-alnum → ``_``,
     lowered."""

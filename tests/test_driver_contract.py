@@ -61,6 +61,8 @@ PARITY_KEYS = [
     "events_props_sum",
     "events_hll_users",
     "events_cms_counts",
+    "orders_by_month",
+    "custkey_orderkeys",
     "priority_distinct_parts",
     "orders_priority_quantiles",
     "emb_label_centroids",

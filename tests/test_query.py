@@ -248,6 +248,16 @@ class TestRelational:
         # BY would keep b with 0; callers outer-join if they need it)
         assert cd == {"a": 2}
 
+    def test_grouped_array_agg(self):
+        from tera_ray.query.relational import grouped_array_agg
+
+        t = pa.table({"k": ["b", "a", "b", "a", "b"],
+                      "v": [3, 2, 1, 9, 2]})
+        out = grouped_array_agg(ray.data.from_arrow(t).repartition(3),
+                                "k", "v", out_name="vs")
+        got = {r["k"]: r["vs"] for r in out.take_all()}
+        assert got == {"a": [2, 9], "b": [1, 2, 3]}
+
     def test_pagerank_regular_graph(self):
         from tera_ray.query.graph import pagerank
 
