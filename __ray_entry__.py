@@ -955,6 +955,23 @@ def _q_orders_building_semi(sf_dir: str):
     return key_semi_join(orders, bld, "o_custkey", "c_custkey")
 
 
+def _q_lineitem_bloom_semi(sf_dir: str):
+    """Semi join with Bloom runtime-filter pruning: lineitems of URGENT
+    orders.  The filter is deliberately small (64 Kbit for ~3k keys —
+    real fpp) so the exact-verify stage is genuinely exercised; output
+    is bit-equal to the plain IN-subquery."""
+    from tera_ray.query.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                           num_bits=1 << 16)
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H-Q5-shaped composite: revenue per ASIA nation where customer
     and supplier share the nation.  Dims (region/nation/supplier) are
@@ -1813,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top3_per_customer": _q_orders_top3,
         "customers_no_urgent": _q_customers_no_urgent,
         "orders_building_semi": _q_orders_building_semi,
+        "lineitem_bloom_semi": _q_lineitem_bloom_semi,
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
@@ -3074,6 +3092,10 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
             " WHERE o_custkey IN (SELECT c_custkey FROM customer"
             " WHERE c_mktsegment = 'BUILDING')",
+        "lineitem_bloom_semi":
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+            " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')",
         "events_heavy_users":
             "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
             " HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)",

@@ -872,12 +872,18 @@ def key_semi_join(ds, right, left_key: str, right_key: str,
     """
     import ray
 
+    # Materialize the (combined-and-deduped, hence small-relative-to-raw)
+    # key set in the OBJECT STORE and count from block metadata — the
+    # driver only ever collects it when it is under broadcast_limit.
+    # (An unconditional driver collect here would cap the operator at
+    # driver heap size; at 100 TB distinct keys can be billions.)
     keys_ds = distinct_values(right, right_key, out_name="__k",
-                              num_buckets=num_buckets)
-    kt = pa.concat_tables(
-        list(keys_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
-    kt = kt.filter(pc.is_valid(kt["__k"]))
-    if kt.num_rows <= broadcast_limit:
+                              num_buckets=num_buckets).materialize()
+    if keys_ds.count() <= broadcast_limit:
+        kt = pa.concat_tables(
+            list(keys_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)))
+        kt = kt.filter(pc.is_valid(kt["__k"]))
         vs = kt["__k"].combine_chunks()
         ref = ray.put(vs)
 
