@@ -727,6 +727,32 @@ def _q_docs_sample(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_docs_source_cap(sf_dir: str):
+    """Fixed per-stratum quota (the companion to rate-based sampling):
+    keep at most 10 documents per source, chosen by smallest salted-FNV
+    priority — a deterministic uniform draw, stable across runs and
+    partitionings.  topk_per_key's combiner bounds the shuffle at
+    k rows per (block, source)."""
+    from tera_ray.text.curation import stratified_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_cap(ds, "source", 10)
+
+
+def _q_lineitem_hist_quantiles(sf_dir: str):
+    """Mergeable fixed-width-histogram quantile sketch over
+    l_extendedprice: per-batch bincount combiner, ≤ num_bins counter
+    rows cross the shuffle (vs whole-column exchange for the exact
+    quantiles) — estimates are bin lower edges, bit-reproducible in
+    SQL."""
+    from tera_ray.sketch.histogram import histogram_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return histogram_quantiles(ds, "l_extendedprice",
+                               [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                               lo=0.0, width=1000.0, num_bins=128)
+
+
 def _q_docs_contamination(sf_dir: str):
     """Benchmark-contamination screen: docs with doc_id%10==0 play the
     held-out benchmark; every other doc is scored for 3-gram shingle
@@ -1843,6 +1869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_split": _q_docs_split,
         "docs_sample": _q_docs_sample,
+        "docs_source_cap": _q_docs_source_cap,
+        "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
         "docs_url_domains": _q_docs_url_domains,
@@ -2676,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
     g_tax = "'ecotox_taxonomy' AS graph"
     split_h = _fnv_sql("'split:'||doc_id::VARCHAR")
     sample_h = _fnv_sql("'sample:'||doc_id::VARCHAR")
+    cap_h = _fnv_sql("'cap:'||doc_id::VARCHAR")
     return {
         "docs_dedup_exact":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -3197,6 +3226,24 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000"
             f" WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000"
             f" WHEN 'zh' THEN 50000 ELSE 0 END",
+        "docs_source_cap":
+            f"WITH h AS (SELECT doc_id, source,"
+            f" ({cap_h} // 2) AS pri FROM documents),"
+            f" r AS (SELECT doc_id, source, row_number() OVER"
+            f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
+            f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "lineitem_hist_quantiles":
+            "WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x"
+            " FROM lineitem WHERE l_extendedprice IS NOT NULL),"
+            " b AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - 0.0) / 1000.0)"
+            " AS BIGINT), 0), 127) AS bin, COUNT(*) AS c FROM v"
+            " GROUP BY 1),"
+            " cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc"
+            " FROM b), n AS (SELECT COUNT(*) AS n FROM v)"
+            " SELECT q, 0.0 + 1000.0 * MIN(bin) AS est FROM cum, n,"
+            " (VALUES (0.1::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),"
+            " (0.75::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) qs(q)"
+            " WHERE cc >= CEIL(q * n) GROUP BY q",
         "docs_contamination": _contamination_sql(),
         "docs_repetition":
             "WITH toks AS (SELECT doc_id,"

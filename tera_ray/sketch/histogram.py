@@ -1,0 +1,93 @@
+"""Fixed-width binned histogram: a mergeable quantile sketch.
+
+The exact per-group quantiles in ``query/relational`` shuffle every row;
+at 100 TB that is the whole corpus through the object store.  This
+sketch crosses the shuffle with at most ``num_bins`` rows per input
+block (per-batch combiner) and at most ``num_bins`` rows total after the
+merge — quantile estimates with error bounded by one bin width for the
+cost of a metadata-sized exchange.
+
+Deterministic by construction (no RNG, pure float64 arithmetic shared
+with SQL): the estimate for quantile ``q`` is the LOWER EDGE of the
+first bin whose cumulative count reaches ``ceil(q * n)``, so the whole
+pipeline is bit-reproducible in DuckDB (see the
+``lineitem_hist_quantiles`` oracle in ``__ray_entry__.py``).
+
+Values below ``lo`` clamp into bin 0 and values at/above
+``lo + width * num_bins`` clamp into the last bin — the sketch never
+drops rows, it only loses resolution at the tails (same contract both
+sides of the oracle).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def histogram_counts(ds, col: str, lo: float, width: float,
+                     num_bins: int):
+    """Merged bin-count Dataset ``(bin, c)`` for numeric ``col``.
+
+    Per-batch ``np.bincount`` combiner (≤ ``num_bins`` rows per block
+    cross the shuffle) → grouped sum by bin.  Nulls are dropped;
+    out-of-range values clamp to the edge bins.
+    """
+    from ..query.relational import grouped_agg
+
+    lo_f, w_f = float(lo), float(width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = pc.cast(t[col], pa.float64())
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        x = x.drop_null()
+        if len(x) == 0:
+            return empty
+        xs = x.to_numpy(zero_copy_only=False)
+        bins = np.clip(np.floor((xs - lo_f) / w_f), 0,
+                       num_bins - 1).astype(np.int64)
+        counts = np.bincount(bins, minlength=0)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(counts[nz].astype(np.int64))})
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["bin"], [("c", "sum", "c")])
+
+
+def histogram_quantiles(ds, col: str, qs: list[float], lo: float,
+                        width: float, num_bins: int):
+    """One row per requested quantile: ``(q, est)``.
+
+    Only the ≤ ``num_bins`` merged counter rows reach the driver; the
+    cumulative scan over them is O(num_bins).  ``est`` is the lower
+    edge ``lo + width * bin`` of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` (n = non-null row count).
+    """
+    import ray.data
+
+    hist = pa.concat_tables(
+        list(histogram_counts(ds, col, lo, width, num_bins)
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    hist = hist.sort_by("bin")
+    bins = hist["bin"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(hist["c"].to_numpy(zero_copy_only=False))
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_est = [], []
+    for q in qs:
+        target = math.ceil(q * n)
+        i = int(np.searchsorted(cum, target, side="left"))
+        i = min(i, len(bins) - 1) if len(bins) else 0
+        out_q.append(float(q))
+        out_est.append(float(lo) + float(width) * float(bins[i])
+                       if len(bins) else float("nan"))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "est": pa.array(out_est, pa.float64())}))

@@ -129,6 +129,43 @@ def stratified_sample(batch: pa.Table, strata_col: str,
     return batch.filter(pa.array(h < thresh))
 
 
+def stratified_cap(ds, strata_col: str, k: int, id_col: str = "doc_id",
+                   salt: str = "cap:", num_buckets: int = 64):
+    """Keep AT MOST ``k`` rows per stratum — the fixed-quota companion
+    to ``stratified_sample``'s rate-based filter (e.g. "cap every crawl
+    domain at 10k documents" so one hot domain cannot dominate the mix).
+
+    The kept rows are the ``k`` with the smallest ``fnv1a(salt + id)``
+    (ties broken by id): a deterministic uniform-without-replacement
+    draw that is stable across runs, re-partitioning, and cluster
+    sizes, and — because the priority is a pure function of the id —
+    incremental: re-running after appending documents only ever evicts
+    rows in favour of lower-priority newcomers, never reshuffles the
+    whole quota.
+
+    Rides ``topk_per_key``'s combiner: each block contributes ≤ k rows
+    per stratum to the shuffle, so the exchange is O(blocks · strata ·
+    k), not O(rows).  SQL-reproducible (``row_number() OVER (PARTITION
+    BY stratum ORDER BY fnv, id)`` with the ``_fnv_sql`` helper).
+    """
+    from ..query.relational import topk_per_key
+
+    def add_priority(t: pa.Table) -> pa.Table:
+        h = _salted_fnv(t[id_col], salt)
+        # int64 view keeps Arrow sort happy; the reinterpret is order-
+        # preserving only on the low 63 bits, so shift out the top bit
+        # (uniformity is unaffected, SQL mirrors with % 2^63).
+        pri = (h >> np.uint64(1)).astype(np.int64)
+        return t.append_column("__pri", pa.array(pri))
+
+    capped = topk_per_key(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        strata_col, [("__pri", "ascending"), (id_col, "ascending")],
+        k, num_buckets=num_buckets)
+    return capped.map_batches(lambda t: t.drop_columns(["__pri"]),
+                              batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 

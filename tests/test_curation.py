@@ -114,3 +114,40 @@ class TestRepetition:
         out = repetition_stats(_docs(["Foo-foo FOO!"]))
         assert out["n_tokens"].to_pylist() == [3]
         assert out["n_distinct"].to_pylist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStratifiedCap:
+    def test_quota_determinism_and_subset(self):
+        import ray
+
+        from tera_ray.text.curation import stratified_cap
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(300)), pa.int64()),
+            "src": pa.array([f"s{i % 3}" for i in range(300)], pa.string()),
+        })
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = stratified_cap(ds, "src", 7, id_col="doc_id").take_all()
+            return sorted((r["src"], r["doc_id"]) for r in out)
+
+        a, b = run(1), run(9)
+        assert a == b  # priority is a pure function of the id
+        per = {}
+        for s, d in a:
+            per[s] = per.get(s, 0) + 1
+        assert per == {"s0": 7, "s1": 7, "s2": 7}
+        assert set(d for _, d in a) <= set(range(300))
+
+    def test_small_stratum_kept_whole(self):
+        import ray
+
+        from tera_ray.text.curation import stratified_cap
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "src": pa.array(["a", "a", "b"], pa.string())})
+        out = stratified_cap(ray.data.from_arrow(t), "src", 10,
+                             id_col="doc_id").take_all()
+        assert len(out) == 3  # cap never drops below-quota strata

@@ -40,6 +40,8 @@ PARITY_KEYS = [
     "docs_pii_scrub",
     "docs_split",
     "docs_sample",
+    "docs_source_cap",
+    "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",
     "docs_url_domains",

@@ -48,3 +48,35 @@ class TestCMS:
         for k, t in truth.items():
             assert est[k] >= t          # CMS never under-estimates
             assert est[k] - t <= 0.01 * len(keys)  # εN bound, ε=e/2048
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHistogram:
+    def test_error_bounded_by_bin_width(self):
+        from tera_ray.sketch.histogram import histogram_quantiles
+
+        rng = np.random.default_rng(11)
+        xs = rng.uniform(0.0, 1000.0, 50_000)
+        ds = ray.data.from_arrow(pa.table({"x": xs})).repartition(8)
+        out = {r["q"]: r["est"] for r in histogram_quantiles(
+            ds, "x", [0.1, 0.5, 0.9], lo=0.0, width=10.0,
+            num_bins=100).take_all()}
+        for q in (0.1, 0.5, 0.9):
+            exact = np.quantile(xs, q)
+            # estimate = lower edge of the covering bin
+            assert exact - 10.0 <= out[q] <= exact + 10.0
+
+    def test_partition_invariance_and_clamping(self):
+        from tera_ray.sketch.histogram import histogram_quantiles
+
+        xs = np.concatenate([np.full(10, -50.0), np.linspace(0, 99, 100),
+                             np.full(10, 1e9)])  # out-of-range both ends
+        t = pa.table({"x": xs})
+        kw = dict(qs=[0.01, 0.5, 0.999], lo=0.0, width=5.0, num_bins=20)
+        a = histogram_quantiles(ray.data.from_arrow(t), "x", **kw).take_all()
+        b = histogram_quantiles(
+            ray.data.from_arrow(t).repartition(7), "x", **kw).take_all()
+        assert a == b  # bin-count sums are partition invariant
+        ests = {r["q"]: r["est"] for r in a}
+        assert ests[0.01] == 0.0        # clamped low tail → bin 0
+        assert ests[0.999] == 5.0 * 19  # clamped high tail → last bin
