@@ -753,6 +753,17 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_docs_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + shard assignment (the terminal
+    training-data step): shard = salted-FNV % 8, pos = dense hash rank
+    within the shard — a reproducible random permutation that is a pure
+    function of the ids."""
+    from tera_ray.text.curation import shuffle_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_shards(ds, "doc_id", n_shards=8)
+
+
 def _q_docs_contamination(sf_dir: str):
     """Benchmark-contamination screen: docs with doc_id%10==0 play the
     held-out benchmark; every other doc is scored for 3-gram shingle
@@ -1870,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_sample": _q_docs_sample,
         "docs_source_cap": _q_docs_source_cap,
+        "docs_shuffle_shards": _q_docs_shuffle_shards,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -2705,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
     split_h = _fnv_sql("'split:'||doc_id::VARCHAR")
     sample_h = _fnv_sql("'sample:'||doc_id::VARCHAR")
     cap_h = _fnv_sql("'cap:'||doc_id::VARCHAR")
+    shuf_h = _fnv_sql("'shuffle:'||doc_id::VARCHAR")
     return {
         "docs_dedup_exact":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -3232,6 +3245,11 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_shuffle_shards":
+            f"WITH h AS (SELECT doc_id, ({shuf_h}) AS hh FROM documents)"
+            f" SELECT doc_id, (hh % 8)::BIGINT AS shard,"
+            f" row_number() OVER (PARTITION BY (hh % 8)"
+            f" ORDER BY (hh // 2), doc_id) - 1 AS pos FROM h",
         "lineitem_hist_quantiles":
             "WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x"
             " FROM lineitem WHERE l_extendedprice IS NOT NULL),"

@@ -166,6 +166,46 @@ def stratified_cap(ds, strata_col: str, k: int, id_col: str = "doc_id",
                               batch_format="pyarrow")
 
 
+def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 16,
+                   salt: str = "shuffle:"):
+    """Deterministic global shuffle + shard assignment — the terminal
+    step of a training-data pipeline ("shuffle the corpus, write N
+    shards").  Appends ``(shard, pos)``: ``shard = fnv1a(salt+id) %
+    n_shards`` and ``pos`` = dense rank of the hash within the shard
+    (ties by id) — together a reproducible random permutation that is a
+    pure function of the ids: stable across runs, partitionings, and
+    cluster sizes, so a resumed job re-derives identical shards.
+
+    One shuffle keyed on the shard id; each group is exactly one output
+    shard, so the per-group materialization equals the size of the file
+    a writer must hold anyway — pick ``n_shards`` ≈ corpus_bytes /
+    target_file_bytes (at 100 TB with 1 GB shards that is ~10⁵ groups,
+    far above any worker heap's group size).  SQL-reproducible
+    (``row_number() OVER (PARTITION BY shard ORDER BY fnv, id)``).
+    """
+    from ..stages.base import bucketed_map_groups
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = _salted_fnv(t[id_col], salt)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        pri = (h >> np.uint64(1)).astype(np.int64)  # order-preserving low-63
+        return (t.append_column("__shard", pa.array(shard))
+                 .append_column("__pri", pa.array(pri)))
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("__pri", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        out = (t.append_column("shard", t["__shard"])
+                .append_column("pos", pa.array(
+                    np.arange(t.num_rows, dtype=np.int64))))
+        return out.drop_columns(["__shard", "__pri"])
+
+    return bucketed_map_groups(
+        ds.map_batches(assign, batch_format="pyarrow"), "__shard",
+        rank_group)
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 

@@ -151,3 +151,29 @@ class TestStratifiedCap:
         out = stratified_cap(ray.data.from_arrow(t), "src", 10,
                              id_col="doc_id").take_all()
         assert len(out) == 3  # cap never drops below-quota strata
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleShards:
+    def test_permutation_and_partition_invariance(self):
+        import ray
+
+        from tera_ray.text.curation import shuffle_shards
+
+        t = pa.table({"doc_id": pa.array(list(range(500)), pa.int64())})
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = shuffle_shards(ds, "doc_id", n_shards=4).take_all()
+            return sorted((r["doc_id"], r["shard"], r["pos"]) for r in out)
+
+        a, b = run(1), run(11)
+        assert a == b  # assignment is a pure function of the id
+        assert len(a) == 500
+        # dense 0..n-1 positions within every shard
+        by_shard = {}
+        for _, s, p in a:
+            by_shard.setdefault(s, []).append(p)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(len(ps)))

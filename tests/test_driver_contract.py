@@ -41,6 +41,7 @@ PARITY_KEYS = [
     "docs_split",
     "docs_sample",
     "docs_source_cap",
+    "docs_shuffle_shards",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",
