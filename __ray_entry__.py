@@ -753,6 +753,35 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_docs_incremental(sf_dir: str):
+    """Incremental near-dup (index + probe): docs with doc_id % 5 == 0
+    play the NEW shard, the rest the already-indexed corpus.  Only the
+    new shard is sketched — the corpus contributes its persistable LSH
+    band index — and candidates are exact-verified distributed.  The
+    100 TB pattern for deduping today's shard against yesterday's
+    corpus without re-reading it."""
+    import numpy as np
+
+    from tera_ray.dedup.minhash import minhash_index, minhash_probe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(new: bool):
+        def f(t):
+            m = t["doc_id"].combine_chunks().to_numpy() % 5 == 0
+            return t.filter(pa.array(m if new else ~m))
+
+        return f
+
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+    new = docs.map_batches(side(True), batch_format="pyarrow")
+    idx = minhash_index(corpus)
+    out = minhash_probe(new, idx, docs, threshold=0.8)
+    return out.map_batches(
+        lambda t: t.rename_columns(["new_id", "dup_of", "jaccard"]),
+        batch_format="pyarrow")
+
+
 def _q_docs_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + shard assignment (the terminal
     training-data step): shard = salted-FNV % 8, pos = dense hash rank
@@ -1882,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": _q_docs_sample,
         "docs_source_cap": _q_docs_source_cap,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
+        "docs_incremental_dedup": _q_docs_incremental,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3245,6 +3275,31 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_incremental_dedup":
+            # Same shingle construction as _minhash_dedup_sql; the probe
+            # is lossless on the fixture (every cross pair has J ≥ 0.96,
+            # far above the 128-perm/16-band collision point at 0.8).
+            "WITH tk AS (SELECT doc_id,"
+            " string_split_regex(trim(lower(text),"
+            " ' '||chr(9)||chr(10)||chr(13)), '[^a-z0-9]+') AS l"
+            " FROM documents),"
+            " sh AS (SELECT DISTINCT doc_id,"
+            " l[g]||chr(31)||l[g+1]||chr(31)||l[g+2] AS s"
+            " FROM (SELECT doc_id, l,"
+            " unnest(generate_series(1, len(l)-2)) AS g"
+            " FROM tk WHERE len(l) >= 3)"
+            " UNION SELECT DISTINCT doc_id,"
+            " list_aggregate(l, 'string_agg', chr(31)) AS s"
+            " FROM tk WHERE len(l) < 3),"
+            " sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS (SELECT x.doc_id AS new_id, y.doc_id AS dup_of,"
+            " count(*) AS i FROM sh x JOIN sh y ON x.s = y.s"
+            " WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0 GROUP BY 1, 2)"
+            " SELECT new_id, dup_of,"
+            " CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard"
+            " FROM inter JOIN sz sa ON sa.doc_id = new_id"
+            " JOIN sz sb ON sb.doc_id = dup_of"
+            " WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8",
         "docs_shuffle_shards":
             f"WITH h AS (SELECT doc_id, ({shuf_h}) AS hh FROM documents)"
             f" SELECT doc_id, (hh % 8)::BIGINT AS shard,"

@@ -373,3 +373,116 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 def rows_per_band(num_perm: int, bands: int) -> int:
     assert num_perm % bands == 0
     return num_perm // bands
+
+
+def minhash_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_perm: int = 128, bands: int = 16, ngram: int = 3,
+                  concurrency=None):
+    """LSH band index over a corpus: one row per (band_key, doc id).
+
+    This is the PERSISTABLE artifact of incremental dedup — write it as
+    partitioned Parquet once, then every new shard probes it via
+    :func:`minhash_probe` without re-sketching the corpus (at 100 TB,
+    re-reading yesterday's petabytes to dedup today's terabytes is the
+    difference between a nightly job and an impossible one).  Size:
+    ``bands`` × 16 B per document, independent of document length.
+    """
+    rows = rows_per_band(num_perm, bands)
+    kwargs = dict(batch_format="pyarrow",
+                  concurrency=concurrency if concurrency is not None
+                  else (1, 8))
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram,
+                               "id_col": id_col, "text_col": text_col},
+        **kwargs)
+    return sigs.map_batches(
+        lambda t: _band_flat(t, bands, rows, id_col),
+        batch_format="pyarrow")
+
+
+def minhash_probe(new_ds, index, texts, id_col: str = "doc_id",
+                  text_col: str = "text", num_perm: int = 128,
+                  bands: int = 16, ngram: int = 3, threshold: float = 0.8,
+                  max_bucket: int = 256, num_buckets: int | None = None,
+                  concurrency=None):
+    """Incremental near-dup: probe NEW documents against an existing
+    corpus LSH ``index`` (from :func:`minhash_index`, possibly read back
+    from Parquet) and return exact-verified ``(a, b, jaccard)`` pairs —
+    ``a`` a new doc id, ``b`` a corpus doc id, Jaccard ≥ ``threshold``.
+
+    Only the new shard is sketched; the corpus contributes just its
+    band entries.  One shuffle co-groups both sides by
+    ``hash(band_key) % num_buckets`` (never the raw key — billions of
+    distinct bands at scale); within a bucket a vectorized polars join
+    emits new×corpus pairs, with the corpus side of a hot band capped
+    at its ``max_bucket`` smallest ids (logged — identical skew
+    contract to :func:`candidate_pairs`).  Verification reuses the
+    distributed exact-Jaccard path, so nothing is collected driver-side.
+
+    ``texts``: Dataset ``(id, text)`` covering BOTH sides (corpus ∪
+    new) — the verify stage joins texts back by id.
+    """
+    import logging
+
+    import polars as pl
+
+    from ..stages.base import _auto_buckets, bucketed_map_groups
+
+    nb = _auto_buckets(num_buckets)
+    new_bands = minhash_index(new_ds, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, bands=bands, ngram=ngram,
+                              concurrency=concurrency)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = pc.cast(pc.bit_wise_and(t["band_key"],
+                                        pa.scalar(nb - 1, pa.uint64())),
+                        pa.int32())
+            return pa.table({
+                "band_key": t["band_key"],
+                "id": t[id_col].cast(pa.int64()),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            }).append_column("__b", b)
+
+        return f
+
+    def probe_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        df = pl.from_arrow(t.select(["band_key", "id", "side"])).unique()
+        news = df.filter(pl.col("side") == 1)
+        corp = df.filter(pl.col("side") == 0)
+        if news.height == 0 or corp.height == 0:
+            return empty
+        corp = corp.with_columns(
+            pl.col("id").rank("ordinal").over("band_key").alias("rk"))
+        hot = corp.filter(pl.col("rk") > max_bucket)
+        if hot.height:
+            logging.getLogger(__name__).warning(
+                "minhash_probe: %d corpus entries beyond max_bucket=%d "
+                "truncated in %d hot bands",
+                hot.height, max_bucket,
+                hot.select(pl.col("band_key").n_unique()).item())
+            corp = corp.filter(pl.col("rk") <= max_bucket)
+        j = news.select(["band_key", "id"]).join(
+            corp.select(["band_key", "id"]), on="band_key", suffix="_c")
+        if j.height == 0:
+            return empty
+        out = (j.select(a=pl.col("id"), b=pl.col("id_c"))
+               .unique().to_arrow())
+        return out.cast(pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+    from .exact import dedup_exact
+
+    both = index.map_batches(tag(0), batch_format="pyarrow").union(
+        new_bands.map_batches(tag(1), batch_format="pyarrow"))
+    cand = bucketed_map_groups(both, "__b", probe_bucket)
+    cand = dedup_exact(cand.map_batches(
+        lambda t: t.append_column("__o", t["a"]), batch_format="pyarrow"),
+        keys=["a", "b"], order_by="__o").drop_columns(["__o"])
+    return jaccard_verify_distributed(
+        cand, texts, id_col=id_col, text_col=text_col, ngram=ngram,
+        threshold=threshold)

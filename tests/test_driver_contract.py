@@ -42,6 +42,7 @@ PARITY_KEYS = [
     "docs_sample",
     "docs_source_cap",
     "docs_shuffle_shards",
+    "docs_incremental_dedup",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",

@@ -296,3 +296,33 @@ class TestChemEnrich:
         # prints-and-skips on PubChem NotFound)
         assert rows["c3"]["fp_bits"] is None and rows["c3"]["fp_hex"] is None
         assert rows["c3"]["chemical"].endswith("cas/c3")
+
+
+class TestIncrementalDedup:
+    def test_probe_finds_cross_side_pairs_only(self, ray_session):
+        from tera_ray.dedup.minhash import minhash_index, minhash_probe
+
+        t = _docs()
+        docs = ray.data.from_arrow(t)
+        # corpus = ids 0-2, new shard = ids 3-5 (4 duplicates 0 exactly,
+        # 5 is unrelated); probe must return ONLY new×corpus pairs
+        corpus = docs.filter(lambda r: r["doc_id"] < 3)
+        new = docs.filter(lambda r: r["doc_id"] >= 3)
+        idx = minhash_index(corpus)
+        out = minhash_probe(new, idx, docs, threshold=0.8).take_all()
+        pairs = sorted((r["a"], r["b"]) for r in out)
+        # 4 == 0 byte-identical (J=1); 1 differs from 4 by one token
+        # (J = 11/13 ≈ 0.846); NO corpus×corpus pair (0,1) in the output
+        assert pairs == [(4, 0), (4, 1)]
+        assert {(r["a"], r["b"]): r["jaccard"] for r in out}[(4, 0)] == 1.0
+
+    def test_index_roundtrips_through_parquet(self, ray_session, tmp_path):
+        from tera_ray.dedup.minhash import minhash_index, minhash_probe
+
+        docs = ray.data.from_arrow(_docs())
+        corpus = docs.filter(lambda r: r["doc_id"] < 3)
+        minhash_index(corpus).write_parquet(str(tmp_path / "idx"))
+        idx = ray.data.read_parquet(str(tmp_path / "idx"))
+        new = docs.filter(lambda r: r["doc_id"] >= 3)
+        out = minhash_probe(new, idx, docs, threshold=0.8).take_all()
+        assert sorted((r["a"], r["b"]) for r in out) == [(4, 0), (4, 1)]
