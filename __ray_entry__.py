@@ -753,6 +753,19 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_docs_token_ids(sf_dir: str):
+    """Vocab build + token-id encoding (the LLM-prep transform):
+    top-500 vocabulary via the Zipf-bounded count shuffle, then a
+    broadcast-vocab actor pool encodes every document to a
+    ``list<int32>`` id sequence (unk = 0).  Map-side encode, no
+    shuffle."""
+    from tera_ray.text.analysis import build_vocab, encode_token_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, size=500)
+    return encode_token_ids(ds, vocab)
+
+
 def _q_docs_incremental(sf_dir: str):
     """Incremental near-dup (index + probe): docs with doc_id % 5 == 0
     play the NEW shard, the rest the already-indexed corpus.  Only the
@@ -1912,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": _q_docs_source_cap,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_incremental_dedup": _q_docs_incremental,
+        "docs_token_ids": _q_docs_token_ids,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3275,6 +3289,26 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_token_ids":
+            "WITH tk AS (SELECT doc_id,"
+            " string_split_regex(lower(coalesce(text, '')), '\\W+') AS l"
+            " FROM documents),"
+            " pos AS (SELECT doc_id, g, l[g] AS tok"
+            " FROM (SELECT doc_id, l,"
+            " unnest(generate_series(1, len(l))) AS g FROM tk)"
+            " WHERE l[g] <> ''),"
+            " vc AS (SELECT tok AS token, count(*) AS cnt FROM pos"
+            " GROUP BY tok),"
+            " vocab AS (SELECT token, row_number() OVER"
+            " (ORDER BY cnt DESC, token) AS id FROM vc"
+            " QUALIFY id <= 500),"
+            " enc AS (SELECT p.doc_id, p.g, coalesce(v.id, 0) AS tid"
+            " FROM pos p LEFT JOIN vocab v ON p.tok = v.token),"
+            " agg AS (SELECT doc_id, list(tid ORDER BY g) AS ids"
+            " FROM enc GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " coalesce(a.ids, CAST([] AS BIGINT[])) AS token_ids"
+            " FROM documents d LEFT JOIN agg a USING (doc_id)",
         "docs_incremental_dedup":
             # Same shingle construction as _minhash_dedup_sql; the probe
             # is lossless on the fixture (every cross pair has J ≥ 0.96,

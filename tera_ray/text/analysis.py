@@ -222,3 +222,107 @@ def fingerprint(batch: pa.Table, column: str = "text") -> pa.Table:
                 [np.zeros(1, np.uint64), np.cumsum(prod, dtype=np.uint64)])
             fp = csum[offsets[1:]] - csum[offsets[:-1]]
     return batch.append_column("fp64", pa.array(fp, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + token-id encoding (the LLM-prep transform)
+
+def build_vocab(ds, text_col: str = "text", size: int = 1000) -> pa.Table:
+    """Corpus vocabulary: the top-``size`` tokens by global count (ties
+    by token string) as an Arrow table ``(token, token_id)`` with ids
+    1..size in rank order; id 0 is reserved for unknown.
+
+    Tokenization is the engine-wide convention: lowercase ``\\W+``
+    split, empty tokens dropped.  Counting is the Zipf-bounded
+    combiner→grouped-sum plan of ``docs_top_tokens`` — the shuffle
+    carries per-batch DISTINCT tokens, never the corpus; only the final
+    vocab-sized count table (``size`` rows) is materialized, so the
+    driver never holds corpus-scale state.
+    """
+    from ..query.relational import grouped_agg
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(s, "")),
+                                   r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts")})
+
+    counts = grouped_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                         ["token"], [("cnt", "sum", "cnt")])
+    top = pa.concat_tables(list(
+        counts.sort(["cnt", "token"], descending=[True, False]).limit(size)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    # re-sort: block order after limit() is not guaranteed
+    top = top.sort_by([("cnt", "descending"), ("token", "ascending")])
+    return pa.table({
+        "token": top["token"],
+        "token_id": pa.array(np.arange(1, top.num_rows + 1,
+                                       dtype=np.int32))})
+
+
+class TokenEncodeStage:
+    """Actor-pool stage: text → ``list<int32>`` token-id sequences.
+
+    The vocab dict is fetched from the object store ONCE per actor in
+    ``__init__`` (``vocab_ref`` is a ``ray.put`` handle — broadcast,
+    never re-shipped per batch).  Per batch the lookup runs over the
+    batch's DISTINCT tokens only (np.unique + inverse), so the Python
+    dict probes are Zipf-bounded, not O(tokens).
+    """
+
+    def __init__(self, vocab_ref, id_col: str = "doc_id",
+                 text_col: str = "text", unk_id: int = 0):
+        import ray
+
+        vt = ray.get(vocab_ref)
+        self.vocab = dict(zip(vt["token"].to_pylist(),
+                              vt["token_id"].to_pylist()))
+        self.id_col = id_col
+        self.text_col = text_col
+        self.unk = unk_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(s, "")), r"\W+")
+        flat = pc.list_flatten(lst)
+        parents = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask).to_numpy(zero_copy_only=False)
+        par = parents.filter(mask).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if len(flat):
+            uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+            ids_u = np.fromiter((self.vocab.get(u, self.unk) for u in uniq),
+                                dtype=np.int32, count=len(uniq))
+            ids_flat = ids_u[inv]
+        else:
+            ids_flat = np.array([], np.int32)
+        lens = np.bincount(par, minlength=n) if len(par) else np.zeros(n, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(ids_flat, pa.int32()))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "token_ids": arr})
+
+
+def encode_token_ids(ds, vocab: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text", concurrency=None):
+    """documents → ``(id, token_ids list<int32>)`` using a broadcast
+    vocab (see :class:`TokenEncodeStage`).  Map-side only: no shuffle,
+    output row count equals input."""
+    import ray
+
+    ref = ray.put(vocab)
+    return ds.map_batches(
+        TokenEncodeStage,
+        fn_constructor_kwargs={"vocab_ref": ref, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, 8))

@@ -43,6 +43,7 @@ PARITY_KEYS = [
     "docs_source_cap",
     "docs_shuffle_shards",
     "docs_incremental_dedup",
+    "docs_token_ids",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",

@@ -326,3 +326,39 @@ class TestIncrementalDedup:
         new = docs.filter(lambda r: r["doc_id"] >= 3)
         out = minhash_probe(new, idx, docs, threshold=0.8).take_all()
         assert sorted((r["a"], r["b"]) for r in out) == [(4, 0), (4, 1)]
+
+
+class TestTokenEncoding:
+    def test_vocab_rank_and_encode(self, ray_session):
+        from tera_ray.text.analysis import build_vocab, encode_token_ids
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["aa bb aa cc", "bb aa, dd!", ""],
+        })
+        ds = ray.data.from_arrow(t)
+        vocab = build_vocab(ds, size=3)
+        # counts: aa=3, bb=2, cc=1, dd=1 → ids aa=1, bb=2, cc=3 (tie
+        # cc<dd by token); dd falls out of the size-3 vocab → unk 0
+        assert dict(zip(vocab["token"].to_pylist(),
+                        vocab["token_id"].to_pylist())) == \
+            {"aa": 1, "bb": 2, "cc": 3}
+        out = {r["doc_id"]: r["token_ids"]
+               for r in encode_token_ids(ds, vocab).take_all()}
+        assert out == {0: [1, 2, 1, 3], 1: [2, 1, 0], 2: []}
+
+    def test_encode_partition_invariance(self, ray_session):
+        from tera_ray.text.analysis import build_vocab, encode_token_ids
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": [f"tok{i % 7} tok{i % 3} filler" for i in range(40)],
+        })
+        vocab = build_vocab(ray.data.from_arrow(t), size=5)
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            return sorted((r["doc_id"], tuple(r["token_ids"]))
+                          for r in encode_token_ids(ds, vocab).take_all())
+
+        assert run(1) == run(8)
