@@ -753,6 +753,18 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_docs_length_band(sf_dir: str):
+    """Sketch-driven curation: keep documents inside the corpus's
+    [p05, p95] length band — thresholds derived from the histogram
+    quantile sketch (≤ num_bins rows to the driver), then a map-side
+    filter.  The adaptive form of a hard-coded min/max-length rule."""
+    from tera_ray.sketch.histogram import quantile_band_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return quantile_band_filter(ds, "n_chars", 0.05, 0.95,
+                                lo=0.0, width=10.0, num_bins=64)
+
+
 def _q_docs_token_ids(sf_dir: str):
     """Vocab build + token-id encoding (the LLM-prep transform):
     top-500 vocabulary via the Zipf-bounded count shuffle, then a
@@ -1926,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_incremental_dedup": _q_docs_incremental,
         "docs_token_ids": _q_docs_token_ids,
+        "docs_length_band": _q_docs_length_band,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3289,6 +3302,22 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_length_band":
+            "WITH v AS (SELECT doc_id, n_chars,"
+            " CAST(n_chars AS DOUBLE) AS x FROM documents"
+            " WHERE n_chars IS NOT NULL),"
+            " b AS (SELECT LEAST(GREATEST(CAST(FLOOR((x - 0.0) / 10.0)"
+            " AS BIGINT), 0), 63) AS bin, COUNT(*) AS c FROM v"
+            " GROUP BY 1),"
+            " cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc"
+            " FROM b), n AS (SELECT COUNT(*) AS n FROM v),"
+            " blo AS (SELECT MIN(bin) AS bin FROM cum, n"
+            " WHERE cc >= CEIL(0.05 * n)),"
+            " bhi AS (SELECT MIN(bin) AS bin FROM cum, n"
+            " WHERE cc >= CEIL(0.95 * n))"
+            " SELECT doc_id, n_chars FROM v, blo, bhi"
+            " WHERE LEAST(GREATEST(CAST(FLOOR((x - 0.0) / 10.0)"
+            " AS BIGINT), 0), 63) BETWEEN blo.bin AND bhi.bin",
         "docs_token_ids":
             "WITH tk AS (SELECT doc_id,"
             " string_split_regex(lower(coalesce(text, '')), '\\W+') AS l"

@@ -91,3 +91,33 @@ def histogram_quantiles(ds, col: str, qs: list[float], lo: float,
     return ray.data.from_arrow(pa.table({
         "q": pa.array(out_q, pa.float64()),
         "est": pa.array(out_est, pa.float64())}))
+
+
+def quantile_band_filter(ds, col: str, q_lo: float, q_hi: float,
+                         lo: float, width: float, num_bins: int):
+    """Sketch-driven tail trimming: keep rows whose ``col`` falls in the
+    corpus's [q_lo, q_hi] quantile band — the adaptive version of a
+    hard-coded "drop docs shorter than X / longer than Y" curation rule
+    (thresholds follow the corpus instead of a magic constant).
+
+    Two passes, both streaming: the histogram sketch (≤ ``num_bins``
+    rows to the driver) fixes the band's covering bins, then a map-side
+    filter keeps rows whose clamped bin lies between them — no second
+    shuffle, and the kept set is deterministic because the band is
+    defined in bin space (same contract as the SQL oracle).
+    """
+    qs = histogram_quantiles(ds, col, [q_lo, q_hi], lo, width, num_bins)
+    edges = {r["q"]: r["est"] for r in qs.take_all()}
+    b_lo = int(round((edges[q_lo] - lo) / width))
+    b_hi = int(round((edges[q_hi] - lo) / width))
+    lo_f, w_f = float(lo), float(width)
+
+    def keep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        xs = x.to_numpy(zero_copy_only=False)
+        bins = np.clip(np.floor((xs - lo_f) / w_f), 0, num_bins - 1)
+        m = (bins >= b_lo) & (bins <= b_hi) & ~np.isnan(xs)
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -44,6 +44,7 @@ PARITY_KEYS = [
     "docs_shuffle_shards",
     "docs_incremental_dedup",
     "docs_token_ids",
+    "docs_length_band",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",

@@ -80,3 +80,19 @@ class TestHistogram:
         ests = {r["q"]: r["est"] for r in a}
         assert ests[0.01] == 0.0        # clamped low tail → bin 0
         assert ests[0.999] == 5.0 * 19  # clamped high tail → last bin
+
+    def test_quantile_band_filter_trims_tails(self):
+        from tera_ray.sketch.histogram import quantile_band_filter
+
+        # 1000 mid values + extreme tails; p05-p95 band must drop the
+        # tails and keep the bulk
+        xs = np.concatenate([np.full(30, 1.0), np.linspace(400, 600, 1000),
+                             np.full(30, 5000.0)])
+        t = pa.table({"id": pa.array(range(len(xs)), pa.int64()),
+                      "x": pa.array(xs, pa.float64())})
+        out = quantile_band_filter(
+            ray.data.from_arrow(t).repartition(6), "x", 0.05, 0.95,
+            lo=0.0, width=100.0, num_bins=64).take_all()
+        kept = [r["x"] for r in out]
+        assert 1.0 not in kept and 5000.0 not in kept
+        assert len(kept) >= 900  # bulk survives (bin-resolution slack)
