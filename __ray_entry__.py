@@ -753,6 +753,18 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_docs_bigram_fluency(sf_dir: str):
+    """LM-free fluency scoring: mean corpus frequency of each doc's
+    token bigrams — occurrence pairs ⋈ Zipf-bounded corpus counts via
+    one bucketed hash join on the 8-byte bigram hash, then a per-doc
+    grouped sum.  Exact integer ratio, so SQL-reproducible on string
+    bigrams."""
+    from tera_ray.text.analysis import bigram_fluency
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_fluency(ds)
+
+
 def _q_docs_length_band(sf_dir: str):
     """Sketch-driven curation: keep documents inside the corpus's
     [p05, p95] length band — thresholds derived from the histogram
@@ -1939,6 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental,
         "docs_token_ids": _q_docs_token_ids,
         "docs_length_band": _q_docs_length_band,
+        "docs_bigram_fluency": _q_docs_bigram_fluency,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3302,6 +3315,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_bigram_fluency":
+            "WITH tk AS (SELECT doc_id,"
+            " list_filter(string_split_regex(lower(coalesce(text, '')),"
+            " '\\W+'), t -> t <> '') AS fl FROM documents),"
+            " bg AS (SELECT doc_id, fl[g]||chr(31)||fl[g+1] AS b"
+            " FROM (SELECT doc_id, fl,"
+            " unnest(generate_series(1, len(fl)-1)) AS g"
+            " FROM tk WHERE len(fl) >= 2)),"
+            " c AS (SELECT b, count(*) AS cnt FROM bg GROUP BY b)"
+            " SELECT doc_id, count(*) AS n_bigrams,"
+            " CAST(sum(cnt) AS DOUBLE)/count(*) AS score"
+            " FROM bg JOIN c USING (b) GROUP BY doc_id",
         "docs_length_band":
             "WITH v AS (SELECT doc_id, n_chars,"
             " CAST(n_chars AS DOUBLE) AS x FROM documents"

@@ -326,3 +326,71 @@ def encode_token_ids(ds, vocab: pa.Table, id_col: str = "doc_id",
                                "text_col": text_col},
         batch_format="pyarrow",
         concurrency=concurrency if concurrency is not None else (1, 8))
+
+
+def bigram_fluency(ds, id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 64):
+    """LM-free fluency proxy: score(doc) = mean corpus frequency of the
+    doc's token bigrams (occurrence multiplicity kept) — rote/templated
+    text scores high, token soup scores low, without shipping a model.
+
+    Plan: one tokenize pass emits per-doc bigram-hash OCCURRENCES and,
+    separately, per-batch (hash, cnt) combiner partials; corpus counts
+    are a grouped sum (shuffle = per-batch distinct bigrams,
+    Zipf-bounded); occurrences ⋈ counts is ONE bucketed hash join on
+    the 8-byte hash (never the string); a final per-doc grouped sum
+    yields ``(id, n_bigrams, score)`` with ``score`` an exact integer
+    ratio (sum of counts / n_bigrams), so the pipeline is reproducible
+    in SQL on string bigrams (hash collisions aside — 2^-64 per pair).
+    Docs with < 2 tokens emit nothing and are absent from the output.
+    """
+    from ..query.relational import grouped_agg, hash_join
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(s, "")), r"\W+")
+        flat = pc.list_flatten(lst)
+        parents = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        toks = flat.filter(mask).to_numpy(zero_copy_only=False)
+        par = parents.filter(mask).to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             "bh": pa.array([], pa.uint64())})
+        uniq, inv = np.unique(toks.astype(object), return_inverse=True)
+        th = _fnv1a_u64(uniq)[inv]
+        same = par[1:] == par[:-1]
+        with np.errstate(over="ignore"):
+            bh = th[:-1] * _FP_BASE + th[1:]
+        ids = t[id_col].combine_chunks().take(
+            pa.array(par[:-1][same], pa.int64()))
+        return pa.table({id_col: ids, "bh": pa.array(bh[same], pa.uint64())})
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["bh"].combine_chunks())
+        return pa.table({"bh": vc.field("values"),
+                         "cnt": vc.field("counts")})
+
+    counts = grouped_agg(occ.map_batches(partial_counts,
+                                         batch_format="pyarrow"),
+                         ["bh"], [("cnt", "sum", "cnt")])
+    joined = hash_join(occ, counts, on="bh", num_buckets=num_buckets)
+    per_doc = grouped_agg(
+        joined.map_batches(
+            lambda t: pa.table({id_col: t[id_col], "cnt": t["cnt"],
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        [id_col], [("cnt", "sum", "sum_cnt"), ("one", "sum", "n_bigrams")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sc = pc.divide(pc.cast(t["sum_cnt"], pa.float64()),
+                       pc.cast(t["n_bigrams"], pa.float64()))
+        return pa.table({id_col: t[id_col], "n_bigrams": t["n_bigrams"],
+                         "score": sc})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -45,6 +45,7 @@ PARITY_KEYS = [
     "docs_incremental_dedup",
     "docs_token_ids",
     "docs_length_band",
+    "docs_bigram_fluency",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",

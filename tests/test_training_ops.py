@@ -362,3 +362,34 @@ class TestTokenEncoding:
                           for r in encode_token_ids(ds, vocab).take_all())
 
         assert run(1) == run(8)
+
+
+class TestBigramFluency:
+    def test_hand_computed_scores(self, ray_session):
+        from tera_ray.text.analysis import bigram_fluency
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["a b a b", "a b", "x y", "solo"],
+        })
+        out = {r["doc_id"]: (r["n_bigrams"], r["score"])
+               for r in bigram_fluency(ray.data.from_arrow(t)).take_all()}
+        # corpus counts: (a,b)=3, (b,a)=1, (x,y)=1
+        assert out == {0: (3, (3 + 1 + 3) / 3), 1: (1, 3.0), 2: (1, 1.0)}
+        # "solo" has < 2 tokens → absent
+        assert 3 not in out
+
+    def test_partition_invariance(self, ray_session):
+        from tera_ray.text.analysis import bigram_fluency
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "text": [f"w{i % 4} w{i % 5} w{i % 4} end" for i in range(30)],
+        })
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            return sorted((r["doc_id"], r["n_bigrams"], round(r["score"], 9))
+                          for r in bigram_fluency(ds).take_all())
+
+        assert run(1) == run(7)  # cross-batch bigrams never leak
