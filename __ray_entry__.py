@@ -753,6 +753,19 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Strict sequential conversion funnel over the event stream: how
+    far each user progressed through view → click → purchase, each step
+    counted only strictly after the user's first qualifying previous
+    step.  One hash(user) bucket shuffle, vectorized per-bucket polars
+    chain."""
+    from tera_ray.query.relational import funnel_stages
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def _q_docs_bigram_fluency(sf_dir: str):
     """LM-free fluency scoring: mean corpus frequency of each doc's
     token bigrams — occurrence pairs ⋈ Zipf-bounded corpus counts via
@@ -1952,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_ids": _q_docs_token_ids,
         "docs_length_band": _q_docs_length_band,
         "docs_bigram_fluency": _q_docs_bigram_fluency,
+        "events_funnel": _q_events_funnel,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3315,6 +3329,22 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "events_funnel":
+            "WITH u AS (SELECT DISTINCT user_id FROM events),"
+            " s1 AS (SELECT user_id, min(ts) AS t1 FROM events"
+            " WHERE event_type = 'view' GROUP BY user_id),"
+            " s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e"
+            " JOIN s1 USING (user_id)"
+            " WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),"
+            " s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e"
+            " JOIN s2 USING (user_id)"
+            " WHERE event_type = 'purchase' AND ts > t2"
+            " GROUP BY e.user_id)"
+            " SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3"
+            " WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1"
+            " ELSE 0 END AS stage FROM u"
+            " LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)"
+            " LEFT JOIN s3 USING (user_id)",
         "docs_bigram_fluency":
             "WITH tk AS (SELECT doc_id,"
             " list_filter(string_split_regex(lower(coalesce(text, '')),"

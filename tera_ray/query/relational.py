@@ -1241,3 +1241,51 @@ def ordered_prefix_sum(ds, order_col: str, val_col: str,
 
     return bucketed_map_groups(
         proj.map_batches(add_b, batch_format="pyarrow"), "__pb", scan_bucket)
+
+
+def funnel_stages(ds, key: str, ts_col: str, type_col: str,
+                  steps: list[str], num_buckets: int = 64):
+    """Strict sequential funnel: how far each ``key`` (user) progressed
+    through ``steps`` — step *i+1* counts only if it happens STRICTLY
+    AFTER the key's first qualifying step *i* (first-touch semantics,
+    the standard product-analytics conversion funnel).
+
+    Returns one row per distinct key: ``(key, stage)`` with ``stage`` ∈
+    [0, len(steps)].  One ``hash(key) % num_buckets`` shuffle; inside a
+    bucket the whole chain is a vectorized polars pass — one
+    filter+group_by min per step, joined forward on the previous step's
+    timestamp — so cost is O(steps) scans of the bucket, never a
+    per-user Python loop.
+    """
+    import polars as pl
+
+    def add_b(t: pa.Table) -> pa.Table:
+        cols = [key, ts_col, type_col]
+        return t.select(cols).append_column(
+            "__b", _bucket_of(t[key], num_buckets))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([key, ts_col, type_col]))
+        users = df.select(pl.col(key)).unique()
+        stage = users.with_columns(pl.lit(0, pl.Int32).alias("stage"))
+        prev = None  # (user, t_prev) frame of keys still in the funnel
+        for i, ev in enumerate(steps):
+            cand = df.filter(pl.col(type_col) == ev)
+            if prev is not None:
+                cand = cand.join(prev, on=key).filter(
+                    pl.col(ts_col) > pl.col("__t"))
+            hit = (cand.group_by(key)
+                   .agg(pl.col(ts_col).min().alias("__t")))
+            stage = stage.with_columns(
+                pl.when(pl.col(key).is_in(hit.get_column(key)))
+                .then(pl.lit(i + 1, pl.Int32))
+                .otherwise(pl.col("stage")).alias("stage"))
+            prev = hit
+        out = stage.to_arrow()
+        return out.cast(pa.schema([(key, t.schema.field(key).type),
+                                   ("stage", pa.int32())]))
+
+    from ..stages.base import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)

@@ -46,6 +46,7 @@ PARITY_KEYS = [
     "docs_token_ids",
     "docs_length_band",
     "docs_bigram_fluency",
+    "events_funnel",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",

@@ -141,3 +141,39 @@ def test_exact_quantiles_constant_column():
     out = exact_quantiles(ds, "x", [0.25, 0.75], num_bins=8,
                           collect_cap=10)
     assert out["value"].to_pylist() == [3.5, 3.5]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_strict_ordering_semantics(self):
+        import pyarrow as pa
+        import ray
+
+        from tera_ray.query.relational import funnel_stages
+
+        def ts(sec):
+            return sec * 1_000_000
+
+        rows = [
+            # u1: full funnel in order → 3
+            (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+            # u2: click BEFORE first view → click doesn't count → 1
+            (2, ts(1), "click"), (2, ts(2), "view"),
+            # u3: purchase before click → stops at 2
+            (3, ts(1), "view"), (3, ts(2), "purchase"), (3, ts(3), "click"),
+            # u4: no funnel steps at all → 0
+            (4, ts(1), "error"),
+            # u5: click at SAME ts as view (not strictly after) → 1
+            (5, ts(1), "view"), (5, ts(1), "click"),
+            # u6: later second view re-opens nothing (first-touch) → 1
+            (6, ts(5), "view"), (6, ts(2), "click"), (6, ts(6), "view"),
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = {r["user_id"]: r["stage"] for r in funnel_stages(
+            ray.data.from_arrow(t).repartition(3), "user_id", "ts",
+            "event_type", ["view", "click", "purchase"]).take_all()}
+        assert out == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1, 6: 1}
