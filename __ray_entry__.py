@@ -753,6 +753,53 @@ def _q_lineitem_hist_quantiles(sf_dir: str):
                                lo=0.0, width=1000.0, num_bins=128)
 
 
+def _q_events_retention(sf_dir: str):
+    """Retention-cohort matrix: users grouped by the month of their
+    FIRST signup event (day granularity), counted as active on every
+    later-or-equal day they emit any event — (cohort_day, active_day,
+    n_users).  A
+    pure composition of existing machinery: grouped min (combiner) →
+    bucketed hash join → distinct combiner → grouped count."""
+    from tera_ray.query.relational import grouped_agg, hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def signup_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "signup"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"]})
+
+    cohort = grouped_agg(ev.map_batches(signup_only, batch_format="pyarrow"),
+                         ["user_id"], [("ts", "min", "first_signup")])
+    cohort = cohort.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "cohort_day": pc.floor_temporal(t["first_signup"],
+                                            unit="day")}),
+        batch_format="pyarrow")
+
+    def activity(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "active_day": pc.floor_temporal(t["ts"], unit="day")})
+
+    act = ev.map_batches(activity, batch_format="pyarrow")
+    joined = hash_join(act, cohort, on="user_id")
+    joined = joined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["active_day"],
+                                            t["cohort_day"])),
+        batch_format="pyarrow")
+    # distinct (user, cohort, month) cells via a grouped max(1) combiner,
+    # then count users per (cohort, month)
+    cells = grouped_agg(joined.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(t.num_rows, np.int64))), batch_format="pyarrow"),
+        ["user_id", "cohort_day", "active_day"],
+        [("one", "max", "one")])
+    return grouped_agg(cells,
+                       ["cohort_day", "active_day"],
+                       [("one", "sum", "n_users")])
+
+
 def _q_events_funnel(sf_dir: str):
     """Strict sequential conversion funnel over the event stream: how
     far each user progressed through view → click → purchase, each step
@@ -1966,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_band": _q_docs_length_band,
         "docs_bigram_fluency": _q_docs_bigram_fluency,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "lineitem_hist_quantiles": _q_lineitem_hist_quantiles,
         "docs_contamination": _q_docs_contamination,
         "docs_repetition": _q_docs_repetition,
@@ -3329,6 +3377,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "events_retention":
+            "WITH cohort AS (SELECT user_id,"
+            " CAST(date_trunc('day', min(ts)) AS TIMESTAMP)"
+            " AS cohort_day FROM events"
+            " WHERE event_type = 'signup' GROUP BY user_id),"
+            " cells AS (SELECT DISTINCT e.user_id, c.cohort_day,"
+            " CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS active_day"
+            " FROM events e JOIN cohort c USING (user_id)"
+            " WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP)"
+            " >= c.cohort_day)"
+            " SELECT cohort_day, active_day, count(*) AS n_users"
+            " FROM cells GROUP BY cohort_day, active_day",
         "events_funnel":
             "WITH u AS (SELECT DISTINCT user_id FROM events),"
             " s1 AS (SELECT user_id, min(ts) AS t1 FROM events"

@@ -47,6 +47,7 @@ PARITY_KEYS = [
     "docs_length_band",
     "docs_bigram_fluency",
     "events_funnel",
+    "events_retention",
     "lineitem_hist_quantiles",
     "docs_contamination",
     "docs_repetition",
