@@ -837,6 +837,18 @@ def _q_docs_length_band(sf_dir: str):
                                 lo=0.0, width=10.0, num_bins=64)
 
 
+def _q_source_len_quantiles(sf_dir: str):
+    """Per-source approximate length percentiles from per-key histogram
+    sketches — the shuffle carries (key × bins-touched) counter rows,
+    never the documents.  Grouped analog of lineitem_hist_quantiles."""
+    from tera_ray.sketch.histogram import grouped_histogram_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return grouped_histogram_quantiles(ds, "source", "n_chars",
+                                       [0.5, 0.9], lo=0.0, width=10.0,
+                                       num_bins=64)
+
+
 def _q_docs_token_ids(sf_dir: str):
     """Vocab build + token-id encoding (the LLM-prep transform):
     top-500 vocabulary via the Zipf-bounded count shuffle, then a
@@ -2011,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental,
         "docs_token_ids": _q_docs_token_ids,
         "docs_length_band": _q_docs_length_band,
+        "source_len_quantiles": _q_source_len_quantiles,
         "docs_bigram_fluency": _q_docs_bigram_fluency,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -3417,6 +3430,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, count(*) AS n_bigrams,"
             " CAST(sum(cnt) AS DOUBLE)/count(*) AS score"
             " FROM bg JOIN c USING (b) GROUP BY doc_id",
+        "source_len_quantiles":
+            "WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x"
+            " FROM documents WHERE n_chars IS NOT NULL),"
+            " b AS (SELECT source, LEAST(GREATEST(CAST("
+            " FLOOR((x - 0.0) / 10.0) AS BIGINT), 0), 63) AS bin,"
+            " COUNT(*) AS c FROM v GROUP BY 1, 2),"
+            " cum AS (SELECT source, bin, SUM(c) OVER"
+            " (PARTITION BY source ORDER BY bin) AS cc FROM b),"
+            " n AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source)"
+            " SELECT cum.source, q, 0.0 + 10.0 * MIN(bin) AS est"
+            " FROM cum JOIN n USING (source),"
+            " (VALUES (0.5::DOUBLE), (0.9::DOUBLE)) qs(q)"
+            " WHERE cc >= CEIL(q * n.n) GROUP BY cum.source, q",
         "docs_length_band":
             "WITH v AS (SELECT doc_id, n_chars,"
             " CAST(n_chars AS DOUBLE) AS x FROM documents"

@@ -93,6 +93,88 @@ def histogram_quantiles(ds, col: str, qs: list[float], lo: float,
         "est": pa.array(out_est, pa.float64())}))
 
 
+def grouped_histogram_quantiles(ds, key: str, col: str, qs: list[float],
+                                lo: float, width: float, num_bins: int,
+                                num_buckets: int = 64):
+    """Per-key approximate quantiles from per-key histogram sketches:
+    one row per ``(key, q)`` with the bin-lower-edge estimate — the
+    grouped analog of :func:`histogram_quantiles`.
+
+    The exact ``grouped_quantiles`` (query/relational) shuffles every
+    row of every group; this sketch's shuffle carries at most
+    ``keys × bins-touched`` counter rows (per-batch combiner), so
+    per-domain percentiles over 100 TB cost a metadata-sized exchange.
+    Same deterministic bin-space contract as the global sketch, so the
+    whole pipeline is SQL-bit-reproducible (window cumsum per key).
+    """
+    from ..query.relational import grouped_agg
+    from ..stages.base import bucketed_map_groups
+
+    lo_f, w_f = float(lo), float(width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "bin": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = pc.cast(t[col], pa.float64())
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        valid = pc.is_valid(x)
+        t2 = t.filter(valid)
+        if t2.num_rows == 0:
+            return empty
+        xs = pc.cast(t2[col], pa.float64()).to_numpy(zero_copy_only=False)
+        bins = np.clip(np.floor((xs - lo_f) / w_f), 0,
+                       num_bins - 1).astype(np.int64)
+        # combiner: fold (key, bin) within the batch via Arrow group_by
+        g = (pa.table({key: t2[key], "bin": pa.array(bins)})
+             .group_by([key, "bin"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({key: g[key], "bin": g["bin"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         [key, "bin"], [("c", "sum", "c")])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        from ..query.relational import _bucket_of
+
+        return t.append_column("__b", _bucket_of(t[key], num_buckets))
+
+    def per_key_quantiles(t: pa.Table) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "q": pa.array([], pa.float64()),
+                          "est": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key, "ascending"), ("bin", "ascending")])
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        bins = t["bin"].to_numpy(zero_copy_only=False)
+        cs = t["c"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], kv[1:] != kv[:-1]]))
+        bounds = np.concatenate([starts, [len(kv)]])
+        out_k, out_q, out_e = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(cs[s:e])
+            n = int(cum[-1])
+            for q in qs:
+                i = int(np.searchsorted(cum, math.ceil(q * n), "left"))
+                i = min(i, e - s - 1)
+                out_k.append(kv[s])
+                out_q.append(float(q))
+                out_e.append(lo_f + w_f * float(bins[s + i]))
+        return pa.table({key: pa.array(out_k, t.schema.field(key).type),
+                         "q": pa.array(out_q, pa.float64()),
+                         "est": pa.array(out_e, pa.float64())})
+
+    return bucketed_map_groups(
+        counts.map_batches(add_b, batch_format="pyarrow"),
+        "__b", lambda t: per_key_quantiles(
+            t.drop_columns(["__b"]) if "__b" in t.schema.names else t))
+
+
 def quantile_band_filter(ds, col: str, q_lo: float, q_hi: float,
                          lo: float, width: float, num_bins: int):
     """Sketch-driven tail trimming: keep rows whose ``col`` falls in the

@@ -45,6 +45,7 @@ PARITY_KEYS = [
     "docs_incremental_dedup",
     "docs_token_ids",
     "docs_length_band",
+    "source_len_quantiles",
     "docs_bigram_fluency",
     "events_funnel",
     "events_retention",

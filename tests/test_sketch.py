@@ -96,3 +96,25 @@ class TestHistogram:
         kept = [r["x"] for r in out]
         assert 1.0 not in kept and 5000.0 not in kept
         assert len(kept) >= 900  # bulk survives (bin-resolution slack)
+
+    def test_grouped_quantiles_match_global_per_key(self):
+        from tera_ray.sketch.histogram import (
+            grouped_histogram_quantiles, histogram_quantiles)
+
+        rng = np.random.default_rng(5)
+        ka = rng.uniform(0, 500, 3000)
+        kb = rng.uniform(300, 900, 2000)
+        t = pa.table({
+            "k": pa.array(["a"] * 3000 + ["b"] * 2000, pa.string()),
+            "x": pa.array(np.concatenate([ka, kb]), pa.float64())})
+        kw = dict(qs=[0.5, 0.9], lo=0.0, width=20.0, num_bins=64)
+        got = {(r["k"], r["q"]): r["est"] for r in grouped_histogram_quantiles(
+            ray.data.from_arrow(t).repartition(6), "k", "x",
+            **kw).take_all()}
+        # per-key grouped sketch == global sketch run on each key alone
+        for key, vals in (("a", ka), ("b", kb)):
+            solo = {r["q"]: r["est"] for r in histogram_quantiles(
+                ray.data.from_arrow(pa.table({"x": vals})), "x",
+                **kw).take_all()}
+            for q in (0.5, 0.9):
+                assert got[(key, q)] == solo[q]
