@@ -38,7 +38,8 @@ def _hash_partition(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.
 
 
 def write_stage(ds, root: str, stage: str, input_fingerprint: str,
-                partition_key: str = "subj", num_partitions: int = 32):
+                partition_key: str = "subj", num_partitions: int = 32,
+                metrics: dict | None = None):
     """Materialize ``ds`` as hash-partitioned Parquet + manifest.
 
     Returns the stage directory.  The write streams through
@@ -46,6 +47,7 @@ def write_stage(ds, root: str, stage: str, input_fingerprint: str,
     hash bucket); per-partition row counts are aggregated from the
     written files, NOT from a driver-side collect.
     """
+    t0 = time.perf_counter()
     stage_dir = os.path.join(root, stage)
     # A crashed run leaves partial parquet files with NO manifest; Ray's
     # write_parquet uses unique filenames, so re-executing into the same
@@ -86,6 +88,11 @@ def write_stage(ds, root: str, stage: str, input_fingerprint: str,
         "row_count": total,
         "partitions": dict(sorted(parts.items())),
         "written_at": time.time(),
+        # operational metrics (wall time incl. the distributed write,
+        # plus caller extras) — informational only: resume matches on
+        # input_fingerprint, never on metrics
+        "metrics": {"wall_s": round(time.perf_counter() - t0, 3),
+                    **(metrics or {})},
     }
     tmp = os.path.join(stage_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:

@@ -26,6 +26,7 @@ class TestCheckpoint:
         assert m["input_fingerprint"] == "fp1"
         assert sum(m["partitions"].values()) == 100
         assert len(m["partitions"]) <= 4
+        assert m["metrics"]["wall_s"] > 0  # per-stage op metrics recorded
         back = read_stage(str(tmp_path), "s1").take_all()
         assert sorted(r["obj"] for r in back) == sorted(t["obj"].to_pylist())
         assert all(set(r) == {"subj", "pred", "obj"} for r in back[:3])
