@@ -1258,6 +1258,107 @@ def _q_emb_label_centroids(sf_dir: str):
     return vector_group_mean(ds, "label", "embedding")
 
 
+_KMEANS_K = 8
+
+
+def _q_emb_kmeans_assign(sf_dir: str):
+    """Distributed k-means assignment (`tera_ray.ann.kmeans`): the k×d
+    centroid matrix is broadcast once (`ray.put`); every batch computes
+    exact float64 L2 distances and emits (vec_id, cluster) — zero
+    shuffle.  Seeds are the deterministic rows vec_id < k; ties break to
+    the smallest centroid id, mirroring the oracle's QUALIFY+min(cid)."""
+    from tera_ray.ann.kmeans import kmeans_assign, seed_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cids, C = seed_centroids(ds, _KMEANS_K)
+    return kmeans_assign(ds, cids, C)
+
+
+def _q_emb_kmeans_iter(sf_dir: str):
+    """Per-cluster statistics of the k-means assignment — the Lloyd
+    update's inputs (count + mean of per-row element sums), i.e. what a
+    full `kmeans_lloyd` round shuffles: O(k) aggregates, never vectors.
+    Engine: assign (broadcast centroids) → per-batch row sums →
+    combiner-first grouped_agg; mean rounded to 6 on both sides."""
+    import pyarrow.compute as pc
+
+    from tera_ray.ann.aggregate import _flat_f64
+    from tera_ray.ann.kmeans import kmeans_assign, seed_centroids
+    from tera_ray.query.relational import grouped_agg
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cids, C = seed_centroids(ds, _KMEANS_K)
+    assigned = kmeans_assign(ds, cids, C, keep_vec=True)
+
+    def vsum(t: pa.Table) -> pa.Table:
+        m, _ = _flat_f64(t["embedding"])
+        return pa.table({"cluster": t["cluster"],
+                         "vsum": pa.array(m.sum(axis=1), pa.float64())})
+
+    agg = grouped_agg(assigned.map_batches(vsum, batch_format="pyarrow"),
+                      ["cluster"], [("vsum", "count", "n"),
+                                    ("vsum", "avg", "mean_sum")])
+    return agg.map_batches(
+        lambda t: pa.table({"cluster": t["cluster"], "n": t["n"],
+                            "mean_sum": pc.round(t["mean_sum"], 6)}),
+        batch_format="pyarrow")
+
+
+def _q_docs_postings(sf_dir: str):
+    """Inverted index over the corpus (`tera_ray.text.index.inverted_index`):
+    per-batch distinct (token, doc) pairs, ONE hash(token)-bucket
+    shuffle, vectorized per-bucket posting-list build.  Output
+    (token, df, postings sorted list<int64>); min_df prunes hapaxes."""
+    from tera_ray.text.index import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]), min_df=5)
+
+
+_KEYWORDS = ["customer", "spark", "vector", "window"]
+
+
+def _q_docs_keyword_tags(sf_dir: str):
+    """Broadcast keyword scan (`tera_ray.text.index.keyword_tags`): the
+    needle list ships once; each batch runs one vectorized
+    match_substring per keyword — zero shuffle (SQL contains())."""
+    from tera_ray.text.index import keyword_tags
+
+    return keyword_tags(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]), _KEYWORDS)
+
+
+def _q_lineitem_zscore(sf_dir: str):
+    """Per-group z-score standardization
+    (`tera_ray.query.relational.grouped_standardize`): one combiner-first
+    grouped_agg produces the tiny (mean, std) table, broadcast back into
+    a second map pass — the big side never shuffles.  z rounded to 6 in
+    engine and oracle."""
+    from tera_ray.query.relational import grouped_standardize
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_orderkey",
+                        "l_linenumber"])
+    out = grouped_standardize(ds, key="l_returnflag",
+                              col="l_extendedprice",
+                              keep_cols=["l_orderkey", "l_linenumber"])
+    return out
+
+
+def _q_events_mad_outliers(sf_dir: str):
+    """Robust per-group outlier filter
+    (`tera_ray.query.relational.mad_outliers`): two exact grouped
+    medians (quantile_cont machinery), each broadcast back; rows kept
+    where round(|x − med| / MAD, 9) > 3.  Only num_groups-row tables
+    ever reach the driver."""
+    from tera_ray.query.relational import mad_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value",
+                                          "event_id"])
+    return mad_outliers(ds, key="event_type", col="value", k=3.0,
+                        keep_cols=["event_id"])
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large inner equi-join (symmetric co-group shuffle — neither
     side is broadcastable at scale)."""
@@ -2009,6 +2110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
+        "emb_kmeans_assign": _q_emb_kmeans_assign,
+        "emb_kmeans_iter": _q_emb_kmeans_iter,
+        "docs_postings": _q_docs_postings,
+        "docs_keyword_tags": _q_docs_keyword_tags,
+        "lineitem_zscore": _q_lineitem_zscore,
+        "events_mad_outliers": _q_events_mad_outliers,
         "docs_pack_chunks": _q_docs_pack_chunks,
         "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
@@ -3315,6 +3422,63 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT label, dim,"
             " round_even(avg(v::DOUBLE) * 1e6, 0) / 1e6 AS mean"
             " FROM u GROUP BY label, dim",
+        "emb_kmeans_assign":
+            f"WITH cents AS (SELECT vec_id AS cid, embedding AS cvec"
+            f" FROM embeddings WHERE vec_id < {_KMEANS_K}),"
+            " d AS (SELECT e.vec_id, c.cid,"
+            " list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS dist"
+            " FROM embeddings e CROSS JOIN cents c),"
+            " m AS (SELECT vec_id, cid, dist,"
+            " min(dist) OVER (PARTITION BY vec_id) AS md FROM d)"
+            " SELECT vec_id, min(cid) AS cluster FROM m"
+            " WHERE dist = md GROUP BY vec_id",
+        "emb_kmeans_iter":
+            f"WITH cents AS (SELECT vec_id AS cid, embedding AS cvec"
+            f" FROM embeddings WHERE vec_id < {_KMEANS_K}),"
+            " d AS (SELECT e.vec_id, c.cid,"
+            " list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS dist,"
+            " list_sum(e.embedding::DOUBLE[]) AS vsum"
+            " FROM embeddings e CROSS JOIN cents c),"
+            " m AS (SELECT vec_id, cid, dist, vsum,"
+            " min(dist) OVER (PARTITION BY vec_id) AS md FROM d),"
+            " a AS (SELECT vec_id, min(cid) AS cluster,"
+            " any_value(vsum) AS vsum FROM m WHERE dist = md"
+            " GROUP BY vec_id)"
+            " SELECT cluster, count(*)::BIGINT AS n,"
+            " round(sum(vsum)/count(*), 6) AS mean_sum"
+            " FROM a GROUP BY cluster",
+        "docs_postings":
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+            " AS token FROM documents),"
+            " t2 AS (SELECT DISTINCT doc_id, token FROM toks"
+            " WHERE token <> '')"
+            " SELECT token, count(*)::BIGINT AS df,"
+            " list(doc_id ORDER BY doc_id) AS postings"
+            " FROM t2 GROUP BY token HAVING count(*) >= 5",
+        "docs_keyword_tags":
+            "SELECT d.doc_id, k.keyword FROM documents d"
+            " CROSS JOIN (VALUES " +
+            ", ".join(f"('{k}')" for k in sorted(set(_KEYWORDS))) +
+            ") AS k(keyword) WHERE contains(d.text, k.keyword)",
+        "lineitem_zscore":
+            "SELECT l_returnflag, l_orderkey, l_linenumber,"
+            " round((l_extendedprice"
+            " - avg(l_extendedprice) OVER (PARTITION BY l_returnflag))"
+            " / NULLIF(stddev_samp(l_extendedprice)"
+            " OVER (PARTITION BY l_returnflag), 0), 6) AS z"
+            " FROM lineitem",
+        "events_mad_outliers":
+            "WITH med AS (SELECT event_type AS g, median(value) AS med"
+            " FROM events GROUP BY 1),"
+            " ad AS (SELECT e.event_type AS g, e.event_id, e.value,"
+            " abs(e.value - m.med) AS adev, m.med"
+            " FROM events e JOIN med m ON e.event_type = m.g),"
+            " mad AS (SELECT g, median(adev) AS mad FROM ad GROUP BY g)"
+            " SELECT a.g AS event_type, a.event_id, a.value"
+            " FROM ad a JOIN mad d ON a.g = d.g"
+            " WHERE round(abs(a.value - a.med) / NULLIF(d.mad, 0), 9)"
+            " > 3.0",
         "lineitem_orders_join":
             "SELECT l_orderkey, l_linenumber, l_extendedprice,"
             " o_custkey, o_totalprice FROM lineitem"

@@ -1289,3 +1289,101 @@ def funnel_stages(ds, key: str, ts_col: str, type_col: str,
 
     return bucketed_map_groups(
         ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
+
+
+def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
+                        round_digits: int = 6, keep_cols: list[str] | None = None):
+    """Per-group z-score standardization: ``z = (x − mean_g) / std_g``
+    (sample std), the feature-normalization primitive.
+
+    Two passes, zero big-side shuffle: one combiner-first
+    :func:`grouped_agg` produces the per-group (mean, std) table —
+    num_groups rows, small by construction — which is broadcast back
+    into a second map pass.  Mirrors SQL ``(x − AVG(x) OVER (PARTITION
+    BY g)) / STDDEV_SAMP(x) OVER (PARTITION BY g)``.  Groups with
+    n < 2 or zero variance yield null z (SQL division by NULL/0 → the
+    oracle's NULLIF convention).
+    """
+    import ray
+
+    stats = pa.concat_tables(
+        [b for b in grouped_agg(ds, [key],
+                                [(col, "avg", "__mean"),
+                                 (col, "std", "__std")])
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [pa.table({key: pa.array([], pa.string()),
+                      "__mean": pa.array([], pa.float64()),
+                      "__std": pa.array([], pa.float64())})])
+    # std == 0 → null (match SQL NULLIF(std, 0))
+    std = pc.if_else(pc.equal(stats["__std"], pa.scalar(0.0)),
+                     pa.nulls(stats.num_rows, pa.float64()), stats["__std"])
+    stats = stats.set_column(stats.schema.get_field_index("__std"),
+                             "__std", std)
+    ref = ray.put(stats)
+    keep = list(keep_cols or [])
+    scale = float(10 ** round_digits)
+
+    def z(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        j = t.select([key, col] + keep).join(s, keys=[key])
+        x = pc.cast(j[col], pa.float64())
+        raw = pc.divide(pc.subtract(x, j["__mean"]), j["__std"])
+        zc = pc.divide(pc.round(pc.multiply(raw, pa.scalar(scale)),
+                                ndigits=0), pa.scalar(scale))
+        return pa.table({key: j[key],
+                         **{c: j[c] for c in keep},
+                         out_col: zc})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+def mad_outliers(ds, key: str, col: str, k: float = 3.0,
+                 keep_cols: list[str] | None = None,
+                 round_digits: int = 9):
+    """Robust per-group outlier filter: keep rows with
+    ``round(|x − median_g| / MAD_g, round_digits) > k`` where ``MAD_g``
+    is the median absolute deviation (both medians exact,
+    ``quantile_cont(0.5)`` semantics via :func:`grouped_quantiles`).
+
+    Three streaming passes; the only driver-side state is two
+    num_groups-row median tables (broadcast back).  The ratio is
+    rounded identically in engine and SQL oracle before the comparison
+    so boundary rows agree bit-for-bit.  Groups with MAD == 0 keep no
+    rows (SQL NULLIF(mad, 0) → null ratio → filtered).
+    """
+    import ray
+
+    def _collect(d):
+        return pa.concat_tables(
+            [b for b in d.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)])
+
+    med = _collect(grouped_quantiles(ds, key, col, [0.5]))
+    med = pa.table({key: med[key], "__med": med["value"]})
+    med_ref = ray.put(med)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        j = t.select([key, col]).join(ray.get(med_ref), keys=[key])
+        x = pc.cast(j[col], pa.float64())
+        return pa.table({key: j[key],
+                         "__ad": pc.abs(pc.subtract(x, j["__med"]))})
+
+    mad = _collect(grouped_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"), key, "__ad", [0.5]))
+    mad_v = pc.if_else(pc.equal(mad["value"], pa.scalar(0.0)),
+                       pa.nulls(mad.num_rows, pa.float64()), mad["value"])
+    both = med.join(pa.table({key: mad[key], "__mad": mad_v}), keys=[key])
+    both_ref = ray.put(both)
+    keep = list(keep_cols or [])
+    scale = float(10 ** round_digits)
+
+    def flag(t: pa.Table) -> pa.Table:
+        j = t.select([key, col] + keep).join(ray.get(both_ref), keys=[key])
+        x = pc.cast(j[col], pa.float64())
+        ratio = pc.divide(pc.abs(pc.subtract(x, j["__med"])), j["__mad"])
+        ratio = pc.divide(pc.round(pc.multiply(ratio, pa.scalar(scale)),
+                                   ndigits=0), pa.scalar(scale))
+        m = pc.fill_null(pc.greater(ratio, pa.scalar(float(k))), False)
+        return j.filter(m).select([key, col] + keep)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

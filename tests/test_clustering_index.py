@@ -1,0 +1,186 @@
+"""Unit tests for the round-2 additions: distributed k-means
+(``ann/kmeans.py``), the inverted index / keyword tagging
+(``text/index.py``), and the grouped standardize / MAD-outlier
+compositions (``query/relational.py``).  Oracle parity for the judged
+queries lives in test_driver_contract.py; these cover semantics the
+SQL gate can't (Lloyd convergence, skew caps, zero-MAD groups)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _mat(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return (pa.concat_tables(parts, promote_options="permissive")
+            if parts else pa.table({}))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeans:
+    def _toy(self):
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        # three well-separated blobs in 8-d
+        centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+        pts = np.concatenate(
+            [c + rng.randn(40, 8) for c in centers]).astype(np.float32)
+        ids = np.arange(len(pts), dtype=np.int64)
+        tbl = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array(list(pts), pa.list_(pa.float32(), 8)),
+        })
+        return ray.data.from_arrow(tbl), pts
+
+    def test_assign_nearest_and_ties(self):
+        import ray.data
+
+        from tera_ray.ann.kmeans import kmeans_assign
+
+        # two identical centroids: ties must break to the smaller cid
+        C = np.array([[0.0, 0.0], [0.0, 0.0], [5.0, 5.0]])
+        cids = np.array([7, 3, 9])
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.1, 0.1], [4.9, 5.0]],
+                                  pa.list_(pa.float32(), 2)),
+        }))
+        out = _mat(kmeans_assign(ds, cids, C)).to_pylist()
+        by_id = {r["vec_id"]: r["cluster"] for r in out}
+        assert by_id[1] == 3          # min cid among the tied pair {7, 3}
+        assert by_id[2] == 9
+
+    def test_lloyd_converges_and_is_deterministic(self):
+        from tera_ray.ann.kmeans import kmeans_lloyd, seed_centroids
+
+        ds, pts = self._toy()
+        cids, C0 = seed_centroids(ds, 3)
+
+        def inertia(C, assign_tbl):
+            a = {r["vec_id"]: r["cluster"] for r in assign_tbl.to_pylist()}
+            pos = {int(c): i for i, c in enumerate(cids)}
+            return sum(
+                float(((pts[i] - C[pos[a[i]]]) ** 2).sum())
+                for i in range(len(pts)))
+
+        C1, asg1 = kmeans_lloyd(ds, cids, C0, iters=1)
+        C3, asg3 = kmeans_lloyd(ds, cids, C0, iters=3)
+        t1, t3 = _mat(asg1), _mat(asg3)
+        assert inertia(C3, t3) <= inertia(C1, t1) + 1e-9
+        # deterministic: same seeds, same input → identical centroids
+        C3b, _ = kmeans_lloyd(ds, cids, C0, iters=3)
+        assert np.array_equal(C3, C3b)
+        # blobs are well separated: 3 iters must recover the 3 clusters
+        labels = {r["vec_id"]: r["cluster"] for r in t3.to_pylist()}
+        groups = [set(labels[i] for i in range(s, s + 40))
+                  for s in (0, 40, 80)]
+        assert all(len(g) == 1 for g in groups)
+        assert len(set().union(*groups)) == 3
+
+    def test_lloyd_empty_cluster_keeps_previous_centroid(self):
+        import ray.data
+
+        from tera_ray.ann.kmeans import kmeans_lloyd
+
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [0.2, 0.0]],
+                                  pa.list_(pa.float32(), 2)),
+        }))
+        C0 = np.array([[0.1, 0.0], [99.0, 99.0]])
+        C1, _ = kmeans_lloyd(ds, np.array([0, 1]), C0, iters=1)
+        assert np.array_equal(C1[1], C0[1])     # empty cluster unchanged
+        assert np.allclose(C1[0], [0.1, 0.0])   # mean of both points
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    def _docs(self):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["the cat sat", "the dog", "THE the cat",
+                              None], pa.string()),
+        }))
+
+    def test_postings_sorted_distinct(self):
+        from tera_ray.text.index import inverted_index
+
+        out = _mat(inverted_index(self._docs(), min_df=1))
+        by_tok = {r["token"]: r for r in out.to_pylist()}
+        assert by_tok["the"]["postings"] == [1, 2, 3]   # distinct, sorted
+        assert by_tok["the"]["df"] == 3
+        assert by_tok["cat"]["postings"] == [1, 3]
+        assert "" not in by_tok
+
+    def test_max_df_cap_drops_and_logs(self, caplog):
+        import logging
+
+        from tera_ray.text.index import inverted_index
+
+        with caplog.at_level(logging.WARNING, logger="tera_ray.text.index"):
+            out = _mat(inverted_index(self._docs(), min_df=1, max_df=2))
+        by_tok = {r["token"] for r in out.to_pylist()}
+        assert "the" not in by_tok          # df=3 > cap
+        assert "cat" in by_tok
+
+    def test_keyword_tags_substring_semantics(self):
+        from tera_ray.text.index import keyword_tags
+
+        out = _mat(keyword_tags(self._docs(), ["cat", "at", "THE"]))
+        pairs = {(r["doc_id"], r["keyword"]) for r in out.to_pylist()}
+        assert (1, "cat") in pairs and (3, "cat") in pairs
+        assert (1, "at") in pairs           # substring of both sat & cat
+        assert (3, "THE") in pairs          # case-sensitive contains
+        assert (1, "THE") not in pairs
+        assert not any(d == 4 for d, _ in pairs)   # null text → no tags
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobustStats:
+    def test_mad_zero_group_keeps_nothing(self):
+        import ray.data
+
+        from tera_ray.query.relational import mad_outliers
+
+        tbl = pa.table({
+            "g": pa.array(["a"] * 5 + ["b"] * 5, pa.string()),
+            "v": pa.array([1.0] * 5 + [0, 0, 0, 0, 100.0], pa.float64()),
+            "rid": pa.array(list(range(10)), pa.int64()),
+        })
+        out = _mat(mad_outliers(ray.data.from_arrow(tbl), key="g",
+                                col="v", k=3.0, keep_cols=["rid"]))
+        rows = out.to_pylist()
+        # group a: constant → MAD 0 → nothing kept; group b: MAD 0 too
+        assert rows == []
+
+    def test_mad_flags_tail(self):
+        import ray.data
+
+        from tera_ray.query.relational import mad_outliers
+
+        v = [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 1000.0]
+        tbl = pa.table({"g": pa.array(["x"] * 10, pa.string()),
+                        "v": pa.array(v, pa.float64()),
+                        "rid": pa.array(list(range(10)), pa.int64())})
+        out = _mat(mad_outliers(ray.data.from_arrow(tbl), key="g",
+                                col="v", k=3.0, keep_cols=["rid"]))
+        assert [r["rid"] for r in out.to_pylist()] == [9]
+
+    def test_zscore_null_for_constant_group(self):
+        import ray.data
+
+        from tera_ray.query.relational import grouped_standardize
+
+        tbl = pa.table({"g": pa.array(["a", "a", "b", "b"], pa.string()),
+                        "v": pa.array([1.0, 3.0, 5.0, 5.0], pa.float64()),
+                        "rid": pa.array([0, 1, 2, 3], pa.int64())})
+        out = _mat(grouped_standardize(ray.data.from_arrow(tbl), key="g",
+                                       col="v", keep_cols=["rid"]))
+        by_rid = {r["rid"]: r["z"] for r in out.to_pylist()}
+        assert by_rid[2] is None and by_rid[3] is None   # std 0 → null
+        assert by_rid[0] == pytest.approx(-0.707107, abs=1e-6)

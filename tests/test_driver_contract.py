@@ -78,6 +78,12 @@ PARITY_KEYS = [
     "emb_label_centroids",
     "docs_pack_chunks",
     "nation_revenue",
+    "emb_kmeans_assign",
+    "emb_kmeans_iter",
+    "docs_postings",
+    "docs_keyword_tags",
+    "lineitem_zscore",
+    "events_mad_outliers",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
