@@ -1359,6 +1359,34 @@ def _q_events_mad_outliers(sf_dir: str):
                         keep_cols=["event_id"])
 
 
+def _q_lineitem_winsorize(sf_dir: str):
+    """Per-group winsorization
+    (`tera_ray.query.relational.grouped_winsorize`): one exact grouped
+    quantile pass (2·groups rows) broadcast back as a clip map — big
+    side never shuffles; interpolation is the quantile_cont machinery
+    already proven bit-identical to DuckDB."""
+    from tera_ray.query.relational import grouped_winsorize
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_orderkey",
+                        "l_linenumber"])
+    return grouped_winsorize(ds, key="l_returnflag", col="l_extendedprice",
+                             keep_cols=["l_orderkey", "l_linenumber"])
+
+
+_BOOL_NEEDLES = ["spark", "vector", "stream"]
+
+
+def _q_docs_bool_search(sf_dir: str):
+    """Token-level AND search (`tera_ray.text.index.boolean_search`):
+    per-batch tokenize → keep needle tokens → distinct-needle count per
+    doc == |needles|.  Fully map-side, zero shuffle."""
+    from tera_ray.text.index import boolean_search
+
+    return boolean_search(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]), _BOOL_NEEDLES)
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large inner equi-join (symmetric co-group shuffle — neither
     side is broadcastable at scale)."""
@@ -2116,6 +2144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keyword_tags": _q_docs_keyword_tags,
         "lineitem_zscore": _q_lineitem_zscore,
         "events_mad_outliers": _q_events_mad_outliers,
+        "lineitem_winsorize": _q_lineitem_winsorize,
+        "docs_bool_search": _q_docs_bool_search,
         "docs_pack_chunks": _q_docs_pack_chunks,
         "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
@@ -3479,6 +3509,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " FROM ad a JOIN mad d ON a.g = d.g"
             " WHERE round(abs(a.value - a.med) / NULLIF(d.mad, 0), 9)"
             " > 3.0",
+        "lineitem_winsorize":
+            "SELECT l_returnflag, l_orderkey, l_linenumber,"
+            " least(greatest(l_extendedprice,"
+            " quantile_cont(l_extendedprice, 0.05)"
+            " OVER (PARTITION BY l_returnflag)),"
+            " quantile_cont(l_extendedprice, 0.95)"
+            " OVER (PARTITION BY l_returnflag)) AS clipped"
+            " FROM lineitem",
+        "docs_bool_search":
+            "SELECT doc_id FROM documents WHERE " + " AND ".join(
+                f"list_contains(string_split_regex(lower(text),"
+                f" '[^a-z0-9]+'), '{n}')" for n in _BOOL_NEEDLES),
         "lineitem_orders_join":
             "SELECT l_orderkey, l_linenumber, l_extendedprice,"
             " o_custkey, o_totalprice FROM lineitem"

@@ -1387,3 +1387,34 @@ def mad_outliers(ds, key: str, col: str, k: float = 3.0,
         return j.filter(m).select([key, col] + keep)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_winsorize(ds, key: str, col: str, lo_q: float = 0.05,
+                      hi_q: float = 0.95, out_col: str = "clipped",
+                      keep_cols: list[str] | None = None):
+    """Per-group winsorization: clip ``col`` to its group's
+    [``lo_q``, ``hi_q``] exact quantiles (``quantile_cont`` semantics —
+    the same interpolation :func:`grouped_quantiles` already proves
+    bit-identical to DuckDB).  One quantile pass produces a
+    2·num_groups-row table, broadcast back into a clip map — the big
+    side never shuffles."""
+    import ray
+
+    q = pa.concat_tables(
+        [b for b in grouped_quantiles(ds, key, col, [lo_q, hi_q])
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    lo = q.filter(pc.equal(q["q"], pa.scalar(lo_q)))
+    hi = q.filter(pc.equal(q["q"], pa.scalar(hi_q)))
+    bounds = pa.table({key: lo[key], "__lo": lo["value"]}).join(
+        pa.table({key: hi[key], "__hi": hi["value"]}), keys=[key])
+    ref = ray.put(bounds)
+    keep = list(keep_cols or [])
+
+    def clip(t: pa.Table) -> pa.Table:
+        j = t.select([key, col] + keep).join(ray.get(ref), keys=[key])
+        x = pc.cast(j[col], pa.float64())
+        c = pc.min_element_wise(pc.max_element_wise(x, j["__lo"]), j["__hi"])
+        return pa.table({key: j[key], **{c_: j[c_] for c_ in keep},
+                         out_col: c})
+
+    return ds.map_batches(clip, batch_format="pyarrow")

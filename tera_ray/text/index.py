@@ -147,3 +147,35 @@ def keyword_tags(ds, keywords: list[str], id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def boolean_search(ds, all_of: list[str], id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Token-level AND search: ids of documents whose TOKEN SET (same
+    tokenizer as :func:`inverted_index`) contains every needle in
+    ``all_of``.  Fully map-side — each batch tokenizes, keeps only
+    needle tokens, and counts distinct needles per doc; no shuffle.
+    (The inverted-index probe is the right plan when the needle list is
+    issued repeatedly against a PERSISTED index; this is the one-shot
+    scan.)"""
+    needles = sorted(set(all_of))
+    need = pa.array(needles, pa.string())
+    k = len(needles)
+
+    def scan(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        flat = _token_doc_pairs(t, id_col, text_col)
+        flat = flat.filter(pc.is_in(flat["token"], value_set=need))
+        if flat.num_rows == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type)})
+        hits = (pl.from_arrow(flat)
+                .group_by("doc_id")
+                .agg(pl.col("token").n_unique().alias("__k"))
+                .filter(pl.col("__k") == k)
+                .select("doc_id"))
+        out = hits.to_arrow().rename_columns([id_col])
+        return out.cast(pa.schema([(id_col, t.schema.field(id_col).type)]))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
