@@ -1597,6 +1597,105 @@ def _q_kg_build_checkpointed(sf_dir: str):
     return kg
 
 
+def _q_kg_linking_pr(sf_dir: str):
+    """North-rule linking quality made driver-visible: precision/recall
+    of the mention linker against the fixture's embedded ground truth
+    (turns whose text carries a planted species mention).  Everything is
+    computed distributed — side-tagged union + one grouped_agg; only the
+    final 1-row summary reaches the driver.  The north rule requires
+    P/R ≥ 0.95; tests/test_driver_contract.py asserts it on this entry."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from tera_ray.pipelines.transcripts import build_lexicon, link_transcripts
+    from tera_ray.query.relational import grouped_agg
+
+    fx = _fx(sf_dir)
+    path = os.path.join(fx, "transcripts.parquet")
+    tr = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def bearing(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(pc.fill_null(t["text"], ""), "Exposure of ")
+        t = t.filter(m)
+        return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                         "b": pa.array([1] * t.num_rows, pa.int64()),
+                         "l": pa.array([0] * t.num_rows, pa.int64())})
+
+    lex = build_lexicon(fx)
+    linked = link_transcripts(ray.data.read_parquet(path), lex)
+
+    def linked_keys(t: pa.Table) -> pa.Table:
+        m = pc.ends_with(t["pred"], "mentionsTaxon")
+        t = t.filter(m)
+        t = t.group_by(["conv_id", "turn_idx"],
+                       use_threads=False).aggregate([])
+        return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                         "b": pa.array([0] * t.num_rows, pa.int64()),
+                         "l": pa.array([1] * t.num_rows, pa.int64())})
+
+    both = tr.map_batches(bearing, batch_format="pyarrow").union(
+        linked.map_batches(linked_keys, batch_format="pyarrow"))
+    per_key = grouped_agg(both, ["conv_id", "turn_idx"],
+                          [("b", "max", "b"), ("l", "max", "l")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ln = t["l"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_bearing": pa.array([int(b.sum())], pa.int64()),
+                         "n_linked": pa.array([int(ln.sum())], pa.int64()),
+                         "tp": pa.array([int((b & ln).sum())], pa.int64())})
+
+    sums = _collect(per_key.map_batches(partial, batch_format="pyarrow"))
+    nb = pc.sum(sums["n_bearing"]).as_py()
+    nl = pc.sum(sums["n_linked"]).as_py()
+    tp = pc.sum(sums["tp"]).as_py()
+    return pa.table({
+        "n_bearing": pa.array([nb], pa.int64()),
+        "n_linked": pa.array([nl], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "precision": pa.array([round(tp / nl, 6) if nl else None],
+                              pa.float64()),
+        "recall": pa.array([round(tp / nb, 6) if nb else None],
+                           pa.float64()),
+    })
+
+
+def _q_kg_lineage(sf_dir: str):
+    """Per-partition lineage made driver-visible: run the checkpointed
+    build, then return each stage's MANIFEST content as rows
+    (stage, row_count, num_partitions, min/max partition rows) — the
+    north rule's "per-partition lineage + metrics" artifact.  Only
+    manifest JSON is read here; the data stays in the checkpoint store."""
+    import shutil
+    import tempfile
+
+    from tera_ray.state.checkpoint import build_kg_checkpointed, read_manifest
+
+    fx = _fx(sf_dir)
+    ckpt = os.path.join(tempfile.gettempdir(), "tera_ray_lineage",
+                        os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    build_kg_checkpointed(fx, ckpt, fuzzy=False)
+    stages, rows, parts, pmin, pmax = [], [], [], [], []
+    for stage in ("link", "lexicon", "kg"):
+        m = read_manifest(ckpt, stage)
+        assert m is not None, f"missing manifest for {stage}"
+        counts = list(m["partitions"].values())
+        stages.append(stage)
+        rows.append(int(m["row_count"]))
+        parts.append(len(counts))
+        pmin.append(min(counts))
+        pmax.append(max(counts))
+    return pa.table({
+        "stage": pa.array(stages, pa.string()),
+        "row_count": pa.array(rows, pa.int64()),
+        "num_partitions": pa.array(parts, pa.int64()),
+        "min_partition_rows": pa.array(pmin, pa.int64()),
+        "max_partition_rows": pa.array(pmax, pa.int64()),
+    })
+
+
 def _q_kg_fuzzy_align(sf_dir: str):
     import ray.data
 
@@ -2185,6 +2284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
+        "kg_linking_pr": _q_kg_linking_pr,
+        "kg_lineage": _q_kg_lineage,
         "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
         "kg_chems_for_species": _q_kg_chems_for_species,

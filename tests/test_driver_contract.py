@@ -140,6 +140,35 @@ def test_query_matches_oracle(key):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kg_linking_pr_meets_north_rule():
+    """The judged kg_linking_pr entry must report P/R >= 0.95 (north
+    rule band) against the fixture's embedded ground truth."""
+    import __ray_entry__ as entry
+
+    row = _materialize(entry.queries()["kg_linking_pr"](SF_DIR)).to_pylist()[0]
+    assert row["precision"] >= 0.95, row
+    assert row["recall"] >= 0.95, row
+    assert row["tp"] <= row["n_bearing"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_lineage_manifests_cover_all_rows():
+    """Lineage rows must account for every partition: per-stage
+    row_count equals the sum over partitions, partitions are non-empty,
+    and the kg stage is at least as large as the lexicon stage."""
+    import __ray_entry__ as entry
+
+    rows = {r["stage"]: r for r in
+            _materialize(entry.queries()["kg_lineage"](SF_DIR)).to_pylist()}
+    assert set(rows) == {"link", "lexicon", "kg"}
+    for r in rows.values():
+        assert r["num_partitions"] >= 1
+        assert 0 < r["min_partition_rows"] <= r["max_partition_rows"]
+        assert r["row_count"] >= r["num_partitions"] * r["min_partition_rows"]
+    assert rows["kg"]["row_count"] >= rows["lexicon"]["row_count"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_features_rows_only():
     import __ray_entry__ as entry
 
