@@ -1462,6 +1462,99 @@ def _q_docs_minhash(sf_dir: str):
     return minhash_dedup(ds, threshold=0.8)
 
 
+def _q_docs_leakage_split(sf_dir: str):
+    """Leakage-safe train/val/test split
+    (`tera_ray.text.curation.leakage_safe_split`): near-dup clusters
+    (MinHash+LSH, exact-Jaccard verified) resolve to a canonical id,
+    broadcast once; the split hash is taken OF THE CANON id, so a
+    cluster never straddles train/eval.  Oracle composes the exact
+    Jaccard + recursive-components mapping with the split-hash CASE."""
+    from tera_ray.dedup.minhash import minhash_dedup
+    from tera_ray.text.curation import leakage_safe_split
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    mapping = minhash_dedup(docs, threshold=0.8)
+    return leakage_safe_split(_read(sf_dir, "documents",
+                                    columns=["doc_id"]), mapping)
+
+
+def _q_conv_role_stats(sf_dir: str):
+    """Per-conversation role/tool/duration stats over the north-rule
+    transcript shape (conv_id, turn_idx, role, text, tool, ts): derived
+    indicator columns + one combiner-first grouped_agg — count, three
+    conditional sums, min/max ts folded into duration seconds.  The
+    dialogue-curation primitive (filter by tool usage / role balance /
+    wall-clock span) exercising every input_hint column."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from tera_ray.query.relational import grouped_agg
+
+    fx = _fx(sf_dir)
+    tr = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"),
+                               columns=["conv_id", "role", "tool", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        role = t["role"]
+        tool = pc.fill_null(t["tool"], "")
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "is_user": pc.cast(pc.equal(role, pa.scalar("user")),
+                               pa.int64()),
+            "is_assistant": pc.cast(pc.equal(role, pa.scalar("assistant")),
+                                    pa.int64()),
+            "is_tool_call": pc.cast(pc.not_equal(tool, pa.scalar("")),
+                                    pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    agg = grouped_agg(tr.map_batches(derive, batch_format="pyarrow"),
+                      ["conv_id"],
+                      [("is_user", "count", "n_turns"),
+                       ("is_user", "sum", "n_user"),
+                       ("is_assistant", "sum", "n_assistant"),
+                       ("is_tool_call", "sum", "n_tool_calls"),
+                       ("ts_us", "min", "__t0"),
+                       ("ts_us", "max", "__t1")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.round(pc.divide(
+            pc.cast(pc.subtract(t["__t1"], t["__t0"]), pa.float64()),
+            pa.scalar(1_000_000.0)), 6)
+        return pa.table({
+            "conv_id": t["conv_id"], "n_turns": t["n_turns"],
+            "n_user": t["n_user"], "n_assistant": t["n_assistant"],
+            "n_tool_calls": t["n_tool_calls"], "duration_s": dur})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_docs_weighted_sample(sf_dir: str):
+    """Quality-weighted per-source sampling
+    (`tera_ray.text.curation.weighted_sample_per_key`, Efraimidis-
+    Spirakis A-ES with salted-FNV uniforms): inclusion probability
+    scales with weight, yet the draw is a pure function of (salt, id) —
+    rerun/partitioning/append stable.  Distributed via the topk_per_key
+    combiner; shuffle ≤ k rows per (batch, key)."""
+    from tera_ray.text.curation import weighted_sample_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return weighted_sample_per_key(ds, key="source", weight_col="n_chars",
+                                   k=20)
+
+
+def _q_events_skew_stats(sf_dir: str):
+    """Partition-key skew diagnostic
+    (`tera_ray.query.relational.key_skew_stats`): combiner-first count
+    per key, then 4-scalar partials; only a 1-row summary reaches the
+    driver.  The ops primitive for choosing shuffle keys at 100 TB."""
+    from tera_ray.query.relational import key_skew_stats
+
+    return key_skew_stats(_read(sf_dir, "events", columns=["event_type"]),
+                          key="event_type")
+
+
 def _q_docs_simhash(sf_dir: str):
     from tera_ray.dedup.simhash import simhash_pairs
 
@@ -2257,6 +2350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": _q_docs_source_cap,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_incremental_dedup": _q_docs_incremental,
+        "docs_leakage_split": _q_docs_leakage_split,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "conv_role_stats": _q_conv_role_stats,
+        "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
         "docs_length_band": _q_docs_length_band,
         "source_len_quantiles": _q_source_len_quantiles,
@@ -3456,6 +3553,43 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " count(*) AS n_events, min(value) AS vmin, max(value) AS vmax"
             " FROM events GROUP BY 1, 2",
         "docs_minhash_dedup": _minhash_dedup_sql(),
+        "docs_leakage_split":
+            "WITH c AS (SELECT d.doc_id,"
+            " coalesce(m.dst, CAST(d.doc_id AS VARCHAR)) AS canon_id"
+            " FROM documents d LEFT JOIN (" + _minhash_dedup_sql() + ") m"
+            " ON CAST(d.doc_id AS VARCHAR) = m.src),"
+            " h AS (SELECT doc_id, canon_id,"
+            " (" + _fnv_sql("'split:'||canon_id") + " % 10000) AS b FROM c)"
+            " SELECT doc_id, canon_id,"
+            " CASE WHEN b < 9000 THEN 'train'"
+            " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "conv_role_stats":
+            f"SELECT conv_id, count(*) AS n_turns,"
+            f" sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,"
+            f" sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+            f" AS n_assistant,"
+            f" sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)"
+            f" AS n_tool_calls,"
+            f" round((epoch_us(max(ts)) - epoch_us(min(ts)))"
+            f" / 1000000.0, 6) AS duration_s"
+            f" FROM read_parquet('{fx}/transcripts.parquet')"
+            f" GROUP BY conv_id",
+        "docs_weighted_sample":
+            "WITH p AS (SELECT doc_id, source, n_chars,"
+            " round(pow(((" + _fnv_sql("'wsample:'||doc_id::VARCHAR") +
+            " % 9007199254740992) + 1) / 9007199254740992.0,"
+            " 1.0 / n_chars), 9) AS pr"
+            " FROM documents WHERE n_chars > 0)"
+            " SELECT doc_id, source, n_chars FROM p"
+            " QUALIFY row_number() OVER (PARTITION BY source"
+            " ORDER BY pr DESC, doc_id) <= 20",
+        "events_skew_stats":
+            "WITH c AS (SELECT event_type, count(*)::DOUBLE AS c"
+            " FROM events GROUP BY 1)"
+            " SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_keys,"
+            " round(max(c)/sum(c), 6) AS top1_share,"
+            " round(log2(sum(c)) - sum(c*log2(c))/sum(c), 6)"
+            " AS entropy_bits FROM c",
         "events_asof_view":
             "WITH o AS (SELECT user_id, ts, event_id, event_type,"
             " last_value(CASE WHEN event_type='view' THEN event_id END"

@@ -1418,3 +1418,46 @@ def grouped_winsorize(ds, key: str, col: str, lo_q: float = 0.05,
                          out_col: c})
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def key_skew_stats(ds, key: str, round_digits: int = 6):
+    """One-row skew diagnostic for a prospective partition key — run
+    this BEFORE choosing a groupby/shuffle key at scale:
+
+      ``(n, n_keys, top1_share, entropy_bits)``
+
+    top1_share = share of rows held by the hottest key; entropy_bits =
+    Shannon entropy of the key distribution (log2(n_keys) when
+    uniform).  Plan: one combiner-first :func:`grouped_agg` count (the
+    only shuffle, distinct-key volume), then per-batch partials of
+    (Σc, max c, Σ c·log2 c, #keys) — four scalars per batch — finalized
+    on the driver via  H = log2(n) − (Σ c·log2 c)/n.
+    """
+    counts = grouped_agg(ds, [key], [(key, "count", "c")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(c.sum())], pa.float64()),
+            "mx": pa.array([float(c.max()) if len(c) else 0.0],
+                           pa.float64()),
+            "clogc": pa.array([float((c * np.log2(c)).sum())], pa.float64()),
+            "k": pa.array([int(len(c))], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        [b for b in counts.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    n = float(pc.sum(parts["n"]).as_py() or 0.0)
+    mx = float(pc.max(parts["mx"]).as_py() or 0.0)
+    clogc = float(pc.sum(parts["clogc"]).as_py() or 0.0)
+    k = int(pc.sum(parts["k"]).as_py() or 0)
+    ent = (np.log2(n) - clogc / n) if n > 0 else 0.0
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "n_keys": pa.array([k], pa.int64()),
+        "top1_share": pa.array([round(mx / n, round_digits) if n else None],
+                               pa.float64()),
+        "entropy_bits": pa.array([round(float(ent), round_digits)],
+                                 pa.float64()),
+    })

@@ -317,3 +317,96 @@ def repetition_stats(batch: pa.Table, column: str = "text") -> pa.Table:
     for name, arr in [("dup_frac", dup_frac), ("top_frac", top_frac)]:
         out = out.append_column(name, pa.array(arr, pa.float64()))
     return out
+
+
+def leakage_safe_split(docs, dedup_mapping, id_col: str = "doc_id",
+                       splits: tuple[tuple[str, float], ...] = (
+                           ("train", 0.90), ("val", 0.05), ("test", 0.05)),
+                       mod: int = 10_000, salt: str = "split:",
+                       max_mapping_bytes: int = 1 << 28):
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    cluster lands on the SAME side, so no training example leaks an
+    eval example's near-copy.
+
+    ``dedup_mapping``: the ``(src, dst, score)`` canonical mapping from
+    :func:`tera_ray.dedup.minhash.minhash_dedup` (non-singleton members
+    only — by construction a small fraction of the corpus, broadcast
+    once via ``ray.put``; at extreme duplication rates use
+    ``state/linkage.rewrite_triples``'s shuffle path instead, same
+    contract).  Each document resolves to ``canon_id`` (its cluster's
+    min id, itself when unclustered); the split label is the standard
+    :func:`deterministic_split` hash OF THE CANON id.  Output:
+    ``(doc_id, canon_id, split)``.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    m = pa.concat_tables(
+        [b for b in dedup_mapping.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)]
+        or [pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})])
+    m = pa.table({"__src": m["src"].cast(pa.string()),
+                  "__dst": m["dst"].cast(pa.string())})
+    assert m.nbytes <= max_mapping_bytes, (
+        f"dedup mapping {m.nbytes}B exceeds broadcast bound; use the "
+        "shuffle rewrite path")
+    ref = ray.put(m)
+
+    def label(t: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        s = pa.table({id_col: ids, "__src": ids.cast(pa.string())})
+        j = s.join(mm, keys=["__src"], join_type="left outer")
+        # join may reorder; restore input order via the id column is not
+        # enough (ids unique per input contract) — sort back on id_col
+        canon = pc.coalesce(j["__dst"], j["__src"])
+        out = pa.table({id_col: j[id_col], "canon_id": canon})
+        return deterministic_split(out, id_col="canon_id", splits=splits,
+                                   mod=mod, salt=salt)
+
+    return docs.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow")
+
+
+def weighted_sample_per_key(ds, key: str, weight_col: str, k: int,
+                            id_col: str = "doc_id",
+                            salt: str = "wsample:",
+                            round_digits: int = 9):
+    """Deterministic weighted sampling WITHOUT replacement, per key —
+    the quality-weighted data-mixing primitive (Efraimidis–Spirakis
+    A-ES): each row draws priority ``u^(1/w)`` with ``u`` a salted-FNV
+    uniform in (0, 1]; the k highest priorities per key win, so a row's
+    inclusion probability scales with its weight yet the draw is a pure
+    function of (salt, id) — stable across reruns, partitionings and
+    appends.  Distributed via the :func:`topk_per_key` combiner
+    (shuffle ≤ k rows per (batch, key)).  Rows with weight ≤ 0 never
+    win.  Priorities are rounded to ``round_digits`` so a SQL
+    ``pow(u, 1/w)`` oracle orders identically.
+    """
+    from ..query.relational import topk_per_key
+
+    mod = np.uint64(1 << 53)
+
+    def prio(t: pa.Table) -> pa.Table:
+        h = _salted_fnv(t[id_col], salt)
+        u = (h % mod + np.uint64(1)).astype(np.float64) / float(1 << 53)
+        w = t[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        wv = w.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.where(wv > 0, u ** (1.0 / wv), -1.0)
+        p = np.round(p, round_digits)
+        return t.append_column("__prio", pa.array(p, pa.float64()))
+
+    out = topk_per_key(
+        ds.map_batches(prio, batch_format="pyarrow"), key,
+        order=[("__prio", "descending"), (id_col, "ascending")], k=k)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["__prio"], pa.scalar(0.0)))
+                   .drop_columns(["__prio"]),
+        batch_format="pyarrow")

@@ -13,6 +13,8 @@ import pytest
 
 
 def _mat(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
     parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     return (pa.concat_tables(parts, promote_options="permissive")
             if parts else pa.table({}))
@@ -184,3 +186,70 @@ class TestRobustStats:
         by_rid = {r["rid"]: r["z"] for r in out.to_pylist()}
         assert by_rid[2] is None and by_rid[3] is None   # std 0 → null
         assert by_rid[0] == pytest.approx(-0.707107, abs=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeakageSplitAndSkew:
+    def test_cluster_members_share_split(self):
+        import ray.data
+
+        from tera_ray.text.curation import leakage_safe_split
+
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }))
+        # cluster {1,2,3} canonical 1; {4} and {5} singletons
+        mapping = ray.data.from_arrow(pa.table({
+            "src": pa.array(["2", "3"], pa.string()),
+            "dst": pa.array(["1", "1"], pa.string()),
+            "score": pa.array([1.0, 1.0], pa.float64()),
+        }))
+        out = _mat(leakage_safe_split(docs, mapping)).to_pylist()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["canon_id"] == by_id[2]["canon_id"] == \
+            by_id[3]["canon_id"] == "1"
+        assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+        assert by_id[4]["canon_id"] == "4"
+        # canon hash decides: member 2's split equals canon 1's split,
+        # NOT what its own id would hash to in a plain split
+        from tera_ray.text.curation import deterministic_split
+
+        plain = deterministic_split(
+            pa.table({"doc_id": pa.array(["1", "2", "3", "4", "5"],
+                                         pa.string())}), id_col="doc_id")
+        plain_by = {r["doc_id"]: r["split"] for r in plain.to_pylist()}
+        assert by_id[2]["split"] == plain_by["1"]
+
+    def test_skew_stats_uniform_vs_hot(self):
+        import ray.data
+
+        from tera_ray.query.relational import key_skew_stats
+
+        uni = ray.data.from_arrow(pa.table({
+            "k": pa.array([str(i % 8) for i in range(800)], pa.string())}))
+        hot = ray.data.from_arrow(pa.table({
+            "k": pa.array(["h"] * 793 + [str(i) for i in range(7)],
+                          pa.string())}))
+        u = _mat(key_skew_stats(uni, "k")).to_pylist()[0]
+        h = _mat(key_skew_stats(hot, "k")).to_pylist()[0]
+        assert u["n"] == h["n"] == 800 and u["n_keys"] == h["n_keys"] == 8
+        assert u["top1_share"] == pytest.approx(0.125)
+        assert u["entropy_bits"] == pytest.approx(3.0)
+        assert h["top1_share"] > 0.99 and h["entropy_bits"] < 0.2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boolean_search_requires_all_needles():
+    import ray.data
+
+    from tera_ray.text.index import boolean_search
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spark and vector", "spark only",
+                          "vector sparkle"], pa.string()),
+    }))
+    out = sorted(r["doc_id"] for r in
+                 _mat(boolean_search(docs, ["spark", "vector"])).to_pylist())
+    # doc 3 has token "sparkle", not "spark" — token-level, not substring
+    assert out == [1]
