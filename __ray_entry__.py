@@ -1478,6 +1478,31 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_docs_chunk_windows(sf_dir: str):
+    """Overlapping token-window chunking for retrieval/context prep
+    (`tera_ray.text.curation.chunk_windows`): whitespace tokens, 32-token
+    windows every 24 — the SPLIT counterpart of docs_pack_chunks' PACK.
+    Map-side only; window fan-out is vectorized polars list slice+join."""
+    from tera_ray.text.curation import chunk_windows
+
+    return chunk_windows(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]),
+                         size=32, stride=24)
+
+
+def _q_orders_profile(sf_dir: str):
+    """Dataset column profiler (`tera_ray.query.relational.column_profile`):
+    per column n / n_null / exact n_distinct; counts from per-batch
+    partials, distincts via the dedup shuffle — only scalars on the
+    driver."""
+    from tera_ray.query.relational import column_profile
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    return column_profile(ds, ["o_custkey", "o_orderpriority",
+                               "o_totalprice"])
+
+
 def _q_conv_role_stats(sf_dir: str):
     """Per-conversation role/tool/duration stats over the north-rule
     transcript shape (conv_id, turn_idx, role, text, tool, ts): derived
@@ -1688,6 +1713,40 @@ def _q_kg_build_checkpointed(sf_dir: str):
     kg, skipped_warm = build_kg_checkpointed(fx, ckpt, fuzzy=False)
     assert all(skipped_warm.values()), skipped_warm
     return kg
+
+
+def _q_kg_incremental(sf_dir: str):
+    """Incremental KG maintenance (`tera_ray.pipelines.transcripts.update_kg`):
+    build the store from conversations with EVEN numeric suffix, then
+    fold in the odd half — the new shard alone is linked, an exact
+    (subj, pred, obj) anti-join co-group admits only novel triples, and
+    the result is row-multiset identical to a one-shot full build
+    (asserted in tests/test_transcripts.py).  The 10^12-turn pipeline is
+    never a one-shot build; this is the nightly-shard path."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from tera_ray.pipelines.transcripts import build_kg_from, update_kg
+
+    fx = _fx(sf_dir)
+    tr = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"))
+
+    def half(even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            tail = pc.cast(pc.utf8_slice_codeunits(
+                t["conv_id"], start=5, stop=99), pa.int64())
+            m = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                         pa.scalar(0 if even else 1, pa.int64()))
+            return t.filter(m)
+
+        return f
+
+    prev = build_kg_from(tr.map_batches(half(True), batch_format="pyarrow"),
+                         fx)
+    return update_kg(prev,
+                     tr.map_batches(half(False), batch_format="pyarrow"),
+                     fx)
 
 
 def _q_kg_linking_pr(sf_dir: str):
@@ -2353,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_leakage_split": _q_docs_leakage_split,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "conv_role_stats": _q_conv_role_stats,
+        "docs_chunk_windows": _q_docs_chunk_windows,
+        "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
         "docs_length_band": _q_docs_length_band,
@@ -2382,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build": _q_kg_build,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
+        "kg_incremental": _q_kg_incremental,
         "kg_lineage": _q_kg_lineage,
         "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
@@ -3563,6 +3625,28 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "docs_chunk_windows":
+            "WITH tk AS (SELECT doc_id,"
+            " list_filter(string_split_regex(text, '\\s+'),"
+            " x -> x <> '') AS l FROM documents),"
+            " s AS (SELECT doc_id, l,"
+            " unnest(generate_series(0, len(l) - 1, 24)) AS st"
+            " FROM tk WHERE len(l) > 0)"
+            " SELECT doc_id, (st // 24)::BIGINT AS chunk_idx,"
+            " len(l[st + 1 : least(st + 32, len(l))])::BIGINT AS n_tokens,"
+            " array_to_string(l[st + 1 : least(st + 32, len(l))], ' ')"
+            " AS chunk_text FROM s",
+        "orders_profile":
+            "SELECT 'o_custkey' AS \"column\", count(*) AS n,"
+            " sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_null, count(DISTINCT o_custkey) AS n_distinct"
+            " FROM orders"
+            " UNION ALL SELECT 'o_orderpriority', count(*),"
+            " sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0"
+            " END)::BIGINT, count(DISTINCT o_orderpriority) FROM orders"
+            " UNION ALL SELECT 'o_totalprice', count(*),"
+            " sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0"
+            " END)::BIGINT, count(DISTINCT o_totalprice) FROM orders",
         "conv_role_stats":
             f"SELECT conv_id, count(*) AS n_turns,"
             f" sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,"

@@ -432,7 +432,6 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     """
     import os
 
-    lex_ref = build_lexicon(data_dir)
     if override_num_blocks is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         override_num_blocks = max(8, 2 * ncpu)
@@ -440,6 +439,19 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
         os.path.join(data_dir, "transcripts.parquet"),
         override_num_blocks=override_num_blocks,
     )
+    return build_kg_from(transcripts, data_dir, fuzzy=fuzzy, dedup=dedup,
+                         concurrency=concurrency, batch_size=batch_size,
+                         dedup_mode=dedup_mode)
+
+
+def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
+                  dedup: bool = True, concurrency=None,
+                  batch_size: int = 4096, dedup_mode: str = "global"):
+    """:func:`build_kg` over an ALREADY-OPEN transcript Dataset — the
+    entry point for filtered/partial builds and the incremental path
+    (:func:`update_kg`); ``data_dir`` still supplies the lexicon
+    tables."""
+    lex_ref = build_lexicon(data_dir)
     triples = link_transcripts(
         transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
         batch_size=batch_size,
@@ -455,6 +467,42 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     if dedup:
         out = dedup_triples(out)
     return out
+
+
+def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
+              concurrency=None, batch_size: int = 4096,
+              num_buckets: int = 64):
+    """Incremental KG maintenance — the 10^12-turn pipeline is never a
+    one-shot build: link ONLY the new transcript shard, union the
+    (idempotent) lexicon graphs, exact-anti-join the result against the
+    EXISTING store on (subj, pred, obj), and return prev ∪ novel.
+
+    Cost profile: the linker touches just the new shard; the one
+    all-to-all is the anti-join co-group, whose right side contributes
+    only its three key columns.  The result is row-multiset identical
+    to a full rebuild over old ∪ new turns (asserted in
+    tests/test_transcripts.py) because build_kg's dedup keeps an
+    arbitrary-but-unique representative per distinct triple and every
+    emitted triple is a pure function of its turn.
+
+    At 100 TB, pair with ``state/checkpoint.write_stage``: write only
+    the novel partition and manifest per shard; ``query/bloom`` can
+    pre-prune the anti-join's left side when the novel fraction is
+    high (a definite-miss skips the shuffle for that row).
+    """
+    from ..query.relational import multi_key_anti_join
+    from ..stages.base import dedup_triples
+
+    lex_ref = build_lexicon(data_dir)
+    new_triples = link_transcripts(
+        new_transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+        batch_size=batch_size)
+    cand = dedup_triples(new_triples.union(
+        ray.data.from_arrow(lexicon_triples(data_dir))))
+    novel = multi_key_anti_join(cand, prev_kg,
+                                keys=["subj", "pred", "obj"],
+                                num_buckets=num_buckets)
+    return prev_kg.union(novel)
 
 
 def canonicalize_kg(kg, sameas, threshold_score: float = 0.9,

@@ -1461,3 +1461,96 @@ def key_skew_stats(ds, key: str, round_digits: int = 6):
         "entropy_bits": pa.array([round(float(ent), round_digits)],
                                  pa.float64()),
     })
+
+
+def column_profile(ds, cols: list[str]):
+    """Dataset profiling: one row per column with ``(column, n, n_null,
+    n_distinct)`` — the pre-flight diagnostic for schema/key choices
+    (exact distinct via the dedup shuffle; row/null counts from
+    per-batch partials).  Each column is one independent streaming
+    pass; only per-column scalars reach the driver."""
+    from ..dedup.exact import dedup_exact
+
+    names, ns, nulls, dist = [], [], [], []
+    for c in cols:
+        proj = ds.select_columns([c])
+
+        def partial(t: pa.Table, _c=c) -> pa.Table:
+            v = t[_c]
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "nn": pa.array([v.null_count], pa.int64()),
+            })
+
+        parts = pa.concat_tables(
+            [b for b in proj.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)])
+        names.append(c)
+        ns.append(int(pc.sum(parts["n"]).as_py() or 0))
+        nulls.append(int(pc.sum(parts["nn"]).as_py() or 0))
+        # SQL COUNT(DISTINCT x) ignores nulls — drop them before dedup
+        nn = proj.map_batches(lambda t, _c=c: t.filter(pc.is_valid(t[_c])),
+                              batch_format="pyarrow")
+        dist.append(int(dedup_exact(nn, keys=[c], order_by=c).count()))
+    return pa.table({
+        "column": pa.array(names, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "n_null": pa.array(nulls, pa.int64()),
+        "n_distinct": pa.array(dist, pa.int64()),
+    })
+
+
+def multi_key_anti_join(left, right, keys: list[str],
+                        num_buckets: int = 64):
+    """Rows of ``left`` whose ``keys`` TUPLE does not appear in
+    ``right`` (NOT EXISTS over a composite key) — exact, no hashing of
+    the tuple into a single collision-prone column.  One side-tagged
+    union + one hash-bucket co-group; inside a bucket a vectorized
+    polars anti-join.  ``right`` contributes only its key columns."""
+    import polars as pl
+
+    from ..stages.base import bucketed_map_groups, hash_column
+
+    def tag(side: int, schema_cols):
+        def f(t: pa.Table) -> pa.Table:
+            if side == 1:
+                t = t.select(keys)
+                # pad to the left schema with typed nulls
+                cols = {}
+                for name, typ in schema_cols:
+                    cols[name] = (t[name] if name in keys
+                                  else pa.nulls(t.num_rows, typ))
+                t = pa.table(cols)
+            b = pc.cast(pc.bit_wise_and(hash_column(t, keys=tuple(keys)),
+                                        pa.scalar(num_buckets - 1,
+                                                  pa.uint64())),
+                        pa.int32())
+            return (t.append_column("__side",
+                                    pa.array(np.full(t.num_rows, side,
+                                                     np.int8)))
+                    .append_column("__b", b))
+
+        return f
+
+    lschema = left.schema()
+    schema_cols = list(zip(lschema.names, lschema.types))
+    assert num_buckets & (num_buckets - 1) == 0
+    tagged = left.map_batches(tag(0, schema_cols),
+                              batch_format="pyarrow").union(
+        right.map_batches(tag(1, schema_cols), batch_format="pyarrow"))
+
+    out_names = [n for n, _ in schema_cols]
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        l = df.filter(pl.col("__side") == 0).drop(["__side", "__b"])
+        r = (df.filter(pl.col("__side") == 1)
+             .select(keys).unique())
+        if r.height == 0:
+            out = l
+        else:
+            out = l.join(r, on=keys, how="anti", nulls_equal=True)
+        res = out.to_arrow().select(out_names)
+        return res.cast(pa.schema(schema_cols))
+
+    return bucketed_map_groups(tagged, "__b", per_bucket)

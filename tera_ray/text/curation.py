@@ -410,3 +410,66 @@ def weighted_sample_per_key(ds, key: str, weight_col: str, k: int,
         lambda t: t.filter(pc.greater(t["__prio"], pa.scalar(0.0)))
                    .drop_columns(["__prio"]),
         batch_format="pyarrow")
+
+
+def chunk_windows(ds, size: int = 32, stride: int = 24,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Overlapping token-window chunking (RAG / context-window prep):
+    whitespace tokens, windows of ``size`` tokens starting every
+    ``stride`` (starts 0, stride, 2·stride, … < n_tokens; the final
+    window is shorter).  Output one row per chunk:
+    ``(id, chunk_idx, n_tokens, chunk_text)`` with tokens re-joined by
+    single spaces.
+
+    Fully map-side (no shuffle); the window fan-out is a vectorized
+    polars list-slice + join, never a per-chunk Python loop.  Contrast
+    with ``docs_pack_chunks`` (which PACKS many docs into fixed
+    budgets); this SPLITS one doc into overlapping windows.
+    """
+    import polars as pl
+
+    assert 0 < stride <= size
+
+    def split(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(text, ""), r"\s+")
+        df = pl.DataFrame({
+            "id": pl.from_arrow(t[id_col].combine_chunks()
+                                if isinstance(t[id_col], pa.ChunkedArray)
+                                else t[id_col]),
+            "toks": pl.from_arrow(toks),
+        })
+        # drop empty tokens (leading/trailing whitespace artifacts)
+        df = df.with_columns(
+            pl.col("toks").list.eval(
+                pl.element().filter(pl.element() != "")).alias("toks"))
+        df = df.with_columns(pl.col("toks").list.len().cast(pl.Int64)
+                             .alias("__n")).filter(pl.col("__n") > 0)
+        if df.height == 0:
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        df = df.with_columns(
+            pl.int_ranges(0, pl.col("__n"), stride).alias("__start"))
+        ex = df.explode("__start")
+        ex = ex.with_columns(
+            (pl.col("__start") // stride).alias("chunk_idx"),
+            pl.col("toks").list.slice(pl.col("__start"), size)
+            .alias("__w"))
+        out = ex.select(
+            pl.col("id"),
+            pl.col("chunk_idx"),
+            pl.col("__w").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("__w").list.join(" ").alias("chunk_text"),
+        ).to_arrow().rename_columns([id_col, "chunk_idx", "n_tokens",
+                                     "chunk_text"])
+        return out.cast(pa.schema([
+            (id_col, t.schema.field(id_col).type),
+            ("chunk_idx", pa.int64()), ("n_tokens", pa.int64()),
+            ("chunk_text", pa.string())]))
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        split, batch_format="pyarrow")

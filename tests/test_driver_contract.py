@@ -84,6 +84,13 @@ PARITY_KEYS = [
     "docs_keyword_tags",
     "lineitem_zscore",
     "events_mad_outliers",
+    "lineitem_winsorize",
+    "docs_bool_search",
+    "docs_weighted_sample",
+    "events_skew_stats",
+    "conv_role_stats",
+    "docs_chunk_windows",
+    "orders_profile",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

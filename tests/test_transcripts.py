@@ -210,3 +210,56 @@ class TestScopedDedup:
         # the scoped output itself must contain no duplicate triples
         assert all(c == 1 for c in s.values()), (
             f"{sum(c > 1 for c in s.values())} duplicated triples in scoped mode")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalUpdate:
+    def test_update_equals_full_rebuild(self, fixtures_t1):
+        """update_kg(prev=even-conv KG, new=odd-conv shard) must be
+        row-multiset identical to the one-shot full build."""
+        from collections import Counter
+
+        import pyarrow.compute as pc
+
+        import ray.data
+
+        from tera_ray.pipelines.transcripts import (
+            build_kg,
+            build_kg_from,
+            update_kg,
+        )
+
+        def spo(ds):
+            out = Counter()
+            for b in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+                out.update(zip(b["subj"].to_pylist(),
+                               b["pred"].to_pylist(),
+                               b["obj"].to_pylist()))
+            return out
+
+        tr = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "transcripts.parquet"))
+
+        def half(even: bool):
+            def f(t):
+                tail = pc.cast(pc.utf8_slice_codeunits(
+                    t["conv_id"], start=5, stop=99), pa.int64())
+                m = pc.equal(
+                    pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                    pa.scalar(0 if even else 1, pa.int64()))
+                return t.filter(m)
+
+            return f
+
+        prev = build_kg_from(
+            tr.map_batches(half(True), batch_format="pyarrow"),
+            fixtures_t1)
+        merged = update_kg(
+            prev, tr.map_batches(half(False), batch_format="pyarrow"),
+            fixtures_t1)
+        got = spo(merged)
+        want = spo(build_kg(fixtures_t1))
+        assert got == want and len(want) > 0
+        # no duplicate triples in the merged store
+        assert max(got.values()) == 1
