@@ -1478,6 +1478,32 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_events_rolling(sf_dir: str):
+    """Rolling/ranking analytics in one bucketed window pass
+    (`tera_ray.query.window.window_funcs`): per-user rolling mean/sum
+    over ROWS 3 PRECEDING..CURRENT (partition-clamped shifted adds),
+    PERCENT_RANK, and NTILE(4) — one shuffle computes all four."""
+    import pyarrow.compute as pc
+
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    out = window_funcs(
+        ds, ["user_id"], [("ts", "ascending"), ("event_id", "ascending")],
+        specs=[("rolling_mean", "value", "roll_avg", 4),
+               ("rolling_sum", "value", "roll_sum", 4),
+               ("percent_rank", None, "pr"),
+               ("ntile", None, "tile", 4)])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "roll_avg": pc.round(t["roll_avg"], 6),
+            "roll_sum": pc.round(t["roll_sum"], 6),
+            "pr": t["pr"], "tile": t["tile"]}),
+        batch_format="pyarrow")
+
+
 def _q_docs_chunk_windows(sf_dir: str):
     """Overlapping token-window chunking for retrieval/context prep
     (`tera_ray.text.curation.chunk_windows`): whitespace tokens, 32-token
@@ -2413,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _q_docs_weighted_sample,
         "conv_role_stats": _q_conv_role_stats,
         "docs_chunk_windows": _q_docs_chunk_windows,
+        "events_rolling": _q_events_rolling,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3625,6 +3652,17 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "events_rolling":
+            "SELECT event_id, user_id,"
+            " round(avg(value) OVER w4, 6) AS roll_avg,"
+            " round(sum(value) OVER w4, 6) AS roll_sum,"
+            " percent_rank() OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS pr,"
+            " ntile(4) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS tile"
+            " FROM events WINDOW w4 AS"
+            " (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
         "docs_chunk_windows":
             "WITH tk AS (SELECT doc_id,"
             " list_filter(string_split_regex(text, '\\s+'),"

@@ -24,7 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum")
+_KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
+          "percent_rank", "ntile", "rolling_sum", "rolling_mean")
 
 
 def _run_starts(t: pa.Table, cols: list[str]) -> np.ndarray:
@@ -59,6 +60,15 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
       preceding → current row``; nulls are ignored (SQL
       aggregate-over-window semantics), output null until the first
       non-null; output type float64
+    - ``("percent_rank", None, out)`` — ``(rank − 1) / (n_part − 1)``,
+      0.0 for 1-row partitions (SQL PERCENT_RANK)
+    - ``("ntile", None, out, b)`` — SQL NTILE(b): b groups per
+      partition, sizes differing by ≤ 1, larger groups first
+    - ``("rolling_sum", col, out, w)`` / ``("rolling_mean", col, out,
+      w)`` — aggregate over ``ROWS BETWEEN w−1 PRECEDING AND CURRENT
+      ROW`` clamped at the partition start; nulls ignored, null when
+      the window holds no non-null value; w bounded (vectorized as w
+      shifted adds)
 
     Output: the input columns plus the ``out`` columns.  Row order is
     per-bucket sorted (order across buckets unspecified — the driver
@@ -78,8 +88,10 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
             "__b", pa.array((h % num_buckets).astype(np.int32)))
 
     def _out_type(t: pa.Table, kind: str, col: str | None) -> pa.DataType:
-        if kind in ("row_number", "rank", "dense_rank"):
+        if kind in ("row_number", "rank", "dense_rank", "ntile"):
             return pa.int64()
+        if kind in ("percent_rank", "rolling_sum", "rolling_mean"):
+            return pa.float64()
         if kind in ("lag", "lead"):
             return t.schema.field(col).type
         return pa.float64()
@@ -100,8 +112,14 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
         start_idx = np.maximum.accumulate(np.where(kstart, idx_arange, 0))
         rn = idx_arange - start_idx                     # 0-based row_number
         out = t
-        if any(s[0] in ("rank", "dense_rank") for s in specs):
+        if any(s[0] in ("rank", "dense_rank", "percent_rank")
+               for s in specs):
             tstart = _run_starts(t, keys + order_cols)  # tie-run starts
+        if any(s[0] in ("percent_rank", "ntile", "rolling_sum",
+                        "rolling_mean") for s in specs):
+            starts_pos = np.flatnonzero(kstart)
+            seg_len = np.diff(np.append(starts_pos, n))
+            part_n = np.repeat(seg_len, seg_len)        # partition size/row
         for s in specs:
             kind, col, name = s[0], s[1], s[2]
             if kind == "row_number":
@@ -133,6 +151,53 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                 shifted = pc.if_else(pa.array(ok), pc.take(vals, idx),
                                      pa.scalar(None, vals.type))
                 out = out.append_column(name, shifted)
+            elif kind == "percent_rank":
+                tie_idx = np.maximum.accumulate(
+                    np.where(tstart, idx_arange, 0))
+                rk = rn[tie_idx].astype(np.float64)     # 0-based rank
+                denom = (part_n - 1).astype(np.float64)
+                pr = np.where(denom > 0, rk / np.maximum(denom, 1), 0.0)
+                out = out.append_column(name, pa.array(pr, pa.float64()))
+            elif kind == "ntile":
+                b = s[3]
+                q, r = part_n // b, part_n % b
+                big = r * (q + 1)                       # rows in big tiles
+                in_big = rn < big
+                tile = np.where(
+                    in_big,
+                    rn // np.maximum(q + 1, 1),
+                    r + (rn - big) // np.maximum(q, 1))
+                out = out.append_column(
+                    name, pa.array(tile + 1, pa.int64()))
+            elif kind in ("rolling_sum", "rolling_mean"):
+                w = s[3]
+                assert 1 <= w <= 1024, "rolling window bounded"
+                vals = t[col].combine_chunks().cast(pa.float64())
+                v0 = pc.fill_null(vals, 0.0).to_numpy(zero_copy_only=False)
+                nv = (~pc.is_null(vals).to_numpy(zero_copy_only=False)
+                      ).astype(np.float64)
+                ssum = np.zeros(n, np.float64)
+                scnt = np.zeros(n, np.float64)
+                for j in range(w):
+                    okj = idx_arange - j >= start_idx
+                    if not okj.any():
+                        break
+                    sv = np.zeros(n, np.float64)
+                    sv[j:] = v0[: n - j]
+                    sc = np.zeros(n, np.float64)
+                    sc[j:] = nv[: n - j]
+                    ssum += np.where(okj, sv, 0.0)
+                    scnt += np.where(okj, sc, 0.0)
+                if kind == "rolling_mean":
+                    res = np.divide(ssum, scnt,
+                                    out=np.zeros(n, np.float64),
+                                    where=scnt > 0)
+                else:
+                    res = ssum
+                arr = pc.if_else(pa.array(scnt > 0),
+                                 pa.array(res, pa.float64()),
+                                 pa.scalar(None, pa.float64()))
+                out = out.append_column(name, arr)
             else:  # cumsum
                 # polars group-wise cum_sum: fresh sequential accumulation
                 # per partition (a whole-bucket cumsum minus partition

@@ -91,6 +91,7 @@ PARITY_KEYS = [
     "conv_role_stats",
     "docs_chunk_windows",
     "orders_profile",
+    "events_rolling",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

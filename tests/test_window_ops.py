@@ -110,3 +110,49 @@ def test_heavy_hitters_threshold_inclusive():
     ds = _mk({"x": [1, 1, 2, 3, 4, 5, 6, 7, 8, 9]})
     out = heavy_hitters(ds, "x", 0.2)      # 1 has exactly 2/10 = 0.2
     assert out["x"].to_pylist() == [1] and out["cnt"].to_pylist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingAndNtile:
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+            "o": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+            "v": pa.array([10.0, None, 30.0, 40.0, 50.0, 7.0, 9.0],
+                          pa.float64()),
+        }))
+
+    def _run(self, specs):
+        from tera_ray.query.window import window_funcs
+
+        out = window_funcs(self._ds(), ["k"], [("o", "ascending")], specs)
+        rows = []
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+            rows.extend(b.to_pylist())
+        return sorted(rows, key=lambda r: (r["k"], r["o"]))
+
+    def test_rolling_mean_clamps_and_skips_nulls(self):
+        rows = self._run([("rolling_mean", "v", "m", 3)])
+        got = [r["m"] for r in rows]
+        # a: [10], [10,N], [10,N,30], [N,30,40], [30,40,50]; b: [7], [7,9]
+        assert got == pytest.approx([10.0, 10.0, 20.0, 35.0, 40.0,
+                                     7.0, 8.0])
+
+    def test_rolling_sum_partition_reset(self):
+        rows = self._run([("rolling_sum", "v", "s", 2)])
+        got = [r["s"] for r in rows]
+        assert got == pytest.approx([10.0, 10.0, 30.0, 70.0, 90.0,
+                                     7.0, 16.0])
+
+    def test_ntile_sizes_larger_first(self):
+        rows = self._run([("ntile", None, "t", 2)])
+        assert [r["t"] for r in rows] == [1, 1, 1, 2, 2, 1, 2]
+
+    def test_percent_rank_edges(self):
+        rows = self._run([("percent_rank", None, "p")])
+        a = [r["p"] for r in rows if r["k"] == "a"]
+        b = [r["p"] for r in rows if r["k"] == "b"]
+        assert a == pytest.approx([0.0, 0.25, 0.5, 0.75, 1.0])
+        assert b == pytest.approx([0.0, 1.0])
