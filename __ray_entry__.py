@@ -1478,6 +1478,20 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_lineitem_corr(sf_dir: str):
+    """Per-group Pearson correlation + sample covariance
+    (`tera_ray.query.relational.grouped_corr`): six mergeable float64
+    moments per (batch, group) cross the shuffle, never data rows;
+    pairwise-complete null semantics; rounded identically in the SQL
+    oracle."""
+    from tera_ray.query.relational import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, ["l_returnflag"], "l_quantity",
+                        "l_extendedprice")
+
+
 def _q_events_rolling(sf_dir: str):
     """Rolling/ranking analytics in one bucketed window pass
     (`tera_ray.query.window.window_funcs`): per-user rolling mean/sum
@@ -2440,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_stats": _q_conv_role_stats,
         "docs_chunk_windows": _q_docs_chunk_windows,
         "events_rolling": _q_events_rolling,
+        "lineitem_corr": _q_lineitem_corr,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3652,6 +3667,13 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "lineitem_corr":
+            "SELECT l_returnflag,"
+            " count(*) FILTER (l_quantity IS NOT NULL"
+            " AND l_extendedprice IS NOT NULL) AS n,"
+            " round(covar_samp(l_quantity, l_extendedprice), 6) AS covar,"
+            " round(corr(l_quantity, l_extendedprice), 6) AS corr"
+            " FROM lineitem GROUP BY l_returnflag",
         "events_rolling":
             "SELECT event_id, user_id,"
             " round(avg(value) OVER w4, 6) AS roll_avg,"

@@ -1554,3 +1554,72 @@ def multi_key_anti_join(left, right, keys: list[str],
         return res.cast(pa.schema(schema_cols))
 
     return bucketed_map_groups(tagged, "__b", per_bucket)
+
+
+def grouped_corr(ds, keys: list[str], x: str, y: str,
+                 round_digits: int = 6):
+    """Per-group Pearson correlation and sample covariance of two
+    columns — the two-column member of the mergeable-moment family
+    (:func:`grouped_agg` covers the one-column moments).
+
+    Per-batch partials ``(n, Σx, Σy, Σxx, Σyy, Σxy)`` over PAIRWISE
+    COMPLETE rows (either value null → row ignored, SQL corr/covar_samp
+    semantics) shuffle as six float64 scalars per (batch, group); the
+    driver never sees data rows.  Finalize:
+    ``cov = (Σxy − ΣxΣy/n) / (n−1)``,
+    ``corr = cov_pop / (σx σy)`` — both rounded so the SQL oracle
+    agrees bit-for-bit.  n < 2 or zero variance → null (SQL).
+    """
+    phys = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x], pa.float64())
+        yv = pc.cast(t[y], pa.float64())
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        tt = pa.table({**{k: t[k] for k in keys}, "__x": xv, "__y": yv})
+        tt = tt.filter(ok)
+        xn = tt["__x"].to_numpy(zero_copy_only=False)
+        yn = tt["__y"].to_numpy(zero_copy_only=False)
+        cols = {k: tt[k] for k in keys}
+        cols["__n"] = pa.array(np.ones(len(xn), np.int64))
+        cols["__sx"] = pa.array(xn)
+        cols["__sy"] = pa.array(yn)
+        cols["__sxx"] = pa.array(xn * xn)
+        cols["__syy"] = pa.array(yn * yn)
+        cols["__sxy"] = pa.array(xn * yn)
+        g = pa.table(cols).group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in phys])
+        return g.rename_columns(keys + phys)
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         keys, [(c, "sum", c) for c in phys])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["__sx"].to_numpy(zero_copy_only=False)
+        sy = t["__sy"].to_numpy(zero_copy_only=False)
+        sxx = t["__sxx"].to_numpy(zero_copy_only=False)
+        syy = t["__syy"].to_numpy(zero_copy_only=False)
+        sxy = t["__sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = np.where(n > 1, (sxy - sx * sy / np.maximum(n, 1))
+                           / np.maximum(n - 1, 1), np.nan)
+            vx = sxx - sx * sx / np.maximum(n, 1)
+            vy = syy - sy * sy / np.maximum(n, 1)
+            denom = np.sqrt(vx * vy)
+            corr = np.where((n > 1) & (denom > 0),
+                            (sxy - sx * sy / np.maximum(n, 1)) / denom,
+                            np.nan)
+        cov = np.round(cov, round_digits)
+        corr = np.round(corr, round_digits)
+        out = {k: t[k] for k in keys}
+        out["n"] = t["__n"]
+        out["covar"] = pa.array(
+            [None if np.isnan(v) else float(v) for v in cov],
+            pa.float64())
+        out["corr"] = pa.array(
+            [None if np.isnan(v) else float(v) for v in corr],
+            pa.float64())
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -92,6 +92,7 @@ PARITY_KEYS = [
     "docs_chunk_windows",
     "orders_profile",
     "events_rolling",
+    "lineitem_corr",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -598,3 +598,32 @@ class TestOrderedPrefixSum:
         want = np.concatenate([[0], np.cumsum(vals[srt])[:-1]])
         for k, w in zip(order[srt], want):
             assert got[k] == w
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCorr:
+    def test_pairwise_nulls_and_degenerate_groups(self):
+        import ray.data
+
+        from tera_ray.query.relational import grouped_corr
+
+        tbl = pa.table({
+            "g": pa.array(["a"] * 4 + ["b"] * 2 + ["c"], pa.string()),
+            "x": pa.array([1.0, 2.0, 3.0, None, 1.0, 1.0, 5.0],
+                          pa.float64()),
+            "y": pa.array([2.0, 4.0, 6.0, 8.0, 3.0, 7.0, 9.0],
+                          pa.float64()),
+        })
+        out = {r["g"]: r for b in grouped_corr(
+            ray.data.from_arrow(tbl), ["g"], "x", "y")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            for r in b.to_pylist()}
+        # group a: null x row ignored -> perfect linear y=2x
+        assert out["a"]["n"] == 3
+        assert out["a"]["corr"] == pytest.approx(1.0)
+        assert out["a"]["covar"] == pytest.approx(2.0)
+        # group b: zero x variance -> corr null, covar 0
+        assert out["b"]["corr"] is None
+        assert out["b"]["covar"] == pytest.approx(0.0)
+        # group c: single row -> both null (sample statistics)
+        assert out["c"]["corr"] is None and out["c"]["covar"] is None
