@@ -1478,6 +1478,18 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_events_hll_per_type(sf_dir: str):
+    """Per-key HLL distinct-user estimate
+    (`tera_ray.sketch.hll.grouped_approx_count_distinct`): register
+    shuffle ≤ keys × 2^p rows total regardless of input size; finalize
+    is itself a grouped aggregate.  Deterministic FNV+mix hashing makes
+    even the sketch SQL-bit-reproducible (as in events_hll_users)."""
+    from tera_ray.sketch.hll import grouped_approx_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_lineitem_corr(sf_dir: str):
     """Per-group Pearson correlation + sample covariance
     (`tera_ray.query.relational.grouped_corr`): six mergeable float64
@@ -2455,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": _q_docs_chunk_windows,
         "events_rolling": _q_events_rolling,
         "lineitem_corr": _q_lineitem_corr,
+        "events_hll_per_type": _q_events_hll_per_type,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3667,6 +3680,37 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "events_hll_per_type":
+            "WITH v AS (SELECT DISTINCT event_type AS k,"
+            " user_id::VARCHAR AS s FROM events"
+            " WHERE user_id IS NOT NULL AND event_type IS NOT NULL),"
+            f" h0 AS (SELECT k, {_fnv_sql('s')} AS h FROM v),"
+            f" m1 AS (SELECT k, {_xor64_sql('h', 'h // 8589934592')} AS h"
+            " FROM h0),"
+            " m2 AS (SELECT k, (h * 1099511628211::HUGEINT)"
+            " % 18446744073709551616::HUGEINT AS h FROM m1),"
+            f" m3 AS (SELECT k, {_xor64_sql('h', 'h // 8589934592')} AS h"
+            " FROM m2),"
+            " m4 AS (SELECT k, (h * 1099511628211::HUGEINT)"
+            " % 18446744073709551616::HUGEINT AS h FROM m3),"
+            f" h AS (SELECT k, {_xor64_sql('h', 'h // 536870912')} AS h"
+            " FROM m4),"
+            " b AS (SELECT k, (h // 1125899906842624)::BIGINT AS reg,"
+            " (h % 1125899906842624)::BIGINT AS low FROM h),"
+            " r AS (SELECT k, reg, max(CASE WHEN low = 0 THEN 51"
+            " ELSE 50 - CAST(floor(log2(low)) AS BIGINT) END) AS rho"
+            " FROM b GROUP BY k, reg),"
+            " agg AS (SELECT k, count(*) AS nreg,"
+            " sum(pow(2.0, -rho)) AS s FROM r GROUP BY k),"
+            " est AS (SELECT k, 16384 - nreg AS zeros,"
+            " s + (16384 - nreg) AS ss FROM agg),"
+            " e1 AS (SELECT k, zeros,"
+            " (0.7213/(1 + 1.079/16384)) * 16384 * 16384 / ss AS e"
+            " FROM est)"
+            " SELECT k AS event_type,"
+            " round(CASE WHEN e <= 2.5*16384 AND zeros > 0"
+            " THEN 16384 * ln(16384.0/zeros) ELSE e END, 6)"
+            " AS approx_n FROM e1",
         "lineitem_corr":
             "SELECT l_returnflag,"
             " count(*) FILTER (l_quantity IS NOT NULL"

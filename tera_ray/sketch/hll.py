@@ -117,3 +117,85 @@ def approx_count_distinct(ds, col: str, p: int = 14):
     return ray.data.from_arrow(pa.table(
         {"approx_n": pa.array([round(hll_estimate(regs, p), 6)],
                               pa.float64())}))
+
+
+def _reg_rho_elementwise(vals_obj: np.ndarray, p: int):
+    """Per-ELEMENT (register, rho) — :func:`_registers_batch` without
+    the unique/combine step, for callers that track their own keys."""
+    from ..text.analysis import _fnv1a_u64
+
+    low_bits = 64 - p
+    assert low_bits <= 53
+    h = _mix64(_fnv1a_u64(vals_obj))
+    idx = (h >> np.uint64(low_bits)).astype(np.int64)
+    low = (h & np.uint64((1 << low_bits) - 1)).astype(np.int64)
+    bl = np.where(low > 0,
+                  np.floor(np.log2(np.maximum(low, 1).astype(np.float64))
+                           ).astype(np.int64) + 1,
+                  0)
+    rho = (low_bits - bl + 1).astype(np.int64)
+    return idx, rho
+
+
+def grouped_approx_count_distinct(ds, key: str, col: str, p: int = 14):
+    """Per-``key`` HLL distinct estimate of ``col`` — the grouped form
+    of :func:`approx_count_distinct`.  Shuffle payload is the merged
+    (key, register, rho) table: ≤ ``keys × 2^p`` rows TOTAL regardless
+    of input size (at many keys drop ``p``; 2^12 keeps the error at
+    1.6% for a quarter of the register budget).  The finalize is itself
+    a grouped aggregate (count + Σ2^−rho per key) — nothing but the
+    final one-row-per-key table reaches the driver.  Deterministic and
+    SQL-bit-reproducible like the global sketch.
+    """
+    import polars as pl
+
+    from ..query.relational import grouped_agg
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key], pa.string())
+        v = pc.cast(t[col], pa.string())
+        tt = pa.table({"k": k, "v": v}).drop_null()
+        if tt.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        df = pl.from_arrow(tt).unique()
+        vals = df.get_column("v").to_numpy().astype(object)
+        reg, rho = _reg_rho_elementwise(vals, p)
+        out = pl.DataFrame({"k": df.get_column("k"),
+                            "reg": reg, "rho": rho})
+        g = out.group_by(["k", "reg"]).agg(pl.col("rho").max())
+        res = g.to_arrow()
+        return res.cast(pa.schema([("k", pa.string()),
+                                   ("reg", pa.int64()),
+                                   ("rho", pa.int64())]))
+
+    merged = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["k", "reg"], [("rho", "max", "rho")])
+
+    def pow2(t: pa.Table) -> pa.Table:
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"k": t["k"],
+                         "s": pa.array(np.exp2(-rho), pa.float64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_key = grouped_agg(merged.map_batches(pow2, batch_format="pyarrow"),
+                          ["k"], [("s", "sum", "s"),
+                                  ("one", "sum", "nreg")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        nreg = t["nreg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        zeros = m - nreg
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / (s + zeros)
+        small = (e <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(m / np.maximum(zeros, 1e-300))
+        est = np.round(np.where(small, lc, e), 6)
+        return pa.table({key: t["k"],
+                         "approx_n": pa.array(est, pa.float64())})
+
+    return per_key.map_batches(finish, batch_format="pyarrow")

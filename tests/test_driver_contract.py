@@ -93,6 +93,7 @@ PARITY_KEYS = [
     "orders_profile",
     "events_rolling",
     "lineitem_corr",
+    "events_hll_per_type",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
