@@ -205,3 +205,85 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
                                   num_partitions=num_partitions)
     return kg_ds, {"link": link_skipped, "lexicon": lex_skipped,
                    "kg": kg_skipped}
+
+
+def validate_stage(root: str, stage: str) -> dict:
+    """Lineage-integrity check: re-derive per-partition row counts from
+    parquet FILE METADATA (no data read) and compare to the manifest.
+    Returns ``{ok, row_count, manifest_row_count, bad_partitions}`` —
+    the guard a resumed 100 TB run uses to detect a half-compacted or
+    manually-mutilated stage before trusting ``read_stage``."""
+    import pyarrow.parquet as pq
+
+    m = read_manifest(root, stage)
+    if m is None:
+        return {"ok": False, "row_count": 0, "manifest_row_count": None,
+                "bad_partitions": ["<no manifest>"]}
+    stage_dir = os.path.join(root, stage)
+    actual: dict[str, int] = {}
+    for dirpath, _, files in os.walk(stage_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            key = os.path.basename(dirpath)
+            n = pq.read_metadata(os.path.join(dirpath, f)).num_rows
+            actual[key] = actual.get(key, 0) + n
+    bad = sorted(set(m["partitions"]) ^ set(actual)
+                 | {k for k in m["partitions"]
+                    if actual.get(k) != m["partitions"][k]})
+    total = sum(actual.values())
+    return {"ok": not bad and total == m["row_count"],
+            "row_count": total, "manifest_row_count": m["row_count"],
+            "bad_partitions": bad}
+
+
+def compact_stage(root: str, stage: str) -> dict:
+    """Small-files compaction: rewrite every multi-file partition of a
+    completed stage into ONE parquet file, preserving rows exactly.
+
+    One Ray task per fragmented partition (the partition list is tiny;
+    the files themselves never pass through the driver).  Crash-safe
+    swap per partition: write ``part=k.compact/``, rename ``part=k`` →
+    ``part=k.old``, rename ``.compact`` in, delete ``.old`` — a crash
+    at any point leaves either the original or a state
+    :func:`validate_stage` flags (missing/duplicated partition), which
+    ``run_stage`` then rebuilds from inputs.  The manifest is untouched
+    (content and counts are unchanged — asserted by a validate pass)."""
+    import ray
+
+    stage_dir = os.path.join(root, stage)
+    m = read_manifest(root, stage)
+    assert m is not None, "compact requires a completed stage"
+    frag = []
+    for entry in sorted(os.listdir(stage_dir)):
+        d = os.path.join(stage_dir, entry)
+        if not (os.path.isdir(d) and entry.startswith("part=")):
+            continue
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if len(files) > 1:
+            frag.append((d, files))
+
+    @ray.remote
+    def compact_one(d: str, files: list[str]) -> int:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        tabs = [pq.read_table(os.path.join(d, f)) for f in files]
+        merged = pa.concat_tables(tabs, promote_options="none")
+        tmp_dir = d + ".compact"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        pq.write_table(merged, os.path.join(tmp_dir, "compact_000.parquet"))
+        old_dir = d + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.replace(d, old_dir)
+        os.replace(tmp_dir, d)
+        shutil.rmtree(old_dir)
+        return merged.num_rows
+
+    rows = ray.get([compact_one.remote(d, fs) for d, fs in frag])
+    check = validate_stage(root, stage)
+    assert check["ok"], f"post-compaction validation failed: {check}"
+    return {"compacted_partitions": len(frag),
+            "rows_rewritten": int(sum(rows)), "validate": check}

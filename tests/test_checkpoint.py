@@ -117,3 +117,69 @@ class TestCheckpoint:
         m = json.loads(p.read_text())
         assert m["partition_key"] == "conv_id"
         assert m["row_count"] == sum(m["partitions"].values()) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidateAndCompact:
+    def _write(self, tmp_path):
+        import ray.data
+
+        from tera_ray.state.checkpoint import write_stage
+
+        t = pa.table({
+            "subj": pa.array([f"s{i}" for i in range(400)], pa.string()),
+            "v": pa.array(list(range(400)), pa.int64()),
+        })
+        write_stage(ray.data.from_arrow(t), str(tmp_path), "st", "fp",
+                    partition_key="subj", num_partitions=4)
+        return t
+
+    def _fragment(self, tmp_path):
+        # split one partition's single file into two halves (simulated
+        # multi-writer fragmentation)
+        import pyarrow.parquet as pq
+
+        import glob
+
+        d = sorted(glob.glob(str(tmp_path / "st" / "part=*")))[0]
+        f = sorted(os.listdir(d))[0]
+        t = pq.read_table(os.path.join(d, f))
+        h = t.num_rows // 2
+        pq.write_table(t.slice(0, h), os.path.join(d, "frag_000.parquet"))
+        pq.write_table(t.slice(h), os.path.join(d, "frag_001.parquet"))
+        os.remove(os.path.join(d, f))
+        return d
+
+    def test_validate_detects_mutilation(self, tmp_path):
+        from tera_ray.state.checkpoint import validate_stage
+
+        self._write(tmp_path)
+        assert validate_stage(str(tmp_path), "st")["ok"]
+        # fragmentation preserves counts -> still valid
+        d = self._fragment(tmp_path)
+        assert validate_stage(str(tmp_path), "st")["ok"]
+        # deleting a fragment loses rows -> flagged with the partition
+        os.remove(os.path.join(d, "frag_001.parquet"))
+        chk = validate_stage(str(tmp_path), "st")
+        assert not chk["ok"]
+        assert os.path.basename(d) in chk["bad_partitions"]
+
+    def test_compact_merges_and_preserves_rows(self, tmp_path):
+        from tera_ray.state.checkpoint import (
+            compact_stage,
+            read_stage,
+            validate_stage,
+        )
+
+        t = self._write(tmp_path)
+        d = self._fragment(tmp_path)
+        res = compact_stage(str(tmp_path), "st")
+        assert res["compacted_partitions"] == 1
+        assert res["validate"]["ok"]
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert files == ["compact_000.parquet"]
+        got = sorted(r["subj"] for b in read_stage(str(tmp_path), "st")
+                     .iter_batches(batch_format="pyarrow", batch_size=None)
+                     for r in b.to_pylist())
+        assert got == sorted(t["subj"].to_pylist())
+        assert validate_stage(str(tmp_path), "st")["ok"]
