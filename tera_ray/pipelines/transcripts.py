@@ -501,7 +501,8 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
         ray.data.from_arrow(lexicon_triples(data_dir))))
     novel = multi_key_anti_join(cand, prev_kg,
                                 keys=["subj", "pred", "obj"],
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                left_schema=TRIPLE_LINEAGE_SCHEMA)
     return prev_kg.union(novel)
 
 

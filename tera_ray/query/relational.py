@@ -1501,12 +1501,17 @@ def column_profile(ds, cols: list[str]):
 
 
 def multi_key_anti_join(left, right, keys: list[str],
-                        num_buckets: int = 64):
+                        num_buckets: int = 64,
+                        left_schema: "pa.Schema | None" = None):
     """Rows of ``left`` whose ``keys`` TUPLE does not appear in
     ``right`` (NOT EXISTS over a composite key) — exact, no hashing of
     the tuple into a single collision-prone column.  One side-tagged
     union + one hash-bucket co-group; inside a bucket a vectorized
-    polars anti-join.  ``right`` contributes only its key columns."""
+    polars anti-join.  ``right`` contributes only its key columns.
+
+    Pass ``left_schema`` when you know it: ``left.schema()`` on a lazy
+    pipeline may execute part of it just for metadata, paying the
+    upstream stages twice."""
     import polars as pl
 
     from ..stages.base import bucketed_map_groups, hash_column
@@ -1532,8 +1537,11 @@ def multi_key_anti_join(left, right, keys: list[str],
 
         return f
 
-    lschema = left.schema()
-    schema_cols = list(zip(lschema.names, lschema.types))
+    if left_schema is not None:
+        schema_cols = [(f.name, f.type) for f in left_schema]
+    else:
+        lschema = left.schema()
+        schema_cols = list(zip(lschema.names, lschema.types))
     assert num_buckets & (num_buckets - 1) == 0
     tagged = left.map_batches(tag(0, schema_cols),
                               batch_format="pyarrow").union(
