@@ -1757,9 +1757,7 @@ def _q_kg_build_checkpointed(sf_dir: str):
     from tera_ray.state.checkpoint import build_kg_checkpointed
 
     fx = _fx(sf_dir)
-    ckpt = os.path.join(tempfile.gettempdir(), "tera_ray_ckpt",
-                        os.path.basename(os.path.normpath(fx)))
-    shutil.rmtree(ckpt, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="tera_ray_ckpt_")
     _, skipped_cold = build_kg_checkpointed(fx, ckpt, fuzzy=False)
     assert not any(skipped_cold.values()), skipped_cold
     kg, skipped_warm = build_kg_checkpointed(fx, ckpt, fuzzy=False)
@@ -1877,9 +1875,10 @@ def _q_kg_lineage(sf_dir: str):
     from tera_ray.state.checkpoint import build_kg_checkpointed, read_manifest
 
     fx = _fx(sf_dir)
-    ckpt = os.path.join(tempfile.gettempdir(), "tera_ray_lineage",
-                        os.path.basename(os.path.normpath(fx)))
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # per-process unique dir: a fixed shared path races concurrent runs
+    # (pytest alongside tools/sweep.py) — one process rmtree-ing while
+    # the other reads manifests (round-2 review finding)
+    ckpt = tempfile.mkdtemp(prefix="tera_ray_lineage_")
     build_kg_checkpointed(fx, ckpt, fuzzy=False)
     stages, rows, parts, pmin, pmax = [], [], [], [], []
     for stage in ("link", "lexicon", "kg"):
@@ -1891,6 +1890,7 @@ def _q_kg_lineage(sf_dir: str):
         parts.append(len(counts))
         pmin.append(min(counts))
         pmax.append(max(counts))
+    shutil.rmtree(ckpt, ignore_errors=True)
     return pa.table({
         "stage": pa.array(stages, pa.string()),
         "row_count": pa.array(rows, pa.int64()),

@@ -471,7 +471,7 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
 
 def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
               concurrency=None, batch_size: int = 4096,
-              num_buckets: int = 64):
+              num_buckets: int = 64, materialize_prev: bool = True):
     """Incremental KG maintenance — the 10^12-turn pipeline is never a
     one-shot build: link ONLY the new transcript shard, union the
     (idempotent) lexicon graphs, exact-anti-join the result against the
@@ -492,6 +492,15 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     """
     from ..query.relational import multi_key_anti_join
     from ..stages.base import dedup_triples
+
+    # prev_kg is consumed TWICE (anti-join right side + final union); a
+    # lazy pipeline would re-execute its whole lineage both times
+    # (round-2 review finding).  Pin it once by default; pass
+    # materialize_prev=False when prev is already persisted (a
+    # checkpoint read_stage / read_parquet re-reads without recompute,
+    # and beyond object-store capacity that is the better plan).
+    if materialize_prev:
+        prev_kg = prev_kg.materialize()
 
     lex_ref = build_lexicon(data_dir)
     new_triples = link_transcripts(

@@ -1291,6 +1291,32 @@ def funnel_stages(ds, key: str, ts_col: str, type_col: str,
         ds.map_batches(add_b, batch_format="pyarrow"), "__b", per_bucket)
 
 
+def _collect_table(d, empty: "pa.Table | None" = None) -> pa.Table:
+    """Materialize a (small, by contract) Dataset to one Arrow table —
+    the broadcast-side collect used by the standardize / MAD /
+    winsorize family.  ``empty`` supplies a TYPED fallback when the
+    dataset yields no blocks."""
+    parts = [b for b in d.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)]
+    if parts:
+        return pa.concat_tables(parts)
+    assert empty is not None, "empty result with no typed fallback"
+    return empty
+
+
+def _null_safe_left_join(t: pa.Table, small: pa.Table, key: str) -> pa.Table:
+    """Broadcast-side left join that matches NULL keys to each other —
+    SQL window functions treat nulls as one partition, but Arrow's
+    ``Table.join`` never matches null keys, which would silently null
+    out the null group's stats."""
+    import polars as pl
+
+    return (pl.from_arrow(t)
+            .join(pl.from_arrow(small), on=key, how="left",
+                  nulls_equal=True)
+            .to_arrow())
+
+
 def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
                         round_digits: int = 6, keep_cols: list[str] | None = None):
     """Per-group z-score standardization: ``z = (x − mean_g) / std_g``
@@ -1306,14 +1332,12 @@ def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
     """
     import ray
 
-    stats = pa.concat_tables(
-        [b for b in grouped_agg(ds, [key],
-                                [(col, "avg", "__mean"),
-                                 (col, "std", "__std")])
-         .iter_batches(batch_format="pyarrow", batch_size=None)]
-        or [pa.table({key: pa.array([], pa.string()),
-                      "__mean": pa.array([], pa.float64()),
-                      "__std": pa.array([], pa.float64())})])
+    stats = _collect_table(
+        grouped_agg(ds, [key], [(col, "avg", "__mean"),
+                                (col, "std", "__std")]),
+        empty=pa.table({key: pa.array([], pa.string()),
+                        "__mean": pa.array([], pa.float64()),
+                        "__std": pa.array([], pa.float64())}))
     # std == 0 → null (match SQL NULLIF(std, 0))
     std = pc.if_else(pc.equal(stats["__std"], pa.scalar(0.0)),
                      pa.nulls(stats.num_rows, pa.float64()), stats["__std"])
@@ -1325,7 +1349,7 @@ def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
 
     def z(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        j = t.select([key, col] + keep).join(s, keys=[key])
+        j = _null_safe_left_join(t.select([key, col] + keep), s, key)
         x = pc.cast(j[col], pa.float64())
         raw = pc.divide(pc.subtract(x, j["__mean"]), j["__std"])
         zc = pc.divide(pc.round(pc.multiply(raw, pa.scalar(scale)),
@@ -1353,17 +1377,15 @@ def mad_outliers(ds, key: str, col: str, k: float = 3.0,
     """
     import ray
 
-    def _collect(d):
-        return pa.concat_tables(
-            [b for b in d.iter_batches(batch_format="pyarrow",
-                                       batch_size=None)])
+    _collect = _collect_table
 
     med = _collect(grouped_quantiles(ds, key, col, [0.5]))
     med = pa.table({key: med[key], "__med": med["value"]})
     med_ref = ray.put(med)
 
     def absdev(t: pa.Table) -> pa.Table:
-        j = t.select([key, col]).join(ray.get(med_ref), keys=[key])
+        j = _null_safe_left_join(t.select([key, col]), ray.get(med_ref),
+                                 key)
         x = pc.cast(j[col], pa.float64())
         return pa.table({key: j[key],
                          "__ad": pc.abs(pc.subtract(x, j["__med"]))})
@@ -1372,13 +1394,15 @@ def mad_outliers(ds, key: str, col: str, k: float = 3.0,
         ds.map_batches(absdev, batch_format="pyarrow"), key, "__ad", [0.5]))
     mad_v = pc.if_else(pc.equal(mad["value"], pa.scalar(0.0)),
                        pa.nulls(mad.num_rows, pa.float64()), mad["value"])
-    both = med.join(pa.table({key: mad[key], "__mad": mad_v}), keys=[key])
+    both = _null_safe_left_join(med, pa.table({key: mad[key],
+                                               "__mad": mad_v}), key)
     both_ref = ray.put(both)
     keep = list(keep_cols or [])
     scale = float(10 ** round_digits)
 
     def flag(t: pa.Table) -> pa.Table:
-        j = t.select([key, col] + keep).join(ray.get(both_ref), keys=[key])
+        j = _null_safe_left_join(t.select([key, col] + keep),
+                                 ray.get(both_ref), key)
         x = pc.cast(j[col], pa.float64())
         ratio = pc.divide(pc.abs(pc.subtract(x, j["__med"])), j["__mad"])
         ratio = pc.divide(pc.round(pc.multiply(ratio, pa.scalar(scale)),
@@ -1400,18 +1424,18 @@ def grouped_winsorize(ds, key: str, col: str, lo_q: float = 0.05,
     side never shuffles."""
     import ray
 
-    q = pa.concat_tables(
-        [b for b in grouped_quantiles(ds, key, col, [lo_q, hi_q])
-         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    q = _collect_table(grouped_quantiles(ds, key, col, [lo_q, hi_q]))
     lo = q.filter(pc.equal(q["q"], pa.scalar(lo_q)))
     hi = q.filter(pc.equal(q["q"], pa.scalar(hi_q)))
-    bounds = pa.table({key: lo[key], "__lo": lo["value"]}).join(
-        pa.table({key: hi[key], "__hi": hi["value"]}), keys=[key])
+    bounds = _null_safe_left_join(
+        pa.table({key: lo[key], "__lo": lo["value"]}),
+        pa.table({key: hi[key], "__hi": hi["value"]}), key)
     ref = ray.put(bounds)
     keep = list(keep_cols or [])
 
     def clip(t: pa.Table) -> pa.Table:
-        j = t.select([key, col] + keep).join(ray.get(ref), keys=[key])
+        j = _null_safe_left_join(t.select([key, col] + keep),
+                                 ray.get(ref), key)
         x = pc.cast(j[col], pa.float64())
         c = pc.min_element_wise(pc.max_element_wise(x, j["__lo"]), j["__hi"])
         return pa.table({key: j[key], **{c_: j[c_] for c_ in keep},
@@ -1581,15 +1605,22 @@ def grouped_corr(ds, keys: list[str], x: str, y: str,
     phys = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
 
     def partial(t: pa.Table) -> pa.Table:
+        # rows are NOT filtered: a group whose rows are all pairwise-
+        # incomplete must still surface (SQL emits it with n=0 and null
+        # covar/corr) — invalid rows contribute zeros and n counts only
+        # pairwise-complete rows.
         xv = pc.cast(t[x], pa.float64())
         yv = pc.cast(t[y], pa.float64())
-        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
-        tt = pa.table({**{k: t[k] for k in keys}, "__x": xv, "__y": yv})
-        tt = tt.filter(ok)
-        xn = tt["__x"].to_numpy(zero_copy_only=False)
-        yn = tt["__y"].to_numpy(zero_copy_only=False)
-        cols = {k: tt[k] for k in keys}
-        cols["__n"] = pa.array(np.ones(len(xn), np.int64))
+        ok = pc.and_(pc.is_valid(xv), pc.is_valid(yv)).combine_chunks() \
+            if isinstance(xv, pa.ChunkedArray) else \
+            pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        okn = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+        xn = np.where(okn, pc.fill_null(xv, 0.0).to_numpy(
+            zero_copy_only=False), 0.0)
+        yn = np.where(okn, pc.fill_null(yv, 0.0).to_numpy(
+            zero_copy_only=False), 0.0)
+        cols = {k: t[k] for k in keys}
+        cols["__n"] = pa.array(okn.astype(np.int64))
         cols["__sx"] = pa.array(xn)
         cols["__sy"] = pa.array(yn)
         cols["__sxx"] = pa.array(xn * xn)

@@ -392,24 +392,30 @@ def weighted_sample_per_key(ds, key: str, weight_col: str, k: int,
     mod = np.uint64(1 << 53)
 
     def prio(t: pa.Table) -> pa.Table:
-        h = _salted_fnv(t[id_col], salt)
-        u = (h % mod + np.uint64(1)).astype(np.float64) / float(1 << 53)
+        # rows with weight <= 0 are dropped BEFORE ranking (mirroring
+        # the oracle's WHERE w > 0) — a post-rank sentinel filter would
+        # also drop legitimate rows whose rounded priority is exactly
+        # 0.0 (u^(1/w) underflows the rounding for tiny u), a real
+        # occurrence at 10^12-row scale (round-2 review finding)
         w = t[weight_col]
         if isinstance(w, pa.ChunkedArray):
             w = w.combine_chunks()
-        wv = w.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p = np.where(wv > 0, u ** (1.0 / wv), -1.0)
-        p = np.round(p, round_digits)
+        wv = pc.cast(w, pa.float64())
+        t = t.filter(pc.fill_null(pc.greater(wv, pa.scalar(0.0)), False))
+        h = _salted_fnv(t[id_col], salt)
+        u = (h % mod + np.uint64(1)).astype(np.float64) / float(1 << 53)
+        w2 = t[weight_col]
+        if isinstance(w2, pa.ChunkedArray):
+            w2 = w2.combine_chunks()
+        wv2 = w2.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        p = np.round(u ** (1.0 / wv2), round_digits)
         return t.append_column("__prio", pa.array(p, pa.float64()))
 
     out = topk_per_key(
         ds.map_batches(prio, batch_format="pyarrow"), key,
         order=[("__prio", "descending"), (id_col, "ascending")], k=k)
-    return out.map_batches(
-        lambda t: t.filter(pc.greater(t["__prio"], pa.scalar(0.0)))
-                   .drop_columns(["__prio"]),
-        batch_format="pyarrow")
+    return out.map_batches(lambda t: t.drop_columns(["__prio"]),
+                           batch_format="pyarrow")
 
 
 def chunk_windows(ds, size: int = 32, stride: int = 24,

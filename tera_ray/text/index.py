@@ -70,6 +70,7 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     from ..stages.base import _auto_buckets, bucketed_map_groups
 
     nb = _auto_buckets(num_buckets)
+    assert nb & (nb - 1) == 0, "num_buckets must be a power of two"
 
     def local(t: pa.Table) -> pa.Table:
         from ..stages.base import hash_column

@@ -81,6 +81,10 @@ def main() -> int:
     qs = entry.queries()
     oq = entry.oracle_sql()
     only = {n for n in args.only.split(",") if n}
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 1
 
     con = duckdb.connect()
     for t in _SF_TABLES:
