@@ -253,3 +253,71 @@ def test_boolean_search_requires_all_needles():
                  _mat(boolean_search(docs, ["spark", "vector"])).to_pylist())
     # doc 3 has token "sparkle", not "spark" — token-level, not substring
     assert out == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixRegressions:
+    """Round-2 self-review fixes: null group keys, all-incomplete corr
+    groups, weight<=0 sampling rows."""
+
+    def test_standardize_null_key_partition(self):
+        import ray.data
+
+        from tera_ray.query.relational import grouped_standardize
+
+        tbl = pa.table({"g": pa.array([None, None, "a", "a"], pa.string()),
+                        "v": pa.array([1.0, 3.0, 10.0, 20.0], pa.float64()),
+                        "rid": pa.array([0, 1, 2, 3], pa.int64())})
+        out = {r["rid"]: r["z"] for r in _mat(grouped_standardize(
+            ray.data.from_arrow(tbl), key="g", col="v",
+            keep_cols=["rid"])).to_pylist()}
+        # the null partition gets REAL stats (SQL groups nulls together)
+        assert out[0] == pytest.approx(-0.707107, abs=1e-6)
+        assert out[1] == pytest.approx(0.707107, abs=1e-6)
+
+    def test_winsorize_null_key_partition(self):
+        import ray.data
+
+        from tera_ray.query.relational import grouped_winsorize
+
+        tbl = pa.table({"g": pa.array([None] * 5, pa.string()),
+                        "v": pa.array([1.0, 2, 3, 4, 100.0], pa.float64()),
+                        "rid": pa.array(list(range(5)), pa.int64())})
+        out = {r["rid"]: r["clipped"] for r in _mat(grouped_winsorize(
+            ray.data.from_arrow(tbl), key="g", col="v", lo_q=0.25,
+            hi_q=0.75, keep_cols=["rid"])).to_pylist()}
+        assert out[4] < 100.0          # clipped, not passed through
+        assert out[0] >= 1.0
+
+    def test_corr_all_incomplete_group_surfaces(self):
+        import ray.data
+
+        from tera_ray.query.relational import grouped_corr
+
+        tbl = pa.table({
+            "g": pa.array(["a", "a", "b"], pa.string()),
+            "x": pa.array([1.0, 2.0, None], pa.float64()),
+            "y": pa.array([2.0, 4.0, 5.0], pa.float64()),
+        })
+        out = {r["g"]: r for b in grouped_corr(
+            ray.data.from_arrow(tbl), ["g"], "x", "y")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            for r in b.to_pylist()}
+        assert "b" in out                       # group not dropped
+        assert out["b"]["n"] == 0
+        assert out["b"]["corr"] is None and out["b"]["covar"] is None
+
+    def test_weighted_sample_nonpositive_weights_dropped(self):
+        import ray.data
+
+        from tera_ray.text.curation import weighted_sample_per_key
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "src": pa.array(["s"] * 4, pa.string()),
+            "w": pa.array([0.0, -1.0, 5.0, 2.0], pa.float64()),
+        })
+        out = sorted(r["doc_id"] for r in _mat(weighted_sample_per_key(
+            ray.data.from_arrow(tbl), key="src", weight_col="w", k=10,
+            id_col="doc_id")).to_pylist())
+        assert out == [3, 4]           # w<=0 never sampled, k not padded
