@@ -471,7 +471,8 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
 
 def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
               concurrency=None, batch_size: int = 4096,
-              num_buckets: int = 64, materialize_prev: bool = True):
+              num_buckets: int = 64, materialize_prev: bool = True,
+              emit: str = "union", scope: str = "global"):
     """Incremental KG maintenance — the 10^12-turn pipeline is never a
     one-shot build: link ONLY the new transcript shard, union the
     (idempotent) lexicon graphs, exact-anti-join the result against the
@@ -479,7 +480,11 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
 
     Cost profile: the linker touches just the new shard; the one
     all-to-all is the anti-join co-group, whose right side contributes
-    only its three key columns.  The result is row-multiset identical
+    only its three key columns.  ``emit="novel"`` returns just the
+    novel triples (the nightly-append artifact — write it as a new
+    partition and leave prev on disk); ``emit="union"`` (default)
+    returns the merged store, which necessarily re-emits every prev
+    row.  The result is row-multiset identical
     to a full rebuild over old ∪ new turns (asserted in
     tests/test_transcripts.py) because build_kg's dedup keeps an
     arbitrary-but-unique representative per distinct triple and every
@@ -492,6 +497,48 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     """
     from ..query.relational import multi_key_anti_join
     from ..stages.base import dedup_triples
+
+    if scope == "turn_unique":
+        # Dedup-pushdown analog of build_kg(dedup_mode="scoped"), for
+        # the anti-join: every turn-graph triple embeds its
+        # (conv_id, turn_idx) in subj (or the turn-derived blank-node
+        # id), so when shards partition the turn space (the input_hint
+        # unique-turn contract, incl. no re-delivery) a new shard's
+        # turn triples CANNOT exist in prev — novel by construction,
+        # no prev shuffle at all.  Only the shared lexicon/static
+        # graphs repeat across shards; prev's copy of those is
+        # broadcast-scale by definition, so the exact check is one
+        # filtered read of prev + a driver-side anti-join of the
+        # (small) lexicon table.  Cost: O(new shard) + one
+        # column-pruned filtered pass over prev — the nightly path.
+        from ..stages.base import dedup_table
+
+        lex_ref = build_lexicon(data_dir)
+        turn_triples = link_transcripts(
+            new_transcripts, lex_ref, fuzzy=fuzzy,
+            concurrency=concurrency, batch_size=batch_size
+        ).map_batches(lambda t: dedup_table(t), batch_format="pyarrow")
+        lex_tbl = dedup_table(lexicon_triples(data_dir))
+        prev_shared = pa.concat_tables(
+            [b for b in prev_kg
+             .filter(expr="graph != 'transcripts'")
+             .map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                          batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+            or [pa.table({"subj": pa.array([], pa.string()),
+                          "pred": pa.array([], pa.string()),
+                          "obj": pa.array([], pa.string())})])
+        seen = set(zip(prev_shared["subj"].to_pylist(),
+                       prev_shared["pred"].to_pylist(),
+                       prev_shared["obj"].to_pylist()))
+        keep = [i for i, (s, p, o) in enumerate(
+            zip(lex_tbl["subj"].to_pylist(), lex_tbl["pred"].to_pylist(),
+                lex_tbl["obj"].to_pylist())) if (s, p, o) not in seen]
+        novel_lex = lex_tbl.take(pa.array(keep, pa.int64()))
+        novel = turn_triples.union(ray.data.from_arrow(novel_lex))
+        if emit == "novel":
+            return novel
+        return prev_kg.union(novel)
 
     # prev_kg is consumed TWICE (anti-join right side + final union); a
     # lazy pipeline would re-execute its whole lineage both times
@@ -512,6 +559,11 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
                                 keys=["subj", "pred", "obj"],
                                 num_buckets=num_buckets,
                                 left_schema=TRIPLE_LINEAGE_SCHEMA)
+    if emit == "novel":
+        # the nightly-append mode: write ONLY this as the shard's new
+        # partition (state/checkpoint.write_stage); prev stays on disk
+        # untouched — the merged store is the directory union
+        return novel
     return prev_kg.union(novel)
 
 

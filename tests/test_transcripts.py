@@ -263,3 +263,18 @@ class TestIncrementalUpdate:
         assert got == want and len(want) > 0
         # no duplicate triples in the merged store
         assert max(got.values()) == 1
+        # turn_unique scope (anti-join elided for turn-graph triples)
+        # must produce the identical novel multiset
+        prev2 = build_kg_from(
+            tr.map_batches(half(True), batch_format="pyarrow"),
+            fixtures_t1)
+        novel_g = spo(update_kg(
+            prev2, tr.map_batches(half(False), batch_format="pyarrow"),
+            fixtures_t1, emit="novel", scope="global"))
+        prev3 = build_kg_from(
+            tr.map_batches(half(True), batch_format="pyarrow"),
+            fixtures_t1)
+        novel_s = spo(update_kg(
+            prev3, tr.map_batches(half(False), batch_format="pyarrow"),
+            fixtures_t1, emit="novel", scope="turn_unique"))
+        assert novel_g == novel_s and len(novel_g) > 0
