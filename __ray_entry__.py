@@ -1478,6 +1478,27 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_lineitem_mode(sf_dir: str):
+    """Per-group MODE (most frequent value, deterministic tie-break) as
+    a pure composition: combiner-first grouped count on (key, value) →
+    `topk_per_key` k=1 ordered by (count desc, value asc).  No new
+    operator — the composition IS the point (mode never shuffles more
+    than the distinct (key, value) pairs)."""
+    from tera_ray.query.relational import grouped_agg, topk_per_key
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    counts = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                         [("l_linestatus", "count", "n")])
+    top = topk_per_key(counts, "l_returnflag",
+                       order=[("n", "descending"),
+                              ("l_linestatus", "ascending")], k=1)
+    return top.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "mode_value": t["l_linestatus"],
+                            "n": t["n"]}),
+        batch_format="pyarrow")
+
+
 def _q_events_hll_per_type(sf_dir: str):
     """Per-key HLL distinct-user estimate
     (`tera_ray.sketch.hll.grouped_approx_count_distinct`): register
@@ -2468,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
+        "lineitem_mode": _q_lineitem_mode,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3680,6 +3702,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "lineitem_mode":
+            "SELECT l_returnflag, l_linestatus AS mode_value, n FROM"
+            " (SELECT l_returnflag, l_linestatus, count(*) AS n,"
+            " row_number() OVER (PARTITION BY l_returnflag"
+            " ORDER BY count(*) DESC, l_linestatus) AS rn"
+            " FROM lineitem GROUP BY 1, 2) WHERE rn = 1",
         "events_hll_per_type":
             "WITH v AS (SELECT DISTINCT event_type AS k,"
             " user_id::VARCHAR AS s FROM events"

@@ -94,6 +94,7 @@ PARITY_KEYS = [
     "events_rolling",
     "lineitem_corr",
     "events_hll_per_type",
+    "lineitem_mode",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
