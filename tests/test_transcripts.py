@@ -278,3 +278,61 @@ class TestIncrementalUpdate:
             prev3, tr.map_batches(half(False), batch_format="pyarrow"),
             fixtures_t1, emit="novel", scope="turn_unique"))
         assert novel_g == novel_s and len(novel_g) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotConversationTorture:
+    """Skew torture (SURVEY 7.5 item 2): one conversation with 50k
+    turns among small ones must reconstruct in bounded per-group
+    batches with exact turn-ordered text equality."""
+
+    def _skewed(self):
+        import numpy as np
+
+        import ray.data
+
+        hot_n = 50_000
+        rng = np.random.RandomState(3)
+        convs = ["conv-hot"] * hot_n
+        idxs = list(range(hot_n))
+        for c in range(100):
+            n = 3 + int(rng.randint(0, 5))
+            convs += [f"conv-{c:04d}"] * n
+            idxs += list(range(n))
+        texts = [f"{c}|t{i}" for c, i in zip(convs, idxs)]
+        ts = [1_700_000_000_000_000 + i for i in range(len(convs))]
+        tbl = pa.table({
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(idxs, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        })
+        # shuffle rows so reconstruction actually reorders
+        perm = rng.permutation(tbl.num_rows)
+        return ray.data.from_arrow(tbl.take(pa.array(perm))).repartition(16)
+
+    def test_range_split_reconstruction_exact(self):
+        from tera_ray.pipelines.transcripts import reconstruct_conversations
+
+        ds = self._skewed()
+        out = reconstruct_conversations(ds, range_size=1000)
+        per_conv: dict[str, list] = {}
+        max_block = 0
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+            max_block = max(max_block, b.num_rows)
+            for c, i, txt in zip(b["conv_id"].to_pylist(),
+                                 b["turn_idx"].to_pylist(),
+                                 b["text"].to_pylist()):
+                per_conv.setdefault(c, []).append((i, txt))
+        # per-turn text equality under stable ordering (north rule)
+        hot = sorted(per_conv["conv-hot"])
+        assert len(hot) == 50_000
+        assert all(txt == f"conv-hot|t{i}" for i, txt in hot)
+        assert [i for i, _ in hot] == list(range(50_000))
+        # the hot conversation must NOT serialize into one group batch:
+        # range_size bounds each group's rows (plus small convs sharing
+        # the hash bucket)
+        assert max_block < 50_000, max_block
+        for c, rows in per_conv.items():
+            srt = sorted(rows)
+            assert all(t == f"{c}|t{i}" for i, t in srt)
