@@ -393,3 +393,33 @@ class TestBigramFluency:
                           for r in bigram_fluency(ds).take_all())
 
         assert run(1) == run(7)  # cross-batch bigrams never leak
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_hot_band_cap_end_to_end():
+    """Skew torture (SURVEY 7.5 item 2): 3000 IDENTICAL docs collide in
+    every LSH band (far beyond max_bucket=256); the star cap must keep
+    the pair blowup bounded while transitive clustering still maps all
+    copies to one canonical id."""
+    import ray.data
+
+    from tera_ray.dedup.minhash import minhash_dedup
+
+    n = 3000
+    docs = ["the quick brown fox jumps over the lazy dog again"] * n \
+        + [f"unique filler document number {i} with extra words {i*7}"
+           for i in range(50)]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    mapping = pa.concat_tables(list(
+        minhash_dedup(ds, threshold=0.8).iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+    # all 3000 copies collapse to ONE canonical id (the min, "0")
+    srcs = set(mapping["src"].to_pylist())
+    dsts = set(mapping["dst"].to_pylist())
+    assert len(srcs) == n - 1                  # every copy except canon
+    assert dsts == {"0"}
+    assert not any(int(s) >= n for s in srcs)  # fillers untouched
