@@ -1478,6 +1478,33 @@ def _q_docs_leakage_split(sf_dir: str):
                                     columns=["doc_id"]), mapping)
 
 
+def _q_emb_quantize(sf_dir: str):
+    """Symmetric int8 scalar quantization (`tera_ray.ann.quantize`):
+    the 4x memory/shuffle lever for 100 TB vector search.  Pure per-row
+    kernel, zero shuffle; `floor(x/scale + 0.5)` rounding chosen so the
+    SQL oracle reproduces every code bit-for-bit (checked here through
+    the per-vector code SUM plus the exact scale)."""
+    from tera_ray.ann.quantize import scalar_quantize
+
+    qs = scalar_quantize(_read(sf_dir, "embeddings",
+                               columns=["vec_id", "embedding"]))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        codes = t["q"]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        import numpy as np
+
+        n = len(codes)
+        d = codes.type.list_size
+        qsum = (codes.values.to_numpy(zero_copy_only=False)
+                .reshape(n, d).astype(np.int64).sum(axis=1))
+        return pa.table({"vec_id": t["vec_id"], "scale": t["scale"],
+                         "qsum": pa.array(qsum, pa.int64())})
+
+    return qs.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_lineitem_mode(sf_dir: str):
     """Per-group MODE (most frequent value, deterministic tie-break) as
     a pure composition: combiner-first grouped count on (key, value) →
@@ -2490,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
+        "emb_quantize": _q_emb_quantize,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3702,6 +3730,14 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "emb_quantize":
+            "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,"
+            " list_max(list_transform(embedding::DOUBLE[],"
+            " x -> abs(x))) / 127.0 AS scale FROM embeddings)"
+            " SELECT vec_id, scale,"
+            " CASE WHEN scale > 0 THEN list_sum(list_transform(e,"
+            " x -> floor(x / scale + 0.5)))::BIGINT"
+            " ELSE 0 END AS qsum FROM s",
         "lineitem_mode":
             "SELECT l_returnflag, l_linestatus AS mode_value, n FROM"
             " (SELECT l_returnflag, l_linestatus, count(*) AS n,"

@@ -95,6 +95,7 @@ PARITY_KEYS = [
     "lineitem_corr",
     "events_hll_per_type",
     "lineitem_mode",
+    "emb_quantize",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

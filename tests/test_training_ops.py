@@ -423,3 +423,35 @@ def test_minhash_hot_band_cap_end_to_end():
     assert len(srcs) == n - 1                  # every copy except canon
     assert dsts == {"0"}
     assert not any(int(s) >= n for s in srcs)  # fillers untouched
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantized_topk_recall():
+    """int8-dequantized candidate search must keep recall@10 >= 0.9 vs
+    exact float search on the sf0.01 embeddings."""
+    import numpy as np
+
+    import ray.data
+
+    from tera_ray.ann.quantize import dequantized_topk
+    from tera_ray.ann.search import brute_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    rows = ds.take(8)
+    qids = np.array([r["vec_id"] for r in rows], np.int64)
+    Q = np.array([r["embedding"] for r in rows], np.float64)
+
+    def topk_sets(res):
+        out: dict[int, set] = {}
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=None):
+            for q, v in zip(b["query_id"].to_pylist(),
+                            b["vec_id"].to_pylist()):
+                out.setdefault(q, set()).add(v)
+        return out
+
+    exact = topk_sets(brute_topk(ds, qids, Q, k=10, dtype=np.float64))
+    quant = topk_sets(dequantized_topk(ds, qids, Q, k=10))
+    recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
+    assert min(recalls) >= 0.9, recalls
