@@ -1777,6 +1777,78 @@ def _q_kg_conversations(sf_dir: str):
         "text", sep="\x1f", out_names=("conv_id", "n_turns", "seq"))
 
 
+def _q_conv_training_examples(sf_dir: str):
+    """End-to-end training-example preparation over the north-rule
+    transcript shape: stable turn-ordered conversation reconstruction
+    (K4, `ordered_group_concat`) → overlapping 32-token windows every
+    24 (`chunk_windows`) — the transcripts→context-window pipeline an
+    LLM data build actually runs, as one composition of judged
+    operators (one bucketed shuffle for the reconstruction, map-side
+    windowing)."""
+    import ray.data
+
+    from tera_ray.query.relational import ordered_group_concat
+    from tera_ray.text.curation import chunk_windows
+
+    ts = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    seqs = ordered_group_concat(
+        ts, "conv_id", [("turn_idx", "ascending"), ("ts", "ascending")],
+        "text", sep=" ", out_names=("conv_id", "n_turns", "text"))
+    return chunk_windows(seqs, size=32, stride=24, id_col="conv_id",
+                         text_col="text")
+
+
+def _q_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped composite: returned lineitems → order join
+    (bucketed co-group) → customer broadcast join → grouped revenue
+    (integer cents) → global top-20 (sort+limit).  Exercises filter
+    pushdown, large×large + broadcast joins, combiner aggregation and
+    the distributed top-k in one pipeline."""
+    import ray.data
+
+    from tera_ray.query.relational import (
+        broadcast_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"]).filter(
+        expr="l_returnflag == 'R'")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+        })
+
+    agg = grouped_agg(j.map_batches(derive, batch_format="pyarrow"),
+                      ["o_custkey"], [("cents", "sum", "revenue_cents")])
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_name", "c_mktsegment"]))
+    out = broadcast_join(agg, cust, "o_custkey", "c_custkey")
+    # global top-20 via the top-k combiner (local top-k caps each batch
+    # at k rows before the shuffle), not a full distributed sort — a
+    # range sort on a small aggregate is pure fixed overhead
+    from tera_ray.query.relational import topk_per_key
+
+    tagged = out.map_batches(
+        lambda t: t.append_column("__g", pa.array([0] * t.num_rows,
+                                                  pa.int8())),
+        batch_format="pyarrow")
+    top = topk_per_key(tagged, "__g",
+                       order=[("revenue_cents", "descending"),
+                              ("o_custkey", "ascending")], k=20)
+    return top.map_batches(
+        lambda t: t.select(["o_custkey", "c_name", "c_mktsegment",
+                            "revenue_cents"]),
+        batch_format="pyarrow")
+
+
 def _q_kg_build(sf_dir: str):
     from tera_ray.pipelines.transcripts import build_kg
 
@@ -2518,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
         "emb_quantize": _q_emb_quantize,
+        "conv_training_examples": _q_conv_training_examples,
+        "returned_revenue": _q_returned_revenue,
         "orders_profile": _q_orders_profile,
         "events_skew_stats": _q_events_skew_stats,
         "docs_token_ids": _q_docs_token_ids,
@@ -3730,6 +3804,30 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, canon_id,"
             " CASE WHEN b < 9000 THEN 'train'"
             " WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "conv_training_examples":
+            f"WITH seqs AS (SELECT conv_id,"
+            f" string_agg(text, ' ' ORDER BY turn_idx, ts) AS text"
+            f" FROM read_parquet('{fx}/transcripts.parquet')"
+            f" GROUP BY conv_id),"
+            " tk AS (SELECT conv_id,"
+            " list_filter(string_split_regex(text, '\\s+'),"
+            " x -> x <> '') AS l FROM seqs),"
+            " s AS (SELECT conv_id, l,"
+            " unnest(generate_series(0, len(l) - 1, 24)) AS st"
+            " FROM tk WHERE len(l) > 0)"
+            " SELECT conv_id, (st // 24)::BIGINT AS chunk_idx,"
+            " len(l[st + 1 : least(st + 32, len(l))])::BIGINT AS n_tokens,"
+            " array_to_string(l[st + 1 : least(st + 32, len(l))], ' ')"
+            " AS chunk_text FROM s",
+        "returned_revenue":
+            "SELECT o_custkey, c_name, c_mktsegment, revenue_cents FROM"
+            " (SELECT o_custkey,"
+            " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS revenue_cents"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE l_returnflag = 'R' GROUP BY o_custkey)"
+            " JOIN customer ON o_custkey = c_custkey"
+            " ORDER BY revenue_cents DESC, o_custkey LIMIT 20",
         "emb_quantize":
             "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,"
             " list_max(list_transform(embedding::DOUBLE[],"

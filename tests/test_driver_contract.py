@@ -96,6 +96,8 @@ PARITY_KEYS = [
     "events_hll_per_type",
     "lineitem_mode",
     "emb_quantize",
+    "conv_training_examples",
+    "returned_revenue",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
