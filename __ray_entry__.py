@@ -1669,6 +1669,51 @@ def _q_docs_weighted_sample(sf_dir: str):
                                    k=20)
 
 
+def _q_docs_dup_rate(sf_dir: str):
+    """Per-source near-duplication rate — the curation dashboard metric
+    behind data-mixing decisions: MinHash+LSH cluster mapping (tiny,
+    non-singleton members only) broadcast into an indicator pass, then
+    one combiner-first grouped_agg per source.  dup = doc that maps to
+    another canonical id."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from tera_ray.dedup.minhash import minhash_dedup
+    from tera_ray.query.relational import grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    mapping = _collect(minhash_dedup(docs, threshold=0.8))
+    dup_ids = (mapping["src"].cast(pa.string())
+               if mapping is not None and mapping.num_rows
+               else pa.array([], pa.string()))
+    ref = ray.put(dup_ids)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = pc.is_in(ids.cast(pa.string()), value_set=ray.get(ref))
+        return pa.table({
+            "source": t["source"],
+            "is_dup": pc.cast(m, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(tag, batch_format="pyarrow"),
+        ["source"], [("is_dup", "count", "n_docs"),
+                     ("is_dup", "sum", "n_dups")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t["source"], "n_docs": t["n_docs"],
+            "n_dups": t["n_dups"],
+            "dup_rate": pc.round(pc.divide(
+                pc.cast(t["n_dups"], pa.float64()),
+                pc.cast(t["n_docs"], pa.float64())), 6)}),
+        batch_format="pyarrow")
+
+
 def _q_events_skew_stats(sf_dir: str):
     """Partition-key skew diagnostic
     (`tera_ray.query.relational.key_skew_stats`): combiner-first count
@@ -2583,6 +2628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental,
         "docs_leakage_split": _q_docs_leakage_split,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_dup_rate": _q_docs_dup_rate,
         "conv_role_stats": _q_conv_role_stats,
         "docs_chunk_windows": _q_docs_chunk_windows,
         "events_rolling": _q_events_rolling,
@@ -3933,6 +3979,14 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT doc_id, source, n_chars FROM p"
             " QUALIFY row_number() OVER (PARTITION BY source"
             " ORDER BY pr DESC, doc_id) <= 20",
+        "docs_dup_rate":
+            "WITH m AS (" + _minhash_dedup_sql() + ")"
+            " SELECT d.source, count(*) AS n_docs,"
+            " count(m.src) AS n_dups,"
+            " round(count(m.src)::DOUBLE / count(*), 6) AS dup_rate"
+            " FROM documents d LEFT JOIN m"
+            " ON CAST(d.doc_id AS VARCHAR) = m.src"
+            " GROUP BY d.source",
         "events_skew_stats":
             "WITH c AS (SELECT event_type, count(*)::DOUBLE AS c"
             " FROM events GROUP BY 1)"

@@ -98,6 +98,7 @@ PARITY_KEYS = [
     "emb_quantize",
     "conv_training_examples",
     "returned_revenue",
+    "docs_dup_rate",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
