@@ -1930,6 +1930,64 @@ def _q_kg_build_checkpointed(sf_dir: str):
     return kg
 
 
+def _q_kg_align_pr(sf_dir: str):
+    """North-rule alignment quality made driver-visible (the companion
+    of kg_linking_pr): precision/recall of the blocked fuzzy NCBI↔ECOTOX
+    alignment against the fixture's planted ground truth (ncbi taxon
+    900000+i ↔ ecotox taxon 100000+i; eligibility mirrors the
+    reference's whole-row dropna).  Only the alignment mapping (small
+    by construction — one best edge per source) and a 1-row summary
+    reach the driver.  P/R ≥ 0.95 is asserted in
+    tests/test_driver_contract.py."""
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from tera_ray.schema import NAN_VALUES
+    from tera_ray.stages.align import blocked_fuzzy_align, label_bags
+    from tera_ray.stages.ecotox import emit_taxa
+    from tera_ray.stages.taxonomy import emit_names
+
+    fx = _fx(sf_dir)
+    ncbi = ray.data.read_parquet(
+        os.path.join(fx, "taxonomy_names.parquet")).map_batches(
+        emit_names, batch_format="pyarrow")
+    eco = ray.data.read_parquet(
+        os.path.join(fx, "species.parquet")).map_batches(
+        emit_taxa, batch_format="pyarrow")
+    ncbi_preds = (
+        "https://www.ncbi.nlm.nih.gov/taxonomy/scientific_name",
+        "https://www.ncbi.nlm.nih.gov/taxonomy/common_name",
+        "https://www.ncbi.nlm.nih.gov/taxonomy/uniqueName",
+    )
+    eco_preds = ("https://cfpub.epa.gov/ecotox/latinName",)
+    m = _collect(blocked_fuzzy_align(
+        label_bags(ncbi, ncbi_preds), label_bags(eco, eco_preds),
+        threshold=90.0))
+    names = _pq.read_table(os.path.join(fx, "taxonomy_names.parquet"),
+                           columns=["taxon", "unique_name"])
+    eligible = {
+        int(t) - 900000
+        for t, u in zip(names["taxon"].to_pylist(),
+                        names["unique_name"].to_pylist())
+        if u not in NAN_VALUES}
+    pairs = [(int(s.rsplit("/", 1)[1]) - 900000,
+              int(d.rsplit("/", 1)[1]) - 100000)
+             for s, d in zip(m["src"].to_pylist(), m["dst"].to_pylist())]
+    correct = sum(1 for i, j in pairs if i == j)
+    recalled = sum(1 for i, j in pairs if i in eligible and i == j)
+    return pa.table({
+        "n_aligned": pa.array([len(pairs)], pa.int64()),
+        "n_eligible": pa.array([len(eligible)], pa.int64()),
+        "precision": pa.array(
+            [round(correct / len(pairs), 6) if pairs else None],
+            pa.float64()),
+        "recall": pa.array(
+            [round(recalled / len(eligible), 6) if eligible else None],
+            pa.float64()),
+    })
+
+
 def _q_kg_incremental(sf_dir: str):
     """Incremental KG maintenance (`tera_ray.pipelines.transcripts.update_kg`):
     build the store from conversations with EVEN numeric suffix, then
@@ -2669,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_incremental": _q_kg_incremental,
+        "kg_align_pr": _q_kg_align_pr,
         "kg_lineage": _q_kg_lineage,
         "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,

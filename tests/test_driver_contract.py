@@ -193,3 +193,15 @@ def test_media_features_rows_only():
     # deterministic fake decoder ⇒ stable values across runs
     again = _materialize(entry.queries()["media_features"](SF_DIR))
     assert _rows(got) == _rows(again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_align_pr_meets_north_rule():
+    """The judged kg_align_pr entry must report alignment P/R >= 0.95
+    against the fixture's planted ground truth."""
+    import __ray_entry__ as entry
+
+    row = _materialize(entry.queries()["kg_align_pr"](SF_DIR)).to_pylist()[0]
+    assert row["precision"] >= 0.95, row
+    assert row["recall"] >= 0.95, row
+    assert 0 < row["n_aligned"] <= row["n_eligible"] * 2
