@@ -1567,6 +1567,7 @@ def _q_events_rolling(sf_dir: str):
         ds, ["user_id"], [("ts", "ascending"), ("event_id", "ascending")],
         specs=[("rolling_mean", "value", "roll_avg", 4),
                ("rolling_sum", "value", "roll_sum", 4),
+               ("rolling_std", "value", "roll_std", 4),
                ("percent_rank", None, "pr"),
                ("ntile", None, "tile", 4)])
     return out.map_batches(
@@ -1574,6 +1575,7 @@ def _q_events_rolling(sf_dir: str):
             "event_id": t["event_id"], "user_id": t["user_id"],
             "roll_avg": pc.round(t["roll_avg"], 6),
             "roll_sum": pc.round(t["roll_sum"], 6),
+            "roll_std": pc.round(t["roll_std"], 6),
             "pr": t["pr"], "tile": t["tile"]}),
         batch_format="pyarrow")
 
@@ -3989,6 +3991,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             "SELECT event_id, user_id,"
             " round(avg(value) OVER w4, 6) AS roll_avg,"
             " round(sum(value) OVER w4, 6) AS roll_sum,"
+            " round(stddev_samp(value) OVER w4, 6) AS roll_std,"
             " percent_rank() OVER"
             " (PARTITION BY user_id ORDER BY ts, event_id) AS pr,"
             " ntile(4) OVER"

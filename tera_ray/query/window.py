@@ -25,7 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
-          "percent_rank", "ntile", "rolling_sum", "rolling_mean")
+          "percent_rank", "ntile", "rolling_sum", "rolling_mean",
+          "rolling_std")
 
 
 def _run_starts(t: pa.Table, cols: list[str]) -> np.ndarray:
@@ -65,10 +66,11 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
     - ``("ntile", None, out, b)`` — SQL NTILE(b): b groups per
       partition, sizes differing by ≤ 1, larger groups first
     - ``("rolling_sum", col, out, w)`` / ``("rolling_mean", col, out,
-      w)`` — aggregate over ``ROWS BETWEEN w−1 PRECEDING AND CURRENT
-      ROW`` clamped at the partition start; nulls ignored, null when
-      the window holds no non-null value; w bounded (vectorized as w
-      shifted adds)
+      w)`` / ``("rolling_std", col, out, w)`` — aggregate over ``ROWS
+      BETWEEN w−1 PRECEDING AND CURRENT ROW`` clamped at the partition
+      start; nulls ignored, null when the window holds no non-null
+      value (std: fewer than two — SQL STDDEV_SAMP); w bounded
+      (vectorized as w shifted adds)
 
     Output: the input columns plus the ``out`` columns.  Row order is
     per-bucket sorted (order across buckets unspecified — the driver
@@ -90,7 +92,8 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
     def _out_type(t: pa.Table, kind: str, col: str | None) -> pa.DataType:
         if kind in ("row_number", "rank", "dense_rank", "ntile"):
             return pa.int64()
-        if kind in ("percent_rank", "rolling_sum", "rolling_mean"):
+        if kind in ("percent_rank", "rolling_sum", "rolling_mean",
+                    "rolling_std"):
             return pa.float64()
         if kind in ("lag", "lead"):
             return t.schema.field(col).type
@@ -116,7 +119,7 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                for s in specs):
             tstart = _run_starts(t, keys + order_cols)  # tie-run starts
         if any(s[0] in ("percent_rank", "ntile", "rolling_sum",
-                        "rolling_mean") for s in specs):
+                        "rolling_mean", "rolling_std") for s in specs):
             starts_pos = np.flatnonzero(kstart)
             seg_len = np.diff(np.append(starts_pos, n))
             part_n = np.repeat(seg_len, seg_len)        # partition size/row
@@ -169,7 +172,7 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                     r + (rn - big) // np.maximum(q, 1))
                 out = out.append_column(
                     name, pa.array(tile + 1, pa.int64()))
-            elif kind in ("rolling_sum", "rolling_mean"):
+            elif kind in ("rolling_sum", "rolling_mean", "rolling_std"):
                 w = s[3]
                 assert 1 <= w <= 1024, "rolling window bounded"
                 vals = t[col].combine_chunks().cast(pa.float64())
@@ -177,7 +180,9 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                 nv = (~pc.is_null(vals).to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
                 ssum = np.zeros(n, np.float64)
+                ssq = np.zeros(n, np.float64)
                 scnt = np.zeros(n, np.float64)
+                need_sq = kind == "rolling_std"
                 for j in range(w):
                     okj = idx_arange - j >= start_idx
                     if not okj.any():
@@ -188,13 +193,24 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                     sc[j:] = nv[: n - j]
                     ssum += np.where(okj, sv, 0.0)
                     scnt += np.where(okj, sc, 0.0)
+                    if need_sq:
+                        sq = np.zeros(n, np.float64)
+                        sq[j:] = (v0 * v0)[: n - j]
+                        ssq += np.where(okj, sq, 0.0)
                 if kind == "rolling_mean":
                     res = np.divide(ssum, scnt,
                                     out=np.zeros(n, np.float64),
                                     where=scnt > 0)
+                    valid = scnt > 0
+                elif kind == "rolling_std":
+                    c = np.maximum(scnt, 1.0)
+                    var = (ssq - ssum * ssum / c) / np.maximum(c - 1, 1.0)
+                    res = np.sqrt(np.maximum(var, 0.0))
+                    valid = scnt > 1          # SQL STDDEV_SAMP: n ≥ 2
                 else:
                     res = ssum
-                arr = pc.if_else(pa.array(scnt > 0),
+                    valid = scnt > 0
+                arr = pc.if_else(pa.array(valid),
                                  pa.array(res, pa.float64()),
                                  pa.scalar(None, pa.float64()))
                 out = out.append_column(name, arr)

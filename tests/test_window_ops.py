@@ -156,3 +156,28 @@ class TestRollingAndNtile:
         b = [r["p"] for r in rows if r["k"] == "b"]
         assert a == pytest.approx([0.0, 0.25, 0.5, 0.75, 1.0])
         assert b == pytest.approx([0.0, 1.0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_std_sample_semantics():
+    """rolling_std: STDDEV_SAMP over the clamped window — null until
+    the window holds two non-null values, partition-reset."""
+    import ray.data
+
+    from tera_ray.query.window import window_funcs
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "o": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "v": pa.array([2.0, 4.0, None, 8.0, 5.0], pa.float64()),
+    }))
+    out = window_funcs(ds, ["k"], [("o", "ascending")],
+                       [("rolling_std", "v", "s", 3)])
+    rows = sorted((r["k"], r["o"], r["s"]) for b in out.iter_batches(
+        batch_format="pyarrow", batch_size=None) for r in b.to_pylist())
+    by = {(k, o): s for k, o, s in rows}
+    assert by[("a", 1)] is None                   # single value
+    assert by[("a", 2)] == pytest.approx(2 ** 0.5)  # std(2,4)
+    assert by[("a", 3)] == pytest.approx(2 ** 0.5)  # null ignored
+    assert by[("a", 4)] == pytest.approx(2.828427, abs=1e-6)  # std(4,8)
+    assert by[("b", 1)] is None                   # partition reset
