@@ -1580,6 +1580,44 @@ def _q_events_rolling(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_time_weighted(sf_dir: str):
+    """Per-user TIME-WEIGHTED mean of `value` (piecewise-constant until
+    the next event): window `lead(ts)` gives each segment's duration,
+    then one combiner-first grouped_agg of (value·Δt, Δt) — the
+    standard irregular-time-series aggregate (billing, utilization).
+    Exact integer microsecond weights; final division rounded to 6 on
+    both sides."""
+    import pyarrow.compute as pc
+
+    from tera_ray.query.relational import grouped_agg
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    w = window_funcs(ds, ["user_id"],
+                     [("ts", "ascending"), ("event_id", "ascending")],
+                     specs=[("lead", "ts", "next_ts")])
+
+    def seg(t: pa.Table) -> pa.Table:
+        dt = pc.cast(pc.subtract(pc.cast(t["next_ts"], pa.int64()),
+                                 pc.cast(t["ts"], pa.int64())),
+                     pa.float64())
+        v = pc.cast(t["value"], pa.float64())
+        keep = pc.fill_null(pc.greater(dt, pa.scalar(0.0)), False)
+        tt = pa.table({"user_id": t["user_id"],
+                       "vdt": pc.multiply(v, dt), "dt": dt}).filter(keep)
+        return tt
+
+    agg = grouped_agg(w.map_batches(seg, batch_format="pyarrow"),
+                      ["user_id"], [("vdt", "sum", "vdt"),
+                                    ("dt", "sum", "dt")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "twa": pc.round(pc.divide(t["vdt"], t["dt"]), 6)}),
+        batch_format="pyarrow")
+
+
 def _q_docs_chunk_windows(sf_dir: str):
     """Overlapping token-window chunking for retrieval/context prep
     (`tera_ray.text.curation.chunk_windows`): whitespace tokens, 32-token
@@ -2692,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_stats": _q_conv_role_stats,
         "docs_chunk_windows": _q_docs_chunk_windows,
         "events_rolling": _q_events_rolling,
+        "events_time_weighted": _q_events_time_weighted,
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
@@ -3943,6 +3982,14 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " CASE WHEN scale > 0 THEN list_sum(list_transform(e,"
             " x -> floor(x / scale + 0.5)))::BIGINT"
             " ELSE 0 END AS qsum FROM s",
+        "events_time_weighted":
+            "WITH seg AS (SELECT user_id, value,"
+            " epoch_us(lead(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)) - epoch_us(ts) AS dt"
+            " FROM events)"
+            " SELECT user_id,"
+            " round(sum(value * dt) / sum(dt), 6) AS twa"
+            " FROM seg WHERE dt > 0 GROUP BY user_id",
         "lineitem_mode":
             "SELECT l_returnflag, l_linestatus AS mode_value, n FROM"
             " (SELECT l_returnflag, l_linestatus, count(*) AS n,"

@@ -99,6 +99,7 @@ PARITY_KEYS = [
     "conv_training_examples",
     "returned_revenue",
     "docs_dup_rate",
+    "events_time_weighted",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
