@@ -2004,6 +2004,9 @@ def _q_kg_align_pr(sf_dir: str):
     m = _collect(blocked_fuzzy_align(
         label_bags(ncbi, ncbi_preds), label_bags(eco, eco_preds),
         threshold=90.0))
+    if m is None:
+        m = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
     names = _pq.read_table(os.path.join(fx, "taxonomy_names.parquet"),
                            columns=["taxon", "unique_name"])
     eligible = {

@@ -30,7 +30,9 @@ def _flat_f64(vec_col) -> tuple[np.ndarray, int]:
     d = int(lens[0]) if len(lens) else 0
     flat = vec_col.flatten().cast(pa.float64()).to_numpy(
         zero_copy_only=False)
-    return flat.reshape(-1, d), d
+    # explicit (rows, d) shape: reshape(-1, 0) on an EMPTY batch raises,
+    # so empty blocks (empty fragments / post-filter) must not crash
+    return flat.reshape(len(lens), d), d
 
 
 def vector_group_mean(ds, key: str, vec_col: str,

@@ -28,12 +28,19 @@ from .aggregate import _flat_f64
 def quantize_batch(t: pa.Table, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> pa.Table:
     """→ ``(id, q list<int8>, scale double)`` per row."""
+    vc = t[vec_col]
+    vtype = vc.type if not isinstance(vc, pa.ChunkedArray) else vc.type
+    if t.num_rows == 0:
+        # type the empty block from the input schema so concat with
+        # non-empty blocks stays schema-stable (fixed-size input keeps
+        # its dim; variable-size lists stay variable)
+        d0 = vtype.list_size if pa.types.is_fixed_size_list(vtype) else None
+        qt = pa.list_(pa.int8(), d0) if d0 else pa.list_(pa.int8())
+        return pa.table({id_col: t[id_col],
+                         "q": pa.array([], qt),
+                         "scale": pa.array([], pa.float64())})
     mat, d = _flat_f64(t[vec_col])
     n = mat.shape[0]
-    if n == 0:
-        return pa.table({id_col: t[id_col],
-                         "q": pa.array([], pa.list_(pa.int8(), d or 1)),
-                         "scale": pa.array([], pa.float64())})
     amax = np.abs(mat).max(axis=1)
     scale = amax / 127.0
     safe = np.where(scale > 0, scale, 1.0)
@@ -75,6 +82,11 @@ def dequantized_topk(ds, qids, Q, k: int = 10, id_col: str = "vec_id",
 
     class _QuantScorer(BruteScorer):
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64())})
             qt = quantize_batch(batch, self.id_col, self.vec_col)
             codes = qt["q"]
             if isinstance(codes, pa.ChunkedArray):

@@ -498,6 +498,13 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     from ..query.relational import multi_key_anti_join
     from ..stages.base import dedup_triples
 
+    # prev_kg is consumed twice whenever the MERGED store is emitted
+    # (read for the novelty check + re-emitted in the union); pin it
+    # once unless the caller knows prev is already persisted.  With
+    # emit="novel" each scope consumes prev exactly once — no pin.
+    if materialize_prev and emit == "union":
+        prev_kg = prev_kg.materialize()
+
     if scope == "turn_unique":
         # Dedup-pushdown analog of build_kg(dedup_mode="scoped"), for
         # the anti-join: every turn-graph triple embeds its
@@ -528,26 +535,15 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
             or [pa.table({"subj": pa.array([], pa.string()),
                           "pred": pa.array([], pa.string()),
                           "obj": pa.array([], pa.string())})])
-        seen = set(zip(prev_shared["subj"].to_pylist(),
-                       prev_shared["pred"].to_pylist(),
-                       prev_shared["obj"].to_pylist()))
-        keep = [i for i, (s, p, o) in enumerate(
-            zip(lex_tbl["subj"].to_pylist(), lex_tbl["pred"].to_pylist(),
-                lex_tbl["obj"].to_pylist())) if (s, p, o) not in seen]
-        novel_lex = lex_tbl.take(pa.array(keep, pa.int64()))
+        novel_lex = lex_tbl.join(prev_shared,
+                                 keys=["subj", "pred", "obj"],
+                                 join_type="left anti")
+        novel_lex = novel_lex.select(lex_tbl.schema.names).cast(
+            lex_tbl.schema)
         novel = turn_triples.union(ray.data.from_arrow(novel_lex))
         if emit == "novel":
             return novel
         return prev_kg.union(novel)
-
-    # prev_kg is consumed TWICE (anti-join right side + final union); a
-    # lazy pipeline would re-execute its whole lineage both times
-    # (round-2 review finding).  Pin it once by default; pass
-    # materialize_prev=False when prev is already persisted (a
-    # checkpoint read_stage / read_parquet re-reads without recompute,
-    # and beyond object-store capacity that is the better plan).
-    if materialize_prev:
-        prev_kg = prev_kg.materialize()
 
     lex_ref = build_lexicon(data_dir)
     new_triples = link_transcripts(

@@ -183,19 +183,31 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                 ssq = np.zeros(n, np.float64)
                 scnt = np.zeros(n, np.float64)
                 need_sq = kind == "rolling_std"
+                if need_sq:
+                    # shifted-data trick: center valid values on the
+                    # batch mean before squaring — variance is shift-
+                    # invariant, and the naive Σx² − (Σx)²/n form
+                    # catastrophically cancels when |mean| ≫ std
+                    # (round-2 review finding); squares hoisted out of
+                    # the shift loop
+                    nvalid = float(nv.sum())
+                    k_shift = float((v0 * nv).sum() / nvalid) \
+                        if nvalid > 0 else 0.0
+                    vc_ = np.where(nv > 0, v0 - k_shift, 0.0)
+                    v2 = vc_ * vc_
                 for j in range(w):
                     okj = idx_arange - j >= start_idx
                     if not okj.any():
                         break
                     sv = np.zeros(n, np.float64)
-                    sv[j:] = v0[: n - j]
+                    sv[j:] = (vc_ if need_sq else v0)[: n - j]
                     sc = np.zeros(n, np.float64)
                     sc[j:] = nv[: n - j]
                     ssum += np.where(okj, sv, 0.0)
                     scnt += np.where(okj, sc, 0.0)
                     if need_sq:
                         sq = np.zeros(n, np.float64)
-                        sq[j:] = (v0 * v0)[: n - j]
+                        sq[j:] = v2[: n - j]
                         ssq += np.where(okj, sq, 0.0)
                 if kind == "rolling_mean":
                     res = np.divide(ssum, scnt,

@@ -321,3 +321,45 @@ class TestReviewFixRegressions:
             ray.data.from_arrow(tbl), key="src", weight_col="w", k=10,
             id_col="doc_id")).to_pylist())
         assert out == [3, 4]           # w<=0 never sampled, k not padded
+
+
+def test_quantize_empty_batches_keep_schema():
+    """Empty blocks (empty fragments / post-filter) must not crash the
+    quantizer and must keep a concat-stable schema (round-2 review)."""
+    from tera_ray.ann.quantize import quantize_batch
+
+    fixed = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32(), 4))})
+    out = quantize_batch(fixed)
+    assert out.num_rows == 0
+    assert out.schema.field("q").type == pa.list_(pa.int8(), 4)
+    var = pa.table({"vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32()))})
+    assert quantize_batch(var).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_std_large_mean_small_variance():
+    """Shifted-data centering: values ~1e8 with std ~2 must not cancel
+    to 0 (the naive sum-of-squares form loses all precision here)."""
+    import ray.data
+
+    from tera_ray.query.window import window_funcs
+
+    base = 1.0e8
+    vals = [base + v for v in (0.0, 2.0, 4.0, 2.0, 0.0)]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 5, pa.string()),
+        "o": pa.array(list(range(5)), pa.int64()),
+        "v": pa.array(vals, pa.float64()),
+    }))
+    out = window_funcs(ds, ["k"], [("o", "ascending")],
+                       [("rolling_std", "v", "s", 3)])
+    rows = {r["o"]: r["s"] for b in out.iter_batches(
+        batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
+    import statistics
+
+    assert rows[2] == pytest.approx(statistics.stdev([base, base + 2,
+                                                      base + 4]), rel=1e-9)
+    assert rows[4] == pytest.approx(statistics.stdev([base + 4, base + 2,
+                                                      base]), rel=1e-9)
