@@ -376,6 +376,42 @@ def _q_docs_top_tokens(sf_dir: str):
                        descending=[True, False]).limit(100)
 
 
+def _q_source_top_tokens(sf_dir: str):
+    """Per-SOURCE top-3 tokens — grouped vocabulary profiling (the
+    per-stratum counterpart of docs_top_tokens): per-batch (source,
+    token) value_counts combiner → grouped sum → topk_per_key with a
+    deterministic (count desc, token asc) tie-break.  Shuffle volume is
+    per-batch distinct (source, token) pairs, Zipf-bounded."""
+    import numpy as np
+
+    from tera_ray.query.relational import grouped_agg, topk_per_key
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = t["text"].combine_chunks()
+        src = t["source"].combine_chunks()
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(s, "")), r"\W+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "source": src.take(pa.array(
+                np.repeat(np.arange(len(lens)), lens))),
+            "token": lists.combine_chunks().flatten()
+            if isinstance(lists, pa.ChunkedArray) else lists.flatten(),
+        })
+        flat = flat.filter(pc.not_equal(flat["token"], pa.scalar("")))
+        g = flat.group_by(["source", "token"],
+                          use_threads=False).aggregate([("token", "count")])
+        return g.rename_columns(["source", "token", "cnt"])
+
+    counts = grouped_agg(ds.map_batches(toks, batch_format="pyarrow"),
+                         ["source", "token"], [("cnt", "sum", "cnt")])
+    return topk_per_key(counts, "source",
+                        order=[("cnt", "descending"),
+                               ("token", "ascending")], k=3)
+
+
 def _q_events_props_sum(sf_dir: str):
     """Semi-structured payloads: vectorized JSON-path extraction from
     the ``events.props`` JSON string column (polars ``json_path_match``
@@ -2734,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": _q_docs_chunk_windows,
         "events_rolling": _q_events_rolling,
         "events_time_weighted": _q_events_time_weighted,
+        "source_top_tokens": _q_source_top_tokens,
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
@@ -3985,6 +4022,16 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " CASE WHEN scale > 0 THEN list_sum(list_transform(e,"
             " x -> floor(x / scale + 0.5)))::BIGINT"
             " ELSE 0 END AS qsum FROM s",
+        "source_top_tokens":
+            "WITH tk AS (SELECT source,"
+            " unnest(string_split_regex(lower(text), '\\W+')) AS token"
+            " FROM documents),"
+            " c AS (SELECT source, token, count(*) AS cnt FROM tk"
+            " WHERE token <> '' GROUP BY source, token)"
+            " SELECT source, token, cnt FROM"
+            " (SELECT source, token, cnt, row_number() OVER"
+            " (PARTITION BY source ORDER BY cnt DESC, token) AS rn"
+            " FROM c) WHERE rn <= 3",
         "events_time_weighted":
             "WITH seg AS (SELECT user_id, value,"
             " epoch_us(lead(ts) OVER (PARTITION BY user_id"

@@ -100,6 +100,7 @@ PARITY_KEYS = [
     "returned_revenue",
     "docs_dup_rate",
     "events_time_weighted",
+    "source_top_tokens",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
