@@ -376,6 +376,62 @@ def _q_docs_top_tokens(sf_dir: str):
                        descending=[True, False]).limit(100)
 
 
+def _q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival statistics (mean/max gap seconds,
+    n_gaps): window `lead(ts)` → µs gaps → one combiner-first
+    grouped_agg.  The stream-health metric behind sessionization
+    threshold choices."""
+    import pyarrow.compute as pc
+
+    from tera_ray.query.relational import grouped_agg
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    w = window_funcs(ds, ["user_id"],
+                     [("ts", "ascending"), ("event_id", "ascending")],
+                     specs=[("lead", "ts", "next_ts")])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        dt = pc.subtract(pc.cast(t["next_ts"], pa.int64()),
+                         pc.cast(t["ts"], pa.int64()))
+        tt = pa.table({"user_id": t["user_id"], "dt": dt})
+        return tt.filter(pc.is_valid(tt["dt"]))
+
+    agg = grouped_agg(w.map_batches(gaps, batch_format="pyarrow"),
+                      ["user_id"], [("dt", "count", "n_gaps"),
+                                    ("dt", "avg", "mean_gap_us"),
+                                    ("dt", "max", "max_gap_us")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "n_gaps": t["n_gaps"],
+            "mean_gap_s": pc.round(pc.divide(
+                t["mean_gap_us"], pa.scalar(1_000_000.0)), 6),
+            "max_gap_s": pc.divide(pc.cast(t["max_gap_us"], pa.float64()),
+                                   pa.scalar(1_000_000.0))}),
+        batch_format="pyarrow")
+
+
+def _q_lang_quality_means(sf_dir: str):
+    """Per-language mean quality score — the data-mixing dashboard view
+    over the oracled quality kernel: per-doc signals (map-side) →
+    combiner grouped_agg by lang."""
+    import pyarrow.compute as pc
+
+    from tera_ray.query.relational import grouped_agg
+    from tera_ray.text.analysis import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    q = ds.map_batches(quality_stats, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["lang", "quality"]), batch_format="pyarrow")
+    agg = grouped_agg(q, ["lang"], [("quality", "count", "n"),
+                                    ("quality", "avg", "mean_quality")])
+    return agg.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "n": t["n"],
+                            "mean_quality": pc.round(t["mean_quality"],
+                                                     6)}),
+        batch_format="pyarrow")
+
+
 def _q_source_top_tokens(sf_dir: str):
     """Per-SOURCE top-3 tokens — grouped vocabulary profiling (the
     per-stratum counterpart of docs_top_tokens): per-batch (source,
@@ -2771,6 +2827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_time_weighted": _q_events_time_weighted,
         "source_top_tokens": _q_source_top_tokens,
+        "events_interarrival": _q_events_interarrival,
+        "lang_quality_means": _q_lang_quality_means,
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
@@ -4022,6 +4080,21 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " CASE WHEN scale > 0 THEN list_sum(list_transform(e,"
             " x -> floor(x / scale + 0.5)))::BIGINT"
             " ELSE 0 END AS qsum FROM s",
+        "events_interarrival":
+            "WITH g AS (SELECT user_id,"
+            " epoch_us(lead(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id)) - epoch_us(ts) AS dt"
+            " FROM events)"
+            " SELECT user_id, count(*) AS n_gaps,"
+            " round(avg(dt) / 1000000.0, 6) AS mean_gap_s,"
+            " max(dt) / 1000000.0 AS max_gap_s"
+            " FROM g WHERE dt IS NOT NULL GROUP BY user_id",
+        "lang_quality_means":
+            "WITH q AS (" + _quality_stats_sql() + ")"
+            " SELECT d.lang, count(*) AS n,"
+            " round(avg(q.quality), 6) AS mean_quality"
+            " FROM q JOIN documents d ON q.doc_id = d.doc_id"
+            " GROUP BY d.lang",
         "source_top_tokens":
             "WITH tk AS (SELECT source,"
             " unnest(string_split_regex(lower(text), '\\W+')) AS token"

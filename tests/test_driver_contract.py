@@ -101,6 +101,8 @@ PARITY_KEYS = [
     "docs_dup_rate",
     "events_time_weighted",
     "source_top_tokens",
+    "events_interarrival",
+    "lang_quality_means",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
