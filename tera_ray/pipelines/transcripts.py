@@ -496,7 +496,9 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     high (a definite-miss skips the shuffle for that row).
     """
     from ..query.relational import multi_key_anti_join
-    from ..stages.base import dedup_triples
+
+    assert emit in ("novel", "union"), f"unknown emit={emit!r}"
+    assert scope in ("global", "turn_unique"), f"unknown scope={scope!r}"
 
     # prev_kg is consumed twice whenever the MERGED store is emitted
     # (read for the novelty check + re-emitted in the union); pin it
@@ -504,6 +506,11 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     # emit="novel" each scope consumes prev exactly once — no pin.
     if materialize_prev and emit == "union":
         prev_kg = prev_kg.materialize()
+
+    lex_ref = build_lexicon(data_dir)
+    new_triples = link_transcripts(
+        new_transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+        batch_size=batch_size)
 
     if scope == "turn_unique":
         # Dedup-pushdown analog of build_kg(dedup_mode="scoped"), for
@@ -520,21 +527,24 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
         # column-pruned filtered pass over prev — the nightly path.
         from ..stages.base import dedup_table
 
-        lex_ref = build_lexicon(data_dir)
-        turn_triples = link_transcripts(
-            new_transcripts, lex_ref, fuzzy=fuzzy,
-            concurrency=concurrency, batch_size=batch_size
-        ).map_batches(lambda t: dedup_table(t), batch_format="pyarrow")
+        turn_triples = new_triples.map_batches(
+            lambda t: dedup_table(t), batch_format="pyarrow")
         lex_tbl = dedup_table(lexicon_triples(data_dir))
         prev_shared = pa.concat_tables(
             [b for b in prev_kg
-             .filter(expr="graph != 'transcripts'")
+             .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
              .map_batches(lambda t: t.select(["subj", "pred", "obj"]),
                           batch_format="pyarrow")
              .iter_batches(batch_format="pyarrow", batch_size=None)]
             or [pa.table({"subj": pa.array([], pa.string()),
                           "pred": pa.array([], pa.string()),
                           "obj": pa.array([], pa.string())})])
+        # the shared graphs are broadcast-scale BY ASSUMPTION — a store
+        # whose lexicon graphs were built distributed (dump scale) must
+        # use scope="global" instead of collecting them driver-side
+        assert prev_shared.nbytes <= (1 << 28), (
+            f"prev shared graphs are {prev_shared.nbytes}B — beyond the "
+            "driver-side bound; use scope='global'")
         novel_lex = lex_tbl.join(prev_shared,
                                  keys=["subj", "pred", "obj"],
                                  join_type="left anti")
@@ -545,10 +555,6 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
             return novel
         return prev_kg.union(novel)
 
-    lex_ref = build_lexicon(data_dir)
-    new_triples = link_transcripts(
-        new_transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
-        batch_size=batch_size)
     cand = dedup_triples(new_triples.union(
         ray.data.from_arrow(lexicon_triples(data_dir))))
     novel = multi_key_anti_join(cand, prev_kg,

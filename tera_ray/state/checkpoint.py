@@ -37,6 +37,28 @@ def _hash_partition(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.
     return bucket_column(col, num_partitions).cast(pa.int64())
 
 
+def _partition_counts(stage_dir: str) -> dict[str, int]:
+    """Per-partition parquet row counts from file METADATA only.
+
+    Skips '.'/'_'-prefixed files and directories — the same discovery
+    rule Arrow datasets apply (``ignore_prefixes``), so these counts
+    always describe exactly what ``read_stage`` will read (compaction
+    temp dirs are '_'-prefixed and therefore invisible to both).
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for dirpath, dirnames, files in os.walk(stage_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            key = os.path.basename(dirpath)
+            n = pq.read_metadata(os.path.join(dirpath, f)).num_rows
+            out[key] = out.get(key, 0) + n
+    return out
+
+
 def write_stage(ds, root: str, stage: str, input_fingerprint: str,
                 partition_key: str = "subj", num_partitions: int = 32,
                 metrics: dict | None = None):
@@ -68,18 +90,8 @@ def write_stage(ds, root: str, stage: str, input_fingerprint: str,
     ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
         stage_dir, partition_cols=["part"])
 
-    import pyarrow.parquet as pq
-
-    parts: dict[str, int] = {}
-    total = 0
-    for dirpath, _, files in os.walk(stage_dir):
-        for f in files:
-            if not f.endswith(".parquet"):
-                continue
-            n = pq.read_metadata(os.path.join(dirpath, f)).num_rows
-            key = os.path.basename(dirpath)
-            parts[key] = parts.get(key, 0) + n
-            total += n
+    parts = _partition_counts(stage_dir)
+    total = sum(parts.values())
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,
@@ -111,7 +123,15 @@ def read_manifest(root: str, stage: str) -> dict | None:
 
 def stage_is_complete(root: str, stage: str, input_fingerprint: str) -> bool:
     m = read_manifest(root, stage)
-    return m is not None and m.get("input_fingerprint") == input_fingerprint
+    if m is None or m.get("input_fingerprint") != input_fingerprint:
+        return False
+    # a torn compaction leaves '_part=*' temp dirs: the stage's visible
+    # partitions may be missing rows, so treat it as incomplete and
+    # rebuild from inputs (the contract compact_stage documents)
+    stage_dir = os.path.join(root, stage)
+    if any(e.startswith("_part=") for e in os.listdir(stage_dir)):
+        return False
+    return True
 
 
 def read_stage(root: str, stage: str):
@@ -213,22 +233,15 @@ def validate_stage(root: str, stage: str) -> dict:
     Returns ``{ok, row_count, manifest_row_count, bad_partitions}`` —
     the guard a resumed 100 TB run uses to detect a half-compacted or
     manually-mutilated stage before trusting ``read_stage``."""
-    import pyarrow.parquet as pq
-
     m = read_manifest(root, stage)
     if m is None:
         return {"ok": False, "row_count": 0, "manifest_row_count": None,
                 "bad_partitions": ["<no manifest>"]}
     stage_dir = os.path.join(root, stage)
-    actual: dict[str, int] = {}
-    for dirpath, _, files in os.walk(stage_dir):
-        for f in files:
-            if not f.endswith(".parquet"):
-                continue
-            key = os.path.basename(dirpath)
-            n = pq.read_metadata(os.path.join(dirpath, f)).num_rows
-            actual[key] = actual.get(key, 0) + n
-    bad = sorted(set(m["partitions"]) ^ set(actual)
+    actual = _partition_counts(stage_dir)
+    leftovers = sorted(e for e in os.listdir(stage_dir)
+                       if e.startswith("_part="))
+    bad = sorted(set(leftovers) | set(m["partitions"]) ^ set(actual)
                  | {k for k in m["partitions"]
                     if actual.get(k) != m["partitions"][k]})
     total = sum(actual.values())
@@ -243,12 +256,17 @@ def compact_stage(root: str, stage: str) -> dict:
 
     One Ray task per fragmented partition (the partition list is tiny;
     the files themselves never pass through the driver).  Crash-safe
-    swap per partition: write ``part=k.compact/``, rename ``part=k`` →
-    ``part=k.old``, rename ``.compact`` in, delete ``.old`` — a crash
-    at any point leaves either the original or a state
-    :func:`validate_stage` flags (missing/duplicated partition), which
-    ``run_stage`` then rebuilds from inputs.  The manifest is untouched
-    (content and counts are unchanged — asserted by a validate pass)."""
+    swap per partition via '_'-PREFIXED temp dirs (invisible to Arrow
+    dataset discovery AND to :func:`_partition_counts`, so a live or
+    torn compaction can never be double-read): write
+    ``_part=k.compact/``, rename ``part=k`` → ``_part=k.old``, rename
+    the compact dir in, delete the old one.  A crash at any point
+    leaves either the intact original or a ``_part=*`` leftover, which
+    :func:`stage_is_complete` treats as incomplete (rebuild from
+    inputs) and :func:`validate_stage` flags.  The manifest is
+    untouched (content and counts unchanged — asserted by a validate
+    pass).  Re-runs skip leftover temp dirs by construction (the
+    partition scan matches ``part=`` only)."""
     import ray
 
     stage_dir = os.path.join(root, stage)
@@ -271,11 +289,13 @@ def compact_stage(root: str, stage: str) -> dict:
 
         tabs = [pq.read_table(os.path.join(d, f)) for f in files]
         merged = pa.concat_tables(tabs, promote_options="none")
-        tmp_dir = d + ".compact"
+        base = os.path.dirname(d)
+        name = os.path.basename(d)
+        tmp_dir = os.path.join(base, "_" + name + ".compact")
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir)
         pq.write_table(merged, os.path.join(tmp_dir, "compact_000.parquet"))
-        old_dir = d + ".old"
+        old_dir = os.path.join(base, "_" + name + ".old")
         shutil.rmtree(old_dir, ignore_errors=True)
         os.replace(d, old_dir)
         os.replace(tmp_dir, d)

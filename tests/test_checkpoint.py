@@ -183,3 +183,42 @@ class TestValidateAndCompact:
                      for r in b.to_pylist())
         assert got == sorted(t["subj"].to_pylist())
         assert validate_stage(str(tmp_path), "st")["ok"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_torn_compaction_forces_rebuild(tmp_path):
+    """A crash mid-compaction leaves a '_part=*' temp dir: the stage
+    must read as INCOMPLETE (rebuild from inputs), validate must flag
+    it, and the leftover must be invisible to readers (no double-read
+    of the duplicated partition)."""
+    import ray.data
+
+    from tera_ray.state.checkpoint import (
+        read_stage,
+        stage_is_complete,
+        validate_stage,
+        write_stage,
+    )
+
+    t = pa.table({"subj": pa.array([f"s{i}" for i in range(100)],
+                                   pa.string()),
+                  "v": pa.array(list(range(100)), pa.int64())})
+    write_stage(ray.data.from_arrow(t), str(tmp_path), "st", "fp",
+                partition_key="subj", num_partitions=2)
+    assert stage_is_complete(str(tmp_path), "st", "fp")
+    # simulate the crash window between rename-out and rename-in:
+    # the original partition still exists under the '_' temp name
+    import glob
+    import shutil
+
+    d = sorted(glob.glob(str(tmp_path / "st" / "part=*")))[0]
+    shutil.copytree(d, os.path.join(os.path.dirname(d),
+                                    "_" + os.path.basename(d) + ".old"))
+    assert not stage_is_complete(str(tmp_path), "st", "fp")
+    chk = validate_stage(str(tmp_path), "st")
+    assert not chk["ok"]
+    assert any(b.startswith("_part=") for b in chk["bad_partitions"])
+    # readers never see the temp dir: row count unchanged (no dupes)
+    n = sum(b.num_rows for b in read_stage(str(tmp_path), "st")
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+    assert n == 100
