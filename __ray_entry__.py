@@ -2157,6 +2157,65 @@ def _q_kg_incremental(sf_dir: str):
                      fx)
 
 
+def _q_kg_compaction(sf_dir: str):
+    """Checkpoint-store maintenance made driver-visible: write a stage,
+    FRAGMENT one partition (simulated multi-writer small files), then
+    compact and validate.  Returns one row per phase with the stage's
+    visible row count and validation verdict — fails if compaction ever
+    loses or duplicates a row."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from tera_ray.state.checkpoint import (
+        compact_stage,
+        validate_stage,
+        write_stage,
+    )
+
+    fx = _fx(sf_dir)
+    tr = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"),
+                               columns=["conv_id", "turn_idx"])
+    root = tempfile.mkdtemp(prefix="tera_ray_compact_")
+    write_stage(tr.map_batches(
+        lambda t: pa.table({"subj": t["conv_id"],
+                            "turn_idx": t["turn_idx"]}),
+        batch_format="pyarrow"), root, "st", "fp",
+        partition_key="subj", num_partitions=8)
+
+    def snap(phase: str) -> dict:
+        chk = validate_stage(root, "st")
+        return {"phase": phase, "ok": chk["ok"],
+                "row_count": chk["row_count"]}
+
+    rows = [snap("written")]
+    d = sorted(glob.glob(os.path.join(root, "st", "part=*")))[0]
+    f = sorted(os.listdir(d))[0]
+    t = _pq.read_table(os.path.join(d, f))
+    h = t.num_rows // 2
+    _pq.write_table(t.slice(0, h), os.path.join(d, "frag_000.parquet"))
+    _pq.write_table(t.slice(h), os.path.join(d, "frag_001.parquet"))
+    os.remove(os.path.join(d, f))
+    rows.append(snap("fragmented"))
+    res = compact_stage(root, "st")
+    rows.append({**snap("compacted"),
+                 "ok": rows[-1]["ok"] and res["validate"]["ok"]})
+    shutil.rmtree(root)
+    out = pa.table({
+        "phase": pa.array([r["phase"] for r in rows], pa.string()),
+        "ok": pa.array([bool(r["ok"]) for r in rows], pa.bool_()),
+        "row_count": pa.array([int(r["row_count"]) for r in rows],
+                              pa.int64()),
+    })
+    assert all(r["ok"] for r in rows) and \
+        len({r["row_count"] for r in rows}) == 1, rows
+    return out
+
+
 def _q_kg_linking_pr(sf_dir: str):
     """North-rule linking quality made driver-visible: precision/recall
     of the mention linker against the fixture's embedded ground truth
@@ -2867,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_incremental": _q_kg_incremental,
         "kg_align_pr": _q_kg_align_pr,
+        "kg_compaction": _q_kg_compaction,
         "kg_lineage": _q_kg_lineage,
         "kg_canonical_build": _q_kg_canonical,
         "kg_fuzzy_align": _q_kg_fuzzy_align,
