@@ -222,3 +222,96 @@ def test_torn_compaction_forces_rebuild(tmp_path):
     n = sum(b.num_rows for b in read_stage(str(tmp_path), "st")
             .iter_batches(batch_format="pyarrow", batch_size=None))
     assert n == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sigkill_mid_write_then_resume(tmp_path):
+    """LITERAL kill-and-resume (BASELINE target): a subprocess is
+    SIGKILLed while write_stage is mid-flight (parquet files on disk,
+    no manifest yet); the stage must read as incomplete and a fresh
+    run must rebuild to the exact row count with a valid manifest."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    root = str(tmp_path)
+    script = textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        import pyarrow as pa
+        import ray.data as rd
+        from tera_ray.state.checkpoint import write_stage
+
+        t = pa.table({{
+            "subj": pa.array([f"s{{i}}" for i in range(4000)]),
+            "v": pa.array(list(range(4000))),
+        }})
+        ds = rd.from_arrow(t).repartition(20)
+
+        def slow(b):
+            time.sleep(0.8)
+            return b
+
+        write_stage(ds.map_batches(slow, batch_format="pyarrow"),
+                    {root!r}, "st", "fp", partition_key="subj",
+                    num_partitions=4)
+    """)
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    stage_dir = os.path.join(root, "st")
+    manifest = os.path.join(stage_dir, "_MANIFEST.json")
+    deadline = time.time() + 60
+    try:
+        # wait until data is hitting disk but the manifest is absent
+        while time.time() < deadline:
+            if os.path.exists(manifest):
+                break
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(stage_dir) for f in fs
+            ) if os.path.isdir(stage_dir) else False
+            if has_parquet:
+                break
+            time.sleep(0.2)
+        assert not os.path.exists(manifest), \
+            "build finished before the kill — slow map too fast"
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    finally:
+        proc.wait(timeout=30)
+
+    from tera_ray.state.checkpoint import (
+        run_stage,
+        stage_is_complete,
+        validate_stage,
+    )
+
+    # torn state: parquet fragments, no manifest → incomplete
+    assert not stage_is_complete(root, "st", "fp")
+    assert not validate_stage(root, "st")["ok"]
+
+    import ray.data as rd
+
+    t = pa.table({"subj": pa.array([f"s{i}" for i in range(4000)]),
+                  "v": pa.array(list(range(4000)))})
+
+    def factory():
+        return rd.from_arrow(t)
+
+    out, skipped = run_stage(factory, root, "st", "fp",
+                             partition_key="subj", num_partitions=4)
+    assert not skipped                      # it rebuilt, not resumed
+    chk = validate_stage(root, "st")
+    assert chk["ok"] and chk["row_count"] == 4000, chk
+    n = sum(b.num_rows for b in out.iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert n == 4000
