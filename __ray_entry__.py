@@ -2039,6 +2039,55 @@ def _q_kg_canonical(sf_dir: str):
     return build_kg_canonical(_fx(sf_dir))
 
 
+_STRUCTURAL_PREDS = (
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "https://cfpub.epa.gov/ecotox/hasTurn",
+    "https://cfpub.epa.gov/ecotox/precededBy",
+)
+
+
+def _structural_subset(kg):
+    """Project a built KG to its turn-structure triples (rdf:type Turn /
+    hasTurn / precededBy) — a pure function of ``(conv_id, turn_idx)``,
+    hence exactly DuckDB-expressible (SURVEY §7.5 item 3: partial
+    oracles for the flagship builds).  The mention/linking subset stays
+    covered by ``kg_linking_pr``."""
+    import pyarrow.compute as _pc
+
+    preds = pa.array(_STRUCTURAL_PREDS, pa.string())
+    turn_obj = "https://cfpub.epa.gov/ecotox/Turn"
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = _pc.and_(
+            _pc.is_in(t["pred"], value_set=preds),
+            _pc.or_(_pc.not_equal(t["pred"], _STRUCTURAL_PREDS[0]),
+                    _pc.equal(t["obj"], turn_obj)),
+        )
+        return t.filter(keep).select(["subj", "pred", "obj"])
+
+    return kg.map_batches(f, batch_format="pyarrow")
+
+
+def _q_kg_build_structural(sf_dir: str):
+    """The REAL flagship build (linker included), projected to the
+    SQL-expressible structural subset — converts kg_build from
+    rows-only to partially hash-oracled."""
+    from tera_ray.pipelines.transcripts import build_kg
+
+    return _structural_subset(build_kg(_fx(sf_dir)))
+
+
+def _q_kg_canonical_structural(sf_dir: str):
+    """Same partial oracle over the E1+E2 canonical build: turn URIs are
+    never members of alias clusters (alignment pairs taxonomy/species
+    URIs only), so the structural subset must survive union-find rewrite
+    bit-identically — a canonicalization-correctness check the hash
+    compare enforces."""
+    from tera_ray.pipelines.transcripts import build_kg_canonical
+
+    return _structural_subset(build_kg_canonical(_fx(sf_dir)))
+
+
 def _q_kg_build_checkpointed(sf_dir: str):
     """Flagship build through the resumable stage boundaries (north rule
     "checkpoint-resumable stage boundaries" made driver-visible): a cold
@@ -2922,6 +2971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
+        "kg_build_structural": _q_kg_build_structural,
+        "kg_canonical_structural": _q_kg_canonical_structural,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_incremental": _q_kg_incremental,
@@ -3060,6 +3111,30 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}effect/'||r.effect AS effect,
        sd.sd AS sd, sd.sd_unit AS sd_unit
 FROM r JOIN t USING (test_id) LEFT JOIN sd ON sd.test_id = t.test_id
+"""
+
+
+def _structural_sql(fx: str) -> str:
+    """Partial oracle for the flagship builds: the turn-structure subset
+    (rdf:type Turn / hasTurn / precededBy) as a pure SQL function of the
+    transcript table — mirrors ``LinkerStage._structural``."""
+    ns = "https://cfpub.epa.gov/ecotox/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+WITH u AS (
+  SELECT '{ns}turn/' || conv_id || '/' || turn_idx AS t_uri,
+         conv_id, turn_idx
+  FROM read_parquet('{fx}/transcripts.parquet')
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT t_uri AS subj, '{rdf_type}' AS pred, '{ns}Turn' AS obj FROM u
+  UNION ALL
+  SELECT '{ns}conversation/' || conv_id, '{ns}hasTurn', t_uri FROM u
+  UNION ALL
+  SELECT t_uri, '{ns}precededBy',
+         '{ns}turn/' || conv_id || '/' || (turn_idx - 1)
+  FROM u WHERE turn_idx > 0
+) s(subj, pred, obj)
 """
 
 
@@ -4492,6 +4567,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"SELECT conv_id, count(*) AS n_turns,"
             f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"
             f" FROM read_parquet('{fx}/transcripts.parquet') GROUP BY conv_id",
+        "kg_build_structural": _structural_sql(fx),
+        "kg_canonical_structural": _structural_sql(fx),
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_divisions": _divisions_sql(fx),
