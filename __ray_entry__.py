@@ -1479,6 +1479,20 @@ def _q_docs_bool_search(sf_dir: str):
                                 columns=["doc_id", "text"]), _BOOL_NEEDLES)
 
 
+_BM25_TERMS = ["hash", "join", "vector", "slow"]
+
+
+def _q_docs_bm25(sf_dir: str):
+    """Scored retrieval (`tera_ray.text.index.bm25_topk`): two streaming
+    passes — a tiny per-term df/avgdl reduction, then vectorized scoring
+    with per-block local top-k and an O(blocks×k) merge.  Fixed-point
+    score_micro so the float64 DuckDB oracle hash-matches."""
+    from tera_ray.text.index import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                     _BM25_TERMS, k=10)
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Large×large inner equi-join (symmetric co-group shuffle — neither
     side is broadcastable at scale)."""
@@ -2915,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _q_events_mad_outliers,
         "lineitem_winsorize": _q_lineitem_winsorize,
         "docs_bool_search": _q_docs_bool_search,
+        "docs_bm25_topk": _q_docs_bm25,
         "docs_pack_chunks": _q_docs_pack_chunks,
         "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
@@ -3111,6 +3126,37 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}effect/'||r.effect AS effect,
        sd.sd AS sd, sd.sd_unit AS sd_unit
 FROM r JOIN t USING (test_id) LEFT JOIN sd ON sd.test_id = t.test_id
+"""
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Float64 BM25 mirror of ``text.index.bm25_topk`` (Robertson idf;
+    fixed-point ``floor(score·1e6+0.5)`` so the hash compare is exact)."""
+    terms = sorted(set(_BM25_TERMS))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT count(*)::DOUBLE / (SELECT n_docs FROM n) AS avgdl FROM tk2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk2 GROUP BY doc_id),
+df AS (SELECT token AS term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM tk2 WHERE token IN ({in_list}) GROUP BY token),
+tf AS (SELECT doc_id, token AS term, count(*)::DOUBLE AS tf
+       FROM tk2 WHERE token IN ({in_list}) GROUP BY doc_id, token),
+sc AS (SELECT tf.doc_id,
+         sum(ln(((SELECT n_docs FROM n) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (SELECT avgdl FROM ad)))) AS s
+       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       GROUP BY tf.doc_id),
+m AS (SELECT doc_id, CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS score_micro
+      FROM sc WHERE floor(s * 1e6 + 0.5) > 0)
+SELECT doc_id, score_micro,
+       row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+FROM m ORDER BY score_micro DESC, doc_id LIMIT {k}
 """
 
 
@@ -4527,6 +4573,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             "SELECT doc_id FROM documents WHERE " + " AND ".join(
                 f"list_contains(string_split_regex(lower(text),"
                 f" '[^a-z0-9]+'), '{n}')" for n in _BOOL_NEEDLES),
+        "docs_bm25_topk": _bm25_sql(),
         "lineitem_orders_join":
             "SELECT l_orderkey, l_linenumber, l_extendedprice,"
             " o_custkey, o_totalprice FROM lineitem"

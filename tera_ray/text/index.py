@@ -180,3 +180,122 @@ def boolean_search(ds, all_of: list[str], id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def _term_tf_dl(t: pa.Table, terms: list[str], id_col: str,
+                text_col: str):
+    """Batch → (ids Array, dl int64[n], tf int64[|terms|, n]) with the
+    oracle tokenizer.  All Arrow/numpy kernels — the per-term loop runs
+    once per QUERY term (a handful), never per row."""
+    text = t[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(text, "")), _TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    n = len(lens)
+    flat = toks.flatten()
+    doc_idx = np.repeat(np.arange(n), lens)
+    nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
+        zero_copy_only=False)
+    dl = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    tf = np.zeros((len(terms), n), np.int64)
+    for i, term in enumerate(terms):
+        eq = pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)
+        if eq.any():
+            tf[i] = np.bincount(doc_idx[eq], minlength=n)
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return ids, dl, tf
+
+
+def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Scored retrieval: global BM25 top-``k`` documents for a bag of
+    query terms (Robertson idf ``ln((N-df+0.5)/(df+0.5)+1)``).
+
+    Two streaming passes, no index required:
+
+    1. corpus statistics — each batch emits ``|terms|+1`` partial rows
+       (per-term df, plus N / Σdl for avgdl); a tiny ``groupby(term)``
+       sum reduces them (shuffle volume O(batches × terms)).
+    2. scoring — each batch computes tf/dl vectorized and keeps its
+       LOCAL top-k positive scores, so the merge sees only
+       O(blocks × k) rows; one bucketed group sorts them with the
+       deterministic ``(−score, doc_id)`` tie-break.
+
+    Scores are emitted as ``score_micro = floor(score·1e6 + 0.5)``
+    int64 so a float64 SQL oracle hash-matches exactly (same convention
+    as the engine's other fixed-point surfaces).  At 100 TB both passes
+    are single sweeps with broadcast-scale reductions — nothing
+    materializes beyond ``blocks × k`` candidate rows.
+    """
+    from ..stages.base import bucketed_map_groups
+
+    terms = sorted(set(tm.lower() for tm in terms))
+    src = ds.select_columns([id_col, text_col])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _, dl, tf = _term_tf_dl(t, terms, id_col, text_col)
+        return pa.table({
+            "term": pa.array(terms + ["\x00corpus"], pa.string()),
+            "df": pa.array([int((row > 0).sum()) for row in tf]
+                           + [t.num_rows], pa.int64()),
+            "dl": pa.array([0] * len(terms) + [int(dl.sum())], pa.int64()),
+        })
+
+    agg = (src.map_batches(stats_partial, batch_format="pyarrow")
+           .groupby("term")
+           .sum(["df", "dl"]))
+    stats = {r["term"]: (r["sum(df)"], r["sum(dl)"])
+             for r in agg.take_all()}
+    n_docs, total_len = stats.pop("\x00corpus", (0, 0))
+    if n_docs == 0:
+        return ds.limit(0).map_batches(
+            lambda t: pa.table({id_col: pa.array([], pa.int64()),
+                                "score_micro": pa.array([], pa.int64()),
+                                "rank": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    avgdl = total_len / n_docs
+    idf = np.array([
+        np.log((n_docs - stats.get(tm, (0, 0))[0] + 0.5)
+               / (stats.get(tm, (0, 0))[0] + 0.5) + 1.0)
+        for tm in terms])
+
+    def score_local(t: pa.Table) -> pa.Table:
+        ids, dl, tf = _term_tf_dl(t, terms, id_col, text_col)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(dl), np.float64)
+        for i in range(len(terms)):
+            tfi = tf[i].astype(np.float64)
+            s += idf[i] * (tfi * (k1 + 1.0)) / (tfi + norm)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        pos = np.flatnonzero(micro > 0)
+        ids_np = np.asarray(ids.to_numpy(zero_copy_only=False))[pos]
+        micro = micro[pos]
+        order = np.lexsort((ids_np, -micro))[:k]
+        return pa.table({
+            id_col: pa.array(ids_np[order]).cast(
+                t.schema.field(id_col).type),
+            "score_micro": pa.array(micro[order]),
+            "__q": pa.array(np.zeros(len(order), np.int32)),
+        })
+
+    cand = src.map_batches(score_local, batch_format="pyarrow")
+
+    def top(t: pa.Table) -> pa.Table:
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        micro = t["score_micro"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, -micro))[:k]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(order)),
+            "score_micro": pa.array(micro[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+        })
+
+    return bucketed_map_groups(cand, "__q", top)

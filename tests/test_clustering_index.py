@@ -363,3 +363,65 @@ def test_rolling_std_large_mean_small_variance():
                                                       base + 4]), rel=1e-9)
     assert rows[4] == pytest.approx(statistics.stdev([base + 4, base + 2,
                                                       base]), rel=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def _docs(self):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "cat cat cat dog",          # high tf for cat
+                "cat dog bird",
+                "bird bird bird",
+                "dog",
+                None,                        # null text → dl 0, score 0
+            ], pa.string()),
+        }))
+
+    def _bm25_ref(self, texts, terms, k1=1.2, b=0.75):
+        """Scalar reference BM25 (Robertson idf) for the fixture."""
+        import math
+
+        import re as _re
+
+        toks = [[w for w in _re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+                for t in texts]
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks) / n
+        scores = []
+        for doc in toks:
+            s = 0.0
+            for term in sorted(set(terms)):
+                df = sum(1 for d in toks if term in d)
+                tf = doc.count(term)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(doc) / avgdl))
+            scores.append(int(math.floor(s * 1e6 + 0.5)))
+        return scores
+
+    def test_matches_scalar_reference_and_ranks(self):
+        from tera_ray.text.index import bm25_topk
+
+        texts = ["cat cat cat dog", "cat dog bird", "bird bird bird",
+                 "dog", None]
+        ref = self._bm25_ref(texts, ["cat", "dog"])
+        out = _mat(bm25_topk(self._docs(), ["cat", "dog"], k=10)).to_pylist()
+        got = {r["doc_id"]: r["score_micro"] for r in out}
+        want = {i + 1: s for i, s in enumerate(ref) if s > 0}
+        assert got == want
+        # rank is dense 1..n by (-score, doc_id)
+        ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [(r["doc_id"], r["rank"]) for r in
+                sorted(out, key=lambda r: r["rank"])] == [
+            (d, i + 1) for i, (d, _) in enumerate(ordered)]
+
+    def test_k_truncates_and_term_missing_everywhere(self):
+        from tera_ray.text.index import bm25_topk
+
+        out = _mat(bm25_topk(self._docs(), ["cat", "zzz"], k=2)).to_pylist()
+        assert len(out) == 2 and [r["rank"] for r in out] == [1, 2]
+        # unseen term contributes nothing, no crash; doc 1 still wins on cat tf
+        assert out[0]["doc_id"] == 1
