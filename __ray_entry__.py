@@ -1479,6 +1479,18 @@ def _q_docs_bool_search(sf_dir: str):
                                 columns=["doc_id", "text"]), _BOOL_NEEDLES)
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    """Substring-level duplication report (`tera_ray.dedup.ngram.dup_spans`):
+    spans shared across documents are flagged through one hash-bucket
+    groupby on the 8-byte span hash; per-doc counts come from the
+    combiner-first grouped_agg.  Lee-et-al-style span dedup signal that
+    document-level dedup cannot see."""
+    from tera_ray.dedup.ngram import dup_spans
+
+    return dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                     n=8)
+
+
 _BM25_TERMS = ["hash", "join", "vector", "slow"]
 
 
@@ -2930,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_winsorize": _q_lineitem_winsorize,
         "docs_bool_search": _q_docs_bool_search,
         "docs_bm25_topk": _q_docs_bm25,
+        "docs_dup_spans": _q_docs_dup_spans,
         "docs_pack_chunks": _q_docs_pack_chunks,
         "nation_revenue": _q_nation_revenue,
         "orders_customer_left": _q_orders_customer_left,
@@ -4574,6 +4587,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
                 f"list_contains(string_split_regex(lower(text),"
                 f" '[^a-z0-9]+'), '{n}')" for n in _BOOL_NEEDLES),
         "docs_bm25_topk": _bm25_sql(),
+        "docs_dup_spans":
+            "WITH toks AS (SELECT doc_id,"
+            " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '') AS l FROM documents),"
+            " s AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span"
+            " FROM toks, unnest(generate_series(1, len(l) - 7)) AS g(i)),"
+            " d AS (SELECT DISTINCT doc_id, span FROM s),"
+            " c AS (SELECT span, count(DISTINCT doc_id) AS nd"
+            " FROM d GROUP BY span)"
+            " SELECT d.doc_id, count(*)::BIGINT AS n_spans,"
+            " sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT"
+            " AS n_dup_spans"
+            " FROM d JOIN c USING (span) GROUP BY d.doc_id",
         "lineitem_orders_join":
             "SELECT l_orderkey, l_linenumber, l_extendedprice,"
             " o_custkey, o_totalprice FROM lineitem"

@@ -144,3 +144,74 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return out.filter(pc.greater_equal(jac, threshold))
 
     return summed.map_batches(fin, batch_format="pyarrow")
+
+
+def dup_spans(ds, n: int = 8, id_col: str = "doc_id",
+              text_col: str = "text", num_buckets: int | None = None):
+    """Substring-level duplication report: for every document, how many
+    of its distinct ``n``-token spans also occur in ANOTHER document —
+    the span-granular signal behind "dedup the repeated 50-token
+    passages" training-data hygiene (boilerplate, licence blocks,
+    templated text), which document-level dedup cannot see.
+
+    Output rows: ``(doc_id, n_spans, n_dup_spans)`` — one per document
+    with ≥ ``n`` tokens.
+
+    Plan (two shuffles, both on 8-byte payloads):
+
+    1. each batch emits distinct ``(span_hash u64, doc_id)`` pairs via
+       :func:`doc_shingles` (rolling FNV over token hashes, masked at
+       doc boundaries) — span TEXT never leaves the task;
+    2. hash-bucket groupby on ``span_hash % B``: a span is duplicated
+       iff ≥ 2 distinct docs carry it; every row comes back out with a
+       ``dup`` flag (vectorized polars window);
+    3. ``grouped_agg(doc_id)`` counts spans and dup spans per doc —
+       combiner-first, so the second shuffle moves one partial row per
+       (batch, doc).
+
+    Skew: a boilerplate span shared by millions of docs concentrates in
+    one bucket row-group but the per-bucket work is a single vectorized
+    ``n_unique`` window — no pair blowup (contrast ``ngram_jaccard``,
+    which enumerates pairs and needs ``max_df``).
+    """
+    from ..stages.base import _auto_buckets, bucketed_map_groups, hash_column
+
+    nb = _auto_buckets(num_buckets)
+    assert nb & (nb - 1) == 0, "num_buckets must be a power of two"
+
+    def emit(t: pa.Table) -> pa.Table:
+        doc_idx, sh, _sizes = doc_shingles(t[text_col], n)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out = pa.table({
+            "h": pa.array(sh, pa.uint64()),
+            id_col: ids.take(pa.array(doc_idx)),
+        })
+        b = pc.cast(pc.bit_wise_and(hash_column(out, keys=("h",)),
+                                    pa.scalar(nb - 1, pa.uint64())),
+                    pa.int32())
+        return out.append_column("__b", b)
+
+    def flag_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "dup": pa.array([], pa.int64()),
+            })
+        df = (pl.from_arrow(t.select(["h", id_col]))
+              .with_columns(
+                  (pl.col(id_col).n_unique().over("h") >= 2)
+                  .cast(pl.Int64).alias("dup"))
+              .select([id_col, "dup"]))
+        return df.to_arrow().cast(pa.schema([
+            (id_col, t.schema.field(id_col).type), ("dup", pa.int64())]))
+
+    src = ds.select_columns([id_col, text_col])
+    flags = bucketed_map_groups(
+        src.map_batches(emit, batch_format="pyarrow"), "__b", flag_bucket)
+    return grouped_agg(flags, [id_col],
+                       [("dup", "count", "n_spans"),
+                        ("dup", "sum", "n_dup_spans")])

@@ -455,3 +455,41 @@ def test_quantized_topk_recall():
     quant = topk_sets(dequantized_topk(ds, qids, Q, k=10))
     recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
     assert min(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpans:
+    def test_planted_shared_span_counts(self):
+        from tera_ray.dedup.ngram import dup_spans
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                f"{shared} unique one tail",    # shared span + own spans
+                f"lead in text {shared}",       # same span, different doc
+                "completely different words with no overlap at all here",
+                "too short",                    # < 8 tokens -> no row
+            ], pa.string()),
+        }))
+        rows = {r["doc_id"]: r for b in dup_spans(docs, n=8).iter_batches(
+            batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
+        assert set(rows) == {1, 2, 3}           # doc 4 emits no spans
+        # doc1: 11 tokens -> 4 spans; exactly one (the shared span) dups
+        assert rows[1]["n_spans"] == 4 and rows[1]["n_dup_spans"] == 1
+        # doc2: 11 tokens -> 4 spans, one shared
+        assert rows[2]["n_spans"] == 4 and rows[2]["n_dup_spans"] == 1
+        assert rows[3]["n_dup_spans"] == 0 and rows[3]["n_spans"] == 2
+
+    def test_identical_docs_all_spans_dup(self):
+        from tera_ray.dedup.ngram import dup_spans
+
+        text = "one two three four five six seven eight nine ten"
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([10, 20], pa.int64()),
+            "text": pa.array([text, text], pa.string()),
+        }))
+        rows = [r for b in dup_spans(docs, n=8).iter_batches(
+            batch_format="pyarrow", batch_size=None) for r in b.to_pylist()]
+        assert all(r["n_spans"] == 3 and r["n_dup_spans"] == 3 for r in rows)
+        assert len(rows) == 2
