@@ -2885,6 +2885,52 @@ def _q_media_audio(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _media_fixture() -> str:
+    """Mixed-kind media fixture parquet (deterministic, incl. corrupted
+    rows) — written once so ``media_validate``'s SQL oracle reads the
+    identical bytes the Ray query streams."""
+    import pyarrow.parquet as _pq
+
+    path = "/tmp/tera_ray_fixtures/media_mixed_117.parquet"
+    if not os.path.exists(path):
+        from tera_ray.multimodal.media import synthetic_media_mixed
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        _pq.write_table(synthetic_media_mixed(117), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+FX_MEDIA = _media_fixture()
+
+
+def _q_media_validate(sf_dir: str):
+    """Metadata dead-letter gate (`tera_ray.multimodal.media.validate_media`):
+    vectorized validity checks over a heterogeneous media table — first
+    failing reason per row, payload bytes untouched.  Fully oracled
+    (the one SQL-expressible slice of the media family)."""
+    import ray.data
+
+    from tera_ray.multimodal.media import validate_media
+
+    return validate_media(ray.data.read_parquet(FX_MEDIA))
+
+
+def _q_media_dispatch(sf_dir: str):
+    """Per-format dispatch (rows-only): validate → map-side gate →
+    ONE actor-pool pass routing image/audio/video slices to their
+    decode stages under a common fixed-width output schema."""
+    import ray.data
+
+    from tera_ray.multimodal.media import dispatch_media, filter_valid_media
+
+    out = dispatch_media(filter_valid_media(ray.data.read_parquet(FX_MEDIA)))
+    return out.map_batches(
+        lambda t: t.select(["media_id", "kind", "n_units"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
@@ -3031,6 +3077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
+        "media_validate": _q_media_validate,
+        "media_dispatch": _q_media_dispatch,
         "results_normalized": _q_results_normalized,
         "events_sessionized": _q_events_sessionized,
         "kg_trait_lookup": _q_kg_trait_lookup,
@@ -4587,6 +4635,22 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
                 f"list_contains(string_split_regex(lower(text),"
                 f" '[^a-z0-9]+'), '{n}')" for n in _BOOL_NEEDLES),
         "docs_bm25_topk": _bm25_sql(),
+        "media_validate":
+            "WITH r AS (SELECT media_id,"
+            " CASE WHEN coalesce(octet_length(payload), 0) = 0"
+            " THEN 'empty_payload'"
+            " WHEN kind NOT IN ('image', 'audio', 'video')"
+            " THEN 'unknown_kind'"
+            " WHEN regexp_replace(coalesce(mime, ''), '/.*$', '') <> kind"
+            " THEN 'mime_mismatch'"
+            " WHEN kind IN ('image', 'video')"
+            " AND (coalesce(width, 0) <= 0 OR coalesce(height, 0) <= 0)"
+            " THEN 'bad_dims'"
+            " WHEN kind IN ('audio', 'video')"
+            " AND coalesce(duration_ms, 0) <= 0 THEN 'bad_duration'"
+            " END AS reason"
+            f" FROM read_parquet('{FX_MEDIA}'))"
+            " SELECT media_id, reason IS NULL AS ok, reason FROM r",
         "docs_dup_spans":
             "WITH toks AS (SELECT doc_id,"
             " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"

@@ -77,3 +77,60 @@ class TestAudioFeatures:
         rows2 = {r["media_id"]: r["rms_mean"]
                  for r in extract_audio_features(ds).take_all()}
         assert all(rows2[m] == rows[m]["rms_mean"] for m in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValidateDispatch:
+    def _mixed(self, n=117):
+        from tera_ray.multimodal.media import synthetic_media_mixed
+
+        return synthetic_media_mixed(n)
+
+    def test_validate_catches_each_corruption(self):
+        from tera_ray.multimodal.media import validate_media
+
+        out = validate_media(ray.data.from_arrow(self._mixed())).take_all()
+        by_id = {r["media_id"]: r for r in out}
+        assert len(by_id) == 117
+        assert by_id[13]["reason"] == "empty_payload" and not by_id[13]["ok"]
+        assert by_id[17]["reason"] == "mime_mismatch"
+        assert by_id[38]["reason"] == "bad_dims"        # 38 % 19 == 0, video
+        assert by_id[23]["reason"] == "bad_duration"    # audio at 23
+        assert by_id[1]["ok"] and by_id[1]["reason"] is None
+        # priority: a row failing multiple checks reports the FIRST one
+        assert all((r["reason"] is None) == r["ok"] for r in out)
+
+    def test_filter_then_dispatch_common_schema(self):
+        from tera_ray.multimodal.media import (
+            MediaDispatchStage,
+            dispatch_media,
+            filter_valid_media,
+        )
+
+        valid = filter_valid_media(ray.data.from_arrow(self._mixed()))
+        out = dispatch_media(valid, num_frames=2).take_all()
+        kinds = {r["kind"] for r in out}
+        assert kinds == {"image", "audio", "video"}
+        for r in out:
+            assert len(r["feat"]) == MediaDispatchStage.FEAT_DIM
+            if r["kind"] == "image":
+                assert r["n_units"] == 1
+            elif r["kind"] == "video":
+                assert r["n_units"] == 2
+            else:
+                assert r["n_units"] >= 1
+        # every valid row dispatched exactly once
+        n_valid = sum(1 for b in valid.iter_batches(
+            batch_format="pyarrow", batch_size=None) for _ in range(b.num_rows))
+        assert len(out) == n_valid == 95
+
+    def test_dispatch_deterministic(self):
+        from tera_ray.multimodal.media import dispatch_media, filter_valid_media
+
+        def run():
+            v = filter_valid_media(ray.data.from_arrow(self._mixed(40)))
+            rows = dispatch_media(v).take_all()
+            return {r["media_id"]: (r["n_units"], tuple(r["feat"]))
+                    for r in rows}
+
+        assert run() == run()
