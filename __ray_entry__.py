@@ -2114,6 +2114,22 @@ def _q_kg_canonical_structural(sf_dir: str):
     return _structural_subset(build_kg_canonical(_fx(sf_dir)))
 
 
+def _q_kg_bgp_match(sf_dir: str):
+    """SPARQL-style BGP over the REAL flagship store
+    (`tera_ray.query.kg.bgp_match`): ``(?c hasTurn ?t)(?t precededBy
+    ?p)`` — two constant-pred scans folded through one co-group
+    shuffle on the shared variable; oracled by a SQL self-join of the
+    structural subset."""
+    from tera_ray.pipelines.transcripts import build_kg
+    from tera_ray.query.kg import bgp_match
+
+    ns = "https://cfpub.epa.gov/ecotox/"
+    return bgp_match(build_kg(_fx(sf_dir)), [
+        ("?c", ns + "hasTurn", "?t"),
+        ("?t", ns + "precededBy", "?p"),
+    ])
+
+
 def _q_kg_build_checkpointed(sf_dir: str):
     """Flagship build through the resumable stage boundaries (north rule
     "checkpoint-resumable stage boundaries" made driver-visible): a cold
@@ -3047,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build": _q_kg_build,
         "kg_build_structural": _q_kg_build_structural,
         "kg_canonical_structural": _q_kg_canonical_structural,
+        "kg_bgp_match": _q_kg_bgp_match,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_incremental": _q_kg_incremental,
@@ -4706,6 +4723,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" FROM read_parquet('{fx}/transcripts.parquet') GROUP BY conv_id",
         "kg_build_structural": _structural_sql(fx),
         "kg_canonical_structural": _structural_sql(fx),
+        "kg_bgp_match":
+            "WITH tr AS (" + _structural_sql(fx) + ")"
+            " SELECT a.subj AS c, a.obj AS t, b.obj AS p"
+            " FROM tr a JOIN tr b ON a.obj = b.subj"
+            " AND a.pred = 'https://cfpub.epa.gov/ecotox/hasTurn'"
+            " AND b.pred = 'https://cfpub.epa.gov/ecotox/precededBy'",
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_divisions": _divisions_sql(fx),

@@ -500,3 +500,102 @@ def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
     for l in layers[1:]:
         out = out.union(l)
     return out
+
+
+def bgp_match(triples, patterns, num_buckets: int = 64):
+    """SPARQL-style basic-graph-pattern match over the triple Dataset —
+    the generic form of the reference's SPARQL access layer
+    (``tera/DataAccess.py`` builds every query as a BGP + filters):
+    each pattern is ``(s, p, o)`` where a ``"?name"`` term is a
+    variable and anything else is a constant; the result has one
+    column per distinct variable.
+
+    Plan: every pattern becomes ONE constant-filter ``map_batches``
+    projection of the store (a column-pruned scan — no index, T4), and
+    patterns fold left-to-right through :func:`~tera_ray.query.
+    relational.hash_join` co-group shuffles on the SHARED variable(s).
+    Multi-variable joins key on a ``\\x1f``-joined composite (the same
+    convention as the engine's multi-key shuffles).  Order patterns
+    most-selective-first: the accumulated binding relation is the left
+    side of every join, so its size bounds each shuffle.
+
+    Semantics: bag (multiset) results like SPARQL BGPs; a variable
+    repeated WITHIN one pattern (e.g. ``(?x, p, ?x)``) becomes an
+    equality filter; cartesian products (no shared variable) are
+    rejected — add a bridging pattern instead.
+    """
+    from ..query.relational import hash_join
+
+    def _is_var(term) -> bool:
+        return isinstance(term, str) and term.startswith("?")
+
+    def _vars(p) -> list[str]:
+        seen = []
+        for term in p:
+            if _is_var(term) and term[1:] not in seen:
+                seen.append(term[1:])
+        return seen
+
+    assert patterns, "empty BGP"
+
+    def bindings(p):
+        s, pr, o = p
+        pos = (("subj", s), ("pred", pr), ("obj", o))
+
+        def f(t: pa.Table) -> pa.Table:
+            mask = None
+            var_cols: dict[str, list[str]] = {}
+            for col, val in pos:
+                if _is_var(val):
+                    var_cols.setdefault(val[1:], []).append(col)
+                else:
+                    e = pc.equal(t[col], pa.scalar(val, pa.string()))
+                    mask = e if mask is None else pc.and_(mask, e)
+            assert var_cols, "pattern with no variables"
+            for cols in var_cols.values():     # repeated var → equality
+                for extra in cols[1:]:
+                    e = pc.equal(t[cols[0]], t[extra])
+                    mask = e if mask is None else pc.and_(mask, e)
+            t2 = t.filter(mask) if mask is not None else t
+            return pa.table({name: t2[cols[0]]
+                             for name, cols in var_cols.items()})
+
+        return triples.map_batches(f, batch_format="pyarrow")
+
+    def _with_key(ds, vars_):
+        from ..stages.base import cat
+
+        def add(t: pa.Table) -> pa.Table:
+            parts: list = []
+            for i, v in enumerate(vars_):
+                if i:
+                    parts.append("\x1f")
+                parts.append(t[v].combine_chunks() if isinstance(
+                    t[v], pa.ChunkedArray) else t[v])
+            return t.append_column("__k", cat(*parts))
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    acc = bindings(patterns[0])
+    acc_vars = _vars(patterns[0])
+    for p in patterns[1:]:
+        bv = _vars(p)
+        shared = [v for v in acc_vars if v in bv]
+        assert shared, ("cartesian BGP product (no shared variable) "
+                        f"not supported: {p}")
+        b = bindings(p)
+        if len(shared) == 1:
+            acc = hash_join(acc, b, on=shared[0],
+                            num_buckets=num_buckets)
+        else:
+            acc = hash_join(_with_key(acc, shared), _with_key(b, shared),
+                            on="__k", num_buckets=num_buckets)
+
+            def clean(t: pa.Table) -> pa.Table:
+                drop = [c for c in t.schema.names
+                        if c == "__k" or c.endswith("_r")]
+                return t.drop_columns(drop)
+
+            acc = acc.map_batches(clean, batch_format="pyarrow")
+        acc_vars += [v for v in bv if v not in acc_vars]
+    return acc

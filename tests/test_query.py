@@ -627,3 +627,63 @@ class TestGroupedCorr:
         assert out["b"]["covar"] == pytest.approx(0.0)
         # group c: single row -> both null (sample statistics)
         assert out["c"]["corr"] is None and out["c"]["covar"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBGPMatch:
+    def _store(self):
+        rows = [
+            ("c1", "hasTurn", "t1"), ("c1", "hasTurn", "t2"),
+            ("c2", "hasTurn", "t3"),
+            ("t2", "precededBy", "t1"),
+            ("t1", "type", "Turn"), ("t2", "type", "Turn"),
+            ("t3", "type", "Turn"),
+            ("t1", "mentions", "x"), ("t2", "mentions", "x"),
+            ("t3", "mentions", "y"),
+            ("x", "sameAs", "x"),           # reflexive row
+        ]
+        return ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+        }))
+
+    def _rows(self, ds):
+        return sorted(tuple(sorted(r.items())) for b in ds.iter_batches(
+            batch_format="pyarrow", batch_size=None) for r in b.to_pylist())
+
+    def test_chain_join(self):
+        from tera_ray.query.kg import bgp_match
+
+        out = self._rows(bgp_match(self._store(), [
+            ("?c", "hasTurn", "?t"), ("?t", "precededBy", "?p")]))
+        assert out == [tuple(sorted({"c": "c1", "t": "t2", "p": "t1"}.items()))]
+
+    def test_multi_shared_variable_join(self):
+        from tera_ray.query.kg import bgp_match
+
+        # both ?a and ?b shared between the two patterns: composite key
+        out = self._rows(bgp_match(self._store(), [
+            ("?a", "hasTurn", "?b"), ("?a", "hasTurn", "?b")]))
+        assert len(out) == 3        # self-join on both vars is identity
+
+    def test_repeated_var_in_one_pattern(self):
+        from tera_ray.query.kg import bgp_match
+
+        out = self._rows(bgp_match(self._store(), [("?x", "sameAs", "?x")]))
+        assert out == [(("x", "x"),)]
+
+    def test_constant_object_filters(self):
+        from tera_ray.query.kg import bgp_match
+
+        out = self._rows(bgp_match(self._store(), [
+            ("?t", "mentions", "x"), ("?c", "hasTurn", "?t")]))
+        got = {dict(r)["t"] for r in out}
+        assert got == {"t1", "t2"}
+
+    def test_cartesian_rejected(self):
+        from tera_ray.query.kg import bgp_match
+
+        with pytest.raises(AssertionError):
+            bgp_match(self._store(), [("?a", "hasTurn", "?b"),
+                                      ("?c", "mentions", "?d")])
