@@ -2116,18 +2116,18 @@ def _q_kg_canonical_structural(sf_dir: str):
 
 def _q_kg_bgp_match(sf_dir: str):
     """SPARQL-style BGP over the REAL flagship store
-    (`tera_ray.query.kg.bgp_match`): ``(?c hasTurn ?t)(?t precededBy
-    ?p)`` — two constant-pred scans folded through one co-group
-    shuffle on the shared variable; oracled by a SQL self-join of the
-    structural subset."""
+    (`tera_ray.query.kg.bgp_match`): required ``(?c hasTurn ?t)`` with
+    OPTIONAL ``(?t precededBy ?p)`` (the reference's OPTIONAL-block
+    shape, ``DataAccess.py:977-994``) — constant-pred scans folded
+    through co-group shuffles on the shared variable; oracled by a SQL
+    left self-join of the structural subset."""
     from tera_ray.pipelines.transcripts import build_kg
     from tera_ray.query.kg import bgp_match
 
     ns = "https://cfpub.epa.gov/ecotox/"
-    return bgp_match(build_kg(_fx(sf_dir)), [
-        ("?c", ns + "hasTurn", "?t"),
-        ("?t", ns + "precededBy", "?p"),
-    ])
+    return bgp_match(build_kg(_fx(sf_dir)),
+                     [("?c", ns + "hasTurn", "?t")],
+                     optional=[("?t", ns + "precededBy", "?p")])
 
 
 def _q_kg_build_checkpointed(sf_dir: str):
@@ -4726,9 +4726,11 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_bgp_match":
             "WITH tr AS (" + _structural_sql(fx) + ")"
             " SELECT a.subj AS c, a.obj AS t, b.obj AS p"
-            " FROM tr a JOIN tr b ON a.obj = b.subj"
-            " AND a.pred = 'https://cfpub.epa.gov/ecotox/hasTurn'"
-            " AND b.pred = 'https://cfpub.epa.gov/ecotox/precededBy'",
+            " FROM (SELECT * FROM tr WHERE pred ="
+            " 'https://cfpub.epa.gov/ecotox/hasTurn') a"
+            " LEFT JOIN (SELECT * FROM tr WHERE pred ="
+            " 'https://cfpub.epa.gov/ecotox/precededBy') b"
+            " ON a.obj = b.subj",
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_divisions": _divisions_sql(fx),

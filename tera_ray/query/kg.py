@@ -502,7 +502,7 @@ def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
     return out
 
 
-def bgp_match(triples, patterns, num_buckets: int = 64):
+def bgp_match(triples, patterns, optional=(), num_buckets: int = 64):
     """SPARQL-style basic-graph-pattern match over the triple Dataset —
     the generic form of the reference's SPARQL access layer
     (``tera/DataAccess.py`` builds every query as a BGP + filters):
@@ -523,6 +523,13 @@ def bgp_match(triples, patterns, num_buckets: int = 64):
     repeated WITHIN one pattern (e.g. ``(?x, p, ?x)``) becomes an
     equality filter; cartesian products (no shared variable) are
     rejected — add a bridging pattern instead.
+
+    ``optional`` patterns LEFT-join after the required ones (SPARQL
+    OPTIONAL — e.g. the reference's studyDuration block,
+    ``DataAccess.py:977-994``): unmatched rows keep their required
+    bindings with nulls in the optional variables.  Each optional
+    pattern must share a variable with the required bindings, and
+    optional patterns bind independently of one another.
     """
     from ..query.relational import hash_join
 
@@ -576,20 +583,18 @@ def bgp_match(triples, patterns, num_buckets: int = 64):
 
         return ds.map_batches(add, batch_format="pyarrow")
 
-    acc = bindings(patterns[0])
-    acc_vars = _vars(patterns[0])
-    for p in patterns[1:]:
+    def fold(acc, acc_vars, p, how):
         bv = _vars(p)
         shared = [v for v in acc_vars if v in bv]
         assert shared, ("cartesian BGP product (no shared variable) "
                         f"not supported: {p}")
         b = bindings(p)
         if len(shared) == 1:
-            acc = hash_join(acc, b, on=shared[0],
+            acc = hash_join(acc, b, on=shared[0], how=how,
                             num_buckets=num_buckets)
         else:
             acc = hash_join(_with_key(acc, shared), _with_key(b, shared),
-                            on="__k", num_buckets=num_buckets)
+                            on="__k", how=how, num_buckets=num_buckets)
 
             def clean(t: pa.Table) -> pa.Table:
                 drop = [c for c in t.schema.names
@@ -597,5 +602,12 @@ def bgp_match(triples, patterns, num_buckets: int = 64):
                 return t.drop_columns(drop)
 
             acc = acc.map_batches(clean, batch_format="pyarrow")
-        acc_vars += [v for v in bv if v not in acc_vars]
+        return acc, acc_vars + [v for v in bv if v not in acc_vars]
+
+    acc = bindings(patterns[0])
+    acc_vars = _vars(patterns[0])
+    for p in patterns[1:]:
+        acc, acc_vars = fold(acc, acc_vars, p, "inner")
+    for p in optional:
+        acc, acc_vars = fold(acc, acc_vars, p, "left")
     return acc

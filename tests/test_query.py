@@ -649,8 +649,9 @@ class TestBGPMatch:
         }))
 
     def _rows(self, ds):
-        return sorted(tuple(sorted(r.items())) for b in ds.iter_batches(
-            batch_format="pyarrow", batch_size=None) for r in b.to_pylist())
+        return sorted((tuple(sorted(r.items())) for b in ds.iter_batches(
+            batch_format="pyarrow", batch_size=None)
+            for r in b.to_pylist()), key=repr)
 
     def test_chain_join(self):
         from tera_ray.query.kg import bgp_match
@@ -687,3 +688,26 @@ class TestBGPMatch:
         with pytest.raises(AssertionError):
             bgp_match(self._store(), [("?a", "hasTurn", "?b"),
                                       ("?c", "mentions", "?d")])
+
+    def test_optional_left_join(self):
+        from tera_ray.query.kg import bgp_match
+
+        # every turn, optionally its predecessor: t1/t3 have none → null p
+        out = self._rows(bgp_match(self._store(),
+                                   [("?t", "type", "Turn")],
+                                   optional=[("?t", "precededBy", "?p")]))
+        got = {dict(r)["t"]: dict(r)["p"] for r in out}
+        assert got == {"t1": None, "t2": "t1", "t3": None}
+
+    def test_optional_multi_shared(self):
+        from tera_ray.query.kg import bgp_match
+
+        out = self._rows(bgp_match(
+            self._store(),
+            [("?c", "hasTurn", "?t")],
+            optional=[("?c", "hasTurn", "?t"), ("?t", "precededBy", "?p")]))
+        # first optional shares BOTH vars (composite key, identity);
+        # second adds p where present
+        got = {(dict(r)["c"], dict(r)["t"]): dict(r)["p"] for r in out}
+        assert got == {("c1", "t1"): None, ("c1", "t2"): "t1",
+                       ("c2", "t3"): None}
