@@ -407,7 +407,7 @@ def lexicon_triples(data_dir: str) -> pa.Table:
 def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
              concurrency=None, batch_size: int = 4096,
              override_num_blocks: int | None = None,
-             dedup_mode: str = "global"):
+             dedup_mode: str = "hash"):
     """End-to-end KG construction over a fixture directory: transcripts →
     linked mention triples, unioned with the (driver-side) lexicon-table
     triples and static axioms, exact-deduped (SURVEY A1).  Returns a
@@ -415,8 +415,19 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
 
     ``dedup_mode``:
 
-    - ``"global"`` (default) — one hash shuffle over the full store, the
-      rdflib-faithful exact dedup for ARBITRARY inputs.
+    - ``"hash"`` (default) — exact dedup for ARBITRARY inputs where only
+      8-byte row hashes cross the exchange
+      (:func:`~tera_ray.stages.base.dedup_triples_hash`): combiner per
+      batch, duplicate discovery on the hash projection, and a
+      verification shuffle carrying ONLY colliding rows.  At the
+      flagship's duplicate profile (dups are turn-scoped, so the
+      combiner removes them all) the verification set is empty and the
+      payload never shuffles — measured 142s → ~37s on the 20.5M-triple
+      build at 32 CPUs.  Set-equal to ``"global"`` (asserted in tests).
+    - ``"global"`` — the classic full-payload hash-shuffle sort dedup,
+      kept as the A/B reference and the fallback for heavily-duplicated
+      stores (``dedup_triples_hash`` itself falls back above its
+      dup-set threshold).
     - ``"scoped"`` — dedup pushdown that ELIDES the shuffle entirely:
       every turn-graph triple embeds its turn id in ``subj`` (or the
       turn-derived blank-node id), so with unique ``(conv_id,
@@ -446,7 +457,7 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
 
 def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
                   dedup: bool = True, concurrency=None,
-                  batch_size: int = 4096, dedup_mode: str = "global"):
+                  batch_size: int = 4096, dedup_mode: str = "hash"):
     """:func:`build_kg` over an ALREADY-OPEN transcript Dataset — the
     entry point for filtered/partial builds and the incremental path
     (:func:`update_kg`); ``data_dir`` still supplies the lexicon
@@ -465,7 +476,8 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
         return local.union(ray.data.from_arrow(dedup_table(lex_tbl)))
     out = triples.union(ray.data.from_arrow(lex_tbl))
     if dedup:
-        out = dedup_triples(out)
+        out = dedup_triples(
+            out, mode="hash" if dedup_mode == "hash" else "sort")
     return out
 
 
@@ -592,7 +604,9 @@ def canonicalize_kg(kg, sameas, threshold_score: float = 0.9,
     comp = connected_components(threshold(sameas, threshold_score))
     mapping = canonical_mapping(comp)
     rewritten = rewrite_triples(kg, mapping, broadcast=broadcast)
-    return dedup_triples(rewritten)
+    # rewrite CREATES cross-batch duplicates (aliases collapsing onto one
+    # canonical id) — mode="hash" still shuffles only the colliding rows
+    return dedup_triples(rewritten, mode="hash")
 
 
 def build_kg_canonical(data_dir: str, fuzzy: bool = True,

@@ -218,7 +218,9 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
     fp_kg = fp_link + "|" + fp_lex
 
     def make_kg():
-        return dedup_triples(link_ds.union(lex_ds))
+        # same dedup mode as build_kg's default (content equality with
+        # the direct build is asserted in tests/test_checkpoint.py)
+        return dedup_triples(link_ds.union(lex_ds), mode="hash")
 
     kg_ds, kg_skipped = run_stage(make_kg, ckpt_root, "kg", fp_kg,
                                   partition_key="subj",

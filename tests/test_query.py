@@ -711,3 +711,82 @@ class TestBGPMatch:
         got = {(dict(r)["c"], dict(r)["t"]): dict(r)["p"] for r in out}
         assert got == {("c1", "t1"): None, ("c1", "t2"): "t1",
                        ("c2", "t3"): None}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashDedup:
+    """mode="hash" exact dedup: only row hashes cross the exchange."""
+
+    def _dupes(self):
+        # two identical blocks → every triple duplicated ACROSS batches
+        # (exercises the verification shuffle, not just the combiner)
+        t = pa.table({
+            "subj": pa.array([f"s{i}" for i in range(500)], pa.string()),
+            "pred": pa.array(["p"] * 500, pa.string()),
+            "obj": pa.array([f"o{i % 50}" for i in range(500)], pa.string()),
+            "obj_is_literal": pa.array([False] * 500, pa.bool_()),
+            "graph": pa.array(["g"] * 500, pa.string()),
+        })
+        return ray.data.from_arrow(t).union(ray.data.from_arrow(t))
+
+    def _spo(self, ds):
+        from collections import Counter
+
+        c = Counter()
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            c.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                         b["obj"].to_pylist()))
+        return c
+
+    def test_cross_batch_duplicates_verified(self):
+        from tera_ray.stages.base import dedup_triples
+
+        out = self._spo(dedup_triples(self._dupes(), mode="hash"))
+        assert len(out) == 500
+        assert all(c == 1 for c in out.values())
+
+    def test_matches_sort_mode(self):
+        from tera_ray.stages.base import dedup_triples
+
+        ds = self._dupes()
+        a = self._spo(dedup_triples(ds, mode="sort"))
+        b = self._spo(dedup_triples(ds, mode="hash"))
+        assert set(a) == set(b) and all(c == 1 for c in b.values())
+
+    def test_no_duplicates_fast_path(self):
+        from tera_ray.stages.base import dedup_triples
+
+        t = pa.table({
+            "subj": pa.array([f"s{i}" for i in range(100)], pa.string()),
+            "pred": pa.array(["p"] * 100, pa.string()),
+            "obj": pa.array(["o"] * 100, pa.string()),
+            "obj_is_literal": pa.array([False] * 100, pa.bool_()),
+            "graph": pa.array(["g"] * 100, pa.string()),
+        })
+        out = self._spo(dedup_triples(ray.data.from_arrow(t), mode="hash"))
+        assert len(out) == 100 and all(c == 1 for c in out.values())
+
+    def test_fallback_above_dup_threshold(self):
+        from tera_ray.stages.base import dedup_triples_hash
+
+        out = self._spo(dedup_triples_hash(self._dupes(), max_dup_hashes=10))
+        assert len(out) == 500 and all(c == 1 for c in out.values())
+
+    def test_schema_preserved_with_lineage_cols(self):
+        from tera_ray.stages.base import dedup_triples
+
+        t = pa.table({
+            "subj": pa.array(["a", "a", "b"], pa.string()),
+            "pred": pa.array(["p", "p", "p"], pa.string()),
+            "obj": pa.array(["o", "o", "o"], pa.string()),
+            "obj_is_literal": pa.array([False] * 3, pa.bool_()),
+            "graph": pa.array(["g"] * 3, pa.string()),
+            "conv_id": pa.array(["c", "c", None], pa.string()),
+            "turn_idx": pa.array([1, 1, None], pa.int32()),
+        })
+        got = pa.concat_tables(list(dedup_triples(
+            ray.data.from_arrow(t), mode="hash").iter_batches(
+            batch_format="pyarrow", batch_size=None)),
+            promote_options="none")
+        assert set(got.schema.names) == set(t.schema.names)
+        assert got.num_rows == 2
