@@ -1016,7 +1016,7 @@ def heavy_hitters(ds, col: str, threshold: float, num_buckets: int = 64,
 
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", num_buckets: int = 64,
-              rsuffix: str = "_r"):
+              rsuffix: str = "_r", hot_keys=None, salt: int = 8):
     """General large×large equi-join: ONE hash-bucket co-group shuffle.
 
     Both sides are tagged and unioned (padded to the superset schema
@@ -1025,6 +1025,20 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     ∈ {"inner", "left", "right", "full"}; null keys never match (SQL
     semantics), and the join-key column keeps the LEFT name.  Right
     columns colliding with a left name get ``rsuffix``.
+
+    **Skew (salted) mode** — ``hot_keys`` is a driver-small list of key
+    values whose row count would overwhelm a single bucket (find them
+    with :func:`detect_hot_keys`).  A hot LEFT row scatters to one of
+    ``salt`` consecutive buckets ``(hash(k)+j) % num_buckets`` (j from
+    a per-batch row counter — output is invariant to the choice); each
+    hot RIGHT row is replicated to ALL ``salt`` of those buckets, so
+    every (left, right) pair of a hot key co-locates in EXACTLY one
+    bucket.  This caps per-bucket left volume at ~|hot|/salt at the
+    price of salt× replication of the hot right rows — the standard
+    salted-join trade, correct for ``inner``/``left`` (an unmatched
+    right REPLICA just matches nothing and is dropped).  ``right``/
+    ``full`` would emit unmatched hot right rows once per replica, so
+    salting those raises instead of silently double-counting.
 
     This is the symmetric-shuffle path for two genuinely large sides —
     use :func:`broadcast_join` when one side is driver-small, and
@@ -1038,6 +1052,13 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     how_map = {"inner": "inner", "left": "left outer",
                "right": "right outer", "full": "full outer"}
     assert how in how_map, f"unsupported how={how!r}"
+    hot = list(hot_keys) if hot_keys else []
+    if hot:
+        assert how in ("inner", "left"), (
+            "salted skew mode replicates hot right rows; an unmatched "
+            "hot right row would surface once per replica under "
+            f"how={how!r} — only inner/left are exact")
+        salt = max(1, min(int(salt), num_buckets))
 
     def _pa_schema(ds):
         s = ds.schema()
@@ -1057,6 +1078,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     for c in rvals:
         types[rename[c]] = rsch.field(c).type
 
+    hot_arr = pa.array(hot, type=key_type) if hot else None
+
     def tag(src, key_name, own_cols, ren):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -1067,7 +1090,32 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                 cols[ren.get(c, c)] = t[c]
             tt = pa.table({c: cols[c] for c in out_cols})
             tt = tt.append_column("__src", pa.array(np.full(n, src, np.int8)))
-            return tt.append_column("__b", _bucket_of(tt[on], num_buckets))
+            b = _bucket_of(tt[on], num_buckets)
+            if hot_arr is None or salt <= 1 or n == 0:
+                return tt.append_column("__b", b)
+            bh = b.to_numpy(zero_copy_only=False).astype(np.int64)
+            is_hot = pc.is_in(tt[on], value_set=hot_arr)\
+                .to_numpy(zero_copy_only=False).astype(bool)
+            if src == 0:
+                # scatter hot left rows round-robin over salt buckets
+                j = np.zeros(n, np.int64)
+                j[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % salt
+                bh = (bh + j) % num_buckets
+                return tt.append_column(
+                    "__b", pa.array(bh.astype(np.int32), pa.int32()))
+            # right side: cold rows once, hot rows replicated salt×
+            mask = pa.array(is_hot)
+            cold = tt.filter(pc.invert(mask)).append_column(
+                "__b", pa.array(bh[~is_hot].astype(np.int32), pa.int32()))
+            hot_t = tt.filter(mask)
+            hb = bh[is_hot]
+            parts = [cold]
+            for jj in range(salt):
+                parts.append(hot_t.append_column(
+                    "__b",
+                    pa.array(((hb + jj) % num_buckets).astype(np.int32),
+                             pa.int32())))
+            return pa.concat_tables(parts)
         return f
 
     unioned = left.map_batches(tag(0, on, lvals, {}),
@@ -1090,6 +1138,34 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     from ..stages.base import bucketed_map_groups
 
     return bucketed_map_groups(unioned, "__b", merge)
+
+
+def detect_hot_keys(ds, key: str, min_count: int) -> list:
+    """Driver-small list of ``key`` values with ≥ ``min_count`` rows —
+    the hot side of a skewed join, fed to :func:`hash_join`'s
+    ``hot_keys``.
+
+    Combiner-first: each batch emits one (key, partial count) row, the
+    grouped-sum shuffle then moves only partials — a hot key costs one
+    row per batch, never its row volume.  Only keys passing the
+    threshold reach the driver, so the result is bounded by
+    |input| / min_count regardless of skew.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by([key], use_threads=False)\
+            .aggregate([([], "count_all")])
+        return pa.table({key: g[key],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    sums = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       [key], [("cnt", "sum", "cnt")])
+    out = []
+    for b in sums.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b.filter(pc.greater_equal(b["cnt"], pa.scalar(min_count,
+                                                          pa.int64())))
+        out.extend(t[key].to_pylist())
+    return sorted(out)
 
 
 def grouped_quantiles(ds, key: str, col: str, qs: list[float],

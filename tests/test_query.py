@@ -480,6 +480,51 @@ class TestHashJoin:
         assert len(out) == 9
         assert (4, None, "z") in out
 
+    def test_salted_skew_matches_plain(self, ray_session):
+        """Salted mode is an execution strategy, not a semantics change:
+        inner and left results are multiset-equal to the plain shuffle
+        on a genuinely skewed input (one key = 86% of left rows)."""
+        import numpy as np
+        import polars as pl
+        import ray.data
+
+        from tera_ray.query.relational import detect_hot_keys
+
+        rng = np.random.default_rng(7)
+        keys = np.concatenate([np.full(5000, 5),
+                               rng.integers(0, 50, 800)])
+        left_t = pa.table({"k": pa.array(keys, pa.int64()),
+                           "lv": pa.array(np.arange(len(keys)), pa.int64())})
+        rk = np.concatenate([np.full(3, 5), np.arange(0, 40)])
+        right_t = pa.table({"rk": pa.array(rk, pa.int64()),
+                            "rv": pa.array(np.arange(len(rk)) * 10,
+                                           pa.int64())})
+
+        hot = detect_hot_keys(
+            ray.data.from_arrow(left_t).repartition(6), "k", min_count=1000)
+        assert hot == [5]
+
+        for how in ("inner", "left"):
+            salted = self._rows(hash_join(
+                ray.data.from_arrow(left_t).repartition(6),
+                ray.data.from_arrow(right_t).repartition(3),
+                on="k", right_on="rk", how=how, num_buckets=16,
+                hot_keys=hot, salt=8))
+            ref = pl.from_arrow(left_t).join(
+                pl.from_arrow(right_t), left_on="k", right_on="rk",
+                how=how, coalesce=True)
+            refrows = sorted(
+                (tuple(r) for r in ref.select(["k", "lv", "rv"]).rows()),
+                key=lambda x: tuple(str(v) for v in x))
+            assert salted == refrows
+
+    def test_salted_rejects_right_and_full(self, ray_session):
+        left, right = self._sides()
+        for how in ("right", "full"):
+            with pytest.raises(AssertionError):
+                hash_join(left, right, on="k", right_on="rk", how=how,
+                          hot_keys=[2])
+
     def test_collision_gets_suffix(self, ray_session):
         import ray.data
 
