@@ -1127,6 +1127,34 @@ def _q_events_attribution(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_events_salted_join(sf_dir: str):
+    """Skew-safe large×large join: a per-user rollup joined back onto
+    the full event stream through ``hash_join``'s SALTED mode — every
+    user above the hot threshold scatters over ``salt`` buckets on the
+    (big) left and replicates on the (tiny) right, capping per-bucket
+    volume under key skew (`tera_ray.query.relational.hash_join`
+    ``hot_keys`` + `detect_hot_keys`).  Salting is an execution
+    strategy, not a semantics change, so the DuckDB oracle is the plain
+    unsalted SQL join."""
+    from tera_ray.query.relational import (detect_hot_keys, grouped_agg,
+                                           hash_join)
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    per_user = grouped_agg(ev, ["user_id"],
+                           [("event_id", "count", "user_events"),
+                            ("event_id", "min", "first_event")])
+    # threshold low enough that most keys route through the salted path
+    # at sf0.01 (~67 events/user); an empty hot list degrades to the
+    # plain shuffle, so correctness never depends on the skew estimate
+    hot = detect_hot_keys(ev, "user_id", min_count=40)
+    joined = hash_join(ev, per_user, on="user_id",
+                       hot_keys=hot, salt=4, num_buckets=32)
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "user_id", "user_events",
+                            "first_event"]),
+        batch_format="pyarrow")
+
+
 def _q_events_sliding(sf_dir: str):
     """Overlapping 2h windows hopping every 30min, per event_type
     (`tera_ray.query.temporal.sliding_window_agg`: hop-level combiner,
@@ -2984,6 +3012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_asof_view": _q_events_asof_view,
         "events_attribution": _q_events_attribution,
+        "events_salted_join": _q_events_salted_join,
         "events_sliding": _q_events_sliding,
         "lineitem_quantiles": _q_lineitem_quantiles,
         "lineitem_window": _q_lineitem_window,
@@ -4502,6 +4531,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " FROM events p JOIN events c ON c.user_id = p.user_id"
             " WHERE p.event_type='purchase' AND c.event_type='click'"
             " AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts",
+        "events_salted_join":
+            "SELECT e.event_id, e.user_id, u.user_events, u.first_event"
+            " FROM events e JOIN"
+            " (SELECT user_id, COUNT(*) AS user_events,"
+            "  MIN(event_id) AS first_event FROM events GROUP BY user_id) u"
+            " USING (user_id)",
         "events_sliding":
             "SELECT event_type,"
             " (epoch_us(ts) - epoch_us(ts) % 1800000000)"
