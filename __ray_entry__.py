@@ -715,6 +715,20 @@ def _q_emb_cosine_dups(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540; `tera_ray.dedup.embed.semdedup`):
+    k-means partitions the embedding space (broadcast centroids, zero
+    shuffle), then ONE groupby(cluster) shuffle prunes within-cluster
+    rows whose cosine to an earlier same-cluster row is ≥ 0.4 —
+    deterministic min-id keeper, float64 Gram kernel matching DuckDB's
+    `list_cosine_similarity` (nearest sim sits 1.3e-4 from the
+    threshold at sf0.01, far above float64 noise)."""
+    from tera_ray.dedup.embed import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=_KMEANS_K, threshold=0.4)
+
+
 # rows-only (non-SQL-expressible) over sf tables ---------------------------
 
 def _q_docs_quality(sf_dir: str):
@@ -3026,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "emb_kmeans_iter": _q_emb_kmeans_iter,
+        "emb_semdedup": _q_emb_semdedup,
         "docs_postings": _q_docs_postings,
         "docs_keyword_tags": _q_docs_keyword_tags,
         "lineitem_zscore": _q_lineitem_zscore,
@@ -4190,6 +4205,24 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings q CROSS JOIN embeddings e"
             " WHERE q.vec_id IN (0, 1, 2))"
             " WHERE rank <= 10",
+        "emb_semdedup":
+            f"WITH cents AS (SELECT vec_id AS cid, embedding AS cvec"
+            f" FROM embeddings WHERE vec_id < {_KMEANS_K}),"
+            " d AS (SELECT e.vec_id, c.cid,"
+            " list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS dist"
+            " FROM embeddings e CROSS JOIN cents c),"
+            " m AS (SELECT vec_id, cid, dist,"
+            " min(dist) OVER (PARTITION BY vec_id) AS md FROM d),"
+            " a AS (SELECT vec_id, min(cid) AS cluster FROM m"
+            " WHERE dist = md GROUP BY vec_id),"
+            " v AS (SELECT a.vec_id, a.cluster, e.embedding"
+            " FROM a JOIN embeddings e USING (vec_id)),"
+            " drp AS (SELECT DISTINCT x.vec_id FROM v x JOIN v y"
+            " ON x.cluster = y.cluster AND y.vec_id < x.vec_id"
+            " WHERE list_cosine_similarity(x.embedding::DOUBLE[],"
+            " y.embedding::DOUBLE[]) >= 0.4)"
+            " SELECT vec_id, cluster FROM v"
+            " WHERE vec_id NOT IN (SELECT vec_id FROM drp)",
         "emb_cosine_dups":
             "SELECT x.vec_id AS a, y.vec_id AS b"
             " FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id"

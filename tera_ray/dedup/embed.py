@@ -108,3 +108,66 @@ def cosine_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         cand.map_batches(lambda t: t.append_column("__o", t["a"]),
                          batch_format="pyarrow"),
         keys=["a", "b"], order_by="__o").drop_columns(["__o"])
+
+
+def semdedup(ds, cids=None, C=None, k: int = 8, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             block: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then prune WITHIN-cluster semantic duplicates —
+    rows whose cosine similarity to an earlier row of the same cluster
+    is ≥ ``threshold``.  Returns the kept rows as ``(id, cluster)``.
+
+    Drop rule (deterministic, SQL-expressible): row *i* is dropped iff
+    SOME row *j* with ``j.id < i.id`` in the SAME cluster has
+    ``cosine(i, j) ≥ threshold``.  The paper keeps a random /
+    farthest-from-centroid representative per duplicate neighborhood;
+    min-id is this engine's standard deterministic keeper (cf.
+    ``dedup/exact.py``) with the same reduction rate.
+
+    Scale shape: the centroid matrix is tiny and broadcast once
+    (``kmeans_assign`` — zero shuffle); the ONLY shuffle is one
+    groupby(cluster) moving ``(id, vector)`` rows once; per-cluster
+    similarity is a block-chunked float64 Gram product, so memory stays
+    ``O(block × m_c)`` while compute is the unavoidable ``O(m_c²·d)``
+    bounded by the cluster size — pick ``k`` so clusters stay ≲10⁵ rows
+    at 100 TB (SemDeDup's own regime).  Pass precomputed ``(cids, C)``
+    (e.g. from ``kmeans_lloyd``) to skip the deterministic head-row
+    seeding used for oracle parity.
+    """
+    from ..ann.kmeans import kmeans_assign, seed_centroids
+    from ..stages.base import bucketed_map_groups
+
+    if C is None:
+        cids, C = seed_centroids(ds, k, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(ds, cids, C, id_col=id_col, vec_col=vec_col,
+                             keep_vec=True)
+
+    def prune(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = _vecs(t, vec_col, dtype=np.float64)[order]
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        # block-chunked lower-triangular scan: sims of rows [s, s+block)
+        # against ALL earlier rows (dropped or not — the rule is
+        # "exists earlier neighbor", not "exists kept neighbor")
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            if s == 0 and e == 1:
+                continue
+            sims = v[s:e] @ v[:e].T                    # (e-s, e)
+            lower = np.tril(np.ones((e - s, e), dtype=bool), k=s - 1)
+            dropped[s:e] |= ((sims >= threshold) & lower).any(axis=1)
+        keep = ~dropped
+        cl = t["cluster"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "cluster": pa.array(cl[keep], pa.int64())})
+
+    return bucketed_map_groups(assigned, "cluster", prune)

@@ -115,6 +115,41 @@ class TestDedup:
         assert [(r["a"], r["b"]) for r in out] == [(3, 7)]
         assert out[0]["cosine"] > 0.99
 
+    def test_semdedup(self, ray_session):
+        """SemDeDup semantics: near-dups in the SAME cluster drop to the
+        min-id keeper; an equally-similar pair split ACROSS clusters
+        (L2 clusters on position, cosine on direction) is never
+        compared; the block-chunked Gram path matches the one-shot."""
+        from tera_ray.dedup.embed import semdedup
+
+        rng = np.random.RandomState(1)
+        V = np.zeros((7, 4), np.float64)
+        V[0] = (10, 0, 0, 0)            # centroid seed, cluster 0
+        V[1] = (-10, 0, 0, 0)           # centroid seed, cluster 1
+        V[2] = (2, 1.5, 0, 0)           # dup-group keeper (min id)
+        V[3] = V[2] + 1e-4 * rng.standard_normal(4)
+        V[4] = V[2] + 1e-4 * rng.standard_normal(4)
+        V[5] = (1, 5, 0, 0)             # → cluster 0
+        V[6] = (-1, 5, 0, 0)            # → cluster 1; cos(5,6)=0.923
+        emb = pa.table({
+            "vec_id": pa.array(range(7), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float64()), 4)})
+        ds = ray.data.from_arrow(emb)
+        kept = {r["vec_id"]: r["cluster"]
+                for r in semdedup(ds, k=2, threshold=0.9).take_all()}
+        # same-cluster near-identical trio collapses to its min id
+        assert 2 in kept and 3 not in kept and 4 not in kept
+        # 5 and 6 have cosine 0.923 ≥ 0.9 but live in DIFFERENT
+        # clusters → both survive (cluster isolation)
+        assert 5 in kept and 6 in kept and kept[5] != kept[6]
+        assert set(kept) == {0, 1, 2, 5, 6}
+        # chunked Gram scan is exact: block=2 equals one-shot block
+        kept_b2 = {r["vec_id"]
+                   for r in semdedup(ds, k=2, threshold=0.9,
+                                     block=2).take_all()}
+        assert kept_b2 == set(kept)
+
 
 class TestANN:
     @pytest.fixture()
