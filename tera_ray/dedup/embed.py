@@ -155,16 +155,23 @@ def semdedup(ds, cids=None, C=None, k: int = 8, threshold: float = 0.95,
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         m = len(ids)
         dropped = np.zeros(m, dtype=bool)
-        # block-chunked lower-triangular scan: sims of rows [s, s+block)
-        # against ALL earlier rows (dropped or not — the rule is
-        # "exists earlier neighbor", not "exists kept neighbor")
+        # block²-chunked lower-triangular scan: rows [s, e) against
+        # ALL earlier rows (dropped or not — the rule is "exists
+        # earlier neighbor", not "exists kept neighbor"); both Gram
+        # dimensions are chunked so peak temp memory is O(block²)
+        # regardless of cluster size
         for s in range(0, m, block):
             e = min(s + block, m)
-            if s == 0 and e == 1:
-                continue
-            sims = v[s:e] @ v[:e].T                    # (e-s, e)
-            lower = np.tril(np.ones((e - s, e), dtype=bool), k=s - 1)
-            dropped[s:e] |= ((sims >= threshold) & lower).any(axis=1)
+            acc = dropped[s:e]
+            for cs in range(0, e, block):
+                ce = min(cs + block, e)
+                sims = v[s:e] @ v[cs:ce].T             # (e-s, ce-cs)
+                hit = sims >= threshold
+                if ce > s:          # overlap: mask cols j ≥ row i
+                    hit &= np.tril(np.ones((e - s, ce - cs), dtype=bool),
+                                   k=s - cs - 1)
+                acc |= hit.any(axis=1)
+            dropped[s:e] = acc
         keep = ~dropped
         cl = t["cluster"].to_numpy(zero_copy_only=False)[order]
         return pa.table({id_col: pa.array(ids[keep], pa.int64()),
