@@ -2560,6 +2560,32 @@ def _q_src_nt_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_src_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink→reader inversion (`tera_ray.sources.jsonl`): the
+    documents table → sharded ``.jsonl`` under /tmp → dead-letter
+    reader → original columns.  Oracle = the documents table itself, so
+    the JSON escape/parse pair must invert exactly (unicode, newlines,
+    quotes) and the reader's fast vectorized path must type every
+    row; any dead-letter row would break the row-count match."""
+    import shutil
+
+    from tera_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    out_dir = os.path.join("/tmp", "tera_ray_jsonl",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source", "n_chars"])
+    write_jsonl(docs, out_dir)
+    back = read_jsonl(out_dir, {"doc_id": pa.int64(), "text": pa.string(),
+                                "lang": pa.string(), "source": pa.string(),
+                                "n_chars": pa.int64()})
+    return back.map_batches(
+        lambda t: t.drop_columns(["__error", "__line"]),
+        batch_format="pyarrow")
+
+
 def _q_kg_endpoint_mapping(sf_dir: str):
     """EndpointMapping parity (DataIntegration.py:122-141): owl:sameAs
     triples in a graph → (src, dst, score) mapping Dataset.  The graph
@@ -3121,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chemicals_list": _q_kg_chemicals_list,
         "src_pipe_roundtrip": _q_src_pipe_roundtrip,
         "src_nt_roundtrip": _q_src_nt_roundtrip,
+        "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
         "kg_endpoint_mapping": _q_kg_endpoint_mapping,
         "kg_hier_consensus": _q_kg_hier_consensus,
         # NCBI taxonomy emitters + KG query layer + id pivot
@@ -4346,6 +4373,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_hier_consensus": _hier_consensus_sql(fx),
         "src_pipe_roundtrip": _pipe_roundtrip_sql(fx),
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
+        "src_jsonl_roundtrip":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "kg_endpoint_mapping":
             f"SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"
             f" 1.0 AS score FROM read_parquet('{fx}/sameas_pairs.parquet')",

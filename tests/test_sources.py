@@ -252,3 +252,59 @@ class TestEndpointMapping:
         out = endpoint_mapping(ray.data.from_arrow(t)).take_all()
         assert sorted((r["src"], r["dst"], r["score"]) for r in out) == [
             ("a", OWL_SAMEAS and "x", 1.0), ("b", "y", 1.0)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonl:
+    COLS = None  # set in _cols to avoid import at collection time
+
+    def _cols(self):
+        import pyarrow as pa
+
+        return {"doc_id": pa.int64(), "text": pa.string()}
+
+    def test_fast_path_and_dead_letter(self, tmp_path):
+        from tera_ray.sources.jsonl import read_jsonl
+
+        a = tmp_path / "a.jsonl"
+        a.write_text('{"doc_id": 1, "text": "hello", "extra": 9}\n'
+                     '{"doc_id": 2, "text": "world"}\n'
+                     '{"text": "no id"}\n')
+        b = tmp_path / "b.jsonl"
+        b.write_text('{"doc_id": 4, "text": "ok"}\n'
+                     '{"doc_id": oops not json\n'
+                     '{"doc_id": "stringy", "text": "bad type"}\n'
+                     '[1,2,3]\n')
+        ds = read_jsonl(str(tmp_path), self._cols())
+        rows = ds.take_all()
+        good = {r["doc_id"]: r["text"] for r in rows if r["__error"] is None}
+        # extra key dropped, missing key → null, clean rows all parsed
+        assert good == {1: "hello", 2: "world", 4: "ok", None: "no id"}
+        bad = sorted(r["__line"] for r in rows if r["__error"] is not None)
+        # three distinct failure modes each dead-lettered, never fatal:
+        # malformed JSON, declared-type mismatch, non-object top level
+        assert bad == ["[1,2,3]",
+                       '{"doc_id": "stringy", "text": "bad type"}',
+                       '{"doc_id": oops not json']
+
+    def test_drop_mode_and_roundtrip(self, tmp_path):
+        import pyarrow.compute as pc
+
+        from tera_ray.sources.jsonl import read_jsonl, write_jsonl
+
+        src = tmp_path / "src.jsonl"
+        src.write_text('{"doc_id": 7, "text": "x"}\nnot json at all\n'
+                       '{"doc_id": 8, "text": "y"}\n')
+        dropped = read_jsonl(str(src), self._cols(), dead_letter=False)
+        assert sorted(r["doc_id"] for r in dropped.take_all()) == [7, 8]
+
+        out = tmp_path / "out"
+        ds = read_jsonl(str(src), self._cols())
+        clean = ds.map_batches(
+            lambda t: t.filter(pc.is_null(t["__error"]))
+            .drop_columns(["__error", "__line"]),
+            batch_format="pyarrow")
+        write_jsonl(clean, str(out))
+        back = read_jsonl(str(out), self._cols()).take_all()
+        assert all(r["__error"] is None for r in back)
+        assert sorted(r["doc_id"] for r in back) == [7, 8]
