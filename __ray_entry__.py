@@ -1712,6 +1712,33 @@ def _q_lineitem_corr(sf_dir: str):
                         "l_extendedprice")
 
 
+def _q_events_fill_forward(sf_dir: str):
+    """LOCF gap fill (`tera_ray.query.window.window_funcs`
+    ``fill_forward``): per-user "last purchase amount as of each
+    event" — purchase rows keep their value, every other row is null,
+    then the null gaps carry the last observation forward within the
+    user's timeline.  Exact copies of earlier float values, never
+    arithmetic, so the hash compare is bit-stable."""
+    from tera_ray.query.window import window_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type", "value"])
+
+    def gap(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], "purchase"),
+                       t["value"], pa.scalar(None, pa.float64()))
+        return (t.drop_columns(["value"])
+                .append_column("pval", v.cast(pa.float64())))
+
+    out = window_funcs(
+        ds.map_batches(gap, batch_format="pyarrow"),
+        ["user_id"], [("ts", "ascending"), ("event_id", "ascending")],
+        specs=[("fill_forward", "pval", "last_purchase")])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "last_purchase"]),
+        batch_format="pyarrow")
+
+
 def _q_events_rolling(sf_dir: str):
     """Rolling/ranking analytics in one bucketed window pass
     (`tera_ray.query.window.window_funcs`): per-user rolling mean/sum
@@ -3092,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate": _q_docs_dup_rate,
         "conv_role_stats": _q_conv_role_stats,
         "docs_chunk_windows": _q_docs_chunk_windows,
+        "events_fill_forward": _q_events_fill_forward,
         "events_rolling": _q_events_rolling,
         "events_time_weighted": _q_events_time_weighted,
         "source_top_tokens": _q_source_top_tokens,
@@ -4507,6 +4535,13 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " round(covar_samp(l_quantity, l_extendedprice), 6) AS covar,"
             " round(corr(l_quantity, l_extendedprice), 6) AS corr"
             " FROM lineitem GROUP BY l_returnflag",
+        "events_fill_forward":
+            "SELECT event_id, user_id,"
+            " last_value(CASE WHEN event_type='purchase' THEN value END"
+            " IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS last_purchase FROM events",
         "events_rolling":
             "SELECT event_id, user_id,"
             " round(avg(value) OVER w4, 6) AS roll_avg,"

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 _KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
           "percent_rank", "ntile", "rolling_sum", "rolling_mean",
-          "rolling_std")
+          "rolling_std", "fill_forward")
 
 
 def _run_starts(t: pa.Table, cols: list[str]) -> np.ndarray:
@@ -71,6 +71,10 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
       start; nulls ignored, null when the window holds no non-null
       value (std: fewer than two — SQL STDDEV_SAMP); w bounded
       (vectorized as w shifted adds)
+    - ``("fill_forward", col, out)`` — last-observation-carried-forward
+      (LOCF) gap fill: SQL ``last_value(col IGNORE NULLS) OVER (…ROWS
+      UNBOUNDED PRECEDING AND CURRENT ROW)``; null until the
+      partition's first non-null
 
     Output: the input columns plus the ``out`` columns.  Row order is
     per-bucket sorted (order across buckets unspecified — the driver
@@ -95,7 +99,7 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
         if kind in ("percent_rank", "rolling_sum", "rolling_mean",
                     "rolling_std"):
             return pa.float64()
-        if kind in ("lag", "lead"):
+        if kind in ("lag", "lead", "fill_forward"):
             return t.schema.field(col).type
         return pa.float64()
 
@@ -154,6 +158,19 @@ def window_funcs(ds, keys: list[str], order: list[tuple[str, str]],
                 shifted = pc.if_else(pa.array(ok), pc.take(vals, idx),
                                      pa.scalar(None, vals.type))
                 out = out.append_column(name, shifted)
+            elif kind == "fill_forward":
+                vals = t[col].combine_chunks()
+                nonnull = ~pc.is_null(vals).to_numpy(zero_copy_only=False)
+                # index of the last non-null at-or-before each row; a
+                # pointer landing before the partition start means the
+                # partition has seen no value yet → stays null
+                last_nn = np.maximum.accumulate(
+                    np.where(nonnull, idx_arange, -1))
+                ok = last_nn >= start_idx
+                src = pa.array(np.where(ok, last_nn, 0), pa.int64())
+                filled = pc.if_else(pa.array(ok), pc.take(vals, src),
+                                    pa.scalar(None, vals.type))
+                out = out.append_column(name, filled)
             elif kind == "percent_rank":
                 tie_idx = np.maximum.accumulate(
                     np.where(tstart, idx_arange, 0))

@@ -181,3 +181,31 @@ def test_rolling_std_sample_semantics():
     assert by[("a", 3)] == pytest.approx(2 ** 0.5)  # null ignored
     assert by[("a", 4)] == pytest.approx(2.828427, abs=1e-6)  # std(4,8)
     assert by[("b", 1)] is None                   # partition reset
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fill_forward_locf():
+    """fill_forward: last_value IGNORE NULLS — null head stays null,
+    gaps carry the LAST observation, partitions isolate, and the
+    output preserves the input column type (string here)."""
+    import ray.data
+
+    from tera_ray.query.window import window_funcs
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "o": pa.array([1, 2, 3, 4, 5, 1, 2], pa.int64()),
+        "v": pa.array([None, "x", None, "y", None, None, "z"],
+                      pa.string()),
+    }))
+    out = window_funcs(ds, ["k"], [("o", "ascending")],
+                       [("fill_forward", "v", "f")])
+    by = {(r["k"], r["o"]): r["f"] for b in out.iter_batches(
+        batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
+    assert by[("a", 1)] is None            # nothing observed yet
+    assert by[("a", 2)] == "x"
+    assert by[("a", 3)] == "x"             # gap carries forward
+    assert by[("a", 4)] == "y"             # new observation replaces
+    assert by[("a", 5)] == "y"
+    assert by[("b", 1)] is None            # partition isolation:
+    assert by[("b", 2)] == "z"             # 'y' never leaks into b
