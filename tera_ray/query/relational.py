@@ -1016,7 +1016,8 @@ def heavy_hitters(ds, col: str, threshold: float, num_buckets: int = 64,
 
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", num_buckets: int = 64,
-              rsuffix: str = "_r", hot_keys=None, salt: int = 8):
+              rsuffix: str = "_r", hot_keys=None, salt: int = 8,
+              hot_min_count: int = 1_000_000):
     """General large×large equi-join: ONE hash-bucket co-group shuffle.
 
     Both sides are tagged and unioned (padded to the superset schema
@@ -1028,7 +1029,10 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     **Skew (salted) mode** — ``hot_keys`` is a driver-small list of key
     values whose row count would overwhelm a single bucket (find them
-    with :func:`detect_hot_keys`).  A hot LEFT row scatters to one of
+    with :func:`detect_hot_keys`, or pass ``hot_keys="auto"`` to run
+    that census over the left side at ``hot_min_count`` — one extra
+    combiner-first counting pass, worth it exactly when the key is
+    power-law).  A hot LEFT row scatters to one of
     ``salt`` consecutive buckets ``(hash(k)+j) % num_buckets`` (j from
     a per-batch row counter — output is invariant to the choice); each
     hot RIGHT row is replicated to ALL ``salt`` of those buckets, so
@@ -1052,6 +1056,11 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     how_map = {"inner": "inner", "left": "left outer",
                "right": "right outer", "full": "full outer"}
     assert how in how_map, f"unsupported how={how!r}"
+    if isinstance(hot_keys, str):
+        assert hot_keys == "auto", f"unknown hot_keys={hot_keys!r}"
+        # one extra combiner-count pass over the LEFT lineage; the
+        # returned list is ≤ |left| / hot_min_count keys by construction
+        hot_keys = detect_hot_keys(left, on, min_count=hot_min_count)
     hot = list(hot_keys) if hot_keys else []
     if hot:
         assert how in ("inner", "left"), (

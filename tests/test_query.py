@@ -480,6 +480,25 @@ class TestHashJoin:
         assert len(out) == 9
         assert (4, None, "z") in out
 
+    def test_auto_hot_keys(self, ray_session):
+        """hot_keys='auto' runs the census itself and matches the
+        plain join; a threshold higher than any key count degrades to
+        the unsalted path."""
+        import ray.data
+
+        left_t = pa.table({"k": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+                           "lv": pa.array(range(6), pa.int64())})
+        right_t = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                            "rv": pa.array([10, 20, 40], pa.int64())})
+        expect = sorted([(1, lv, 10) for lv in range(4)] + [(2, 4, 20)])
+        for thresh in (2, 100):
+            out = hash_join(ray.data.from_arrow(left_t),
+                            ray.data.from_arrow(right_t), on="k",
+                            hot_keys="auto", hot_min_count=thresh,
+                            salt=3, num_buckets=8).take_all()
+            got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+            assert got == expect
+
     def test_salted_skew_matches_plain(self, ray_session):
         """Salted mode is an execution strategy, not a semantics change:
         inner and left results are multiset-equal to the plain shuffle
