@@ -1162,6 +1162,9 @@ def detect_hot_keys(ds, key: str, min_count: int) -> list:
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        # null keys never equi-join-match, so salting them buys
+        # nothing — and a null in the hot list breaks sorted() below
+        t = t.filter(pc.is_valid(t[key]))
         g = t.select([key]).group_by([key], use_threads=False)\
             .aggregate([([], "count_all")])
         return pa.table({key: g[key],

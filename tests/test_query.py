@@ -480,6 +480,18 @@ class TestHashJoin:
         assert len(out) == 9
         assert (4, None, "z") in out
 
+    def test_detect_hot_keys_skips_nulls(self, ray_session):
+        """A hot NULL key never reaches the hot list (nulls can't
+        equi-join-match, and None would break the sorted() contract)."""
+        import ray.data
+
+        from tera_ray.query.relational import detect_hot_keys
+
+        t = pa.table({"k": pa.array([None, None, None, 7, 7, 8],
+                                    pa.int64())})
+        assert detect_hot_keys(ray.data.from_arrow(t), "k",
+                               min_count=2) == [7]
+
     def test_auto_hot_keys(self, ray_session):
         """hot_keys='auto' runs the census itself and matches the
         plain join; a threshold higher than any key count degrades to
