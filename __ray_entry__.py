@@ -845,6 +845,20 @@ def _q_docs_source_cap(sf_dir: str):
     return stratified_cap(ds, "source", 10)
 
 
+def _q_docs_mix(sf_dir: str):
+    """Domain-mixing sampler (`tera_ray.text.curation.proportional_mix`):
+    draw ~40 documents at a 50/30/20 src0/src1/src2 mix (quotas 20/12/8)
+    by smallest salted-FNV priority per stratum — DoReMi-style static
+    mixing weights applied at corpus build.  Local per-block rank-filter
+    bounds the single hash(stratum) shuffle at Σ quota per block."""
+    from tera_ray.text.curation import proportional_mix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return proportional_mix(ds, "source",
+                            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                            total=40, salt="mix:")
+
+
 def _q_lineitem_hist_quantiles(sf_dir: str):
     """Mergeable fixed-width-histogram quantile sketch over
     l_extendedprice: per-batch bincount combiner, ≤ num_bins counter
@@ -3112,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_sample": _q_docs_sample,
         "docs_source_cap": _q_docs_source_cap,
+        "docs_mix": _q_docs_mix,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
         "docs_incremental_dedup": _q_docs_incremental,
         "docs_leakage_split": _q_docs_leakage_split,
@@ -4040,6 +4055,7 @@ def oracle_sql() -> dict[str, str]:
     split_h = _fnv_sql("'split:'||doc_id::VARCHAR")
     sample_h = _fnv_sql("'sample:'||doc_id::VARCHAR")
     cap_h = _fnv_sql("'cap:'||doc_id::VARCHAR")
+    mix_h = _fnv_sql("'mix:'||doc_id::VARCHAR")
     shuf_h = _fnv_sql("'shuffle:'||doc_id::VARCHAR")
     return {
         "docs_dedup_exact":
@@ -4898,6 +4914,15 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" r AS (SELECT doc_id, source, row_number() OVER"
             f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
             f" SELECT doc_id, source FROM r WHERE rn <= 10",
+        "docs_mix":
+            f"WITH h AS (SELECT doc_id, source,"
+            f" ({mix_h} // 2) AS pri FROM documents"
+            f" WHERE source IN ('src0','src1','src2')),"
+            f" r AS (SELECT doc_id, source, row_number() OVER"
+            f" (PARTITION BY source ORDER BY pri, doc_id) AS rn FROM h)"
+            f" SELECT doc_id, source FROM r WHERE rn <="
+            f" CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 12"
+            f" ELSE 8 END",
         "events_retention":
             "WITH cohort AS (SELECT user_id,"
             " CAST(date_trunc('day', min(ts)) AS TIMESTAMP)"

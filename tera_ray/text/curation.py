@@ -166,6 +166,79 @@ def stratified_cap(ds, strata_col: str, k: int, id_col: str = "doc_id",
                               batch_format="pyarrow")
 
 
+def proportional_mix(ds, strata_col: str, fractions: dict,
+                     total: int, id_col: str = "doc_id",
+                     salt: str = "mix:", num_buckets: int = 64):
+    """Domain-mixing sampler: draw a corpus of ~``total`` rows whose
+    stratum composition matches ``fractions`` (``{stratum: fraction}``;
+    e.g. DoReMi-style static mixing weights applied at corpus build
+    time).  Per-stratum quota = ``floor(total × fraction)``; strata
+    absent from ``fractions`` are dropped; a stratum smaller than its
+    quota contributes everything it has (the mix is then best-effort,
+    as in any finite corpus).
+
+    The kept rows per stratum are the quota-many with the smallest
+    ``fnv1a(salt + id)`` (ties by id) — the same deterministic
+    uniform-without-replacement draw as :func:`stratified_cap`, so the
+    selection is stable across runs/partitioning and incremental under
+    appends.
+
+    Shape: a per-batch LOCAL rank-filter first (a row outside its
+    block's per-stratum top-quota cannot be in the global top-quota),
+    so the single hash(stratum) shuffle moves ≤ blocks × Σ quota rows,
+    never the corpus; the per-bucket pass applies the identical
+    rank-filter exactly.  SQL-reproducible (``row_number() OVER
+    (PARTITION BY stratum ORDER BY fnv, id) <= quota``).
+    """
+    import polars as pl
+
+    from ..stages.base import bucketed_map_groups
+
+    quotas = {s: int(total * f) for s, f in fractions.items()}
+    quotas = {s: q for s, q in quotas.items() if q > 0}
+
+    def rank_filter(t: pa.Table, exact: bool) -> pa.Table:
+        # __pri is appended BEFORE any early return so empty and
+        # non-empty blocks always union to the same schema
+        if "__pri" not in t.schema.names:
+            pri = (_salted_fnv(t[id_col], salt) >> np.uint64(1))\
+                .astype(np.int64)
+            t = t.append_column("__pri", pa.array(pri, pa.int64()))
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            if not exact:
+                return tbl
+            return tbl.drop_columns(
+                [c for c in ("__pri", "__b") if c in tbl.schema.names])
+
+        if t.num_rows == 0:
+            return finish(t)
+        df = pl.from_arrow(t)
+        df = df.filter(pl.col(strata_col).is_in(list(quotas)))
+        if df.height == 0:
+            return finish(t.slice(0, 0))
+        df = df.sort(["__pri", id_col])
+        q = pl.col(strata_col).replace_strict(
+            quotas, default=0, return_dtype=pl.Int64)
+        df = df.filter(
+            pl.int_range(pl.len()).over(strata_col) < q)
+        # cast normalizes polars' large_string back to the input schema
+        return finish(pa.table(df.to_arrow()).cast(t.schema))
+
+    def local(t: pa.Table) -> pa.Table:
+        t = rank_filter(t, exact=False)
+        from ..stages.base import hash_column
+
+        h = hash_column(t, keys=(strata_col,)).to_numpy(
+            zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
+
+    return bucketed_map_groups(
+        ds.map_batches(local, batch_format="pyarrow"), "__b",
+        lambda t: rank_filter(t, exact=True))
+
+
 def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 16,
                    salt: str = "shuffle:"):
     """Deterministic global shuffle + shard assignment — the terminal

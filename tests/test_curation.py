@@ -177,3 +177,49 @@ class TestShuffleShards:
         assert set(by_shard) == {0, 1, 2, 3}
         for ps in by_shard.values():
             assert sorted(ps) == list(range(len(ps)))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProportionalMix:
+    def test_quotas_and_determinism(self):
+        import ray
+        import ray.data
+
+        from tera_ray.text.curation import proportional_mix
+
+        n = 300
+        t = pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "source": pa.array(
+                ["a"] * 150 + ["b"] * 100 + ["c"] * 5 + ["d"] * 45,
+                pa.string()),
+        })
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = proportional_mix(
+                ds, "source", {"a": 0.5, "b": 0.3, "c": 0.2},
+                total=40).take_all()
+            return sorted((r["doc_id"], r["source"]) for r in out)
+
+        one, many = run(1), run(13)
+        assert one == many          # partition-invariant selection
+        by = {}
+        for _, s in one:
+            by[s] = by.get(s, 0) + 1
+        # quotas floor(40×f) = 20/12/8; 'c' has only 5 rows → all 5;
+        # 'd' is unlisted → dropped entirely
+        assert by == {"a": 20, "b": 12, "c": 5}
+
+    def test_zero_quota_stratum_dropped(self):
+        import ray
+        import ray.data
+
+        from tera_ray.text.curation import proportional_mix
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "source": pa.array(["a", "a", "b"], pa.string())})
+        out = proportional_mix(ray.data.from_arrow(t), "source",
+                               {"a": 0.9, "b": 0.01}, total=2).take_all()
+        # floor(2×0.01)=0 → 'b' contributes nothing, never errors
+        assert sorted(r["source"] for r in out) == ["a"]
