@@ -315,3 +315,37 @@ def test_sigkill_mid_write_then_resume(tmp_path):
     n = sum(b.num_rows for b in out.iter_batches(
         batch_format="pyarrow", batch_size=None))
     assert n == 4000
+
+
+def test_kg_build_job_entrypoint(tmp_path):
+    """`jobs/kg_build_job.py` is the `ray job submit` driver: a cold
+    run builds all three stages with lineage manifests and exits 0
+    with a JSON summary; an identical re-submit skips every stage
+    (kill-and-resume contract at the JOB level, not just the API)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tera_ray.sources.synthetic import fixture_dir
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "jobs", "kg_build_job.py")
+    data = fixture_dir("t1")
+    ckpt = str(tmp_path / "job_ckpt")
+
+    def submit(extra=()):
+        out = subprocess.run(
+            [sys.executable, script, "--data-dir", data,
+             "--ckpt-dir", ckpt, "--num-partitions", "4", *extra],
+            capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    cold = submit(extra=("--validate",))
+    assert cold["triples"] > 0
+    assert all(not s["skipped"] and s["valid"] and s["rows"] > 0
+               for s in cold["stages"].values())
+    warm = submit()
+    assert warm["triples"] == cold["triples"]
+    assert all(s["skipped"] for s in warm["stages"].values())
