@@ -731,6 +731,20 @@ def _q_emb_semdedup(sf_dir: str):
 
 # rows-only (non-SQL-expressible) over sf tables ---------------------------
 
+def _q_docs_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (`tera_ray.text.bpe.bpe_train`,
+    Sennrich et al. 2016): 24 merge rounds over the aggregated
+    word-frequency table — pair counting is a combiner-first partial +
+    tiny grouped sum, the argmax forwards only batch-max ties, and the
+    merge applies as one vectorized pass.  Deterministic (ties break on
+    resolved strings), partition-invariant (pytest-asserted), but the
+    iterative argmax is not SQL-expressible → rows-only."""
+    from tera_ray.text.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_train(ds, n_merges=24)
+
+
 def _q_docs_quality(sf_dir: str):
     from tera_ray.text.analysis import langid, quality_stats
 
@@ -3088,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "emb_cosine_dups": _q_emb_cosine_dups,
         # rows-only training-data ops
+        "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_quality": _q_docs_quality,
         "docs_quality_stats": _q_docs_quality_stats,
         "events_tumbling": _q_events_tumbling,
