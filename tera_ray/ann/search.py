@@ -182,3 +182,101 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
                                           "vec_col": vec_col},
         batch_format="pyarrow", concurrency=(1, 8))
     return _merge_topk(local, k, id_col)
+
+
+# --- kNN self-join -----------------------------------------------------------
+
+def knn_join(ds, k: int = 5, n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 10_000, dtype=np.float32,
+             rounds: int = 5, seed: int = 42):
+    """EVERY row's cosine top-k neighbors (self excluded) — the kNN
+    self-join behind retrieval augmentation, kNN-graph clustering and
+    near-dup mining.  Unlike :func:`brute_topk`/:func:`ivf_topk` the
+    query set here IS the corpus, so broadcasting a query matrix would
+    be O(N·dim) driver state; instead both roles flow through ONE
+    list-keyed shuffle:
+
+    1. centroids from a driver-side sample (:func:`train_centroids`);
+    2. one map pass tags each vector as DATA in its nearest list and
+       replicates it as QUERY into its ``nprobe`` nearest lists —
+       shuffle volume = (1 + nprobe) × N vector rows, never N²;
+    3. per list: one matmul scores that list's queries against its
+       data, self-matches masked, local top-k per query;
+    4. the standard per-query merge (same (−cosine, id) tie-break as
+       :func:`brute_topk`) — O(N · k · nprobe) small rows.
+
+    ``nprobe == n_lists`` recovers the EXACT brute-force join (every
+    query meets every list) at nprobe× replication cost — the
+    validation mode; production keeps nprobe ≪ n_lists and accepts
+    IVF recall.  ``dtype=np.float64`` bit-matches a float64 SQL
+    oracle.  Output: (query_id, ``id_col``, cosine, rank)."""
+    nprobe = min(nprobe, n_lists)
+    sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], np.float32)
+    C = train_centroids(sample, n_lists, rounds=rounds, seed=seed)
+    cref = ray.put(C.astype(dtype))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        """DATA row in its own list + QUERY replicas in nprobe lists."""
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _normalize(_vecs(t, vec_col, dtype=dtype))
+        Cd = ray.get(cref)
+        sims = v @ Cd.T                          # (rows, n_lists)
+        if len(ids) == 0:
+            return pa.table({
+                "list": pa.array([], pa.int32()),
+                "role": pa.array([], pa.int8()),
+                id_col: pa.array([], pa.int64()),
+                vec_col: pa.array([], pa.list_(pa.float64())),
+            })
+        near = np.argsort(-sims, axis=1)[:, :nprobe]  # query lists
+        own = near[:, 0]                              # data list = argmax
+        n, d = v.shape
+        lists = np.concatenate([own.astype(np.int32),
+                                near.reshape(-1).astype(np.int32)])
+        roles = np.concatenate([np.zeros(n, np.int8),
+                                np.ones(n * nprobe, np.int8)])
+        out_ids = np.concatenate([ids, np.repeat(ids, nprobe)])
+        rows = np.concatenate([np.arange(n), np.repeat(np.arange(n), nprobe)])
+        flat = v[rows].astype(np.float64).reshape(-1)
+        vecs = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(rows) + 1) * d, pa.int32()),
+            pa.array(flat, pa.float64()))
+        return pa.table({"list": pa.array(lists), "role": pa.array(roles),
+                         id_col: pa.array(out_ids), vec_col: vecs})
+
+    def per_list(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v = _vecs(t, vec_col, dtype=dtype)       # already normalized
+        dm, qm = role == 0, role == 1
+        if not dm.any() or not qm.any():
+            return empty
+        D, dids = v[dm], ids[dm]
+        Q, qids = v[qm], ids[qm]
+        sims = Q @ D.T
+        sims[qids[:, None] == dids[None, :]] = -np.inf   # mask self
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = part.reshape(-1)
+        keep = np.isfinite(sims[rows, cols])     # drop masked self rows
+        rows, cols = rows[keep], cols[keep]
+        return pa.table({
+            "query_id": pa.array(qids[rows], pa.int64()),
+            id_col: pa.array(dids[cols], pa.int64()),
+            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+        })
+
+    from ..stages.base import bucketed_map_groups
+
+    scattered = ds.select_columns([id_col, vec_col]).map_batches(
+        scatter, batch_format="pyarrow")
+    local = bucketed_map_groups(scattered, "list", per_list)
+    return _merge_topk(local, k, id_col)

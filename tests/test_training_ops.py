@@ -200,6 +200,39 @@ class TestANN:
                                            n_centroids=16, nprobe=8).take_all()}
         assert len(b & i) / len(b) >= 0.5  # partial probe keeps decent recall
 
+    def test_knn_join_full_probe_is_exact(self, ray_session, emb):
+        """nprobe == n_lists: every query meets every data list, so the
+        self-join must equal the brute-force numpy answer (self
+        excluded) for EVERY row, rank order and all."""
+        from tera_ray.ann.search import knn_join
+
+        V, t = emb
+        res = knn_join(ray.data.from_arrow(t).repartition(4), k=5,
+                       n_lists=8, nprobe=8, dtype=np.float64).take_all()
+        got = {}
+        for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        Vn = (V.astype(np.float64)
+              / np.linalg.norm(V.astype(np.float64), axis=1, keepdims=True))
+        sims = Vn @ Vn.T
+        np.fill_diagonal(sims, -np.inf)
+        for qid in range(len(V)):
+            expect = list(np.lexsort((np.arange(len(V)), -sims[qid]))[:5])
+            assert got[qid] == expect, qid
+
+    def test_knn_join_partial_probe_recall(self, ray_session, emb):
+        from tera_ray.ann.search import knn_join
+
+        V, t = emb
+        ds = ray.data.from_arrow(t)
+        exact = knn_join(ds, k=5, n_lists=8, nprobe=8).take_all()
+        approx = knn_join(ds, k=5, n_lists=8, nprobe=2).take_all()
+        ex = {(r["query_id"], r["vec_id"]) for r in exact}
+        ap = {(r["query_id"], r["vec_id"]) for r in approx}
+        assert len(ex & ap) / len(ex) >= 0.5
+        # every query still answered (its own list is always probed)
+        assert {r["query_id"] for r in approx} == set(range(len(V)))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestNgramJaccard:
