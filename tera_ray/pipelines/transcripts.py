@@ -67,7 +67,8 @@ class LinkerStage:
     """
 
     def __init__(self, lexicon, ns: str = ECOTOX_NS, graph: str = TRANSCRIPT_GRAPH,
-                 fuzzy: bool = True):
+                 fuzzy: bool = True, combine_keys: tuple | None = None,
+                 combine_hash: bool = True):
         if isinstance(lexicon, ray.ObjectRef):
             lexicon = ray.get(lexicon)
         assert isinstance(lexicon, Lexicon)
@@ -75,6 +76,15 @@ class LinkerStage:
         self.ns = ns
         self.graph = graph
         self.fuzzy = fuzzy
+        # with combine_keys set, the A1 combiner (per-batch dedup, plus
+        # the u64 row hash ``__h`` when combine_hash) runs INSIDE the
+        # actor — one operator instead of actor-pool + a competing task
+        # stage, so the pool can own nearly every CPU during the
+        # build's dominant phase (hash mode feeds
+        # dedup_triples_hash(precombined=True); scoped mode needs only
+        # the local dedup)
+        self.combine_keys = tuple(combine_keys) if combine_keys else None
+        self.combine_hash = combine_hash
 
     def _structural(self, batch: pa.Table, t_uri: pa.Array) -> list[pa.Table]:
         """Vectorized turn-structure triples (type / hasTurn /
@@ -180,8 +190,16 @@ class LinkerStage:
             },
             schema=TRIPLE_LINEAGE_SCHEMA,
         )
-        return pa.concat_tables(parts + [mention_tbl],
-                                promote_options="none")
+        out = pa.concat_tables(parts + [mention_tbl],
+                               promote_options="none")
+        if self.combine_keys:
+            from ..stages.base import dedup_table, hash_column
+
+            out = dedup_table(out, self.combine_keys)
+            if self.combine_hash:
+                out = out.append_column(
+                    "__h", hash_column(out, self.combine_keys))
+        return out
 
     def _find_concentration(self, tokens: list[str]):
         """First (number, parseable-unit) token pair — the transcript
@@ -213,15 +231,35 @@ def with_lineage(ds):
 
 
 def link_transcripts(ds, lexicon_ref, ns: str = ECOTOX_NS, fuzzy: bool = True,
-                     concurrency: int | tuple | None = None, batch_size: int = 4096):
-    """Transcript Dataset → lineage-tagged triple Dataset (no shuffle)."""
+                     concurrency: int | tuple | None = None, batch_size: int = 4096,
+                     combine_keys: tuple | None = None,
+                     combine_hash: bool = True):
+    """Transcript Dataset → lineage-tagged triple Dataset (no shuffle).
+
+    ``combine_keys`` fuses the A1 combiner (per-batch dedup + ``__h``
+    row hash) into the actor — see :class:`LinkerStage`."""
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu))  # autoscaling actor pool
+        # Floor the pool: Ray's autoscaling pool ramps up from min_size
+        # one actor at a time, which serializes the first ~half of the
+        # stage behind actor spawns (measured 18.1s → 11.6s on the
+        # 2M-turn link at 32 CPUs).  Never floor at ncpu: the actors
+        # RESERVE their CPU for the pool's lifetime and a full floor
+        # starves the upstream read tasks (a (32,32) pool on 32 CPUs
+        # deadlocks the pipeline).  Unfused, the downstream combiner
+        # tasks need real CPU share too — floor at half; fused
+        # (combine_keys), the linker IS the whole build phase — floor
+        # at all-but-one (reads are light and stay ahead through the
+        # single remaining slot; A/B at 8 CPUs: 6-actor floor left a
+        # quarter of the box idle through the dominant stage).
+        floor = max(1, ncpu - 1) if combine_keys else max(1, ncpu // 2)
+        concurrency = (floor, max(2, ncpu))
     kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         LinkerStage,
-        fn_constructor_kwargs={"lexicon": lexicon_ref, "ns": ns, "fuzzy": fuzzy},
+        fn_constructor_kwargs={"lexicon": lexicon_ref, "ns": ns, "fuzzy": fuzzy,
+                               "combine_keys": combine_keys,
+                               "combine_hash": combine_hash},
         batch_format="pyarrow",
         batch_size=batch_size,
         **kwargs,
@@ -357,42 +395,7 @@ def build_lexicon(data_dir: str, endpoints=(), effects=()):
     return ray.put(lex)
 
 
-def lexicon_triples(data_dir: str) -> pa.Table:
-    """Run the lexicon-table emitters driver-side, returning ONE Arrow
-    table (lineage columns nulled).
-
-    The emitters are pure ``pa.Table → pa.Table`` functions; lexicon
-    tables are small BY DEFINITION (they are broadcast into linker
-    actors), so emitting them through 6 separate Ray datasets costs ~10s
-    of per-dataset/union overhead to produce ~50k rows.  Driver-side
-    emission is ~ms and enters the pipeline as one ``from_arrow``
-    block.  Dump-scale inputs keep the distributed path
-    (``read_parquet(...).map_batches(emit_*)``, see ``stages/``).
-    """
-    import os
-
-    import pyarrow.parquet as pq
-
-    from ..stages import ecotox, taxonomy
-
-    parts = []
-    for name, fn in [
-        ("species", ecotox.emit_taxa),
-        ("species", ecotox.emit_ecotox_hierarchy),
-        ("species_synonyms", ecotox.emit_synonyms),
-        ("chemicals", ecotox.emit_chemicals),
-        ("tests", ecotox.emit_tests),
-        ("results", ecotox.emit_results),
-        ("taxonomy_nodes", taxonomy.emit_hierarchy),
-        ("taxonomy_names", taxonomy.emit_names),
-        ("divisions", taxonomy.emit_divisions),
-    ]:
-        path = os.path.join(data_dir, name + ".parquet")
-        if os.path.exists(path):
-            parts.append(fn(pq.read_table(path)))
-    parts.append(ecotox.ecotox_taxonomy_axioms())
-    parts.append(taxonomy.static_axioms())
-    t = pa.concat_tables(parts, promote_options="none")
+def _lift_lineage(t: pa.Table) -> pa.Table:
     n = t.num_rows
     return pa.table(
         {
@@ -402,6 +405,69 @@ def lexicon_triples(data_dir: str) -> pa.Table:
         },
         schema=TRIPLE_LINEAGE_SCHEMA,
     )
+
+
+def _lexicon_emitters():
+    from ..stages import ecotox, taxonomy
+
+    return [
+        ("species", ecotox.emit_taxa),
+        ("species", ecotox.emit_ecotox_hierarchy),
+        ("species_synonyms", ecotox.emit_synonyms),
+        ("chemicals", ecotox.emit_chemicals),
+        ("tests", ecotox.emit_tests),
+        ("results", ecotox.emit_results),
+        ("taxonomy_nodes", taxonomy.emit_hierarchy),
+        ("taxonomy_names", taxonomy.emit_names),
+        ("divisions", taxonomy.emit_divisions),
+    ]
+
+
+def lexicon_sources(data_dir: str, big_rows: int | None = 100_000):
+    """Split lexicon emission by SOURCE SIZE: a driver-side Arrow table
+    for the genuinely-small tables (species, chemicals, taxonomy —
+    bounded vocabularies) and a ``[(path, emitter), ...]`` list for
+    tables whose row count scales with the corpus (tests/results grow
+    with the fixture): driver-side emission of those serializes the
+    head of every build (~2s per 2M turns — pure Amdahl floor), so the
+    caller unions ``read_parquet(path).map_batches(emitter)`` pipelines
+    instead.  ``big_rows=None`` keeps everything driver-side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages import ecotox, taxonomy
+
+    parts, big = [], []
+    for name, fn in _lexicon_emitters():
+        path = os.path.join(data_dir, name + ".parquet")
+        if not os.path.exists(path):
+            continue
+        if (big_rows is not None
+                and pq.ParquetFile(path).metadata.num_rows >= big_rows):
+            big.append((path, fn))
+            continue
+        parts.append(fn(pq.read_table(path)))
+    parts.append(ecotox.ecotox_taxonomy_axioms())
+    parts.append(taxonomy.static_axioms())
+    return _lift_lineage(pa.concat_tables(parts, promote_options="none")), big
+
+
+def lexicon_triples(data_dir: str) -> pa.Table:
+    """Run ALL lexicon-table emitters driver-side, returning ONE Arrow
+    table (lineage columns nulled).
+
+    The emitters are pure ``pa.Table → pa.Table`` functions; the
+    bounded-vocabulary tables are small by definition (they are
+    broadcast into linker actors) and emitting them through separate
+    Ray datasets costs ~10s of per-dataset/union overhead to produce
+    ~50k rows.  Corpus-scaled tables (tests/results) are another
+    story — the flagship hash path emits those distributed via
+    :func:`lexicon_sources`; this whole-table helper stays for the
+    incremental/scoped paths and tests."""
+    small, big = lexicon_sources(data_dir, big_rows=None)
+    assert not big
+    return small
 
 
 def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
@@ -445,7 +511,10 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
 
     if override_num_blocks is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        override_num_blocks = max(8, 2 * ncpu)
+        # 4 tasks per CPU: the linker pool drains blocks in waves, and
+        # at 2/CPU the last wave leaves a third of the pool idle
+        # (measured 44.3s → 34.1s at 8 CPUs on the 2M-turn build)
+        override_num_blocks = max(8, 4 * ncpu)
     transcripts = ray.data.read_parquet(
         os.path.join(data_dir, "transcripts.parquet"),
         override_num_blocks=override_num_blocks,
@@ -463,18 +532,72 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
     (:func:`update_kg`); ``data_dir`` still supplies the lexicon
     tables."""
     lex_ref = build_lexicon(data_dir)
+    if dedup and dedup_mode == "hash":
+        # fused-combiner flagship path: per-batch dedup + __h happen
+        # inside the linker actors (no separate combiner stage to
+        # contend for CPUs); the driver-small lexicon table gets the
+        # identical treatment before entering the union, while the
+        # corpus-scaled tables (tests/results) are emitted DISTRIBUTED
+        # (driver emission of those serialized ~2s per 2M turns at the
+        # head of every build) — their cross-batch duplicate triples
+        # are exactly what the hash discovery pass exists to catch
+        from ..stages.base import (dedup_table, dedup_triples_hash,
+                                   hash_column)
+
+        keys = ("subj", "pred", "obj")
+        triples = link_transcripts(
+            transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+            batch_size=batch_size, combine_keys=keys,
+        )
+        small_tbl, big = lexicon_sources(data_dir)
+        small_tbl = dedup_table(small_tbl, keys)
+        small_tbl = small_tbl.append_column(
+            "__h", hash_column(small_tbl, keys))
+        out = triples.union(ray.data.from_arrow(small_tbl))
+
+        def lift_combine(t: pa.Table) -> pa.Table:
+            t = dedup_table(_lift_lineage(t), keys)
+            return t.append_column("__h", hash_column(t, keys))
+
+        for path, fn in big:
+            part = (ray.data.read_parquet(path)
+                    .map_batches(fn, batch_format="pyarrow")
+                    .map_batches(lift_combine, batch_format="pyarrow"))
+            out = out.union(part)
+        return dedup_triples_hash(out, keys, precombined=True)
+    if dedup and dedup_mode == "scoped":
+        # scoped = shuffle elided for the TURN-GRAPH triples under the
+        # unique-turn input contract (their subjects embed the turn id,
+        # so duplicates are batch-local; the per-batch dedup is fused
+        # into the linker actors).  The lexicon graphs CAN duplicate
+        # across source rows, so they get a real dedup — but only they:
+        # a sort-shuffle over the lexicon triples (~16% of the store),
+        # lazily composed so the whole build stays ONE execution with
+        # no materialize barrier.  Turn-graph and lexicon subjects are
+        # disjoint by construction (turn//conversation URIs + turn-
+        # derived blank nodes vs taxon/chemical/unit URIs), so dedup of
+        # the parts equals dedup of the whole (set-equality with
+        # "global" asserted in tests/test_transcripts.py).
+        # (A lazily-composed sort-dedup over distributed big-table
+        # emission was A/B'd here and LOST on one box — the sort's
+        # boundary-sampling pass re-executes the emit lineage, costing
+        # more than the ~1s/M-turns driver emission it replaced.
+        # Driver-side emission is also the exactness anchor: one batch
+        # ⇒ dedup_table covers ALL cross-table lexicon duplicates.)
+        from ..stages.base import dedup_table
+
+        keys = ("subj", "pred", "obj")
+        local = link_transcripts(
+            transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
+            batch_size=batch_size, combine_keys=keys, combine_hash=False,
+        )
+        return local.union(
+            ray.data.from_arrow(dedup_table(lexicon_triples(data_dir), keys)))
     triples = link_transcripts(
         transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
         batch_size=batch_size,
     )
-    lex_tbl = lexicon_triples(data_dir)
-    if dedup and dedup_mode == "scoped":
-        from ..stages.base import dedup_table
-
-        local = triples.map_batches(
-            lambda t: dedup_table(t), batch_format="pyarrow")
-        return local.union(ray.data.from_arrow(dedup_table(lex_tbl)))
-    out = triples.union(ray.data.from_arrow(lex_tbl))
+    out = triples.union(ray.data.from_arrow(lexicon_triples(data_dir)))
     if dedup:
         out = dedup_triples(
             out, mode="hash" if dedup_mode == "hash" else "sort")

@@ -356,7 +356,8 @@ def gen_sameas_pairs(rng) -> dict[str, list]:
     return {"src": src, "dst": dst, "score": score}
 
 
-SCALES = {"t1": 1_000, "t2": 20_000, "bench": 500_000, "scale": 2_000_000}
+SCALES = {"t1": 1_000, "t2": 20_000, "bench": 500_000,
+          "scale": 2_000_000, "scale4": 8_000_000}
 
 # transcripts bigger than this are written as a multi-file dataset so
 # ray.data.read_parquet parallelizes the read (single-file reads start

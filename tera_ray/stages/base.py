@@ -243,7 +243,8 @@ def dedup_triples(ds, keys=("subj", "pred", "obj"),
 
 def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
                        num_buckets: int | None = None,
-                       max_dup_hashes: int = 5_000_000):
+                       max_dup_hashes: int = 5_000_000,
+                       precombined: bool = False):
     """Exact dedup where only 8-byte row HASHES cross the exchange —
     the heavy (subj, pred, obj, …) payload never shuffles.
 
@@ -275,6 +276,12 @@ def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
     ``max_dup_hashes`` (a heavily-duplicated corpus would otherwise
     broadcast a huge set; the sort path's volume is the better deal
     there — the crossover is ~25% dup rate).
+
+    ``precombined=True`` skips step 1's map: the caller certifies every
+    input batch is already batch-locally deduped on ``keys`` AND
+    carries the matching ``__h`` column (the fused-combiner path —
+    ``LinkerStage(combine_keys=...)`` — which lets the linker actor
+    pool own the CPUs the separate combiner stage would fight it for).
     """
     import numpy as np
 
@@ -287,7 +294,10 @@ def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
         t = dedup_table(t, keys)
         return t.append_column("__h", hash_column(t, keys))
 
-    base = ds.map_batches(local, batch_format="pyarrow").materialize()
+    if precombined:
+        base = ds.materialize()
+    else:
+        base = ds.map_batches(local, batch_format="pyarrow").materialize()
 
     def hash_bucket(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(t["__h"], pa.scalar(nb - 1, pa.uint64())),

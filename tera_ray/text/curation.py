@@ -67,6 +67,69 @@ def pii_scrub(batch: pa.Table, column: str = "text",
     return out.append_column("n_redactions", total)
 
 
+C4_BANNED = ("javascript", "lorem ipsum", "cookie", "{")
+_C4_TERMINAL = ('.', '!', '?', '"')
+
+
+def c4_line_filter(batch: pa.Table, column: str = "text",
+                   min_words: int = 5, min_lines: int = 1,
+                   banned: tuple = C4_BANNED,
+                   out_col: str = "clean") -> pa.Table:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 heuristics — public rules, fresh implementation): split each
+    doc on newlines, keep only lines that (a) end in terminal
+    punctuation, (b) have ≥ ``min_words`` whitespace-separated words,
+    and (c) contain none of the ``banned`` markers (case-insensitive);
+    docs with fewer than ``min_lines`` surviving lines are DROPPED.
+
+    Map-side and fully vectorized: the per-line predicates run as Arrow
+    C kernels over the FLAT line array of the whole batch, and docs are
+    rebuilt with one ``binary_join`` over a re-offset ListArray — no
+    Python row or line loop.  Output: input columns + ``out_col``
+    (kept lines re-joined with newlines, each line space-trimmed to
+    mirror a SQL ``trim``), ``n_lines``, ``n_kept``.
+    """
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if batch.num_rows == 0:
+        return (batch.append_column(out_col, pa.array([], pa.string()))
+                .append_column("n_lines", pa.array([], pa.int64()))
+                .append_column("n_kept", pa.array([], pa.int64())))
+    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = pc.utf8_trim(lines.flatten(), " ")
+    keep = pc.greater_equal(
+        pc.count_substring_regex(flat, r"\S+"), min_words)
+    term = pc.ends_with(flat, _C4_TERMINAL[0])
+    for ch in _C4_TERMINAL[1:]:
+        term = pc.or_(term, pc.ends_with(flat, ch))
+    keep = pc.and_(keep, term)
+    lower = pc.utf8_lower(flat)
+    for marker in banned:
+        keep = pc.and_(keep, pc.invert(pc.match_substring(lower, marker)))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    # rebuild: per-doc counts of kept lines → new offsets over the
+    # filtered flat array, then one vectorized join
+    kept_per_doc = np.add.reduceat(
+        np.concatenate([keep_np, [False]]), offsets[:-1])
+    kept_per_doc = np.where(np.diff(offsets) == 0, 0, kept_per_doc)
+    new_offsets = np.zeros(len(kept_per_doc) + 1, np.int64)
+    np.cumsum(kept_per_doc, out=new_offsets[1:])
+    rebuilt = pa.LargeListArray.from_arrays(
+        pa.array(new_offsets, pa.int64()),
+        flat.filter(keep).cast(pa.large_string()))
+    joined = pc.binary_join(rebuilt, "\n")
+    out = (batch.append_column(out_col, joined.cast(pa.string()))
+           .append_column("n_lines", pa.array(
+               np.diff(offsets).astype(np.int64)))
+           .append_column("n_kept", pa.array(kept_per_doc.astype(np.int64))))
+    return out.filter(pc.greater_equal(out["n_kept"], min_lines))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic splits / sampling
 
