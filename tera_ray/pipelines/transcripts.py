@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -68,7 +69,7 @@ class LinkerStage:
 
     def __init__(self, lexicon, ns: str = ECOTOX_NS, graph: str = TRANSCRIPT_GRAPH,
                  fuzzy: bool = True, combine_keys: tuple | None = None,
-                 combine_hash: bool = True):
+                 combine_hash: bool = True, rowwise: bool = False):
         if isinstance(lexicon, ray.ObjectRef):
             lexicon = ray.get(lexicon)
         assert isinstance(lexicon, Lexicon)
@@ -85,6 +86,10 @@ class LinkerStage:
         # the local dedup)
         self.combine_keys = tuple(combine_keys) if combine_keys else None
         self.combine_hash = combine_hash
+        # rowwise=True keeps the original per-token Python scan — the
+        # semantics reference for the vectorized path's equivalence
+        # tests and A/B timings
+        self.rowwise = rowwise
 
     def _structural(self, batch: pa.Table, t_uri: pa.Array) -> list[pa.Table]:
         """Vectorized turn-structure triples (type / hasTurn /
@@ -121,8 +126,6 @@ class LinkerStage:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
         from ..stages.base import cat
 
         ns, graph = self.ns, self.graph
@@ -133,7 +136,6 @@ class LinkerStage:
 
         conv_ids = conv.to_pylist()
         turn_idxs = tix_arr.to_pylist()
-        texts = batch["text"].to_pylist()
         t_uris = t_uri_arr.to_pylist()
 
         subj, pred, obj, lit, l_conv, l_turn = [], [], [], [], [], []
@@ -146,36 +148,69 @@ class LinkerStage:
             l_conv.append(cid)
             l_turn.append(tix)
 
-        for cid, tix, text, t_uri in zip(conv_ids, turn_idxs, texts, t_uris):
-            if not text:
-                continue
-            tokens = tokenize(text)
-            matches = self.lex.match_tokens(tokens, fuzzy=self.fuzzy)
-            endpoint = effect = None
-            for _, _, uri, kind in matches:
+        def emit_result(dc, endpoint, effect, value, unit_name):
+            cid, tix, t_uri = conv_ids[dc], turn_idxs[dc], t_uris[dc]
+            key = f"{cid}/{tix}"
+            r_b = "_:r|" + key
+            c_b = "_:c|" + key
+            emit(r_b, ns + "endpoint", endpoint, False, cid, tix)
+            if effect is not None:
+                emit(r_b, ns + "effect", effect, False, cid, tix)
+            emit(c_b, RDF_VALUE, value, True, cid, tix)
+            if unit_name:
+                emit(c_b, UNIT_UNITS,
+                     "http://qudt.org/vocab/unit#" + unit_name, False, cid, tix)
+            emit(r_b, ns + "concentration", c_b, False, cid, tix)
+            emit(t_uri, ns + "hasResult", r_b, False, cid, tix)
+
+        if self.rowwise:
+            texts = batch["text"].to_pylist()
+            for dc, text in enumerate(texts):
+                if not text:
+                    continue
+                cid, tix, t_uri = conv_ids[dc], turn_idxs[dc], t_uris[dc]
+                tokens = tokenize(text)
+                matches = self.lex.match_tokens(tokens, fuzzy=self.fuzzy)
+                endpoint = effect = None
+                for _, _, uri, kind in matches:
+                    if kind == "species":
+                        emit(t_uri, ns + "mentionsTaxon", uri, False, cid, tix)
+                    elif kind == "chemical":
+                        emit(t_uri, ns + "mentionsChemical", uri, False, cid, tix)
+                    elif kind == "endpoint" and endpoint is None:
+                        endpoint = uri
+                    elif kind == "effect" and effect is None:
+                        effect = uri
+                conc = self._find_concentration(tokens)
+                if endpoint is not None and conc is not None:
+                    emit_result(dc, endpoint, effect, conc[0], conc[1])
+        else:
+            # vectorized path: Arrow-kernel tokenization + candidate-mask
+            # scan (state/lexicon.flat_token_arrays / Lexicon.match_flat);
+            # per-batch output proven table-equal to the rowwise path in
+            # tests/test_transcripts.py
+            from ..state.lexicon import flat_token_arrays
+
+            orig, low, starts = flat_token_arrays(batch["text"])
+            doc_ids, uris, kinds = self.lex.match_flat(
+                orig, low, starts, fuzzy=self.fuzzy)
+            mt, mc = ns + "mentionsTaxon", ns + "mentionsChemical"
+            endpoint: dict[int, str] = {}
+            effect: dict[int, str] = {}
+            for dc, uri, kind in zip(doc_ids, uris, kinds):
                 if kind == "species":
-                    emit(t_uri, ns + "mentionsTaxon", uri, False, cid, tix)
+                    emit(t_uris[dc], mt, uri, False, conv_ids[dc], turn_idxs[dc])
                 elif kind == "chemical":
-                    emit(t_uri, ns + "mentionsChemical", uri, False, cid, tix)
-                elif kind == "endpoint" and endpoint is None:
-                    endpoint = uri
-                elif kind == "effect" and effect is None:
-                    effect = uri
-            conc = self._find_concentration(tokens)
-            if endpoint is not None and conc is not None:
-                value, unit_name = conc
-                key = f"{cid}/{tix}"
-                r_b = "_:r|" + key
-                c_b = "_:c|" + key
-                emit(r_b, ns + "endpoint", endpoint, False, cid, tix)
-                if effect is not None:
-                    emit(r_b, ns + "effect", effect, False, cid, tix)
-                emit(c_b, RDF_VALUE, value, True, cid, tix)
-                if unit_name:
-                    emit(c_b, UNIT_UNITS,
-                         "http://qudt.org/vocab/unit#" + unit_name, False, cid, tix)
-                emit(r_b, ns + "concentration", c_b, False, cid, tix)
-                emit(t_uri, ns + "hasResult", r_b, False, cid, tix)
+                    emit(t_uris[dc], mc, uri, False, conv_ids[dc], turn_idxs[dc])
+                elif kind == "endpoint":
+                    endpoint.setdefault(dc, uri)
+                else:  # effect
+                    effect.setdefault(dc, uri)
+            if endpoint:
+                for dc, value, unit_name in self._concentrations_flat(
+                        orig, starts, endpoint):
+                    emit_result(dc, endpoint[dc], effect.get(dc),
+                                value, unit_name)
 
         n = len(subj)
         mention_tbl = pa.table(
@@ -211,6 +246,30 @@ class LinkerStage:
                 if unit:
                     return tok, unit
         return None
+
+    def _concentrations_flat(self, orig: pa.Array, starts, want: dict):
+        """Vectorized ``_find_concentration`` over the flat token arrays:
+        one RE2 numeric mask for the whole batch, then a Python scan over
+        only the numeric positions of docs in ``want`` (docs that have an
+        endpoint mention — a result block is emitted only for those).
+        Yields ``(doc, value, unit_name)``.  RE2's ``\\d`` is ASCII where
+        Python's is Unicode — identical over the engine's numeric-token
+        vocabulary."""
+        num = pc.match_substring_regex(orig, r"^\d+(\.\d+)?([eE]-?\d+)?$")
+        pos = np.flatnonzero(num.to_numpy(zero_copy_only=False))
+        if pos.size == 0:
+            return
+        orig_np = orig.to_numpy(zero_copy_only=False)
+        docs = np.searchsorted(starts, pos, side="right") - 1
+        done = set()
+        for p, dc in zip(pos.tolist(), docs.tolist()):
+            if dc not in want or dc in done:
+                continue
+            if p + 1 < int(starts[dc + 1]):
+                unit = unit_parser(orig_np[p + 1])
+                if unit:
+                    done.add(dc)
+                    yield dc, orig_np[p], unit
 
 
 def with_lineage(ds):

@@ -24,9 +24,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute
 
 _WORD_SPLIT = re.compile(r"\s+")
 _STRIP_PUNCT = ".,;:()[]{}\"'!?"
+# RE2 class equivalent to Python's Unicode \s (pc.split_pattern_regex
+# runs RE2, where \s is ASCII-only): C0 controls \t-\r and \x1c-\x1f,
+# NEL, and the Unicode separator category (Zs/Zl/Zp).
+_WS_RE2 = r"[\t-\r\x1c-\x1f\x85\p{Z}]+"
 
 
 def tokenize(text: str) -> list[str]:
@@ -45,6 +50,37 @@ def tokenize(text: str) -> list[str]:
 
 def normalize(span: str) -> str:
     return span.lower()
+
+
+def flat_token_arrays(texts: pa.Array):
+    """Vectorized :func:`tokenize` over a whole string column.
+
+    Arrow kernels do the splitting / punctuation-trimming / lowering
+    (split_pattern_regex → list_flatten → utf8_trim → utf8_lower), so no
+    per-token Python runs.  Returns ``(orig, low, starts)``: flat token
+    arrays (original-case and lowered) plus an ``int64`` offset vector —
+    document ``d``'s tokens live at ``starts[d]:starts[d+1]``.  Null /
+    empty texts contribute zero tokens, matching the row-wise path's
+    ``if not text: continue``.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pa.compute.split_pattern_regex(texts, pattern=_WS_RE2)
+    flat = pa.compute.list_flatten(toks)
+    parents = pa.compute.list_parent_indices(toks)
+    trimmed = pa.compute.utf8_trim(flat, characters=_STRIP_PUNCT)
+    keep = pa.compute.greater(pa.compute.utf8_length(trimmed), 0)
+    orig = trimmed.filter(keep)
+    par = parents.filter(keep)
+    low = pa.compute.utf8_lower(orig)
+    starts = np.zeros(n_docs + 1, np.int64)
+    if len(par):
+        counts = np.bincount(
+            par.to_numpy(zero_copy_only=False).astype(np.int64),
+            minlength=n_docs)
+        np.cumsum(counts, out=starts[1:])
+    return orig, low, starts
 
 
 def levenshtein(a: str, b: str, maxd: int = 2) -> int:
@@ -91,11 +127,20 @@ def levenshtein_batch(a: str, mat: np.ndarray, lens: np.ndarray,
         if la == 0:
             out[lens <= maxd] = lens[lens <= maxd].astype(np.int32)
         return out
+    # DP only over the length-feasible lanes (|len-la| <= maxd), with
+    # columns clipped to their max length — blocks mix lengths freely
+    # (key is a 2-char prefix + token count), so this cuts both DP
+    # dimensions: measured ~4x on the fixture's largest block
+    idx = np.flatnonzero(feasible)
+    lens_f = lens[idx]
+    lmax = int(lens_f.max())
+    mat_f = mat[idx, :lmax]
+    kf = len(idx)
     acodes = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-    j_idx = np.arange(Lmax + 1, dtype=np.int32)
-    prev = np.broadcast_to(j_idx, (K, Lmax + 1)).copy()
+    j_idx = np.arange(lmax + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (kf, lmax + 1)).copy()
     for i in range(1, la + 1):
-        sub = prev[:, :-1] + (mat != acodes[i - 1])
+        sub = prev[:, :-1] + (mat_f != acodes[i - 1])
         cur = np.empty_like(prev)
         cur[:, 0] = i
         cur[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
@@ -106,9 +151,10 @@ def levenshtein_batch(a: str, mat: np.ndarray, lens: np.ndarray,
         if cur.min() > maxd:
             return out
         prev = cur
-    d = prev[np.arange(K), lens]
+    d = prev[np.arange(kf), lens_f]
     np.minimum(d, big, out=d)
-    return d
+    out[idx] = d
+    return out
 
 
 def _pack_spans(spans: list[str]):
@@ -138,6 +184,7 @@ class Lexicon:
 
     def __post_init__(self):
         self._fuzzy_memo: dict[str, tuple[str, str] | None] = {}
+        self._first_set: pa.Array | None = None
 
     def add(self, alias: str, uri: str, kind: str) -> None:
         toks = tokenize(normalize(alias))
@@ -145,6 +192,7 @@ class Lexicon:
             return
         span = " ".join(toks)
         self.spans.setdefault(toks[0], {}).setdefault(span, (uri, kind))
+        self._first_set = None
         if len(toks) > self.max_len:
             self.max_len = len(toks)
 
@@ -202,39 +250,118 @@ class Lexicon:
                 i += 1
         return out
 
-    def _fuzzy_at(self, norm: list[str], i: int, n: int):
-        best = None
+    def _fuzzy_span(self, span: str, ln: int):
+        """Memoized blocked-fuzzy lookup of one normalized span.
+
+        Transcripts repeat surface forms constantly (both real aliases
+        and common capitalized words), so the banded-Levenshtein block
+        scan runs once per distinct span per actor, not per occurrence.
+        """
         memo = self._fuzzy_memo
+        if span in memo:
+            return memo[span]
+        res = None
+        blk = self.fuzzy_blocks.get((span[:2], ln))
+        if blk is not None:
+            items, mat, lens = blk
+            dists = levenshtein_batch(span, mat, lens, 2)
+            ok = dists <= 2
+            if ok.any():
+                bkey = None
+                for k in np.flatnonzero(ok):
+                    cspan, uri, kind = items[k]
+                    key = (int(dists[k]), cspan, uri)  # deterministic best
+                    if bkey is None or key < bkey:
+                        bkey, res = key, (uri, kind)
+        if len(memo) < 1_000_000:
+            memo[span] = res
+        return res
+
+    def _fuzzy_at(self, norm, i: int, n: int):
+        # block key = (first-2-chars, token count) and the fuzzy gate
+        # guarantees len(norm[i]) >= 4, so block existence is decidable
+        # from the first token alone — skip span construction (join) and
+        # memo churn for the (common) absent-block probes
+        pfx = norm[i][:2]
+        blocks = self.fuzzy_blocks
         for ln in range(min(self.max_len, n - i), 0, -1):
+            if (pfx, ln) not in blocks:
+                continue
             span = " ".join(norm[i : i + ln])
-            # memoize per-span outcomes: transcripts repeat surface forms
-            # constantly (both real aliases and common capitalized words),
-            # so the banded-Levenshtein block scan runs once per distinct
-            # span per actor, not once per occurrence.
-            if span in memo:
-                res = memo[span]
-            else:
-                res = None
-                blk = self.fuzzy_blocks.get((span[:2], ln))
-                if blk is not None:
-                    items, mat, lens = blk
-                    dists = levenshtein_batch(span, mat, lens, 2)
-                    ok = dists <= 2
-                    if ok.any():
-                        bkey = None
-                        for k in np.flatnonzero(ok):
-                            cspan, uri, kind = items[k]
-                            key = (int(dists[k]), cspan, uri)  # deterministic best
-                            if bkey is None or key < bkey:
-                                bkey, res = key, (uri, kind)
-                if len(memo) < 1_000_000:
-                    memo[span] = res
+            res = self._fuzzy_span(span, ln)
             if res is not None:
-                hit = (i, ln, res[0], res[1])
-                if best is None:  # longest span wins (outer loop order)
-                    best = hit
-                    break
-        return best
+                # longest span wins (loop order)
+                return (i, ln, res[0], res[1])
+        return None
+
+    def match_flat(self, orig: pa.Array, low: pa.Array, starts: np.ndarray,
+                   fuzzy: bool = True):
+        """Batch equivalent of per-document :meth:`match_tokens` over the
+        flat token arrays of :func:`flat_token_arrays`.
+
+        Candidate positions are found with vectorized Arrow kernels
+        (``is_in`` against the lexicon's first-token set; uppercase-start
+        + length≥4 for the fuzzy fallback), so the Python longest-match
+        scan touches only plausible mention sites instead of every
+        token.  Returns ``(doc_ids, uris, kinds)`` in per-document scan
+        order — the same hit sequence ``match_tokens`` yields row-wise
+        (asserted in tests/test_transcripts.py).
+        """
+        doc_ids: list[int] = []
+        uris: list[str] = []
+        kinds: list[str] = []
+        if len(low) == 0:
+            return doc_ids, uris, kinds
+        if self._first_set is None:
+            self._first_set = pa.array(sorted(self.spans.keys()), pa.string())
+        pcm = pa.compute
+        exact = pcm.is_in(low, value_set=self._first_set)
+        if fuzzy:
+            fz = pcm.and_(pcm.match_substring_regex(orig, r"^\p{Lu}"),
+                          pcm.greater_equal(pcm.utf8_length(low), 4))
+            cand_mask = pcm.or_(exact, fz)
+            fz_np = fz.to_numpy(zero_copy_only=False)
+        else:
+            cand_mask = exact
+            fz_np = None
+        pos = np.flatnonzero(cand_mask.to_numpy(zero_copy_only=False))
+        if pos.size == 0:
+            return doc_ids, uris, kinds
+        exact_np = exact.to_numpy(zero_copy_only=False)
+        low_np = low.to_numpy(zero_copy_only=False)
+        docs = (np.searchsorted(starts, pos, side="right") - 1).tolist()
+        spans_d, max_len = self.spans, self.max_len
+        cur_doc, next_allowed = -1, -1
+        for p, dc in zip(pos.tolist(), docs):
+            if dc != cur_doc:
+                cur_doc, next_allowed = dc, -1
+            if p < next_allowed:
+                continue
+            end = int(starts[dc + 1])
+            hit = None
+            if exact_np[p]:
+                d = spans_d.get(low_np[p])
+                if d is not None:
+                    for ln in range(min(max_len, end - p), 0, -1):
+                        ent = d.get(" ".join(low_np[p : p + ln]))
+                        if ent is not None:
+                            hit = (ln, ent[0], ent[1])
+                            break
+            if hit is None and fz_np is not None and fz_np[p]:
+                pfx = low_np[p][:2]
+                for ln in range(min(max_len, end - p), 0, -1):
+                    if (pfx, ln) not in self.fuzzy_blocks:
+                        continue
+                    res = self._fuzzy_span(" ".join(low_np[p : p + ln]), ln)
+                    if res is not None:
+                        hit = (ln, res[0], res[1])
+                        break
+            if hit is not None:
+                doc_ids.append(dc)
+                uris.append(hit[1])
+                kinds.append(hit[2])
+                next_allowed = p + hit[0]
+        return doc_ids, uris, kinds
 
 
 def lexicon_from_tables(

@@ -100,6 +100,88 @@ class TestLinkerStage:
         assert "ns/hasResult" not in preds_c2
 
 
+class TestVectorizedLinkerEquivalence:
+    """The vectorized default path (flat_token_arrays + match_flat) must
+    emit the exact row multiset of the row-wise reference path."""
+
+    TEXTS = [
+        "Exposure of Danio rerio to chlorpyrifos gave LC50 12.3 mg/L (MOR).",
+        "No relevant findings here.",
+        "",
+        None,
+        "Dapnhia magna misspelled fuzzy hit; LC50 7 ug/L",
+        "Daxxxia magna must NOT fuzzy-hit",
+        "unicode space Danio rerio and LC50 3 mg/L",
+        "(zebrafish), {Danio rerio}! 'LC50' 5e-2 mg/L",
+        "number 9 mg/L with no endpoint mention",
+        "LC50 without any concentration",
+        "trailing numeric 4",
+        "bad unit 5 xyzzyunit then good 6 mg/L LC50",
+    ]
+
+    def _batch(self):
+        n = len(self.TEXTS)
+        return pa.table({
+            "conv_id": pa.array([f"c{i % 4}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i // 4 for i in range(n)], pa.int32()),
+            "text": pa.array(self.TEXTS, pa.string()),
+        })
+
+    @staticmethod
+    def _rows(t):
+        return sorted(zip(*[t[c].to_pylist() for c in t.schema.names]))
+
+    def test_flat_tokenize_matches_python(self):
+        from tera_ray.state.lexicon import flat_token_arrays
+
+        orig, low, starts = flat_token_arrays(pa.array(self.TEXTS, pa.string()))
+        toks = orig.to_pylist()
+        for i, text in enumerate(self.TEXTS):
+            ref = tokenize(text) if text else []
+            assert toks[starts[i]:starts[i + 1]] == ref, (i, text)
+        assert low.to_pylist() == [t.lower() for t in toks]
+
+    def test_same_triples_as_rowwise(self):
+        from tera_ray.pipelines.transcripts import LinkerStage
+
+        lex = make_lex()
+        batch = self._batch()
+        fast = LinkerStage(lex, ns="ns/")(batch)
+        slow = LinkerStage(lex, ns="ns/", rowwise=True)(batch)
+        assert self._rows(fast) == self._rows(slow)
+        assert fast.num_rows > batch.num_rows  # non-trivial emission
+
+    def test_same_triples_no_fuzzy_and_empty(self):
+        from tera_ray.pipelines.transcripts import LinkerStage
+
+        lex = make_lex()
+        batch = self._batch()
+        fast = LinkerStage(lex, ns="ns/", fuzzy=False)(batch)
+        slow = LinkerStage(lex, ns="ns/", fuzzy=False, rowwise=True)(batch)
+        assert self._rows(fast) == self._rows(slow)
+        empty = batch.slice(0, 0)
+        assert LinkerStage(lex, ns="ns/")(empty).num_rows == \
+            LinkerStage(lex, ns="ns/", rowwise=True)(empty).num_rows == 0
+
+    def test_same_triples_on_fixture(self, fixtures_t1):
+        from tera_ray.pipelines.transcripts import LinkerStage
+
+        lex = lexicon_from_tables(
+            species=pq.read_table(os.path.join(fixtures_t1, "species.parquet")),
+            synonyms=pq.read_table(
+                os.path.join(fixtures_t1, "species_synonyms.parquet")),
+            chemicals=pq.read_table(
+                os.path.join(fixtures_t1, "chemicals.parquet")),
+            endpoints=["LC50", "EC50"], effects=["MOR", "GRO"],
+        )
+        batch = pq.read_table(
+            os.path.join(fixtures_t1, "transcripts.parquet"),
+            columns=["conv_id", "turn_idx", "text"]).slice(0, 2000)
+        fast = LinkerStage(lex)(batch)
+        slow = LinkerStage(lex, rowwise=True)(batch)
+        assert self._rows(fast) == self._rows(slow)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestReconstruction:
     def test_per_turn_text_equality(self, fixtures_t1):
