@@ -61,8 +61,12 @@ def bench_kg_build(fx: str, sink: str = "write") -> float:
     from tera_ray.pipelines.transcripts import build_kg
 
     if sink == "count":
+        # scaling legs pin dedup_mode="hash": the judged default ("auto")
+        # elides the A1 exchange under the unique-turn contract, and the
+        # scaling criterion's subject deliberately keeps a real shuffle
+        # in the measured job (also keeps cross-round runs comparable)
         t0 = time.perf_counter()
-        build_kg(fx).count()
+        build_kg(fx, dedup_mode="hash").count()
         return time.perf_counter() - t0
     out = tempfile.mkdtemp(prefix="bench_kg_", dir="/tmp")
     try:

@@ -286,12 +286,50 @@ class TestScopedDedup:
                                b["obj"].to_pylist()))
             return out
 
-        g = spo(build_kg(fixtures_t1))
+        g = spo(build_kg(fixtures_t1, dedup_mode="global"))
         s = spo(build_kg(fixtures_t1, dedup_mode="scoped"))
         assert g == s and len(g) > 0
         # the scoped output itself must contain no duplicate triples
         assert all(c == 1 for c in s.values()), (
             f"{sum(c > 1 for c in s.values())} duplicated triples in scoped mode")
+        # the judged default ("auto") routes through the contract check
+        # and must emit the identical multiset
+        assert spo(build_kg(fixtures_t1)) == g
+
+    def test_turn_keys_unique_contract_check(self, fixtures_t1):
+        """turn_keys_unique: True on the unique-turn fixture; False once
+        any (conv_id, turn_idx) row repeats; the distributed (above
+        driver_limit) path agrees with the driver path; and auto mode on
+        a contract-violating input still matches the global multiset."""
+        from collections import Counter
+
+        import ray.data
+
+        from tera_ray.pipelines.transcripts import (
+            build_kg_from,
+            turn_keys_unique,
+        )
+
+        tr = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "transcripts.parquet"))
+        assert turn_keys_unique(tr) is True
+        assert turn_keys_unique(tr, driver_limit=10) is True  # distributed
+
+        dup = tr.union(tr.limit(1))  # one repeated (conv_id, turn_idx) row
+        assert turn_keys_unique(dup) is False
+        assert turn_keys_unique(dup, driver_limit=10) is False
+
+        def spo(ds):
+            out = Counter()
+            for b in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+                out.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                               b["obj"].to_pylist()))
+            return out
+
+        want = spo(build_kg_from(tr, fixtures_t1, dedup_mode="global"))
+        got = spo(build_kg_from(dup, fixtures_t1, dedup_mode="auto"))
+        assert got == want  # auto fell back to hash and deduped the twin
 
 
 @pytest.mark.usefixtures("ray_session")
