@@ -61,12 +61,15 @@ def bench_kg_build(fx: str, sink: str = "write") -> float:
     from tera_ray.pipelines.transcripts import build_kg
 
     if sink == "count":
-        # scaling legs pin dedup_mode="hash": the judged default ("auto")
-        # elides the A1 exchange under the unique-turn contract, and the
-        # scaling criterion's subject deliberately keeps a real shuffle
-        # in the measured job (also keeps cross-round runs comparable)
+        # scaling legs pin dedup_mode="hash" and force DISTRIBUTED
+        # duplicate discovery (driver_discover_limit=0): the judged
+        # default ("auto") elides the A1 exchange under the unique-turn
+        # contract and the new driver-side discovery would elide it at
+        # single-box scale — the scaling criterion's subject
+        # deliberately keeps a real shuffle in the measured job (also
+        # keeps cross-round runs comparable)
         t0 = time.perf_counter()
-        build_kg(fx, dedup_mode="hash").count()
+        build_kg(fx, dedup_mode="hash", driver_discover_limit=0).count()
         return time.perf_counter() - t0
     out = tempfile.mkdtemp(prefix="bench_kg_", dir="/tmp")
     try:

@@ -594,7 +594,8 @@ def turn_keys_unique(transcripts, driver_limit: int = 50_000_000) -> bool:
 def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
              concurrency=None, batch_size: int = 4096,
              override_num_blocks: int | None = None,
-             dedup_mode: str = "auto"):
+             dedup_mode: str = "auto",
+             driver_discover_limit: int = 50_000_000):
     """End-to-end KG construction over a fixture directory: transcripts →
     linked mention triples, unioned with the (driver-side) lexicon-table
     triples and static axioms, exact-deduped (SURVEY A1).  Returns a
@@ -649,16 +650,21 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     )
     return build_kg_from(transcripts, data_dir, fuzzy=fuzzy, dedup=dedup,
                          concurrency=concurrency, batch_size=batch_size,
-                         dedup_mode=dedup_mode)
+                         dedup_mode=dedup_mode,
+                         driver_discover_limit=driver_discover_limit)
 
 
 def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
                   dedup: bool = True, concurrency=None,
-                  batch_size: int = 4096, dedup_mode: str = "hash"):
+                  batch_size: int = 4096, dedup_mode: str = "hash",
+                  driver_discover_limit: int = 50_000_000):
     """:func:`build_kg` over an ALREADY-OPEN transcript Dataset — the
     entry point for filtered/partial builds and the incremental path
     (:func:`update_kg`); ``data_dir`` still supplies the lexicon
-    tables."""
+    tables.  ``driver_discover_limit`` forwards to
+    :func:`~tera_ray.stages.base.dedup_triples_hash` (0 forces the
+    distributed duplicate discovery — the scaling legs use it so the
+    measured job keeps its exchange)."""
     if dedup and dedup_mode == "auto":
         # contract-checked pushdown (see build_kg's dedup_mode docs):
         # the check costs one 2-column pass over the input; re-running
@@ -698,7 +704,8 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
                     .map_batches(fn, batch_format="pyarrow")
                     .map_batches(lift_combine, batch_format="pyarrow"))
             out = out.union(part)
-        return dedup_triples_hash(out, keys, precombined=True)
+        return dedup_triples_hash(out, keys, precombined=True,
+                                  driver_discover_limit=driver_discover_limit)
     if dedup and dedup_mode == "scoped":
         # scoped = shuffle elided for the TURN-GRAPH triples under the
         # unique-turn input contract (their subjects embed the turn id,

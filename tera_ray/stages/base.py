@@ -244,7 +244,8 @@ def dedup_triples(ds, keys=("subj", "pred", "obj"),
 def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
                        num_buckets: int | None = None,
                        max_dup_hashes: int = 5_000_000,
-                       precombined: bool = False):
+                       precombined: bool = False,
+                       driver_discover_limit: int = 50_000_000):
     """Exact dedup where only 8-byte row HASHES cross the exchange —
     the heavy (subj, pred, obj, …) payload never shuffles.
 
@@ -257,9 +258,11 @@ def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
        but the payload parks in the local object store instead of
        crossing the exchange;
     2. duplicate discovery on the ``__h`` projection alone (8 B/row):
-       hash-bucket groupby → hashes seen ≥ 2 times.  Only DUPLICATE
-       hashes return to the driver — proportional to the true dup
-       count, not the store;
+       driver-side np.sort up to ``driver_discover_limit`` rows (the
+       distributed sort is pure tiny-object overhead at that scale;
+       pass 0 to force the distributed path), else hash-bucket groupby
+       → hashes seen ≥ 2 times.  Only DUPLICATE hashes broadcast —
+       proportional to the true dup count, not the store;
     3. split pass over the materialized store against the broadcast
        dup-hash set (``ray.put`` once, ``np.searchsorted`` per batch):
        non-colliding rows stream straight through with ZERO shuffle;
@@ -316,14 +319,43 @@ def dedup_triples_hash(ds, keys=("subj", "pred", "obj"),
         return df.to_arrow().cast(pa.schema([("__h", pa.uint64())])) \
             if df.height else empty
 
-    dup_tbls = [b for b in bucketed_map_groups(
-        base.select_columns(["__h"]).map_batches(
-            hash_bucket, batch_format="pyarrow"),
-        "__b", dups_in_bucket).iter_batches(
-            batch_format="pyarrow", batch_size=None)]
-    dup_np = np.sort(np.concatenate(
-        [t["__h"].to_numpy(zero_copy_only=False) for t in dup_tbls]
-        or [np.zeros(0, np.uint64)]).astype(np.uint64))
+    # duplicate discovery over the 8 B/row projection.  Up to
+    # ``driver_discover_limit`` rows the driver finds duplicates itself
+    # (stream the hash column, one np.sort — ≤400 MB at the default
+    # limit): measured 3.6s vs 10.9s for the distributed sort on 20.5M
+    # hashes at 32 CPUs, because a sort over many tiny 8-byte blocks is
+    # pure per-object overhead.  Above the limit — the 100 TB regime —
+    # the hash-bucket groupby runs with the projection coalesced to
+    # ~2 blocks/CPU first (128 blocks → 64: 10.9s → 7.4s; block count ×
+    # sort partitions is what explodes the object count).
+    proj = base.select_columns(["__h"])
+    chunks: list = []
+    total = 0
+    over = False
+    if driver_discover_limit > 0:
+        for b in proj.iter_batches(batch_format="pyarrow", batch_size=None):
+            chunks.append(b["__h"].to_numpy(zero_copy_only=False))
+            total += b.num_rows
+            if total > driver_discover_limit:
+                over = True
+                break
+    else:
+        over = True
+    if not over:
+        allh = (np.concatenate(chunks).astype(np.uint64, copy=False)
+                if chunks else np.zeros(0, np.uint64))
+        allh.sort()
+        dup_np = np.unique(allh[1:][allh[1:] == allh[:-1]])
+    else:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        dup_tbls = [b for b in bucketed_map_groups(
+            proj.repartition(2 * cpus).map_batches(
+                hash_bucket, batch_format="pyarrow"),
+            "__b", dups_in_bucket).iter_batches(
+                batch_format="pyarrow", batch_size=None)]
+        dup_np = np.sort(np.concatenate(
+            [t["__h"].to_numpy(zero_copy_only=False) for t in dup_tbls]
+            or [np.zeros(0, np.uint64)]).astype(np.uint64))
 
     def drop_h(t: pa.Table) -> pa.Table:
         return t.drop_columns(["__h"])

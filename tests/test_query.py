@@ -848,6 +848,17 @@ class TestHashDedup:
         out = self._spo(dedup_triples_hash(self._dupes(), max_dup_hashes=10))
         assert len(out) == 500 and all(c == 1 for c in out.values())
 
+    def test_distributed_discovery_matches_driver(self):
+        """driver_discover_limit=0 forces the distributed duplicate
+        discovery (the 100 TB path / the scaling legs' subject); its
+        output multiset must equal the driver-side default's."""
+        from tera_ray.stages.base import dedup_triples_hash
+
+        ds = self._dupes()
+        a = self._spo(dedup_triples_hash(ds))
+        b = self._spo(dedup_triples_hash(ds, driver_discover_limit=0))
+        assert a == b and len(a) == 500 and all(c == 1 for c in a.values())
+
     def test_schema_preserved_with_lineage_cols(self):
         from tera_ray.stages.base import dedup_triples
 
