@@ -2054,6 +2054,74 @@ def _q_kg_star(sf_dir: str):
     return star.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
 
 
+def _ecotox_star_store(sf_dir: str):
+    """Dedup'd tests+results emitter store (shared by the star-join and
+    SPARQL judged queries)."""
+    import ray.data
+
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_results, emit_tests
+
+    fx = _fx(sf_dir)
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    return dedup_triples(tests.union(results))
+
+
+def _q_kg_sparql_star(sf_dir: str):
+    """F5+T4 end-to-end: the reference's flagship SPARQL SELECT
+    (``tera/DataAccess.py:977-994`` — nested concentration BNode +
+    OPTIONAL studyDuration BNode) as a query STRING compiled by
+    :mod:`tera_ray.query.sparql` onto the distributed BGP matcher.
+    Same oracle as ``kg_endpoint_star`` (variables renamed to the
+    oracle's column names; projection/DISTINCT semantics identical)."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT DISTINCT ?chemical ?species ?conc_value ?endpoint ?effect
+                        ?sd ?sd_unit WHERE {
+            ?test rdf:type ns:Test ;
+              ns:chemical ?chemical ;
+               ns:species ?species ;
+               ns:hasResult [
+               ns:endpoint ?endpoint ;
+               ns:effect ?effect ;
+               ns:concentration [rdf:value ?conc_value ;
+                                    unit:units ?cu] ] .
+
+            OPTIONAL {
+                ?test ns:studyDuration [rdf:value ?sd ;
+                                        unit:units ?sd_unit] .
+            }
+        }"""
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
+def _q_kg_sparql_compounds(sf_dir: str):
+    """The reference ``ChemistryAPI.compounds()`` scan
+    (``tera/DataAccess.py:650-654``) through the SPARQL front-end:
+    variable-predicate full scan + ``isURI``/``STRSTARTS`` FILTER
+    (set-return semantics → DISTINCT)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    fx = _fx(sf_dir)
+    store = ray.data.read_parquet(
+        os.path.join(fx, "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = f"""PREFIX cas: <{NS}cas/>
+        SELECT DISTINCT ?s {{
+        ?s  ?o  ?z
+        FILTER (isURI(?s) && STRSTARTS(str(?s), str(cas:) ) )
+        }}
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3201,6 +3269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chemical_triples": _q_kg_chemicals,
         "kg_hierarchy_triples": _q_kg_hierarchy,
         "kg_endpoint_star": _q_kg_star,
+        "kg_sparql_star": _q_kg_sparql_star,
+        "kg_sparql_compounds": _q_kg_sparql_compounds,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4424,6 +4494,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
 """,
         "kg_hierarchy_triples": _hierarchy_sql(fx),
         "kg_endpoint_star": _star_sql(fx),
+        # same join as the engine star — the SPARQL string compiles to
+        # the identical BGP + OPTIONAL left-join
+        "kg_sparql_star": _star_sql(fx),
+        # compounds() scan: every cas/ subject the chemical emitter
+        # produces (subjects exist iff all three source fields survive
+        # sentinel-nullification, mirroring emit_chemicals' row gate)
+        "kg_sparql_compounds":
+            f"SELECT DISTINCT '{NS}cas/'||{_sent('cas_number')} AS s"
+            f" FROM read_parquet('{fx}/chemicals.parquet')"
+            f" WHERE {_sent('cas_number')} IS NOT NULL"
+            f" AND {_sent('chemical_name')} IS NOT NULL"
+            f" AND {_sent('ecotox_group')} IS NOT NULL",
         # fp_bits/fp_hex mirror bin(int).count('1') / hex(int) — fixed
         # integer identities, independent of the engine implementation
         "chem_enrich":

@@ -1,0 +1,184 @@
+"""SPARQL-SELECT front-end (SURVEY F5 + T4): parser coverage on a
+hand-built store, and the reference's verbatim flagship query string
+(`tera/DataAccess.py:977-994`) against the ecotox emitter store,
+cross-checked with the engine's endpoint star join."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from tera_ray.query.sparql import (
+    DEFAULT_NS,
+    SparqlError,
+    SparqlUnsupported,
+    prefixes,
+    sparql_select,
+)
+from tera_ray.schema import ECOTOX_NS, RDF
+
+NS = "http://ex.org/"
+
+
+def store():
+    rows = [
+        # two typed things with labels
+        (NS + "t1", RDF + "type", NS + "Test"),
+        (NS + "t2", RDF + "type", NS + "Test"),
+        (NS + "t1", NS + "label", "alpha"),
+        (NS + "t2", NS + "label", "beta"),
+        # t1 has a nested measurement bnode; t2 does not
+        (NS + "t1", NS + "measure", "_:m1"),
+        ("_:m1", RDF + "value", "42"),
+        ("_:m1", NS + "unit", NS + "mg"),
+        # an extra edge for predicate/object list coverage
+        (NS + "t1", NS + "tag", NS + "x"),
+        (NS + "t1", NS + "tag", NS + "y"),
+    ]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def rows(ds, cols):
+    out = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.extend(zip(*[b[c].to_pylist() for c in cols]))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+
+PFX = f"PREFIX ex: <{NS}>\nPREFIX rdf: <{RDF}>\n"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSparqlSelect:
+    def test_basic_bgp_and_prefixes(self):
+        out = sparql_select(store(), PFX + """
+            SELECT ?s ?l WHERE { ?s rdf:type ex:Test ; ex:label ?l . }
+        """)
+        assert rows(out, ["s", "l"]) == [(NS + "t1", "alpha"),
+                                         (NS + "t2", "beta")]
+
+    def test_a_keyword_and_object_list(self):
+        out = sparql_select(store(), PFX + """
+            SELECT ?s WHERE { ?s a ex:Test . ?s ex:tag ex:x , ex:y . }
+        """)
+        assert rows(out, ["s"]) == [(NS + "t1",)]
+
+    def test_bnode_property_list(self):
+        out = sparql_select(store(), PFX + """
+            SELECT ?s ?v ?u WHERE {
+                ?s ex:measure [ rdf:value ?v ; ex:unit ?u ] .
+            }
+        """)
+        assert rows(out, ["s", "v", "u"]) == [(NS + "t1", "42", NS + "mg")]
+
+    def test_optional_group_left_join(self):
+        out = sparql_select(store(), PFX + """
+            SELECT ?s ?v WHERE {
+                ?s a ex:Test .
+                OPTIONAL { ?s ex:measure [ rdf:value ?v ] . }
+            }
+        """)
+        assert rows(out, ["s", "v"]) == [(NS + "t1", "42"), (NS + "t2", None)]
+
+    def test_filter_isuri_strstarts_and_or(self):
+        q = PFX + """
+            SELECT ?s ?o WHERE {
+                ?s ex:label ?o
+                FILTER (isURI(?s) && STRSTARTS(str(?s), str(ex:)))
+            }
+        """
+        assert len(rows(sparql_select(store(), q), ["s", "o"])) == 2
+        q2 = PFX + """
+            SELECT ?s ?o { ?s ex:label ?o FILTER (?o = "alpha" || ?o = "beta") }
+        """
+        assert len(rows(sparql_select(store(), q2), ["s", "o"])) == 2
+        q3 = PFX + 'SELECT ?s { ?s ex:label ?o FILTER (?o != "alpha") }'
+        assert rows(sparql_select(store(), q3), ["s"]) == [(NS + "t2",)]
+
+    def test_filter_isliteral_and_regex(self):
+        q = PFX + """
+            SELECT ?o WHERE { ?s ex:label ?o FILTER (isLiteral(?o)) }
+        """
+        assert len(rows(sparql_select(store(), q), ["o"])) == 2
+        q2 = PFX + 'SELECT ?o { ?s ?p ?o FILTER (regex(?o, "^al")) }'
+        assert rows(sparql_select(store(), q2), ["o"]) == [("alpha",)]
+        # blank-node ids are not URIs (rdflib parity)
+        q3 = PFX + 'SELECT ?o { ?s ex:measure ?o FILTER (isURI(?o)) }'
+        assert rows(sparql_select(store(), q3), ["o"]) == []
+
+    def test_select_star_distinct_limit(self):
+        q = PFX + "SELECT * WHERE { ?s ex:tag ?t . }"
+        assert len(rows(sparql_select(store(), q), ["s", "t"])) == 2
+        q2 = PFX + "SELECT DISTINCT ?s WHERE { ?s ex:tag ?t . }"
+        assert rows(sparql_select(store(), q2), ["s"]) == [(NS + "t1",)]
+        q3 = PFX + "SELECT ?s WHERE { ?s ex:tag ?t . } LIMIT 1"
+        assert sparql_select(store(), q3).count() == 1
+
+    def test_errors(self):
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(store(), PFX + "SELECT ?s WHERE { { ?s ?p ?o } "
+                          "UNION { ?s ?p ?o } }")
+        with pytest.raises(SparqlError):
+            sparql_select(store(), PFX + "SELECT ?s WHERE { ?s ux:label ?o }")
+        with pytest.raises(SparqlError):
+            sparql_select(store(), PFX + "SELECT ?nope WHERE { ?s ?p ?o }")
+
+    def test_prefixes_helper_matches_reference_format(self):
+        s = prefixes({"ex": NS})
+        assert s == f"PREFIX\tex:\t<{NS}>\n"
+        assert "ns" in DEFAULT_NS and DEFAULT_NS["ns"] == ECOTOX_NS
+
+    def test_reference_flagship_query_verbatim(self, fixtures_t1):
+        """The exact SELECT string from tera/DataAccess.py:977-994 (with
+        the reference's default prefixes preloaded) over the ecotox
+        emitter store must agree with the engine's endpoint star join."""
+        from tera_ray.query.kg import endpoint_star_join
+        from tera_ray.stages.base import dedup_triples
+        from tera_ray.stages.ecotox import emit_results, emit_tests
+
+        tests = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "tests.parquet")).map_batches(
+            emit_tests, batch_format="pyarrow")
+        results = ray.data.read_parquet(
+            os.path.join(fixtures_t1, "results.parquet")).map_batches(
+            emit_results, batch_format="pyarrow")
+        triples = dedup_triples(tests.union(results))
+
+        q = """
+            SELECT DISTINCT ?c ?s ?cc ?cu ?ep ?ef ?sd ?sdu WHERE {
+                ?test rdf:type ns:Test ;
+                  ns:chemical ?c ;
+                   ns:species ?s ;
+                   ns:hasResult [
+                   ns:endpoint ?ep ;
+                   ns:effect ?ef ;
+                   ns:concentration [rdf:value ?cc ;
+                                        unit:units ?cu] ] .
+
+                OPTIONAL {
+                    ?test ns:studyDuration [rdf:value ?sd ;
+                                            unit:units ?sdu] .
+                }
+            }"""
+        got = set(rows(sparql_select(triples, q),
+                       ["c", "s", "cc", "cu", "ep", "ef", "sd", "sdu"]))
+
+        star = endpoint_star_join(triples)
+        want = set(zip(star["chemical"].to_pylist(),
+                       star["species"].to_pylist(),
+                       star["conc_value"].to_pylist(),
+                       star["conc_unit"].to_pylist(),
+                       star["endpoint"].to_pylist(),
+                       star["effect"].to_pylist(),
+                       star["sd"].to_pylist(),
+                       star["sd_unit"].to_pylist()))
+        assert got == want and len(got) > 100
