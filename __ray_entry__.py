@@ -2122,6 +2122,43 @@ def _q_kg_sparql_compounds(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_agg(sf_dir: str):
+    """SPARQL aggregate select expressions + GROUP BY compiled onto the
+    combiner-first distributed groupby: results per chemical over the
+    dedup'd tests+results emitter store."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT ?chemical (COUNT(?r) AS ?n) WHERE {
+            ?t rdf:type ns:Test ;
+               ns:chemical ?chemical ;
+               ns:hasResult ?r .
+        } GROUP BY ?chemical
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
+def _q_kg_sparql_union(sf_dir: str):
+    """SPARQL UNION over the dedup'd chemical emitter store: label
+    bindings from both the alias and group shapes plus subclass edges,
+    null-pad-free two-branch stream union with DISTINCT."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    store = dedup_triples(ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH))
+    q = """
+        SELECT DISTINCT ?s ?v WHERE {
+            { ?s rdfs:label ?v } UNION { ?s rdfs:subClassOf ?v }
+        }
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3271,6 +3308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_endpoint_star": _q_kg_star,
         "kg_sparql_star": _q_kg_sparql_star,
         "kg_sparql_compounds": _q_kg_sparql_compounds,
+        "kg_sparql_agg": _q_kg_sparql_agg,
+        "kg_sparql_union": _q_kg_sparql_union,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -3419,6 +3458,59 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}effect/'||r.effect AS effect,
        sd.sd AS sd, sd.sd_unit AS sd_unit
 FROM r JOIN t USING (test_id) LEFT JOIN sd ON sd.test_id = t.test_id
+"""
+
+
+def _sparql_agg_sql(fx: str) -> str:
+    """Oracle for kg_sparql_agg: results per chemical.  hasResult edges
+    are unconditional per cleaned result row; result BNode identity is
+    the full (test_id, endpoint, effect, conc, unit) key, so the
+    dedup'd store holds one edge per DISTINCT key."""
+    sents = ", ".join(f"'{v}'" for v in NAN_VALUES)
+    return f"""
+WITH t AS (
+  SELECT DISTINCT trim(test_id) AS test_id, trim(test_cas) AS cas
+  FROM read_parquet('{fx}/tests.parquet')
+  WHERE test_id NOT IN ({sents}) AND test_cas NOT IN ({sents})
+    AND species_number NOT IN ({sents})
+), r AS (
+  SELECT DISTINCT trim(test_id) AS test_id, trim(endpoint) AS ep,
+         trim(effect) AS ef, trim(conc1_mean) AS cm, trim(conc1_unit) AS cu
+  FROM read_parquet('{fx}/results.parquet')
+  WHERE test_id NOT IN ({sents}) AND endpoint NOT IN ({sents})
+    AND conc1_mean NOT IN ({sents}) AND conc1_unit NOT IN ({sents})
+    AND effect NOT IN ({sents})
+)
+SELECT '{NS}cas/'||t.cas AS chemical, count(*) AS n
+FROM r JOIN t USING (test_id) GROUP BY 1
+"""
+
+
+def _sparql_union_sql(fx: str) -> str:
+    """Oracle for kg_sparql_union: DISTINCT (s, v) pairs from the label
+    branches (cas aliases + group names) and the subClassOf branch of
+    the chemical emitter; SQL UNION mirrors SELECT DISTINCT."""
+    return f"""
+WITH b AS (
+  SELECT {_sent('cas_number')} AS cas, {_sent('chemical_name')} AS cname,
+         {_sent('ecotox_group')} AS grp
+  FROM read_parquet('{fx}/chemicals.parquet')
+  WHERE {_sent('cas_number')} IS NOT NULL
+    AND {_sent('chemical_name')} IS NOT NULL
+    AND {_sent('ecotox_group')} IS NOT NULL
+), ax AS (
+  SELECT cas, unnest(string_split(cname, ', ')) AS alias FROM b
+), gx AS (
+  SELECT cas, unnest(string_split(grp, ',')) AS gname,
+         unnest(string_split(replace(replace(replace(grp, '/', ''), '.', ''),
+                ' ', ''), ',')) AS gscrub
+  FROM b
+)
+SELECT '{NS}cas/'||cas AS s, alias AS v FROM ax
+UNION
+SELECT '{NS}group/'||gscrub, gname FROM gx
+UNION
+SELECT '{NS}cas/'||cas, '{NS}group/'||gscrub FROM gx
 """
 
 
@@ -4497,6 +4589,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         # same join as the engine star — the SPARQL string compiles to
         # the identical BGP + OPTIONAL left-join
         "kg_sparql_star": _star_sql(fx),
+        "kg_sparql_agg": _sparql_agg_sql(fx),
+        "kg_sparql_union": _sparql_union_sql(fx),
         # compounds() scan: every cas/ subject the chemical emitter
         # produces (subjects exist iff all three source fields survive
         # sentinel-nullification, mirroring emit_chemicals' row gate)

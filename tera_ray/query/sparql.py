@@ -24,9 +24,23 @@ so a reference user can run their existing query strings unchanged:
 - ``FILTER`` with ``isURI``/``isLiteral``, ``STRSTARTS(str(?v), …)``,
   ``regex(?v, "re")``, ``=`` / ``!=``, ``&&`` / ``||`` — compiled to
   vectorized Arrow kernels applied to the binding relation
+- ``{ … } UNION { … }`` chains — branches match as independent
+  sub-BGPs, null-pad to the block's variable superset and stream-union
+  (no shuffle); the block joins the surrounding patterns on the shared
+  variables
+- ``VALUES`` — single bound variable compiles to a vectorized
+  ``is_in`` mask; multi-variable tuples join as a driver-tiny inline
+  table (``UNDEF`` → null, which matches nothing in multi-var form)
+- aggregate select expressions ``(COUNT(*)/COUNT(?v)/COUNT(DISTINCT
+  ?v)/SUM/MIN/MAX/AVG(?v) AS ?alias)`` with ``GROUP BY`` — a
+  combiner-first distributed groupby (``relational.grouped_agg``);
+  SUM/AVG drop non-numeric bindings (SPARQL error-drop), MIN/MAX
+  compare lexically on the string store
+- ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort) and
+  ``LIMIT``
 
-Unsupported constructs the reference never uses (``UNION``,
-``VALUES``, ``GRAPH``, subqueries, ``ORDER BY``, aggregates) raise
+Unsupported constructs the reference never uses (``GRAPH``,
+subqueries, ``BIND``, ``HAVING``, ``MINUS``, property paths) raise
 ``SparqlUnsupported`` with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
@@ -97,8 +111,10 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"UNION", "VALUES", "GRAPH", "ORDER", "GROUP", "HAVING",
-                "MINUS", "SERVICE", "BIND", "CONSTRUCT", "ASK", "DESCRIBE"}
+_UNSUPPORTED = {"GRAPH", "HAVING", "MINUS", "SERVICE", "BIND",
+                "CONSTRUCT", "ASK", "DESCRIBE", "OFFSET"}
+
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
@@ -116,6 +132,14 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 
 
 @dataclass
+class _Agg:
+    fn: str                     # count | sum | min | max | avg
+    var: str | None             # None = COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
 class _Query:
     select: list[str]           # variable names without '?' ([] = *)
     distinct: bool
@@ -123,6 +147,11 @@ class _Query:
     optionals: list[list[tuple]]  # one sub-BGP per OPTIONAL group
     filters: list = field(default_factory=list)  # compiled mask fns
     limit: int | None = None
+    unions: list = field(default_factory=list)   # blocks: [branch BGPs]
+    values: list = field(default_factory=list)   # (vars, rows) clauses
+    aggs: list = field(default_factory=list)     # _Agg select items
+    group_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # (var, descending)
 
 
 class _Parser:
@@ -204,6 +233,7 @@ class _Parser:
         distinct = self.kw("DISTINCT")
         self.kw("REDUCED")
         select: list[str] = []
+        aggs: list[_Agg] = []
         while True:
             kind, v = self.peek()
             if kind == "var":
@@ -212,10 +242,40 @@ class _Parser:
                 self.next()
                 select = []
                 break
+            elif v == "(":
+                aggs.append(self.agg_item())
+                select.append(aggs[-1].alias)
             else:
                 break
         self.kw("WHERE")
-        patterns, optionals, filters = self.group()
+        patterns, optionals, filters, unions, values = self.group()
+        group_by: list[str] = []
+        order_by: list[tuple[str, bool]] = []
+        if self.kw("GROUP"):
+            if not self.kw("BY"):
+                raise SparqlError("GROUP must be followed by BY")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise SparqlError("empty GROUP BY")
+        if self.kw("HAVING"):
+            raise SparqlUnsupported("HAVING")
+        if self.kw("ORDER"):
+            if not self.kw("BY"):
+                raise SparqlError("ORDER must be followed by BY")
+            while True:
+                kind, v = self.peek()
+                if kind == "var":
+                    order_by.append((self.next()[1][1:], False))
+                elif kind == "word" and v.upper() in ("ASC", "DESC"):
+                    desc = self.next()[1].upper() == "DESC"
+                    self.expect("(")
+                    order_by.append((self._var_name(), desc))
+                    self.expect(")")
+                else:
+                    break
+            if not order_by:
+                raise SparqlError("empty ORDER BY")
         limit = None
         if self.kw("LIMIT"):
             limit = int(self.next()[1])
@@ -225,41 +285,134 @@ class _Parser:
                    if v.upper() in _UNSUPPORTED
                    else SparqlError(f"unexpected trailing {v!r}"))
         return _Query(select=select, distinct=distinct, patterns=patterns,
-                      optionals=optionals, filters=filters, limit=limit)
+                      optionals=optionals, filters=filters, limit=limit,
+                      unions=unions, values=values, aggs=aggs,
+                      group_by=group_by, order_by=order_by)
+
+    def agg_item(self) -> _Agg:
+        """``(COUNT(*) AS ?n)`` / ``(SUM(?v) AS ?s)`` / ``(COUNT(DISTINCT
+        ?v) AS ?n)`` select expression."""
+        self.expect("(")
+        kind, v = self.next()
+        fn = v.upper() if kind == "word" else ""
+        if fn not in _AGG_FNS:
+            raise SparqlUnsupported(f"unsupported select expression {v!r}")
+        self.expect("(")
+        distinct = self.kw("DISTINCT")
+        kind, v = self.peek()
+        if v == "*":
+            self.next()
+            var = None
+            if fn != "COUNT":
+                raise SparqlError(f"{fn}(*) is not valid SPARQL")
+        else:
+            var = self._var_name()
+        self.expect(")")
+        if not self.kw("AS"):
+            raise SparqlError("aggregate select expression needs AS ?alias")
+        alias = self._var_name()
+        self.expect(")")
+        if distinct and fn != "COUNT":
+            raise SparqlUnsupported(f"{fn}(DISTINCT …)")
+        return _Agg(fn=fn.lower(), var=var, distinct=distinct, alias=alias)
 
     def group(self, in_optional: bool = False):
-        """``{ … }`` → (patterns, optional groups, filter fns)."""
+        """``{ … }`` → (patterns, optional groups, filter fns, union
+        blocks, values clauses)."""
         self.expect("{")
         patterns: list[tuple] = []
         optionals: list[list[tuple]] = []
         filters: list = []
+        unions: list[list[list[tuple]]] = []
+        values: list[tuple[list[str], list[tuple]]] = []
         while True:
             kind, v = self.peek()
             if v == "}":
                 self.next()
-                return patterns, optionals, filters
+                return patterns, optionals, filters, unions, values
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
-                raise SparqlUnsupported(
-                    "nested group graph patterns (UNION/sub-groups)")
-            if self.kw("OPTIONAL"):
+                if in_optional:
+                    raise SparqlUnsupported("group pattern inside OPTIONAL")
+                unions.append(self.union_block())
+            elif self.kw("OPTIONAL"):
                 if in_optional:
                     raise SparqlUnsupported("nested OPTIONAL")
-                sub_p, sub_o, sub_f = self.group(in_optional=True)
-                if sub_o or sub_f:
+                sub = self.group(in_optional=True)
+                sub_p, sub_o, sub_f, sub_u, sub_v = sub
+                if sub_o or sub_f or sub_u or sub_v:
                     raise SparqlUnsupported(
-                        "OPTIONAL containing OPTIONAL/FILTER")
+                        "OPTIONAL containing OPTIONAL/FILTER/UNION/VALUES")
                 optionals.append(sub_p)
             elif self.kw("FILTER"):
                 if in_optional:
                     raise SparqlUnsupported("FILTER inside OPTIONAL")
                 filters.append(self.filter_expr())
+            elif self.kw("VALUES"):
+                if in_optional:
+                    raise SparqlUnsupported("VALUES inside OPTIONAL")
+                values.append(self.values_clause())
             else:
                 patterns.extend(self.triple_statement())
             # statement separator (optional before '}')
             if self.peek()[1] == ".":
                 self.next()
+
+    def union_block(self) -> list[list[tuple]]:
+        """``{ BGP } UNION { BGP } [UNION …]`` → list of branch BGPs.
+        Branches are plain BGPs (no nested OPTIONAL/FILTER/UNION)."""
+        branches = []
+        while True:
+            sub_p, sub_o, sub_f, sub_u, sub_v = self.group(in_optional=True)
+            if sub_o or sub_f or sub_u or sub_v:
+                raise SparqlUnsupported(
+                    "UNION branch containing OPTIONAL/FILTER/UNION/VALUES")
+            if not sub_p:
+                raise SparqlError("empty UNION branch")
+            branches.append(sub_p)
+            if not self.kw("UNION"):
+                break
+        if len(branches) == 1:
+            raise SparqlUnsupported(
+                "bare nested group (only UNION chains of groups are "
+                "supported)")
+        return branches
+
+    def values_clause(self) -> tuple[list[str], list[tuple]]:
+        """``VALUES ?v { "a" "b" }`` or ``VALUES (?a ?b) { (1 2) … }``;
+        ``UNDEF`` → null."""
+        vars_: list[str] = []
+        kind, v = self.peek()
+        paren = v == "("
+        if paren:
+            self.next()
+            while self.peek()[0] == "var":
+                vars_.append(self._var_name())
+            self.expect(")")
+        else:
+            vars_.append(self._var_name())
+        if not vars_:
+            raise SparqlError("VALUES needs at least one variable")
+        self.expect("{")
+        rows: list[tuple] = []
+
+        def one_term():
+            if self.peek()[0] == "word" and self.peek()[1].upper() == "UNDEF":
+                self.next()
+                return None
+            return self.term()
+
+        while self.peek()[1] != "}":
+            if paren:
+                self.expect("(")
+                row = tuple(one_term() for _ in vars_)
+                self.expect(")")
+            else:
+                row = (one_term(),)
+            rows.append(row)
+        self.expect("}")
+        return vars_, rows
 
     def triple_statement(self) -> list[tuple]:
         out: list[tuple] = []
@@ -453,22 +606,23 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     the supported subset).  ``init_ns`` extends/overrides
     :data:`DEFAULT_NS`; PREFIX headers in the query override both."""
     from .kg import bgp_match
-    from ..query.relational import hash_join
-    from ..stages.base import cat, dedup_triples
+    from ..stages.base import dedup_triples
 
     ns = dict(DEFAULT_NS)
     if init_ns:
         ns.update(init_ns)
     ast = _Parser(_tokenize(query), ns).parse()
-    if not ast.patterns:
+    if not ast.patterns and not ast.unions:
         raise SparqlError("empty WHERE block")
 
     # ONE narrowing pass over the store for the WHOLE query (required
-    # patterns + every OPTIONAL group): each bgp_match pattern scan
-    # re-reads its input, so narrow+materialize here and disable
-    # bgp_match's own pass — a lazy store's upstream lineage executes
-    # exactly once per query
-    all_patterns = list(ast.patterns) + [p for g in ast.optionals for p in g]
+    # patterns + every OPTIONAL group + every UNION branch): each
+    # bgp_match pattern scan re-reads its input, so narrow+materialize
+    # here and disable bgp_match's own pass — a lazy store's upstream
+    # lineage executes exactly once per query
+    all_patterns = (list(ast.patterns)
+                    + [p for g in ast.optionals for p in g]
+                    + [p for blk in ast.unions for br in blk for p in br])
     preds = [p[1] for p in all_patterns]
     if all(not pr.startswith("?") for pr in preds):
         pset = pa.array(sorted(set(preds)), pa.string())
@@ -480,11 +634,44 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
         triples = triples.map_batches(_narrow, batch_format="pyarrow")
     triples = triples.materialize()
 
-    out = bgp_match(triples, _connect_order(ast.patterns),
-                    num_buckets=num_buckets, narrow=False)
-    have = [v[1:] for p in ast.patterns for v in p
-            if isinstance(v, str) and v.startswith("?")]
-    have = list(dict.fromkeys(have))
+    if ast.patterns:
+        out = bgp_match(triples, _connect_order(ast.patterns),
+                        num_buckets=num_buckets, narrow=False)
+        have = [v[1:] for p in ast.patterns for v in p
+                if isinstance(v, str) and v.startswith("?")]
+        have = list(dict.fromkeys(have))
+    else:
+        out, have = None, []
+
+    # UNION blocks: each branch is its own sub-BGP; branches align to
+    # the block's variable superset (missing vars null-padded) and
+    # stream-union WITHOUT a shuffle; a block joins to the required
+    # bindings on the shared variables (one co-group shuffle) — exact
+    # SPARQL join(…, union(…)) semantics for non-nested blocks
+    for block in ast.unions:
+        blk_vars = list(dict.fromkeys(
+            v[1:] for br in block for p in br for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        parts = []
+        for br in block:
+            b = bgp_match(triples, _connect_order(br),
+                          num_buckets=num_buckets, narrow=False)
+            br_vars = {v[1:] for p in br for v in p
+                       if isinstance(v, str) and v.startswith("?")}
+            parts.append(b.map_batches(
+                _align_cols(blk_vars, br_vars), batch_format="pyarrow"))
+        ub = parts[0]
+        for p in parts[1:]:
+            ub = ub.union(p)
+        if out is None:
+            out, have = ub, list(blk_vars)
+            continue
+        shared = [v for v in blk_vars if v in have]
+        if not shared:
+            raise SparqlError("UNION block shares no variable with the "
+                              "preceding patterns")
+        out, have = _join_on_vars(out, have, ub, blk_vars, shared,
+                                  num_buckets, how="inner")
 
     for group in ast.optionals:
         shared = _shared_vars(have, group)
@@ -496,35 +683,43 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
         g_vars = list(dict.fromkeys(
             v[1:] for p in group for v in p
             if isinstance(v, str) and v.startswith("?")))
+        out, have = _join_on_vars(out, have, sub, g_vars, shared,
+                                  num_buckets, how="left")
 
-        def keyed(vars_):
-            def add(t: pa.Table) -> pa.Table:
-                parts: list = []
-                for i, v in enumerate(vars_):
-                    if i:
-                        parts.append("\x1f")
-                    parts.append(t[v])
-                return t.append_column("__k", cat(*parts))
-            return add
+    # VALUES: single bound variable → vectorized is_in mask (no
+    # shuffle); multi-variable → inner join against the (driver-tiny)
+    # inline table on the composite key
+    for v_vars, v_rows in ast.values:
+        unbound = [v for v in v_vars if v not in have]
+        if unbound:
+            raise SparqlUnsupported(
+                f"VALUES variables not bound by the graph pattern: "
+                f"{unbound} (cross-product VALUES)")
+        if len(v_vars) == 1 and all(r[0] is not None for r in v_rows):
+            vals = pa.array(sorted({r[0] for r in v_rows}), pa.string())
+            name = v_vars[0]
 
-        left = out.map_batches(keyed(shared), batch_format="pyarrow")
-        right = sub.map_batches(keyed(shared), batch_format="pyarrow")
-        new_cols = [v for v in g_vars if v not in have]
+            def _vmask(t: pa.Table, name=name, vals=vals) -> pa.Table:
+                return t.filter(pc.fill_null(
+                    pc.is_in(t[name], value_set=vals), False))
 
-        def proj(cols):
-            def f(t: pa.Table) -> pa.Table:
-                return t.select(cols)
-            return f
+            out = out.map_batches(_vmask, batch_format="pyarrow")
+            continue
+        import ray.data
 
-        right = right.map_batches(proj(["__k"] + new_cols),
-                                  batch_format="pyarrow")
-        out = hash_join(left, right, on="__k", how="left",
-                        num_buckets=num_buckets).map_batches(
-            _drop_key, batch_format="pyarrow")
-        have += new_cols
+        vt = pa.table({v: pa.array([r[i] for r in v_rows], pa.string())
+                       for i, v in enumerate(v_vars)})
+        # UNDEF (null) joins nothing under the composite-key equality —
+        # a deliberate restriction vs SPARQL's per-column wildcard UNDEF
+        out, have = _join_on_vars(out, have, ray.data.from_arrow(vt),
+                                  list(v_vars), list(v_vars),
+                                  num_buckets, how="inner")
 
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")
+
+    if ast.aggs or ast.group_by:
+        out, have = _aggregate(out, have, ast)
 
     select = ast.select or [v for v in have if not v.startswith("__b")]
     missing = [v for v in select if v not in have]
@@ -533,9 +728,138 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     out = out.map_batches(_projector(select), batch_format="pyarrow")
     if ast.distinct:
         out = dedup_triples(out, keys=tuple(select))
+    if ast.order_by:
+        bad = [v for v, _ in ast.order_by if v not in select]
+        if bad:
+            raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
+        out = out.sort([v for v, _ in ast.order_by],
+                       descending=[d for _, d in ast.order_by])
     if ast.limit is not None:
         out = out.limit(ast.limit)
     return out
+
+
+def _align_cols(all_vars: list[str], present: set[str]):
+    """Project a branch's bindings to the block's variable superset,
+    null-padding absent variables (string-typed)."""
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for v in all_vars:
+            cols[v] = (t[v] if v in present
+                       else pa.nulls(t.num_rows, pa.string()))
+        return pa.table(cols)
+    return f
+
+
+def _join_on_vars(left, l_vars: list[str], right, r_vars: list[str],
+                  shared: list[str], num_buckets: int, how: str):
+    """Join two binding relations on their shared variables via ONE
+    composite-key co-group shuffle (``relational.hash_join``); returns
+    (joined, merged var list).  ``how="left"`` = SPARQL OPTIONAL,
+    ``"inner"`` = join with a UNION block / VALUES table."""
+    from ..query.relational import hash_join
+    from ..stages.base import cat
+
+    def keyed(t: pa.Table) -> pa.Table:
+        parts: list = []
+        for i, v in enumerate(shared):
+            if i:
+                parts.append("\x1f")
+            parts.append(t[v])
+        return t.append_column("__k", cat(*parts))
+
+    new_cols = [v for v in r_vars if v not in l_vars]
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["__k"] + new_cols)
+
+    l = left.map_batches(keyed, batch_format="pyarrow")
+    r = right.map_batches(keyed, batch_format="pyarrow").map_batches(
+        proj, batch_format="pyarrow")
+    out = hash_join(l, r, on="__k", how=how,
+                    num_buckets=num_buckets).map_batches(
+        _drop_key, batch_format="pyarrow")
+    return out, l_vars + new_cols
+
+
+def _aggregate(out, have: list[str], ast: _Query):
+    """GROUP BY + aggregate select expressions on the binding relation
+    (combiner-first distributed groupby via ``relational.grouped_agg``).
+
+    Store terms are plain strings, so SUM/AVG cast to float64 (non-
+    numeric bindings become null and are excluded, matching SPARQL's
+    error-drop semantics) while MIN/MAX compare lexically.  COUNT(?v)
+    counts bound values only; COUNT(DISTINCT ?v) dedups (keys, v)
+    first and must be the only aggregate in the query."""
+    from ..query.relational import grouped_agg
+    from ..stages.base import dedup_triples
+
+    keys = list(ast.group_by)
+    bad = [v for v in keys if v not in have]
+    if bad:
+        raise SparqlError(f"GROUP BY variables not bound: {bad}")
+    for a in ast.aggs:
+        if a.var is not None and a.var not in have:
+            raise SparqlError(f"aggregate over unbound variable ?{a.var}")
+    plain = [s for s in ast.select if s not in {a.alias for a in ast.aggs}]
+    bad = [v for v in plain if v not in keys]
+    if bad:
+        raise SparqlError(f"SELECT variables not in GROUP BY: {bad}")
+
+    distinct_aggs = [a for a in ast.aggs if a.distinct]
+    if distinct_aggs and len(ast.aggs) > 1:
+        raise SparqlUnsupported(
+            "COUNT(DISTINCT …) mixed with other aggregates")
+
+    global_agg = not keys
+    if global_agg:
+        keys = ["__g"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys if k != "__g"}
+        if global_agg:
+            cols["__g"] = pa.nulls(t.num_rows, pa.int8())
+        for a in ast.aggs:
+            if a.fn == "count" and a.var is None:
+                continue  # grouped_agg counts rows via __ones
+            if a.fn == "count":
+                cols[f"__v_{a.alias}"] = pc.cast(
+                    pc.is_valid(t[a.var]), pa.int64())
+            elif a.fn in ("sum", "avg"):
+                s = t[a.var]
+                num = pc.match_substring_regex(
+                    s, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+                cols[f"__v_{a.alias}"] = pc.cast(
+                    pc.if_else(pc.fill_null(num, False), s,
+                               pa.scalar(None, pa.string())),
+                    pa.float64())
+            else:  # min / max — lexical on the string store
+                cols[f"__v_{a.alias}"] = t[a.var]
+        return pa.table(cols) if cols else t.select(keys)
+
+    if distinct_aggs:
+        a = distinct_aggs[0]
+        ded = dedup_triples(out, keys=tuple(dict.fromkeys(
+            (keys if not global_agg else []) + [a.var])))
+        ded = ded.map_batches(prep, batch_format="pyarrow")
+        spec = [(f"__v_{a.alias}", "sum", a.alias)]
+        res = grouped_agg(ded, keys, spec)
+    else:
+        prepped = out.map_batches(prep, batch_format="pyarrow")
+        spec = []
+        for a in ast.aggs:
+            if a.fn == "count" and a.var is None:
+                spec.append((keys[0], "count", a.alias))
+            elif a.fn == "count":
+                spec.append((f"__v_{a.alias}", "sum", a.alias))
+            else:
+                spec.append((f"__v_{a.alias}", a.fn, a.alias))
+        res = grouped_agg(prepped, keys, spec)
+    if global_agg:
+        res = res.map_batches(lambda t: t.drop_columns(["__g"]),
+                              batch_format="pyarrow")
+        keys = []
+    return res, keys + [a.alias for a in ast.aggs]
 
 
 def _drop_key(t: pa.Table) -> pa.Table:

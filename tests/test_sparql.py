@@ -125,12 +125,79 @@ class TestSparqlSelect:
 
     def test_errors(self):
         with pytest.raises(SparqlUnsupported):
-            sparql_select(store(), PFX + "SELECT ?s WHERE { { ?s ?p ?o } "
-                          "UNION { ?s ?p ?o } }")
+            sparql_select(store(), PFX + "SELECT ?s WHERE "
+                          "{ GRAPH ?g { ?s ?p ?o } }")
         with pytest.raises(SparqlError):
             sparql_select(store(), PFX + "SELECT ?s WHERE { ?s ux:label ?o }")
         with pytest.raises(SparqlError):
             sparql_select(store(), PFX + "SELECT ?nope WHERE { ?s ?p ?o }")
+
+    def test_union_standalone_and_joined(self):
+        # standalone UNION: label bindings from both shapes, null-padded
+        q = PFX + """
+            SELECT ?s ?l ?u WHERE {
+                { ?s ex:label ?l } UNION { ?s ex:unit ?u }
+            }
+        """
+        assert rows(sparql_select(store(), q), ["s", "l", "u"]) == [
+            ("_:m1", None, NS + "mg"),
+            (NS + "t1", "alpha", None),
+            (NS + "t2", "beta", None),
+        ]
+        # UNION joined to a surrounding pattern on ?s
+        q2 = PFX + """
+            SELECT ?s ?v WHERE {
+                ?s a ex:Test .
+                { ?s ex:label ?v } UNION { ?s ex:tag ?v }
+            }
+        """
+        assert rows(sparql_select(store(), q2), ["s", "v"]) == [
+            (NS + "t1", "alpha"), (NS + "t1", NS + "x"),
+            (NS + "t1", NS + "y"), (NS + "t2", "beta")]
+
+    def test_values_clause(self):
+        q = PFX + """
+            SELECT ?s WHERE { ?s ex:label ?l . VALUES ?l { "alpha" "nope" } }
+        """
+        assert rows(sparql_select(store(), q), ["s"]) == [(NS + "t1",)]
+        # multi-var tuple form
+        q2 = PFX + """
+            SELECT ?s ?l WHERE {
+                ?s ex:label ?l .
+                VALUES (?s ?l) { (ex:t1 "alpha") (ex:t2 "nope") }
+            }
+        """
+        assert rows(sparql_select(store(), q2), ["s", "l"]) == [
+            (NS + "t1", "alpha")]
+
+    def test_aggregates_group_by(self):
+        q = PFX + """
+            SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
+            GROUP BY ?s
+        """
+        assert rows(sparql_select(store(), q), ["s", "n"]) == [
+            (NS + "t1", 2)]
+        # global aggregates: COUNT(*) + numeric SUM; lexical MIN
+        q2 = PFX + """
+            SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?sum)
+            WHERE { ?x rdf:value ?v }
+        """
+        assert rows(sparql_select(store(), q2), ["n", "sum"]) == [(1, 42.0)]
+        q2b = PFX + "SELECT (MIN(?l) AS ?m) WHERE { ?y ex:label ?l }"
+        assert rows(sparql_select(store(), q2b), ["m"]) == [("alpha",)]
+        # COUNT(DISTINCT ?v)
+        q3 = PFX + """
+            SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s ex:tag ?t }
+        """
+        assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
+
+    def test_order_by_limit(self):
+        q = PFX + """
+            SELECT ?s ?l WHERE { ?s ex:label ?l } ORDER BY DESC(?l) LIMIT 1
+        """
+        out = sparql_select(store(), q)
+        got = [tuple(r.values()) for r in out.take_all()]
+        assert got == [(NS + "t2", "beta")]
 
     def test_prefixes_helper_matches_reference_format(self):
         s = prefixes({"ex": NS})
