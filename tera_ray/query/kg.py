@@ -156,15 +156,19 @@ def _proj_ds(triples, uri: str, key_name: str, val_name: str):
 
 def endpoint_star_join_distributed(triples, ns: str = ECOTOX_NS,
                                    num_buckets: int = 64):
-    """J3 at scale: the endpoint star as four hash-bucket co-group
-    shuffles (``bucket_multijoin``), keyed on the star's hub ids —
-    results hub, concentration node, tests hub, then the final
-    test⋈result stitch.  Same semantics as :func:`endpoint_star_join`
-    (species/chemical/hasResult inner on test; endpoint base, effect
-    left, concentration inner on result; value inner, unit left on the
-    concentration node) with no driver materialization anywhere.  Use
-    when the input is the full store rather than a pre-filtered slice;
-    ``num_buckets`` bounds per-task memory.
+    """J3 at scale: the endpoint star as FIVE hash-bucket co-group
+    shuffles (``bucket_multijoin``), one per hub id in the BNode tree —
+    studyDuration node, concentration node, results hub, tests hub,
+    then the final test⋈result stitch.  Same semantics as
+    :func:`endpoint_star_join` (species/chemical/hasResult inner on
+    test; endpoint inner, effect left on result; value inner, unit left
+    on the concentration node; OPTIONAL studyDuration value+unit inner
+    on its node, left on test) with no driver materialization anywhere.
+    Each leaf projection joins in the SAME shuffle as its hub edge (the
+    edge dataset rides along keyed on the hub id), so shuffle count
+    equals tree depth, not edge count.  Use when the input is the full
+    store rather than a pre-filtered slice; ``num_buckets`` bounds
+    per-task memory.
     """
     from .relational import bucket_multijoin
 
@@ -184,36 +188,34 @@ def endpoint_star_join_distributed(triples, ns: str = ECOTOX_NS,
 
     triples = triples.map_batches(narrow, batch_format="pyarrow").materialize()
 
-    # results hub: (result, endpoint, effect?, conc)
-    res = bucket_multijoin([
-        (_proj_ds(triples, ns + "endpoint", "result", "endpoint"),
-         ["endpoint"], "inner"),
-        (_proj_ds(triples, ns + "effect", "result", "effect"),
-         ["effect"], "left"),
+    # concentration node: the (result→conc) edge rides along keyed on
+    # conc, so value+unit attach in the SAME shuffle that discovers the
+    # edge — (conc, result, value, unit?)
+    cres = bucket_multijoin([
         (_proj_ds(triples, ns + "concentration", "result", "conc"),
-         ["conc"], "inner"),
-    ], key="result", num_buckets=num_buckets)
-    # concentration node: (conc, value, unit?)  then attach to results
-    cv = bucket_multijoin([
+         ["result"], "inner"),
         (_proj_ds(triples, RDF_VALUE, "conc", "conc_value"),
          ["conc_value"], "inner"),
         (_proj_ds(triples, UNIT_UNITS, "conc", "conc_unit"),
          ["conc_unit"], "left"),
     ], key="conc", num_buckets=num_buckets)
+    # results hub: endpoint inner, effect left onto the conc-attached
+    # rows — (result, endpoint, effect?, conc_value, conc_unit?)
     res_full = bucket_multijoin([
-        (res, ["result", "endpoint", "effect"], "inner"),
-        (cv, ["conc_value", "conc_unit"], "inner"),
-    ], key="conc", num_buckets=num_buckets)
-    # OPTIONAL studyDuration tuple: (test, sd, sd_unit) where the full
-    # BNode pattern matches (value+unit INNER on the measurement node)
-    sdm = bucket_multijoin([
-        (_proj_ds(triples, RDF_VALUE, "m", "sd"), ["sd"], "inner"),
-        (_proj_ds(triples, UNIT_UNITS, "m", "sd_unit"), ["sd_unit"], "inner"),
-    ], key="m", num_buckets=num_buckets)
+        (cres, ["conc_value", "conc_unit"], "inner"),
+        (_proj_ds(triples, ns + "endpoint", "result", "endpoint"),
+         ["endpoint"], "inner"),
+        (_proj_ds(triples, ns + "effect", "result", "effect"),
+         ["effect"], "left"),
+    ], key="result", num_buckets=num_buckets)
+    # OPTIONAL studyDuration tuple in ONE shuffle on the measurement
+    # node: the (test→m) edge rides along; value+unit INNER
     sdt = bucket_multijoin([
         (_proj_ds(triples, ns + "studyDuration", "test", "m"),
          ["test"], "inner"),
-        (sdm, ["sd", "sd_unit"], "inner"),
+        (_proj_ds(triples, RDF_VALUE, "m", "sd"), ["sd"], "inner"),
+        (_proj_ds(triples, UNIT_UNITS, "m", "sd_unit"), ["sd_unit"],
+         "inner"),
     ], key="m", num_buckets=num_buckets).map_batches(
         lambda t: t.select(["test", "sd", "sd_unit"]),
         batch_format="pyarrow")
@@ -623,10 +625,43 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
             acc = acc.map_batches(clean, batch_format="pyarrow")
         return acc, acc_vars + [v for v in bv if v not in acc_vars]
 
+    from ..query.relational import bucket_multijoin
+
     acc = bindings(patterns[0])
     acc_vars = _vars(patterns[0])
-    for p in patterns[1:]:
-        acc, acc_vars = fold(acc, acc_vars, p, "inner")
+    remaining = list(patterns[1:])
+    while remaining:
+        # Star-sibling batching: all remaining patterns that join the
+        # accumulator on the SAME single variable (and bind pairwise-
+        # disjoint new variables) fold in ONE co-group shuffle via
+        # bucket_multijoin — shuffle count tracks the pattern tree's
+        # DEPTH, not its edge count (the flagship star: 12 → 6).
+        p0 = remaining[0]
+        shared0 = [v for v in acc_vars if v in _vars(p0)]
+        if len(shared0) != 1:
+            remaining.pop(0)
+            acc, acc_vars = fold(acc, acc_vars, p0, "inner")
+            continue
+        key = shared0[0]
+        batch, new_seen, rest = [], set(), []
+        for p in remaining:
+            pv = _vars(p)
+            shared = [v for v in acc_vars if v in pv]
+            fresh = [v for v in pv if v not in acc_vars]
+            if shared == [key] and not (set(fresh) & new_seen):
+                batch.append((p, fresh))
+                new_seen.update(fresh)
+            else:
+                rest.append(p)
+        remaining = rest
+        if len(batch) == 1:
+            acc, acc_vars = fold(acc, acc_vars, batch[0][0], "inner")
+            continue
+        parts = [(acc, [v for v in acc_vars if v != key], "inner")]
+        for p, fresh in batch:
+            parts.append((bindings(p), fresh, "inner"))
+        acc = bucket_multijoin(parts, key=key, num_buckets=num_buckets)
+        acc_vars = acc_vars + [v for _, fresh in batch for v in fresh]
     for p in optional:
         acc, acc_vars = fold(acc, acc_vars, p, "left")
     return acc
