@@ -2159,6 +2159,16 @@ def _q_kg_sparql_union(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_path(sf_dir: str):
+    """SPARQL property path ``rdfs:subClassOf+`` compiled onto the
+    semi-naive distributed transitive closure: all DISTINCT ancestor
+    pairs of the NCBI hierarchy."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = "SELECT ?s ?o WHERE { ?s rdfs:subClassOf+ ?o }"
+    return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3310,6 +3320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_compounds": _q_kg_sparql_compounds,
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_union": _q_kg_sparql_union,
+        "kg_sparql_path": _q_kg_sparql_path,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4591,6 +4602,11 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_star": _star_sql(fx),
         "kg_sparql_agg": _sparql_agg_sql(fx),
         "kg_sparql_union": _sparql_union_sql(fx),
+        # same recursion as kg_closure, projected to DISTINCT pairs
+        # (existential path semantics)
+        "kg_sparql_path":
+            f"SELECT DISTINCT src AS s, anc AS o"
+            f" FROM ({_closure_sql(fx)})",
         # compounds() scan: every cas/ subject the chemical emitter
         # produces (subjects exist iff all three source fields survive
         # sentinel-nullification, mirroring emit_chemicals' row gate)

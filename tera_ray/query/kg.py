@@ -504,6 +504,72 @@ def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
     return out
 
 
+def _path_bindings(triples, s, uri: str, o, num_buckets: int):
+    """Bindings for a ``pred+`` property-path pattern: DISTINCT
+    transitive pairs of the predicate's edge relation (existential
+    SPARQL path semantics — no per-path duplicates), via the
+    semi-naive distributed :func:`transitive_closure`."""
+    from ..stages.base import dedup_triples
+
+    def edges(t: pa.Table) -> pa.Table:
+        e = t.filter(pc.equal(t["pred"], pa.scalar(uri, pa.string())))
+        return pa.table({"src": e["subj"], "dst": e["obj"]})
+
+    edge_ds = triples.map_batches(edges, batch_format="pyarrow")
+
+    def is_var(term) -> bool:
+        return isinstance(term, str) and term.startswith("?")
+
+    assert is_var(s) or is_var(o), "path pattern with no variables"
+
+    # Constant-anchored path: seeded broadcast-frontier BFS over the
+    # single-predicate edge relation (G3 pattern — no closure shuffle;
+    # the driver holds only the REACHED id set, the documented anchored-
+    # path assumption).  Backward reachability swaps the edge direction.
+    if is_var(s) != is_var(o):
+        import ray.data
+
+        fwd = not is_var(s)
+        seed = s if fwd else o
+        var = (o if fwd else s)[1:]
+        e = (edge_ds if fwd else edge_ds.map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow")).materialize()
+        seen: set = set()
+        frontier = [seed]
+        while frontier:
+            fr = pa.array(sorted(frontier), pa.string())
+
+            def hop(t: pa.Table, fr=fr) -> pa.Table:
+                return t.filter(pc.is_in(t["src"], value_set=fr)).select(
+                    ["dst"])
+
+            nxt: set = set()
+            for b in e.map_batches(hop, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+                nxt.update(b["dst"].to_pylist())
+            frontier = [x for x in nxt if x not in seen]
+            seen.update(frontier)
+        return ray.data.from_arrow(
+            pa.table({var: pa.array(sorted(seen), pa.string())}))
+
+    clos = transitive_closure(edge_ds,
+                              num_buckets=max(16, num_buckets // 4))
+    pairs = dedup_triples(
+        clos.map_batches(lambda t: t.select(["src", "anc"]),
+                         batch_format="pyarrow"),
+        keys=("src", "anc"), num_buckets=num_buckets)
+
+    def shape(t: pa.Table) -> pa.Table:
+        assert is_var(s) and is_var(o)      # anchored cases returned above
+        if s == o:                          # ?x p+ ?x — cyclic reach
+            t2 = t.filter(pc.equal(t["src"], t["anc"]))
+            return pa.table({s[1:]: t2["src"]})
+        return pa.table({s[1:]: t["src"], o[1:]: t["anc"]})
+
+    return pairs.map_batches(shape, batch_format="pyarrow")
+
+
 def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
               narrow: bool = True):
     """SPARQL-style basic-graph-pattern match over the triple Dataset —
@@ -555,7 +621,8 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
         # → 23s on the reference flagship query).  Filter to the
         # constant predicates when every pattern has one, then park the
         # (small, spillable) narrowed set in the object store.
-        preds = [p[1] for p in list(patterns) + list(optional)]
+        preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
+                 for p in list(patterns) + list(optional)]
         if all(not _is_var(pr) for pr in preds):
             pset = pa.array(sorted(set(preds)), pa.string())
 
@@ -568,6 +635,8 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
     def bindings(p):
         s, pr, o = p
+        if isinstance(pr, tuple) and pr[0] == "+":
+            return _path_bindings(triples, s, pr[1], o, num_buckets)
         pos = (("subj", s), ("pred", pr), ("obj", o))
 
         def f(t: pa.Table) -> pa.Table:

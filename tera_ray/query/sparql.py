@@ -38,10 +38,13 @@ so a reference user can run their existing query strings unchanged:
   compare lexically on the string store
 - ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort) and
   ``LIMIT``
+- one-or-more property paths ``pred+`` — compiled onto the semi-naive
+  distributed transitive closure (variable-variable form) or a seeded
+  broadcast-frontier BFS (constant-anchored form)
 
 Unsupported constructs the reference never uses (``GRAPH``,
-subqueries, ``BIND``, ``HAVING``, ``MINUS``, property paths) raise
-``SparqlUnsupported`` with the offending token.
+subqueries, ``BIND``, ``HAVING``, ``MINUS``, ``pred*`` zero-or-more
+paths) raise ``SparqlUnsupported`` with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -106,7 +109,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|[{}\[\];,.()=*])
+      | (?P<punct>&&|\|\||!=|[{}\[\];,.()=*+])
     """,
     re.X,
 )
@@ -429,6 +432,15 @@ class _Parser:
             pred = self.term()
             if pred.startswith("?") is False and not pred:
                 raise SparqlError("empty predicate")
+            if self.peek()[1] == "+":       # property path: one-or-more
+                self.next()
+                if pred.startswith("?"):
+                    raise SparqlError(
+                        "property-path modifier on a variable predicate")
+                pred = ("+", pred)
+            elif self.peek()[1] == "*":
+                raise SparqlUnsupported(
+                    "zero-or-more property path (use pred+)")
             while True:
                 kind, v = self.peek()
                 if v == "[":
@@ -623,7 +635,8 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     all_patterns = (list(ast.patterns)
                     + [p for g in ast.optionals for p in g]
                     + [p for blk in ast.unions for br in blk for p in br])
-    preds = [p[1] for p in all_patterns]
+    preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
+             for p in all_patterns]
     if all(not pr.startswith("?") for pr in preds):
         pset = pa.array(sorted(set(preds)), pa.string())
 

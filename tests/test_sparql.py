@@ -191,6 +191,40 @@ class TestSparqlSelect:
         """
         assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
 
+    def test_property_path_plus(self):
+        rows_in = [
+            (NS + "a", NS + "sub", NS + "b"),
+            (NS + "b", NS + "sub", NS + "c"),
+            (NS + "c", NS + "sub", NS + "d"),
+            (NS + "a", NS + "label", "A"),
+        ]
+        chain = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+        }))
+        got = rows(sparql_select(chain, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:sub+ ?o }
+        """), ["s", "o"])
+        assert len(got) == 6  # a->{b,c,d}, b->{c,d}, c->{d}
+        assert (NS + "a", NS + "d") in got
+        # constant-anchored forms use the seeded broadcast BFS
+        fwd = rows(sparql_select(chain, PFX + f"""
+            SELECT ?o WHERE {{ <{NS}b> ex:sub+ ?o }}
+        """), ["o"])
+        assert fwd == [(NS + "c",), (NS + "d",)]
+        back = rows(sparql_select(chain, PFX + f"""
+            SELECT ?s WHERE {{ ?s ex:sub+ <{NS}d> }}
+        """), ["s"])
+        assert back == [(NS + "a",), (NS + "b",), (NS + "c",)]
+        # path joined with a plain pattern
+        j = rows(sparql_select(chain, PFX + """
+            SELECT ?l ?o WHERE { ?s ex:label ?l . ?s ex:sub+ ?o }
+        """), ["l", "o"])
+        assert j == [("A", NS + "b"), ("A", NS + "c"), ("A", NS + "d")]
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
+
     def test_order_by_limit(self):
         q = PFX + """
             SELECT ?s ?l WHERE { ?s ex:label ?l } ORDER BY DESC(?l) LIMIT 1
