@@ -1126,11 +1126,18 @@ def _q_events_asof_view(sf_dir: str):
 
     clicks = ev.map_batches(mk_clicks, batch_format="pyarrow")
     views = ev.map_batches(mk_views, batch_format="pyarrow")
+    ts = pa.timestamp("us")
     return asof_join(
         clicks, views, key="user_id", left_ts="ts", right_ts="view_ts",
         left_cols=["user_id", "ts", "click_id"],
         right_cols=["view_ts", "view_id"],
-        strict=True, how="inner", right_tiebreak=["view_id"])
+        strict=True, how="inner", right_tiebreak=["view_id"],
+        # static types: a schema() probe on this lazy pipeline would
+        # execute a limit=1 plan (Ray-core cancellation race)
+        left_types={"user_id": pa.int64(), "ts": ts,
+                    "click_id": pa.int64()},
+        right_types={"user_id": pa.int64(), "view_ts": ts,
+                     "view_id": pa.int64()})
 
 
 _ATTR_WINDOW_US = 24 * 3_600_000_000  # 24h attribution window
@@ -1159,11 +1166,16 @@ def _q_events_attribution(sf_dir: str):
 
     clicks = ev.map_batches(mk_clicks, batch_format="pyarrow")
     purchases = ev.map_batches(mk_purchases, batch_format="pyarrow")
+    tsty = pa.timestamp("us")
     out = interval_join(
         clicks, purchases, key="user_id", ts="ts",
         start="wstart", end="wend", max_width_us=W,
         point_cols=["user_id", "ts", "click_id"],
-        interval_cols=["wstart", "wend", "purchase_id"])
+        interval_cols=["wstart", "wend", "purchase_id"],
+        point_types={"user_id": pa.int64(), "ts": tsty,
+                     "click_id": pa.int64()},
+        interval_types={"user_id": pa.int64(), "wstart": tsty,
+                        "wend": tsty, "purchase_id": pa.int64()})
     return out.map_batches(
         lambda t: t.select(["user_id", "ts", "click_id", "purchase_id"]),
         batch_format="pyarrow")
@@ -2167,6 +2179,25 @@ def _q_kg_sparql_path(sf_dir: str):
 
     q = "SELECT ?s ?o WHERE { ?s rdfs:subClassOf+ ?o }"
     return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
+
+
+def _q_kg_sparql_construct(sf_dir: str):
+    """SPARQL CONSTRUCT (KG rewriting): chemical ``rdfs:label`` edges
+    re-emitted as ``skos:altLabel`` triples — returns a NEW triple
+    Dataset, dedup'd (CONSTRUCT produces a graph/set)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_construct
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = """
+        CONSTRUCT { ?c skos:altLabel ?l }
+        WHERE { ?c a ns:Chemical ; rdfs:label ?l }
+        """
+    return sparql_construct(store, q)
 
 
 def _q_kg_unionfind(sf_dir: str):
@@ -3321,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_union": _q_kg_sparql_union,
         "kg_sparql_path": _q_kg_sparql_path,
+        "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4602,6 +4634,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_star": _star_sql(fx),
         "kg_sparql_agg": _sparql_agg_sql(fx),
         "kg_sparql_union": _sparql_union_sql(fx),
+        # CONSTRUCT rewrite: the ns:Chemical-typed subjects are exactly
+        # the cas/ subjects (groups type as ChemicalGroup), so the
+        # rewritten graph is the DISTINCT (cas, altLabel, alias) set
+        "kg_sparql_construct":
+            f"SELECT DISTINCT '{NS}cas/'||cas AS subj,"
+            f" 'http://www.w3.org/2004/02/skos/core#altLabel' AS pred,"
+            f" alias AS obj FROM ("
+            f"  SELECT {_sent('cas_number')} AS cas,"
+            f"   unnest(string_split({_sent('chemical_name')}, ', ')) AS alias"
+            f"  FROM read_parquet('{fx}/chemicals.parquet')"
+            f"  WHERE {_sent('cas_number')} IS NOT NULL"
+            f"   AND {_sent('chemical_name')} IS NOT NULL"
+            f"   AND {_sent('ecotox_group')} IS NOT NULL)",
         # same recursion as kg_closure, projected to DISTINCT pairs
         # (existential path semantics)
         "kg_sparql_path":

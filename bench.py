@@ -160,6 +160,37 @@ def bench_star_join_dist(fx: str) -> float:
     return time.perf_counter() - t0
 
 
+def bench_sparql(fx: str) -> float:
+    """The reference's flagship SPARQL string through the front-end
+    (parser → star-sibling-batched BGP fold → OPTIONAL left join)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_results, emit_tests
+
+    t0 = time.perf_counter()
+    tests = ray.data.read_parquet(os.path.join(fx, "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=32768)
+    results = ray.data.read_parquet(os.path.join(fx, "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow", batch_size=32768)
+    q = """
+        SELECT DISTINCT ?c ?s ?cc ?cu ?ep ?ef ?sd ?sdu WHERE {
+            ?test rdf:type ns:Test ;
+              ns:chemical ?c ;
+               ns:species ?s ;
+               ns:hasResult [
+               ns:endpoint ?ep ;
+               ns:effect ?ef ;
+               ns:concentration [rdf:value ?cc ; unit:units ?cu] ] .
+            OPTIONAL {
+                ?test ns:studyDuration [rdf:value ?sd ; unit:units ?sdu] .
+            }
+        }"""
+    _consume(sparql_select(dedup_triples(tests.union(results)), q))
+    return time.perf_counter() - t0
+
+
 def bench_conversations(fx: str) -> float:
     """K4 conversation reconstruction over the transcript fixture
     (the ordered_group_concat hot path)."""
@@ -201,6 +232,7 @@ def run_suite(num_cpus: int) -> dict:
             "ann_topk": bench_ann(SF_DIR),
             "star_join": bench_star_join(fx),
             "star_join_dist": bench_star_join_dist(fx),
+            "sparql_star": bench_sparql(fx),
             "conversations": bench_conversations(fx),
             "relational_join_agg": bench_relational(SF_DIR),
         }

@@ -183,11 +183,9 @@ def _grouping_sets(ds, keys: list[str], aggs: list[tuple[str, str, str]],
              for _, f, o in aggs]
     outs = [o for _, _, o in aggs]
 
-    def _pa_schema(d):
-        s = d.schema()
-        return getattr(s, "base_schema", s)
+    from ..stages.base import schema_of
 
-    sch = _pa_schema(finest)
+    sch = schema_of(finest)
     key_types = {k: sch.field(k).type for k in keys}
 
     def pad(level_keys):
@@ -256,12 +254,10 @@ def set_op(left, right, op: str, num_buckets: int = 64):
     """
     assert op in ("intersect", "except"), op
 
-    def _pa_schema(d):
-        s = d.schema()
-        return getattr(s, "base_schema", s)
+    from ..stages.base import schema_of
 
-    cols = list(_pa_schema(left).names)
-    assert cols == list(_pa_schema(right).names), \
+    cols = list(schema_of(left).names)
+    assert cols == list(schema_of(right).names), \
         "set_op requires identical schemas"
 
     from ..stages.base import hash_column
@@ -896,7 +892,9 @@ def key_semi_join(ds, right, left_key: str, right_key: str,
         return ds.map_batches(flt, batch_format="pyarrow")
 
     # large key set: bucketed co-group (one shuffle of both sides)
-    sch = ds.schema()
+    from ..stages.base import schema_of
+
+    sch = schema_of(ds)
     names, types = list(sch.names), list(sch.types)
     ltype = dict(zip(names, types))[left_key]
 
@@ -1069,11 +1067,9 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             f"how={how!r} — only inner/left are exact")
         salt = max(1, min(int(salt), num_buckets))
 
-    def _pa_schema(ds):
-        s = ds.schema()
-        return getattr(s, "base_schema", s)
+    from ..stages.base import schema_of
 
-    lsch, rsch = _pa_schema(left), _pa_schema(right)
+    lsch, rsch = schema_of(left), schema_of(right)
     key_type = lsch.field(on).type
     assert key_type == rsch.field(right_on).type, (
         f"join key types differ: {key_type} vs {rsch.field(right_on).type}")
@@ -1670,11 +1666,10 @@ def multi_key_anti_join(left, right, keys: list[str],
 
         return f
 
-    if left_schema is not None:
-        schema_cols = [(f.name, f.type) for f in left_schema]
-    else:
-        lschema = left.schema()
-        schema_cols = list(zip(lschema.names, lschema.types))
+    from ..stages.base import schema_of
+
+    lschema = schema_of(left, static=left_schema)
+    schema_cols = [(f.name, f.type) for f in lschema]
     assert num_buckets & (num_buckets - 1) == 0
     tagged = left.map_batches(tag(0, schema_cols),
                               batch_format="pyarrow").union(

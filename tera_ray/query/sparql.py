@@ -63,8 +63,8 @@ import pyarrow.compute as pc
 
 from ..schema import ECOTOX_NS, OWL, RDF, RDFS, SKOS, UNIT
 
-__all__ = ["sparql_select", "prefixes", "DEFAULT_NS", "SparqlError",
-           "SparqlUnsupported"]
+__all__ = ["sparql_select", "sparql_construct", "prefixes", "DEFAULT_NS",
+           "SparqlError", "SparqlUnsupported"]
 
 
 def prefixes(init_ns: dict) -> str:
@@ -216,7 +216,7 @@ class _Parser:
         return f"?__b{self.bnode_n}"
 
     # --- grammar ---
-    def parse(self) -> _Query:
+    def parse_prologue(self) -> None:
         while self.kw("PREFIX"):
             kind, v = self.next()
             if kind != "pname" or not v.endswith(":"):
@@ -228,6 +228,9 @@ class _Parser:
             if kind2 != "uri":
                 raise SparqlError(f"PREFIX {pfx}: expects <uri>, got {uri!r}")
             self.ns[pfx] = uri[1:-1]
+
+    def parse(self) -> _Query:
+        self.parse_prologue()
         if not self.kw("SELECT"):
             kind, v = self.peek()
             raise (SparqlUnsupported(f"unsupported query form {v!r}")
@@ -291,6 +294,41 @@ class _Parser:
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, aggs=aggs,
                       group_by=group_by, order_by=order_by)
+
+    def parse_construct(self):
+        """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
+        WHERE as a ``_Query``)."""
+        self.parse_prologue()
+        if not self.kw("CONSTRUCT"):
+            raise SparqlError(f"expected CONSTRUCT, got {self.peek()[1]!r}")
+        template: list[tuple] = []
+        self.expect("{")
+        while self.peek()[1] != "}":
+            if self.peek()[1] == "[":
+                raise SparqlUnsupported(
+                    "blank nodes in a CONSTRUCT template")
+            for pat in self.triple_statement():
+                if isinstance(pat[1], tuple):
+                    raise SparqlError(
+                        "property path in a CONSTRUCT template")
+                template.append(pat)
+            if self.peek()[1] == ".":
+                self.next()
+        self.next()
+        if not template:
+            raise SparqlError("empty CONSTRUCT template")
+        self.kw("WHERE")
+        patterns, optionals, filters, unions, values = self.group()
+        kind, v = self.peek()
+        if kind != "eof":
+            raise (SparqlUnsupported(f"unsupported construct {v!r}")
+                   if v.upper() in _UNSUPPORTED | _AGG_FNS
+                       or v.upper() in ("GROUP", "ORDER", "LIMIT")
+                   else SparqlError(f"unexpected trailing {v!r}"))
+        q = _Query(select=[], distinct=False, patterns=patterns,
+                   optionals=optionals, filters=filters,
+                   unions=unions, values=values)
+        return template, q
 
     def agg_item(self) -> _Agg:
         """``(COUNT(*) AS ?n)`` / ``(SUM(?v) AS ?s)`` / ``(COUNT(DISTINCT
@@ -611,19 +649,96 @@ def _shared_vars(have: list[str], group: list[tuple]) -> list[str]:
     return g_vars
 
 
+def _resolve_ns(init_ns: dict | None) -> dict:
+    ns = dict(DEFAULT_NS)
+    if init_ns:
+        ns.update(init_ns)
+    return ns
+
+
 def sparql_select(triples, query: str, num_buckets: int = 64,
                   init_ns: dict | None = None):
     """Run a SPARQL SELECT string against a triple Dataset; returns a
     Dataset with one column per selected variable (see module docs for
     the supported subset).  ``init_ns`` extends/overrides
     :data:`DEFAULT_NS`; PREFIX headers in the query override both."""
-    from .kg import bgp_match
     from ..stages.base import dedup_triples
 
-    ns = dict(DEFAULT_NS)
-    if init_ns:
-        ns.update(init_ns)
-    ast = _Parser(_tokenize(query), ns).parse()
+    ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
+    out, have = _eval_where(triples, ast, num_buckets)
+
+    if ast.aggs or ast.group_by:
+        out, have = _aggregate(out, have, ast)
+
+    select = ast.select or [v for v in have if not v.startswith("__b")]
+    missing = [v for v in select if v not in have]
+    if missing:
+        raise SparqlError(f"SELECT variables not bound in WHERE: {missing}")
+    out = out.map_batches(_projector(select), batch_format="pyarrow")
+    if ast.distinct:
+        out = dedup_triples(out, keys=tuple(select))
+    if ast.order_by:
+        bad = [v for v, _ in ast.order_by if v not in select]
+        if bad:
+            raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
+        out = out.sort([v for v, _ in ast.order_by],
+                       descending=[d for _, d in ast.order_by])
+    if ast.limit is not None:
+        out = out.limit(ast.limit)
+    return out
+
+
+def sparql_construct(triples, query: str, num_buckets: int = 64,
+                     init_ns: dict | None = None):
+    """Run a SPARQL CONSTRUCT string against a triple Dataset; returns
+    a NEW triple Dataset ``(subj, pred, obj)`` — the KG-rewriting
+    surface (ontology mapping, view materialization).  The template is
+    instantiated once per WHERE solution (vectorized: one column take +
+    constant-repeat per template slot), solutions with an unbound
+    (null) template variable emit nothing for that pattern (SPARQL
+    semantics), and the result is deduplicated — CONSTRUCT produces a
+    GRAPH, i.e. a set."""
+    from ..stages.base import dedup_triples
+
+    template, ast = _Parser(_tokenize(query),
+                            _resolve_ns(init_ns)).parse_construct()
+    out, have = _eval_where(triples, ast, num_buckets)
+    tvars = {t[1:] for pat in template for t in pat
+             if isinstance(t, str) and t.startswith("?")}
+    missing = sorted(tvars - set(have))
+    if missing:
+        raise SparqlError(
+            f"CONSTRUCT template variables not bound in WHERE: {missing}"
+            " (blank-node templates are not supported)")
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+
+        def col(term):
+            if isinstance(term, str) and term.startswith("?"):
+                c = t[term[1:]]
+                return c.combine_chunks() if isinstance(
+                    c, pa.ChunkedArray) else c
+            return pa.repeat(pa.scalar(term, pa.string()), n)
+
+        tabs = []
+        for s, p, o in template:
+            tt = pa.table({"subj": col(s), "pred": col(p), "obj": col(o)})
+            mask = pc.and_(pc.and_(pc.is_valid(tt["subj"]),
+                                   pc.is_valid(tt["pred"])),
+                           pc.is_valid(tt["obj"]))
+            tabs.append(tt.filter(mask))
+        return pa.concat_tables(tabs)
+
+    return dedup_triples(out.map_batches(emit, batch_format="pyarrow"),
+                         num_buckets=num_buckets)
+
+
+def _eval_where(triples, ast: _Query, num_buckets: int):
+    """Evaluate the WHERE block (BGP + UNION + OPTIONAL + VALUES +
+    FILTER) to a binding relation; returns (Dataset, bound var list)."""
+    from .kg import bgp_match
+
     if not ast.patterns and not ast.unions:
         raise SparqlError("empty WHERE block")
 
@@ -730,26 +845,7 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
 
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")
-
-    if ast.aggs or ast.group_by:
-        out, have = _aggregate(out, have, ast)
-
-    select = ast.select or [v for v in have if not v.startswith("__b")]
-    missing = [v for v in select if v not in have]
-    if missing:
-        raise SparqlError(f"SELECT variables not bound in WHERE: {missing}")
-    out = out.map_batches(_projector(select), batch_format="pyarrow")
-    if ast.distinct:
-        out = dedup_triples(out, keys=tuple(select))
-    if ast.order_by:
-        bad = [v for v, _ in ast.order_by if v not in select]
-        if bad:
-            raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
-        out = out.sort([v for v, _ in ast.order_by],
-                       descending=[d for _, d in ast.order_by])
-    if ast.limit is not None:
-        out = out.limit(ast.limit)
-    return out
+    return out, have
 
 
 def _align_cols(all_vars: list[str], present: set[str]):

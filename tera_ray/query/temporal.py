@@ -38,18 +38,32 @@ def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, typ)
 
 
-def _side_schemas(left, right):
-    """(name → pa type) maps for both Datasets (schema() is metadata —
-    the inputs here are parquet reads / map_batches with known types)."""
-    ls, rs = left.schema(), right.schema()
-    return (dict(zip(ls.names, ls.types)), dict(zip(rs.names, rs.types)))
+def _side_schemas(left, right, left_types=None, right_types=None):
+    """(name → pa type) maps for both Datasets.
+
+    Pass ``left_types``/``right_types`` (dicts) when the caller knows
+    them: ``Dataset.schema()`` on a LAZY pipeline executes a
+    ``limit=1`` probe whose task cancellation can trip a Ray-core race
+    (``task_manager.cc`` CHECK, observed on 2.49) — known-schema inputs
+    (parquet reads, materialized datasets) are metadata-only and safe."""
+    from ..stages.base import schema_of
+
+    def types(ds, given):
+        if given is not None:
+            return dict(given)
+        s = schema_of(ds)
+        return dict(zip(s.names, s.types))
+
+    return types(left, left_types), types(right, right_types)
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
               strict: bool = False, tolerance_us: int | None = None,
               how: str = "inner", right_tiebreak: list[str] | None = None,
-              num_buckets: int = 64):
+              num_buckets: int = 64,
+              left_types: dict | None = None,
+              right_types: dict | None = None):
     """Backward as-of join: each left row matches the LAST right row of
     the same ``key`` with ``right_ts <= left_ts`` (``<`` when
     ``strict``), optionally within ``tolerance_us`` microseconds.
@@ -73,7 +87,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     assert not (set(left_cols) & set(right_cols)), (
         "left_cols and right_cols must be disjoint (pre-rename one side)")
     right_tiebreak = right_tiebreak or []
-    ltypes, rtypes = _side_schemas(left, right)
+    ltypes, rtypes = _side_schemas(left, right, left_types, right_types)
     lval = [c for c in left_cols if c != key and c != left_ts]
     rval = [c for c in right_cols if c != key and c != right_ts]
     rtb = [c for c in right_tiebreak if c in rval]
@@ -184,7 +198,9 @@ def _count_lt(sorted_c: np.ndarray, sorted_v: np.ndarray,
 def interval_join(points, intervals, key: str, ts: str,
                   start: str, end: str, max_width_us: int,
                   point_cols: list[str], interval_cols: list[str],
-                  num_buckets: int = 64):
+                  num_buckets: int = 64,
+                  point_types: dict | None = None,
+                  interval_types: dict | None = None):
     """Interval (band) join: every (point, interval) pair of the same
     ``key`` with ``start <= ts < end``.  ``max_width_us`` is the
     caller-guaranteed upper bound on interval width (``end - start``) —
@@ -200,7 +216,7 @@ def interval_join(points, intervals, key: str, ts: str,
     """
     assert not (set(point_cols) & set(interval_cols)), (
         "point_cols and interval_cols must be disjoint")
-    ptypes, itypes = _side_schemas(points, intervals)
+    ptypes, itypes = _side_schemas(points, intervals, point_types, interval_types)
     pval = [c for c in point_cols if c not in (key, ts)]
     ival = [c for c in interval_cols if c not in (key, start, end)]
 

@@ -164,6 +164,25 @@ def _auto_buckets(requested: int | None, lo: int = 32, hi: int = 512) -> int:
     return b
 
 
+def schema_of(ds, static: "pa.Schema | None" = None) -> pa.Schema:
+    """A Dataset's Arrow schema with the metadata-only fast path first.
+
+    ``Dataset.schema()`` on a LAZY pipeline executes a ``limit=1``
+    probe; the probe's task cancellation can trip a Ray-core race
+    (``task_manager.cc:930`` CHECK "Tried to complete task that was not
+    pending", observed on Ray 2.49 under a many-query driver).  Prefer:
+    (1) a caller-supplied ``static`` schema, (2) the already-known
+    schema (parquet metadata / materialized datasets — no execution),
+    and only then (3) the limit-probe, which stays as the documented
+    fallback for genuinely lazy inputs."""
+    if static is not None:
+        return static
+    s = ds.schema(fetch_if_missing=False)
+    if s is None:
+        s = ds.schema()
+    return getattr(s, "base_schema", s)
+
+
 def bucketed_map_groups(ds, key, fn, **map_kwargs):
     """``ds.groupby(key).map_groups(fn)`` with schema-typed empty output.
 

@@ -17,6 +17,7 @@ from tera_ray.query.sparql import (
     SparqlError,
     SparqlUnsupported,
     prefixes,
+    sparql_construct,
     sparql_select,
 )
 from tera_ray.schema import ECOTOX_NS, RDF
@@ -224,6 +225,42 @@ class TestSparqlSelect:
         assert j == [("A", NS + "b"), ("A", NS + "c"), ("A", NS + "d")]
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
+
+    def test_construct(self):
+        # rewrite label edges into a new vocabulary + a type assertion
+        out = sparql_construct(store(), PFX + """
+            CONSTRUCT {
+                ?s ex:name ?l .
+                ?s a ex:Named .
+            } WHERE { ?s ex:label ?l }
+        """)
+        got = rows(out, ["subj", "pred", "obj"])
+        assert (NS + "t1", NS + "name", "alpha") in got
+        assert (NS + "t2", NS + "name", "beta") in got
+        assert (NS + "t1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                NS + "Named") in got
+        assert len(got) == 4
+        # dedup: template emitting the same triple per solution collapses
+        out2 = sparql_construct(store(), PFX + """
+            CONSTRUCT { ex:x ex:seen "yes" } WHERE { ?s ex:label ?l }
+        """)
+        assert rows(out2, ["subj", "pred", "obj"]) == [
+            (NS + "x", NS + "seen", "yes")]
+        # unbound OPTIONAL template var drops that pattern's triple only
+        out3 = sparql_construct(store(), PFX + """
+            CONSTRUCT { ?s ex:val ?v . ?s ex:tagged "t" }
+            WHERE { ?s a ex:Test .
+                    OPTIONAL { ?s ex:measure [ rdf:value ?v ] } }
+        """)
+        got3 = rows(out3, ["subj", "pred", "obj"])
+        assert (NS + "t1", NS + "val", "42") in got3
+        assert (NS + "t2", NS + "tagged", "t") in got3
+        assert not any(p == NS + "val" and s == NS + "t2"
+                       for s, p, o in got3)
+        with pytest.raises(SparqlError):
+            sparql_construct(store(), PFX +
+                             "CONSTRUCT { ?s ex:p ?nope } WHERE "
+                             "{ ?s ex:label ?l }")
 
     def test_order_by_limit(self):
         q = PFX + """
