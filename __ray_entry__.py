@@ -2200,6 +2200,30 @@ def _q_kg_sparql_construct(sf_dir: str):
     return sparql_construct(store, q)
 
 
+def _q_kg_sparql_graph(sf_dir: str):
+    """SPARQL GRAPH scoping over a two-graph store (chemicals +
+    taxonomy emitters): label bindings restricted to the
+    ``ecotox_chemicals`` named graph via the store's lineage column."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_chemicals, emit_taxa
+
+    fx = _fx(sf_dir)
+    chems = ray.data.read_parquet(
+        os.path.join(fx, "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    taxa = ray.data.read_parquet(
+        os.path.join(fx, "species.parquet")).map_batches(
+        emit_taxa, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = """
+        SELECT DISTINCT ?s ?l WHERE {
+            GRAPH "ecotox_chemicals" { ?s rdfs:label ?l }
+        }
+        """
+    return sparql_select(chems.union(taxa), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3353,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_union": _q_kg_sparql_union,
         "kg_sparql_path": _q_kg_sparql_path,
         "kg_sparql_construct": _q_kg_sparql_construct,
+        "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4647,6 +4672,23 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"  WHERE {_sent('cas_number')} IS NOT NULL"
             f"   AND {_sent('chemical_name')} IS NOT NULL"
             f"   AND {_sent('ecotox_group')} IS NOT NULL)",
+        # GRAPH scoping: only the chemicals graph's label triples
+        # survive, i.e. cas→alias plus group→name pairs
+        "kg_sparql_graph":
+            f"WITH b AS ("
+            f"  SELECT {_sent('cas_number')} AS cas,"
+            f"   {_sent('chemical_name')} AS cname,"
+            f"   {_sent('ecotox_group')} AS grp"
+            f"  FROM read_parquet('{fx}/chemicals.parquet')"
+            f"  WHERE {_sent('cas_number')} IS NOT NULL"
+            f"   AND {_sent('chemical_name')} IS NOT NULL"
+            f"   AND {_sent('ecotox_group')} IS NOT NULL)"
+            f" SELECT DISTINCT '{NS}cas/'||cas AS s,"
+            f"  unnest(string_split(cname, ', ')) AS l FROM b"
+            f" UNION"
+            f" SELECT '{NS}group/'||unnest(string_split(replace(replace("
+            f"replace(grp, '/', ''), '.', ''), ' ', ''), ',')),"
+            f"  unnest(string_split(grp, ',')) FROM b",
         # same recursion as kg_closure, projected to DISTINCT pairs
         # (existential path semantics)
         "kg_sparql_path":

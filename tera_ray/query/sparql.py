@@ -41,10 +41,16 @@ so a reference user can run their existing query strings unchanged:
 - one-or-more property paths ``pred+`` — compiled onto the semi-naive
   distributed transitive closure (variable-variable form) or a seeded
   broadcast-frontier BFS (constant-anchored form)
+- ``GRAPH <name> { … }`` — scopes a sub-BGP to the store's ``graph``
+  lineage column (an engine extension: graph names are the emitters'
+  plain graph tags such as ``"ecotox_chemicals"``, not IRIs; quote
+  them as literals)
+- ``CONSTRUCT { template } WHERE { … }`` via :func:`sparql_construct`
+  — returns a NEW dedup'd triple Dataset
 
-Unsupported constructs the reference never uses (``GRAPH``,
-subqueries, ``BIND``, ``HAVING``, ``MINUS``, ``pred*`` zero-or-more
-paths) raise ``SparqlUnsupported`` with the offending token.
+Unsupported constructs the reference never uses (subqueries, ``BIND``,
+``HAVING``, ``MINUS``, ``pred*`` zero-or-more paths) raise
+``SparqlUnsupported`` with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -114,7 +120,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"GRAPH", "HAVING", "MINUS", "SERVICE", "BIND",
+_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "BIND",
                 "CONSTRUCT", "ASK", "DESCRIBE", "OFFSET"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
@@ -152,6 +158,7 @@ class _Query:
     limit: int | None = None
     unions: list = field(default_factory=list)   # blocks: [branch BGPs]
     values: list = field(default_factory=list)   # (vars, rows) clauses
+    graphs: list = field(default_factory=list)   # (graph name, patterns)
     aggs: list = field(default_factory=list)     # _Agg select items
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, descending)
@@ -254,7 +261,7 @@ class _Parser:
             else:
                 break
         self.kw("WHERE")
-        patterns, optionals, filters, unions, values = self.group()
+        patterns, optionals, filters, unions, values, graphs = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -292,8 +299,8 @@ class _Parser:
                    else SparqlError(f"unexpected trailing {v!r}"))
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, filters=filters, limit=limit,
-                      unions=unions, values=values, aggs=aggs,
-                      group_by=group_by, order_by=order_by)
+                      unions=unions, values=values, graphs=graphs,
+                      aggs=aggs, group_by=group_by, order_by=order_by)
 
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
@@ -318,7 +325,7 @@ class _Parser:
         if not template:
             raise SparqlError("empty CONSTRUCT template")
         self.kw("WHERE")
-        patterns, optionals, filters, unions, values = self.group()
+        patterns, optionals, filters, unions, values, graphs = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -327,7 +334,7 @@ class _Parser:
                    else SparqlError(f"unexpected trailing {v!r}"))
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
-                   unions=unions, values=values)
+                   unions=unions, values=values, graphs=graphs)
         return template, q
 
     def agg_item(self) -> _Agg:
@@ -366,11 +373,12 @@ class _Parser:
         filters: list = []
         unions: list[list[list[tuple]]] = []
         values: list[tuple[list[str], list[tuple]]] = []
+        graphs: list[tuple[str, list[tuple]]] = []
         while True:
             kind, v = self.peek()
             if v == "}":
                 self.next()
-                return patterns, optionals, filters, unions, values
+                return patterns, optionals, filters, unions, values, graphs
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
@@ -381,11 +389,16 @@ class _Parser:
                 if in_optional:
                     raise SparqlUnsupported("nested OPTIONAL")
                 sub = self.group(in_optional=True)
-                sub_p, sub_o, sub_f, sub_u, sub_v = sub
-                if sub_o or sub_f or sub_u or sub_v:
-                    raise SparqlUnsupported(
-                        "OPTIONAL containing OPTIONAL/FILTER/UNION/VALUES")
+                sub_p = self._plain_sub(sub, "OPTIONAL")
                 optionals.append(sub_p)
+            elif self.kw("GRAPH"):
+                if in_optional:
+                    raise SparqlUnsupported("GRAPH inside OPTIONAL/UNION")
+                gname = self.term()
+                if gname.startswith("?"):
+                    raise SparqlUnsupported("variable GRAPH name")
+                sub = self.group(in_optional=True)
+                graphs.append((gname, self._plain_sub(sub, "GRAPH")))
             elif self.kw("FILTER"):
                 if in_optional:
                     raise SparqlUnsupported("FILTER inside OPTIONAL")
@@ -400,15 +413,22 @@ class _Parser:
             if self.peek()[1] == ".":
                 self.next()
 
+    @staticmethod
+    def _plain_sub(sub, ctx: str) -> list[tuple]:
+        """A nested group that must be a plain BGP (no further
+        structure)."""
+        sub_p, sub_o, sub_f, sub_u, sub_v, sub_g = sub
+        if sub_o or sub_f or sub_u or sub_v or sub_g:
+            raise SparqlUnsupported(
+                f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH")
+        return sub_p
+
     def union_block(self) -> list[list[tuple]]:
         """``{ BGP } UNION { BGP } [UNION …]`` → list of branch BGPs.
         Branches are plain BGPs (no nested OPTIONAL/FILTER/UNION)."""
         branches = []
         while True:
-            sub_p, sub_o, sub_f, sub_u, sub_v = self.group(in_optional=True)
-            if sub_o or sub_f or sub_u or sub_v:
-                raise SparqlUnsupported(
-                    "UNION branch containing OPTIONAL/FILTER/UNION/VALUES")
+            sub_p = self._plain_sub(self.group(in_optional=True), "UNION branch")
             if not sub_p:
                 raise SparqlError("empty UNION branch")
             branches.append(sub_p)
@@ -739,25 +759,26 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
     FILTER) to a binding relation; returns (Dataset, bound var list)."""
     from .kg import bgp_match
 
-    if not ast.patterns and not ast.unions:
+    if not ast.patterns and not ast.unions and not ast.graphs:
         raise SparqlError("empty WHERE block")
 
     # ONE narrowing pass over the store for the WHOLE query (required
-    # patterns + every OPTIONAL group + every UNION branch): each
-    # bgp_match pattern scan re-reads its input, so narrow+materialize
-    # here and disable bgp_match's own pass — a lazy store's upstream
-    # lineage executes exactly once per query
+    # patterns + every OPTIONAL group + every UNION branch + every
+    # GRAPH block): each bgp_match pattern scan re-reads its input, so
+    # narrow+materialize here and disable bgp_match's own pass — a lazy
+    # store's upstream lineage executes exactly once per query
     all_patterns = (list(ast.patterns)
                     + [p for g in ast.optionals for p in g]
-                    + [p for blk in ast.unions for br in blk for p in br])
+                    + [p for blk in ast.unions for br in blk for p in br]
+                    + [p for _, ps in ast.graphs for p in ps])
     preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
              for p in all_patterns]
+    keep = ["subj", "pred", "obj"] + (["graph"] if ast.graphs else [])
     if all(not pr.startswith("?") for pr in preds):
         pset = pa.array(sorted(set(preds)), pa.string())
 
         def _narrow(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["pred"], value_set=pset)).select(
-                ["subj", "pred", "obj"])
+            return t.filter(pc.is_in(t["pred"], value_set=pset)).select(keep)
 
         triples = triples.map_batches(_narrow, batch_format="pyarrow")
     triples = triples.materialize()
@@ -799,6 +820,33 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
             raise SparqlError("UNION block shares no variable with the "
                               "preceding patterns")
         out, have = _join_on_vars(out, have, ub, blk_vars, shared,
+                                  num_buckets, how="inner")
+
+    # GRAPH blocks: the store's ``graph`` lineage column scopes the
+    # sub-BGP (an engine extension: graph names are the emitters' plain
+    # graph tags, not IRIs).  Filter once per block, match, then join
+    # the surrounding bindings on the shared variables.
+    for gname, gpats in ast.graphs:
+        gset = pa.scalar(gname, pa.string())
+
+        def _gfilter(t: pa.Table, gset=gset) -> pa.Table:
+            return t.filter(pc.equal(t["graph"], gset)).select(
+                ["subj", "pred", "obj"])
+
+        gstore = triples.map_batches(_gfilter, batch_format="pyarrow")
+        sub = bgp_match(gstore, _connect_order(gpats),
+                        num_buckets=num_buckets, narrow=False)
+        g_vars = list(dict.fromkeys(
+            v[1:] for p in gpats for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        if out is None:
+            out, have = sub, g_vars
+            continue
+        shared = [v for v in g_vars if v in have]
+        if not shared:
+            raise SparqlError("GRAPH block shares no variable with the "
+                              "preceding patterns")
+        out, have = _join_on_vars(out, have, sub, g_vars, shared,
                                   num_buckets, how="inner")
 
     for group in ast.optionals:

@@ -226,6 +226,35 @@ class TestSparqlSelect:
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
 
+    def test_graph_block(self):
+        rows_in = [
+            (NS + "a", NS + "p", NS + "b", "g1"),
+            (NS + "a", NS + "p", NS + "c", "g2"),
+            (NS + "a", NS + "label", "A", "g1"),
+        ]
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+            "graph": pa.array([r[3] for r in rows_in], pa.string()),
+        }))
+        # standalone GRAPH block
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?o WHERE { GRAPH "g1" { ?s ex:p ?o } }
+        """), ["o"])
+        assert got == [(NS + "b",)]
+        # GRAPH joined with an unscoped pattern
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?l ?o WHERE {
+                ?s ex:label ?l .
+                GRAPH "g2" { ?s ex:p ?o }
+            }
+        """), ["l", "o"])
+        assert got2 == [("A", NS + "c")]
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(st, PFX +
+                          "SELECT ?o { GRAPH ?g { ?s ex:p ?o } }")
+
     def test_construct(self):
         # rewrite label edges into a new vocabulary + a type assertion
         out = sparql_construct(store(), PFX + """
