@@ -311,7 +311,18 @@ def link_transcripts(ds, lexicon_ref, ns: str = ECOTOX_NS, fuzzy: bool = True,
         # at all-but-one (reads are light and stay ahead through the
         # single remaining slot; A/B at 8 CPUs: 6-actor floor left a
         # quarter of the box idle through the dominant stage).
-        floor = max(1, ncpu - 1) if combine_keys else max(1, ncpu // 2)
+        if combine_keys:
+            # Fused: the linker is the dominant phase, but the residual
+            # work (reads, emitters, lift_combine, dedup reduce tasks)
+            # SCALES ITS TASK COUNT with the CPU count — at 32 CPUs an
+            # all-but-one floor forces ~4x more residual tasks through
+            # ONE unreserved slot (A/B on the 2M-turn build at 32 CPUs:
+            # floor 31 → 39s, floor 24 or 16 → 31s).  Small boxes keep
+            # the all-but-one floor (A/B at 8 CPUs: floor 7 beat 6);
+            # larger ones reserve 3/4 and leave real task headroom.
+            floor = max(1, ncpu - 1) if ncpu <= 8 else (ncpu * 3) // 4
+        else:
+            floor = max(1, ncpu // 2)
         concurrency = (floor, max(2, ncpu))
     kwargs = {"concurrency": concurrency}
     return ds.map_batches(
