@@ -696,7 +696,9 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
         raise SparqlError(f"SELECT variables not bound in WHERE: {missing}")
     out = out.map_batches(_projector(select), batch_format="pyarrow")
     if ast.distinct:
-        out = dedup_triples(out, keys=tuple(select))
+        # hash mode: only 8-byte row hashes cross the DISTINCT exchange
+        # (binding rows are wide string tuples; the payload stays put)
+        out = dedup_triples(out, keys=tuple(select), mode="hash")
     if ast.order_by:
         bad = [v for v, _ in ast.order_by if v not in select]
         if bad:
@@ -751,7 +753,7 @@ def sparql_construct(triples, query: str, num_buckets: int = 64,
         return pa.concat_tables(tabs)
 
     return dedup_triples(out.map_batches(emit, batch_format="pyarrow"),
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, mode="hash")
 
 
 def _eval_where(triples, ast: _Query, num_buckets: int):
