@@ -2224,6 +2224,38 @@ def _q_kg_sparql_graph(sf_dir: str):
     return sparql_select(chems.union(taxa), q)
 
 
+def _q_kg_sparql_ask(sf_dir: str):
+    """SPARQL ASK (existence, short-circuit limit(1)) wrapped as a
+    1-row boolean table for the driver compare."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_ask
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    got = sparql_ask(store, "ASK { ?s a ns:Chemical }")
+    missing = sparql_ask(store, 'ASK { ?s rdfs:label "no-such-label-xyz" }')
+    return pa.table({"ex": pa.array([got], pa.bool_()),
+                     "ex_missing": pa.array([missing], pa.bool_())})
+
+
+def _q_kg_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE of the ns:Chemical class node: every triple
+    whose subject or object is the class (= all chemical rdf:type
+    edges)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_describe
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    return sparql_describe(store, "DESCRIBE ns:Chemical")
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3378,6 +3410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path": _q_kg_sparql_path,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
+        "kg_sparql_ask": _q_kg_sparql_ask,
+        "kg_sparql_describe": _q_kg_sparql_describe,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4689,6 +4723,31 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" SELECT '{NS}group/'||unnest(string_split(replace(replace("
             f"replace(grp, '/', ''), '.', ''), ' ', ''), ',')),"
             f"  unnest(string_split(grp, ',')) FROM b",
+        # ASK existence over the emitter store; the negative probe looks
+        # for a label value that no alias or group name can equal
+        "kg_sparql_ask":
+            f"WITH b AS ("
+            f"  SELECT {_sent('cas_number')} AS cas,"
+            f"   {_sent('chemical_name')} AS cname,"
+            f"   {_sent('ecotox_group')} AS grp"
+            f"  FROM read_parquet('{fx}/chemicals.parquet')"
+            f"  WHERE {_sent('cas_number')} IS NOT NULL"
+            f"   AND {_sent('chemical_name')} IS NOT NULL"
+            f"   AND {_sent('ecotox_group')} IS NOT NULL)"
+            f" SELECT (SELECT count(*) FROM b) > 0 AS ex,"
+            f" (SELECT count(*) FROM b"
+            f"   WHERE ', '||cname||', ' LIKE '%, no-such-label-xyz, %'"
+            f"   OR ','||grp||',' LIKE '%,no-such-label-xyz,%') > 0"
+            f" AS ex_missing",
+        # DESCRIBE ns:Chemical = every type edge naming the class (one
+        # per surviving source row; the emitter store is not dedup'd)
+        "kg_sparql_describe":
+            f"SELECT '{NS}cas/'||{_sent('cas_number')} AS subj,"
+            f" '{RDF_TYPE}' AS pred, '{NS}Chemical' AS obj"
+            f" FROM read_parquet('{fx}/chemicals.parquet')"
+            f" WHERE {_sent('cas_number')} IS NOT NULL"
+            f"  AND {_sent('chemical_name')} IS NOT NULL"
+            f"  AND {_sent('ecotox_group')} IS NOT NULL",
         # same recursion as kg_closure, projected to DISTINCT pairs
         # (existential path semantics)
         "kg_sparql_path":

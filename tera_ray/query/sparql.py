@@ -69,7 +69,8 @@ import pyarrow.compute as pc
 
 from ..schema import ECOTOX_NS, OWL, RDF, RDFS, SKOS, UNIT
 
-__all__ = ["sparql_select", "sparql_construct", "prefixes", "DEFAULT_NS",
+__all__ = ["sparql_select", "sparql_construct", "sparql_ask",
+           "sparql_describe", "prefixes", "DEFAULT_NS",
            "SparqlError", "SparqlUnsupported"]
 
 
@@ -120,8 +121,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "BIND",
-                "CONSTRUCT", "ASK", "DESCRIBE", "OFFSET"}
+_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "BIND", "OFFSET"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -240,6 +240,9 @@ class _Parser:
         self.parse_prologue()
         if not self.kw("SELECT"):
             kind, v = self.peek()
+            if v.upper() in ("CONSTRUCT", "ASK", "DESCRIBE"):
+                raise SparqlError(
+                    f"{v.upper()} query — use sparql_{v.lower()}()")
             raise (SparqlUnsupported(f"unsupported query form {v!r}")
                    if v.upper() in _UNSUPPORTED
                    else SparqlError(f"expected SELECT, got {v!r}"))
@@ -754,6 +757,59 @@ def sparql_construct(triples, query: str, num_buckets: int = 64,
 
     return dedup_triples(out.map_batches(emit, batch_format="pyarrow"),
                          num_buckets=num_buckets, mode="hash")
+
+
+def sparql_ask(triples, query: str, num_buckets: int = 64,
+               init_ns: dict | None = None) -> bool:
+    """Run a SPARQL ASK string: True iff the WHERE block has at least
+    one solution.  Short-circuits through ``limit(1)`` — only the first
+    surviving binding is pulled."""
+    p = _Parser(_tokenize(query), _resolve_ns(init_ns))
+    p.parse_prologue()
+    if not p.kw("ASK"):
+        raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
+    p.kw("WHERE")
+    patterns, optionals, filters, unions, values, graphs = p.group()
+    kind, v = p.peek()
+    if kind != "eof":
+        raise SparqlError(f"unexpected trailing {v!r}")
+    ast = _Query(select=[], distinct=False, patterns=patterns,
+                 optionals=optionals, filters=filters, unions=unions,
+                 values=values, graphs=graphs)
+    out, _ = _eval_where(triples, ast, num_buckets)
+    return out.limit(1).count() > 0
+
+
+def sparql_describe(triples, query: str, num_buckets: int = 64,
+                    init_ns: dict | None = None):
+    """Run a SPARQL DESCRIBE over explicit resource IRIs: the one-hop
+    description — every store triple whose subject OR object is one of
+    the listed resources (a flat approximation of the concise bounded
+    description; BNode closure is a ``construct_subgraph`` call away).
+    ``DESCRIBE ?var WHERE …`` is not supported (the reference never
+    describes)."""
+    p = _Parser(_tokenize(query), _resolve_ns(init_ns))
+    p.parse_prologue()
+    if not p.kw("DESCRIBE"):
+        raise SparqlError(f"expected DESCRIBE, got {p.peek()[1]!r}")
+    uris: list[str] = []
+    while p.peek()[0] in ("uri", "pname"):
+        uris.append(p.term())
+    kind, v = p.peek()
+    if kind == "var" or v.upper() == "WHERE" or v == "{":
+        raise SparqlUnsupported("DESCRIBE with a WHERE pattern")
+    if kind != "eof":
+        raise SparqlError(f"unexpected trailing {v!r}")
+    if not uris:
+        raise SparqlError("DESCRIBE needs at least one IRI")
+    uset = pa.array(sorted(set(uris)), pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.is_in(t["subj"], value_set=uset),
+                   pc.is_in(t["obj"], value_set=uset))
+        return t.filter(m).select(["subj", "pred", "obj"])
+
+    return triples.map_batches(pick, batch_format="pyarrow")
 
 
 def _eval_where(triples, ast: _Query, num_buckets: int):

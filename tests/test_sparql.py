@@ -17,7 +17,9 @@ from tera_ray.query.sparql import (
     SparqlError,
     SparqlUnsupported,
     prefixes,
+    sparql_ask,
     sparql_construct,
+    sparql_describe,
     sparql_select,
 )
 from tera_ray.schema import ECOTOX_NS, RDF
@@ -225,6 +227,25 @@ class TestSparqlSelect:
         assert j == [("A", NS + "b"), ("A", NS + "c"), ("A", NS + "d")]
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
+
+    def test_ask_and_describe(self):
+        assert sparql_ask(store(), PFX +
+                          'ASK { ?s ex:label "alpha" }') is True
+        assert sparql_ask(store(), PFX +
+                          'ASK { ?s ex:label "nope" }') is False
+        # ASK with FILTER + WHERE keyword optional
+        assert sparql_ask(store(), PFX + """
+            ASK WHERE { ?s ex:label ?l FILTER (?l = "beta") }
+        """) is True
+        d = rows(sparql_describe(store(), PFX + "DESCRIBE ex:t2"),
+                 ["subj", "pred", "obj"])
+        assert d == [(NS + "t2", NS + "label", "beta"),
+                     (NS + "t2", RDF + "type", NS + "Test")]
+        with pytest.raises(SparqlUnsupported):
+            sparql_describe(store(), PFX + "DESCRIBE ?x WHERE { ?x a ex:T }")
+        # wrong entry point gets a pointer to the right one
+        with pytest.raises(SparqlError, match="sparql_ask"):
+            sparql_select(store(), PFX + "ASK { ?s ?p ?o }")
 
     def test_graph_block(self):
         rows_in = [
