@@ -2256,6 +2256,27 @@ def _q_kg_sparql_describe(sf_dir: str):
     return sparql_describe(store, "DESCRIBE ns:Chemical")
 
 
+def _q_kg_sparql_bind(sf_dir: str):
+    """SPARQL BIND string expressions: strip the cas/ namespace off
+    chemical IRIs (the reference's ``strip_namespace``,
+    ``tera/utils.py:337-359``, as a query-level BIND)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_chemicals
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "chemicals.parquet")).map_batches(
+        emit_chemicals, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = """
+        SELECT DISTINCT ?cas WHERE {
+            ?c a ns:Chemical .
+            BIND(STRAFTER(STR(?c), "cas/") AS ?cas)
+        }
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3412,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_describe": _q_kg_sparql_describe,
+        "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4739,6 +4761,13 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"   WHERE ', '||cname||', ' LIKE '%, no-such-label-xyz, %'"
             f"   OR ','||grp||',' LIKE '%,no-such-label-xyz,%') > 0"
             f" AS ex_missing",
+        # BIND(STRAFTER(...)) namespace strip = the cleaned cas values
+        "kg_sparql_bind":
+            f"SELECT DISTINCT {_sent('cas_number')} AS cas"
+            f" FROM read_parquet('{fx}/chemicals.parquet')"
+            f" WHERE {_sent('cas_number')} IS NOT NULL"
+            f"  AND {_sent('chemical_name')} IS NOT NULL"
+            f"  AND {_sent('ecotox_group')} IS NOT NULL",
         # DESCRIBE ns:Chemical = every type edge naming the class (one
         # per surviving source row; the emitter store is not dedup'd)
         "kg_sparql_describe":

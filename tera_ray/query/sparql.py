@@ -45,10 +45,15 @@ so a reference user can run their existing query strings unchanged:
   lineage column (an engine extension: graph names are the emitters'
   plain graph tags such as ``"ecotox_chemicals"``, not IRIs; quote
   them as literals)
+- ``BIND(expr AS ?v)`` with vectorized string expressions — CONCAT,
+  STR/IRI/URI (identity on the string store), UCASE, LCASE, STRLEN,
+  STRAFTER, STRBEFORE, REPLACE, SUBSTR — applied before FILTERs so the
+  BIND-then-FILTER shape works
 - ``CONSTRUCT { template } WHERE { … }`` via :func:`sparql_construct`
-  — returns a NEW dedup'd triple Dataset
+  (a NEW dedup'd triple Dataset), ``ASK`` via :func:`sparql_ask`,
+  ``DESCRIBE <iri>`` via :func:`sparql_describe`
 
-Unsupported constructs the reference never uses (subqueries, ``BIND``,
+Unsupported constructs the reference never uses (subqueries,
 ``HAVING``, ``MINUS``, ``pred*`` zero-or-more paths) raise
 ``SparqlUnsupported`` with the offending token.
 
@@ -100,6 +105,10 @@ DEFAULT_NS = {
 }
 
 
+def _chunked(c):
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
 class SparqlError(ValueError):
     pass
 
@@ -121,7 +130,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "BIND", "OFFSET"}
+_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "OFFSET"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -159,6 +168,7 @@ class _Query:
     unions: list = field(default_factory=list)   # blocks: [branch BGPs]
     values: list = field(default_factory=list)   # (vars, rows) clauses
     graphs: list = field(default_factory=list)   # (graph name, patterns)
+    binds: list = field(default_factory=list)    # (col fn, alias, deps)
     aggs: list = field(default_factory=list)     # _Agg select items
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, descending)
@@ -264,7 +274,8 @@ class _Parser:
             else:
                 break
         self.kw("WHERE")
-        patterns, optionals, filters, unions, values, graphs = self.group()
+        (patterns, optionals, filters, unions, values, graphs,
+         binds) = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -303,7 +314,8 @@ class _Parser:
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
-                      aggs=aggs, group_by=group_by, order_by=order_by)
+                      binds=binds, aggs=aggs, group_by=group_by,
+                      order_by=order_by)
 
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
@@ -328,7 +340,8 @@ class _Parser:
         if not template:
             raise SparqlError("empty CONSTRUCT template")
         self.kw("WHERE")
-        patterns, optionals, filters, unions, values, graphs = self.group()
+        (patterns, optionals, filters, unions, values, graphs,
+         binds) = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -337,7 +350,8 @@ class _Parser:
                    else SparqlError(f"unexpected trailing {v!r}"))
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
-                   unions=unions, values=values, graphs=graphs)
+                   unions=unions, values=values, graphs=graphs,
+                   binds=binds)
         return template, q
 
     def agg_item(self) -> _Agg:
@@ -377,11 +391,13 @@ class _Parser:
         unions: list[list[list[tuple]]] = []
         values: list[tuple[list[str], list[tuple]]] = []
         graphs: list[tuple[str, list[tuple]]] = []
+        binds: list = []
         while True:
             kind, v = self.peek()
             if v == "}":
                 self.next()
-                return patterns, optionals, filters, unions, values, graphs
+                return (patterns, optionals, filters, unions, values,
+                        graphs, binds)
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
@@ -410,6 +426,16 @@ class _Parser:
                 if in_optional:
                     raise SparqlUnsupported("VALUES inside OPTIONAL")
                 values.append(self.values_clause())
+            elif self.kw("BIND"):
+                if in_optional:
+                    raise SparqlUnsupported("BIND inside OPTIONAL")
+                self.expect("(")
+                fn, deps = self.value_expr()
+                if not self.kw("AS"):
+                    raise SparqlError("BIND needs (expr AS ?var)")
+                alias = self._var_name()
+                self.expect(")")
+                binds.append((fn, alias, deps))
             else:
                 patterns.extend(self.triple_statement())
             # statement separator (optional before '}')
@@ -420,10 +446,10 @@ class _Parser:
     def _plain_sub(sub, ctx: str) -> list[tuple]:
         """A nested group that must be a plain BGP (no further
         structure)."""
-        sub_p, sub_o, sub_f, sub_u, sub_v, sub_g = sub
-        if sub_o or sub_f or sub_u or sub_v or sub_g:
+        sub_p, sub_o, sub_f, sub_u, sub_v, sub_g, sub_b = sub
+        if sub_o or sub_f or sub_u or sub_v or sub_g or sub_b:
             raise SparqlUnsupported(
-                f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH")
+                f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH/BIND")
         return sub_p
 
     def union_block(self) -> list[list[tuple]]:
@@ -532,6 +558,119 @@ class _Parser:
         self.pred_obj_list(var, out)
         self.expect("]")
         return var
+
+    # --- BIND value expressions → vectorized column closures ---
+    _BIND_FNS = {"CONCAT", "STR", "IRI", "URI", "UCASE", "LCASE",
+                 "STRLEN", "STRAFTER", "STRBEFORE", "REPLACE", "SUBSTR"}
+
+    def value_expr(self):
+        """One BIND value expression → (table→Array closure, dep vars).
+
+        String kernels only (the store is string-typed): CONCAT, STR /
+        IRI / URI (identity on this store), UCASE, LCASE, STRLEN
+        (int64), STRAFTER, STRBEFORE (empty string when the needle is
+        absent, per SPARQL), REPLACE (RE2 regex; use ``\\1`` capture
+        refs), SUBSTR (1-based, constant positions).  All compile to
+        pyarrow.compute kernels — no Python per row."""
+        kind, v = self.peek()
+        if kind == "word" and v.upper() in self._BIND_FNS:
+            fname = self.next()[1].upper()
+            self.expect("(")
+            args, arg_deps = [], []
+            while True:
+                a, d = self.value_expr()
+                args.append(a)
+                arg_deps.append(d)
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            # needle / position arguments compile to Arrow scalars, so
+            # they must be constants
+            const_from = {"STRAFTER": 1, "STRBEFORE": 1, "REPLACE": 1,
+                          "SUBSTR": 1}.get(fname)
+            if const_from is not None:
+                for d in arg_deps[const_from:]:
+                    if d:
+                        raise SparqlUnsupported(
+                            f"non-constant argument to {fname}")
+            deps = [x for d in arg_deps for x in d]
+            return self._compile_fn(fname, args), deps
+        if kind == "var":
+            name = self._var_name()
+            return (lambda t, name=name: _chunked(t[name])), [name]
+        const = self.term()
+
+        def const_col(t: pa.Table, const=const) -> pa.Array:
+            return pa.repeat(pa.scalar(const, pa.string()), t.num_rows)
+
+        return const_col, []
+
+    @staticmethod
+    def _compile_fn(fname: str, args: list):
+        n = len(args)
+
+        def need(k):
+            if n != k:
+                raise SparqlError(f"{fname} takes {k} argument(s), got {n}")
+
+        if fname == "CONCAT":
+            if n < 1:
+                raise SparqlError("CONCAT needs at least one argument")
+            return lambda t: pc.binary_join_element_wise(
+                *[a(t) for a in args], "")
+        if fname in ("STR", "IRI", "URI"):
+            need(1)
+            return args[0]
+        if fname == "UCASE":
+            need(1)
+            return lambda t: pc.utf8_upper(args[0](t))
+        if fname == "LCASE":
+            need(1)
+            return lambda t: pc.utf8_lower(args[0](t))
+        if fname == "STRLEN":
+            need(1)
+            return lambda t: pc.cast(pc.utf8_length(args[0](t)), pa.int64())
+        if fname in ("STRAFTER", "STRBEFORE"):
+            need(2)
+
+            def fn(t, after=fname == "STRAFTER"):
+                s, sub = args[0](t), args[1](t)
+                sub0 = sub[0].as_py() if len(sub) else ""
+                esc = re.escape(sub0)
+                pat = (f"(?s)^.*?{esc}" if after else f"(?s){esc}.*$")
+                hit = pc.match_substring(s, sub0)
+                cut = pc.replace_substring_regex(
+                    s, pat, "", max_replacements=1)
+                return pc.if_else(pc.fill_null(hit, False), cut,
+                                  pa.scalar("", pa.string()))
+
+            return fn
+        if fname == "REPLACE":
+            need(3)
+
+            def fn(t):
+                s = args[0](t)
+                pat = args[1](t)[0].as_py()
+                rep = args[2](t)[0].as_py()
+                return pc.replace_substring_regex(s, pat, rep)
+
+            return fn
+        if fname == "SUBSTR":
+            if n not in (2, 3):
+                raise SparqlError("SUBSTR takes 2 or 3 arguments")
+
+            def fn(t):
+                s = args[0](t)
+                start = int(args[1](t)[0].as_py()) - 1
+                if n == 3:
+                    stop = start + int(args[2](t)[0].as_py())
+                    return pc.utf8_slice_codeunits(s, start, stop)
+                return pc.utf8_slice_codeunits(s, start)
+
+            return fn
+        raise SparqlUnsupported(f"BIND function {fname!r}")
 
     # --- FILTER expressions → vectorized mask closures ---
     def filter_expr(self):
@@ -769,13 +908,13 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
     if not p.kw("ASK"):
         raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
     p.kw("WHERE")
-    patterns, optionals, filters, unions, values, graphs = p.group()
+    patterns, optionals, filters, unions, values, graphs, binds = p.group()
     kind, v = p.peek()
     if kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
     ast = _Query(select=[], distinct=False, patterns=patterns,
                  optionals=optionals, filters=filters, unions=unions,
-                 values=values, graphs=graphs)
+                 values=values, graphs=graphs, binds=binds)
     out, _ = _eval_where(triples, ast, num_buckets)
     return out.limit(1).count() > 0
 
@@ -948,6 +1087,22 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
         out, have = _join_on_vars(out, have, ray.data.from_arrow(vt),
                                   list(v_vars), list(v_vars),
                                   num_buckets, how="inner")
+
+    # BIND: derived columns, applied before FILTERs so filters can
+    # reference them (the common BIND-then-FILTER shape)
+    for fn, alias, deps in ast.binds:
+        if alias in have:
+            raise SparqlError(f"BIND alias ?{alias} is already bound")
+        missing = [d for d in deps if d not in have]
+        if missing:
+            raise SparqlError(f"BIND references unbound variables: "
+                              f"{missing}")
+
+        def _binder(t: pa.Table, fn=fn, alias=alias) -> pa.Table:
+            return t.append_column(alias, fn(t))
+
+        out = out.map_batches(_binder, batch_format="pyarrow")
+        have = have + [alias]
 
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")

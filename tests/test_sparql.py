@@ -228,6 +228,53 @@ class TestSparqlSelect:
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
 
+    def test_bind_expressions(self):
+        q = PFX + """
+            SELECT ?s ?u ?n WHERE {
+                ?s ex:label ?l .
+                BIND(UCASE(?l) AS ?u)
+                BIND(STRLEN(?l) AS ?n)
+            }
+        """
+        got = rows(sparql_select(store(), q), ["s", "u", "n"])
+        assert got == [(NS + "t1", "ALPHA", 5), (NS + "t2", "BETA", 4)]
+        # CONCAT + IRI + constant; BIND feeding a FILTER
+        q2 = PFX + f"""
+            SELECT ?tag WHERE {{
+                ?s ex:label ?l .
+                BIND(CONCAT(?l, "-", "x") AS ?tag)
+                FILTER (?tag = "alpha-x")
+            }}
+        """
+        assert rows(sparql_select(store(), q2), ["tag"]) == [("alpha-x",)]
+        # STRAFTER / STRBEFORE / SUBSTR / REPLACE
+        q3 = PFX + """
+            SELECT ?a ?b ?c ?r WHERE {
+                ?s ex:label ?l FILTER (?l = "alpha")
+                BIND(STRAFTER(?l, "al") AS ?a)
+                BIND(STRBEFORE(?l, "ph") AS ?b)
+                BIND(SUBSTR(?l, 2, 3) AS ?c)
+                BIND(REPLACE(?l, "a", "o") AS ?r)
+            }
+        """
+        assert rows(sparql_select(store(), q3), ["a", "b", "c", "r"]) == [
+            ("pha", "al", "lph", "olpho")]
+        # absent needle -> empty string (SPARQL STRAFTER semantics)
+        q4 = PFX + """
+            SELECT ?a { ?s ex:label ?l FILTER (?l = "beta")
+                        BIND(STRAFTER(?l, "zz") AS ?a) }
+        """
+        assert rows(sparql_select(store(), q4), ["a"]) == [("",)]
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(store(), PFX + """
+                SELECT ?a { ?s ex:label ?l . ?s ex:tag ?t
+                            BIND(STRAFTER(?l, ?t) AS ?a) }
+            """)
+        with pytest.raises(SparqlError):
+            sparql_select(store(), PFX +
+                          "SELECT ?a { ?s ex:label ?l"
+                          " BIND(UCASE(?nope) AS ?a) }")
+
     def test_ask_and_describe(self):
         assert sparql_ask(store(), PFX +
                           'ASK { ?s ex:label "alpha" }') is True
