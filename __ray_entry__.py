@@ -2277,6 +2277,25 @@ def _q_kg_sparql_bind(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_minus(sf_dir: str):
+    """SPARQL MINUS (negation → one co-group anti-join): tests WITHOUT
+    a studyDuration measurement."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_tests
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = """
+        SELECT DISTINCT ?t WHERE {
+            ?t a ns:Test MINUS { ?t ns:studyDuration ?m }
+        }
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3434,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_describe": _q_kg_sparql_describe,
         "kg_sparql_bind": _q_kg_sparql_bind,
+        "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4761,6 +4781,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f"   WHERE ', '||cname||', ' LIKE '%, no-such-label-xyz, %'"
             f"   OR ','||grp||',' LIKE '%,no-such-label-xyz,%') > 0"
             f" AS ex_missing",
+        # MINUS anti-join: test URIs where NO row emitted a
+        # studyDuration edge (gate: study_duration_mean non-sentinel)
+        "kg_sparql_minus":
+            f"WITH t AS ("
+            f"  SELECT trim(test_id) AS test_id,"
+            f"   {_sent('study_duration_mean')} AS sd"
+            f"  FROM read_parquet('{fx}/tests.parquet')"
+            f"  WHERE {_sent('test_id')} IS NOT NULL"
+            f"   AND {_sent('test_cas')} IS NOT NULL"
+            f"   AND {_sent('species_number')} IS NOT NULL)"
+            f" SELECT DISTINCT '{NS}test/'||test_id AS t FROM t"
+            f" WHERE test_id NOT IN"
+            f"  (SELECT test_id FROM t WHERE sd IS NOT NULL)",
         # BIND(STRAFTER(...)) namespace strip = the cleaned cas values
         "kg_sparql_bind":
             f"SELECT DISTINCT {_sent('cas_number')} AS cas"

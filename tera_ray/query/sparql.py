@@ -130,7 +130,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"HAVING", "MINUS", "SERVICE", "OFFSET"}
+_UNSUPPORTED = {"HAVING", "SERVICE", "OFFSET"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -169,6 +169,8 @@ class _Query:
     values: list = field(default_factory=list)   # (vars, rows) clauses
     graphs: list = field(default_factory=list)   # (graph name, patterns)
     binds: list = field(default_factory=list)    # (col fn, alias, deps)
+    minuses: list = field(default_factory=list)  # MINUS sub-BGPs
+    exists: list = field(default_factory=list)   # (negated, sub-BGP)
     aggs: list = field(default_factory=list)     # _Agg select items
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, descending)
@@ -275,7 +277,7 @@ class _Parser:
                 break
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds) = self.group()
+         binds, minuses, exists) = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -314,8 +316,8 @@ class _Parser:
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
-                      binds=binds, aggs=aggs, group_by=group_by,
-                      order_by=order_by)
+                      binds=binds, minuses=minuses, exists=exists,
+                      aggs=aggs, group_by=group_by, order_by=order_by)
 
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
@@ -341,7 +343,7 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds) = self.group()
+         binds, minuses, exists) = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -351,7 +353,7 @@ class _Parser:
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
                    unions=unions, values=values, graphs=graphs,
-                   binds=binds)
+                   binds=binds, minuses=minuses, exists=exists)
         return template, q
 
     def agg_item(self) -> _Agg:
@@ -392,12 +394,14 @@ class _Parser:
         values: list[tuple[list[str], list[tuple]]] = []
         graphs: list[tuple[str, list[tuple]]] = []
         binds: list = []
+        minuses: list[list[tuple]] = []
+        exists: list[tuple[bool, list[tuple]]] = []
         while True:
             kind, v = self.peek()
             if v == "}":
                 self.next()
                 return (patterns, optionals, filters, unions, values,
-                        graphs, binds)
+                        graphs, binds, minuses, exists)
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
@@ -418,10 +422,24 @@ class _Parser:
                     raise SparqlUnsupported("variable GRAPH name")
                 sub = self.group(in_optional=True)
                 graphs.append((gname, self._plain_sub(sub, "GRAPH")))
+            elif self.kw("MINUS"):
+                if in_optional:
+                    raise SparqlUnsupported("MINUS inside OPTIONAL")
+                minuses.append(self._plain_sub(
+                    self.group(in_optional=True), "MINUS"))
             elif self.kw("FILTER"):
                 if in_optional:
                     raise SparqlUnsupported("FILTER inside OPTIONAL")
-                filters.append(self.filter_expr())
+                if self.kw("NOT"):
+                    if not self.kw("EXISTS"):
+                        raise SparqlError("expected EXISTS after NOT")
+                    exists.append((True, self._plain_sub(
+                        self.group(in_optional=True), "NOT EXISTS")))
+                elif self.kw("EXISTS"):
+                    exists.append((False, self._plain_sub(
+                        self.group(in_optional=True), "EXISTS")))
+                else:
+                    filters.append(self.filter_expr())
             elif self.kw("VALUES"):
                 if in_optional:
                     raise SparqlUnsupported("VALUES inside OPTIONAL")
@@ -446,10 +464,11 @@ class _Parser:
     def _plain_sub(sub, ctx: str) -> list[tuple]:
         """A nested group that must be a plain BGP (no further
         structure)."""
-        sub_p, sub_o, sub_f, sub_u, sub_v, sub_g, sub_b = sub
-        if sub_o or sub_f or sub_u or sub_v or sub_g or sub_b:
+        sub_p = sub[0]
+        if any(sub[1:]):
             raise SparqlUnsupported(
-                f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH/BIND")
+                f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH/"
+                "BIND/MINUS")
         return sub_p
 
     def union_block(self) -> list[list[tuple]]:
@@ -908,13 +927,15 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
     if not p.kw("ASK"):
         raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
     p.kw("WHERE")
-    patterns, optionals, filters, unions, values, graphs, binds = p.group()
+    (patterns, optionals, filters, unions, values, graphs, binds,
+     minuses, exists) = p.group()
     kind, v = p.peek()
     if kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
     ast = _Query(select=[], distinct=False, patterns=patterns,
                  optionals=optionals, filters=filters, unions=unions,
-                 values=values, graphs=graphs, binds=binds)
+                 values=values, graphs=graphs, binds=binds,
+                 minuses=minuses, exists=exists)
     out, _ = _eval_where(triples, ast, num_buckets)
     return out.limit(1).count() > 0
 
@@ -967,7 +988,9 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
     all_patterns = (list(ast.patterns)
                     + [p for g in ast.optionals for p in g]
                     + [p for blk in ast.unions for br in blk for p in br]
-                    + [p for _, ps in ast.graphs for p in ps])
+                    + [p for _, ps in ast.graphs for p in ps]
+                    + [p for g in ast.minuses for p in g]
+                    + [p for _, g in ast.exists for p in g])
     preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
              for p in all_patterns]
     keep = ["subj", "pred", "obj"] + (["graph"] if ast.graphs else [])
@@ -1059,6 +1082,28 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
                                   num_buckets, how="left")
 
+    # MINUS / FILTER [NOT] EXISTS: the negation family, compiled to
+    # one co-group anti-/semi-join per block on the shared variables.
+    # MINUS with NO shared variables removes nothing (SPARQL: disjoint
+    # domains are incompatible); EXISTS/NOT EXISTS with no shared
+    # variables degenerate to a global emptiness test via ASK-style
+    # limit(1) — rejected instead as certainly-unintended.
+    for kind, negated, gpats in (
+            [("minus", True, g) for g in ast.minuses]
+            + [("exists", neg, g) for neg, g in ast.exists]):
+        g_vars = list(dict.fromkeys(
+            v[1:] for p in gpats for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        shared = [v for v in g_vars if v in have]
+        if not shared:
+            if kind == "minus":
+                continue  # MINUS with disjoint domain: no-op (SPARQL)
+            raise SparqlError(
+                "EXISTS block shares no variable with the outer pattern")
+        sub = bgp_match(triples, _connect_order(gpats),
+                        num_buckets=num_buckets, narrow=False)
+        out = _semi_anti(out, sub, shared, num_buckets, anti=negated)
+
     # VALUES: single bound variable → vectorized is_in mask (no
     # shuffle); multi-variable → inner join against the (driver-tiny)
     # inline table on the composite key
@@ -1107,6 +1152,29 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")
     return out, have
+
+
+def _semi_anti(left, right, shared: list[str], num_buckets: int,
+               anti: bool):
+    """Semi-join (EXISTS) / anti-join (NOT EXISTS, MINUS) of the
+    binding relation against a sub-BGP on the shared variables — ONE
+    hash-bucket co-group via ``relational.multi_key_anti_join``; the
+    semi form dedups the right side first so matches never duplicate
+    left rows."""
+    from ..query.relational import multi_key_anti_join
+    from ..stages.base import dedup_triples
+
+    proj = _projector(shared)
+    right = right.map_batches(proj, batch_format="pyarrow")
+    if anti:
+        return multi_key_anti_join(left, right, keys=shared,
+                                   num_buckets=num_buckets)
+    right = dedup_triples(right, keys=tuple(shared),
+                          num_buckets=num_buckets)
+    joined, _ = _join_on_vars(left, [c for c in shared], right,
+                              list(shared), shared, num_buckets,
+                              how="inner")
+    return joined
 
 
 def _align_cols(all_vars: list[str], present: set[str]):

@@ -228,6 +228,30 @@ class TestSparqlSelect:
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
 
+    def test_minus_and_exists(self):
+        # MINUS: tests WITHOUT a measurement
+        q = PFX + """
+            SELECT ?s WHERE { ?s a ex:Test MINUS { ?s ex:measure ?m } }
+        """
+        assert rows(sparql_select(store(), q), ["s"]) == [(NS + "t2",)]
+        # FILTER NOT EXISTS: same shape, same answer on plain BGPs
+        q2 = PFX + """
+            SELECT ?s WHERE { ?s a ex:Test
+                              FILTER NOT EXISTS { ?s ex:measure ?m } }
+        """
+        assert rows(sparql_select(store(), q2), ["s"]) == [(NS + "t2",)]
+        # FILTER EXISTS: semi-join, no duplication from multiple tags
+        q3 = PFX + """
+            SELECT ?s WHERE { ?s a ex:Test
+                              FILTER EXISTS { ?s ex:tag ?t } }
+        """
+        assert rows(sparql_select(store(), q3), ["s"]) == [(NS + "t1",)]
+        # MINUS with disjoint domain removes nothing (SPARQL semantics)
+        q4 = PFX + """
+            SELECT ?s WHERE { ?s a ex:Test MINUS { ?x ex:nope ?y } }
+        """
+        assert len(rows(sparql_select(store(), q4), ["s"])) == 2
+
     def test_bind_expressions(self):
         q = PFX + """
             SELECT ?s ?u ?n WHERE {
