@@ -2296,6 +2296,26 @@ def _q_kg_sparql_minus(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_seq_path(sf_dir: str):
+    """SPARQL sequence path (fresh-variable chain rewrite): each test's
+    concentration values through hasResult / concentration / rdf:value
+    in one step."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_results
+
+    store = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "results.parquet")).map_batches(
+        emit_results, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = """
+        SELECT DISTINCT ?t ?cc WHERE {
+            ?t ns:hasResult / ns:concentration / rdf:value ?cc
+        }
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3454,6 +3474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_describe": _q_kg_sparql_describe,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_minus": _q_kg_sparql_minus,
+        "kg_sparql_seq_path": _q_kg_sparql_seq_path,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4794,6 +4815,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" SELECT DISTINCT '{NS}test/'||test_id AS t FROM t"
             f" WHERE test_id NOT IN"
             f"  (SELECT test_id FROM t WHERE sd IS NOT NULL)",
+        # sequence path = (test, digit-filtered conc value) pairs from
+        # cleaned result rows whose value survived the digit gate
+        "kg_sparql_seq_path":
+            f"SELECT DISTINCT '{NS}test/'||trim(test_id) AS t,"
+            f" regexp_replace(trim(conc1_mean), '\\D', '', 'g') AS cc"
+            f" FROM read_parquet('{fx}/results.parquet')"
+            f" WHERE {_sent('test_id')} IS NOT NULL"
+            f"  AND {_sent('endpoint')} IS NOT NULL"
+            f"  AND {_sent('conc1_mean')} IS NOT NULL"
+            f"  AND {_sent('conc1_unit')} IS NOT NULL"
+            f"  AND {_sent('effect')} IS NOT NULL"
+            f"  AND length(regexp_replace(trim(conc1_mean), '\\D', '',"
+            f" 'g')) > 0",
         # BIND(STRAFTER(...)) namespace strip = the cleaned cas values
         "kg_sparql_bind":
             f"SELECT DISTINCT {_sent('cas_number')} AS cas"

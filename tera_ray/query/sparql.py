@@ -38,9 +38,13 @@ so a reference user can run their existing query strings unchanged:
   compare lexically on the string store
 - ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort) and
   ``LIMIT``
-- one-or-more property paths ``pred+`` — compiled onto the semi-naive
-  distributed transitive closure (variable-variable form) or a seeded
-  broadcast-frontier BFS (constant-anchored form)
+- property paths: ``pred+`` (one-or-more — the semi-naive distributed
+  transitive closure, or a seeded broadcast-frontier BFS when one end
+  is constant), ``^pred`` (inverse — direction swap), and sequences
+  ``p1 / p2`` (fresh-variable chain rewrite; whitespace around ``/``
+  required, since ``/`` inside a prefixed name belongs to the name)
+- ``MINUS { … }`` and ``FILTER [NOT] EXISTS { … }`` — one co-group
+  anti-/semi-join per block on the shared variables
 - ``GRAPH <name> { … }`` — scopes a sub-BGP to the store's ``graph``
   lineage column (an engine extension: graph names are the emitters'
   plain graph tags such as ``"ecotox_chemicals"``, not IRIs; quote
@@ -54,8 +58,8 @@ so a reference user can run their existing query strings unchanged:
   ``DESCRIBE <iri>`` via :func:`sparql_describe`
 
 Unsupported constructs the reference never uses (subqueries,
-``HAVING``, ``MINUS``, ``pred*`` zero-or-more paths) raise
-``SparqlUnsupported`` with the offending token.
+``HAVING``, ``SERVICE``, ``OFFSET``, ``pred*`` zero-or-more paths)
+raise ``SparqlUnsupported`` with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -125,7 +129,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|[{}\[\];,.()=*+])
+      | (?P<punct>&&|\|\||!=|[{}\[\];,.()=*+/^])
     """,
     re.X,
 )
@@ -533,20 +537,51 @@ class _Parser:
         self.pred_obj_list(subj, out)
         return out
 
+    def path_step(self):
+        """One path step: ``[^]term[+]`` → (inverse, pred-or-path)."""
+        inv = False
+        if self.peek()[1] == "^":
+            self.next()
+            inv = True
+        pred = self.term()
+        if pred.startswith("?") is False and not pred:
+            raise SparqlError("empty predicate")
+        if self.peek()[1] == "+":           # one-or-more
+            self.next()
+            if pred.startswith("?"):
+                raise SparqlError(
+                    "property-path modifier on a variable predicate")
+            pred = ("+", pred)
+        elif self.peek()[1] == "*":
+            raise SparqlUnsupported(
+                "zero-or-more property path (use pred+)")
+        if inv and isinstance(pred, str) and pred.startswith("?"):
+            raise SparqlError("inverse path on a variable predicate")
+        return inv, pred
+
+    def path_pred(self):
+        """A predicate path: ``step (/ step)*`` — sequences rewrite to
+        fresh-variable chains at emit time (tokenizer note: ``/`` inside
+        a prefixed name belongs to the name, so sequence steps need
+        whitespace around the ``/``)."""
+        steps = [self.path_step()]
+        while self.peek()[1] == "/":
+            self.next()
+            steps.append(self.path_step())
+        return steps
+
+    def emit_path(self, subj: str, steps, obj, out: list) -> None:
+        """Emit the pattern chain for ``subj <steps> obj`` (fresh
+        variable per sequence hop; ``^`` swaps a hop's direction)."""
+        cur = subj
+        for i, (inv, pred) in enumerate(steps):
+            nxt = obj if i == len(steps) - 1 else self.fresh_bnode_var()
+            out.append((nxt, pred, cur) if inv else (cur, pred, nxt))
+            cur = nxt
+
     def pred_obj_list(self, subj: str, out: list) -> None:
         while True:
-            pred = self.term()
-            if pred.startswith("?") is False and not pred:
-                raise SparqlError("empty predicate")
-            if self.peek()[1] == "+":       # property path: one-or-more
-                self.next()
-                if pred.startswith("?"):
-                    raise SparqlError(
-                        "property-path modifier on a variable predicate")
-                pred = ("+", pred)
-            elif self.peek()[1] == "*":
-                raise SparqlUnsupported(
-                    "zero-or-more property path (use pred+)")
+            steps = self.path_pred()
             while True:
                 kind, v = self.peek()
                 if v == "[":
@@ -554,10 +589,10 @@ class _Parser:
                     # BGP fold always has a shared variable
                     inner: list[tuple] = []
                     obj = self.bnode_props(inner)
-                    out.append((subj, pred, obj))
+                    self.emit_path(subj, steps, obj, out)
                     out.extend(inner)
                 else:
-                    out.append((subj, pred, self.term()))
+                    self.emit_path(subj, steps, self.term(), out)
                 if self.peek()[1] == ",":
                     self.next()
                     continue

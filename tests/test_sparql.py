@@ -228,6 +228,25 @@ class TestSparqlSelect:
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
 
+    def test_inverse_and_sequence_paths(self):
+        # inverse: ^measure from the measurement node back to the test
+        q = PFX + """
+            SELECT ?t WHERE { ?m ^ex:measure ?t }
+        """
+        assert rows(sparql_select(store(), q), ["t"]) == [(NS + "t1",)]
+        # sequence: measure / value in one step chain
+        q2 = PFX + """
+            SELECT ?s ?v WHERE { ?s ex:measure / rdf:value ?v }
+        """
+        assert rows(sparql_select(store(), q2), ["s", "v"]) == [
+            (NS + "t1", "42")]
+        # sequence with an inverse hop: label of the test owning ?m
+        q3 = PFX + """
+            SELECT ?m ?l WHERE { ?m ^ex:measure / ex:label ?l }
+        """
+        assert rows(sparql_select(store(), q3), ["m", "l"]) == [
+            ("_:m1", "alpha")]
+
     def test_minus_and_exists(self):
         # MINUS: tests WITHOUT a measurement
         q = PFX + """
