@@ -2316,6 +2316,21 @@ def _q_kg_sparql_seq_path(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_having(sf_dir: str):
+    """SPARQL HAVING: chemicals with at least 5 results (post-agg mask
+    over the distributed groupby)."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT ?chemical (COUNT(?r) AS ?n) WHERE {
+            ?t rdf:type ns:Test ;
+               ns:chemical ?chemical ;
+               ns:hasResult ?r .
+        } GROUP BY ?chemical HAVING (?n >= 5)
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3475,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_sparql_seq_path": _q_kg_sparql_seq_path,
+        "kg_sparql_having": _q_kg_sparql_having,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4755,6 +4771,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         # the identical BGP + OPTIONAL left-join
         "kg_sparql_star": _star_sql(fx),
         "kg_sparql_agg": _sparql_agg_sql(fx),
+        "kg_sparql_having":
+            f"SELECT * FROM ({_sparql_agg_sql(fx)}) WHERE n >= 5",
         "kg_sparql_union": _sparql_union_sql(fx),
         # CONSTRUCT rewrite: the ns:Chemical-typed subjects are exactly
         # the cas/ subjects (groups type as ChemicalGroup), so the

@@ -22,8 +22,11 @@ so a reference user can run their existing query strings unchanged:
   variables (one co-group shuffle per group), which is exact SPARQL
   left-join semantics for the reference's non-nested optionals
 - ``FILTER`` with ``isURI``/``isLiteral``, ``STRSTARTS(str(?v), …)``,
-  ``regex(?v, "re")``, ``=`` / ``!=``, ``&&`` / ``||`` — compiled to
-  vectorized Arrow kernels applied to the binding relation
+  ``regex(?v, "re")``, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
+  (type-aware: numeric columns compare numerically, strings lexically;
+  var-to-var allowed), ``&&`` / ``||`` — compiled to vectorized Arrow
+  kernels applied to the binding relation; ``HAVING (…)`` applies the
+  same machinery after the aggregation
 - ``{ … } UNION { … }`` chains — branches match as independent
   sub-BGPs, null-pad to the block's variable superset and stream-union
   (no shuffle); the block joins the surrounding patterns on the shared
@@ -58,8 +61,8 @@ so a reference user can run their existing query strings unchanged:
   ``DESCRIBE <iri>`` via :func:`sparql_describe`
 
 Unsupported constructs the reference never uses (subqueries,
-``HAVING``, ``SERVICE``, ``OFFSET``, ``pred*`` zero-or-more paths)
-raise ``SparqlUnsupported`` with the offending token.
+``SERVICE``, ``OFFSET``, ``pred*`` zero-or-more paths) raise
+``SparqlUnsupported`` with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -129,12 +132,12 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|[{}\[\];,.()=*+/^])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>])
     """,
     re.X,
 )
 
-_UNSUPPORTED = {"HAVING", "SERVICE", "OFFSET"}
+_UNSUPPORTED = {"SERVICE", "OFFSET"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -175,6 +178,7 @@ class _Query:
     binds: list = field(default_factory=list)    # (col fn, alias, deps)
     minuses: list = field(default_factory=list)  # MINUS sub-BGPs
     exists: list = field(default_factory=list)   # (negated, sub-BGP)
+    having: list = field(default_factory=list)   # post-agg mask fns
     aggs: list = field(default_factory=list)     # _Agg select items
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, descending)
@@ -291,8 +295,9 @@ class _Parser:
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 raise SparqlError("empty GROUP BY")
-        if self.kw("HAVING"):
-            raise SparqlUnsupported("HAVING")
+        having: list = []
+        while self.kw("HAVING") or (having and self.peek()[1] == "("):
+            having.append(self.filter_expr())
         if self.kw("ORDER"):
             if not self.kw("BY"):
                 raise SparqlError("ORDER must be followed by BY")
@@ -321,7 +326,8 @@ class _Parser:
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
                       binds=binds, minuses=minuses, exists=exists,
-                      aggs=aggs, group_by=group_by, order_by=order_by)
+                      aggs=aggs, group_by=group_by, order_by=order_by,
+                      having=having)
 
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
@@ -808,12 +814,26 @@ class _Parser:
         if kind == "var":
             var = self._var_name()
             op = self.next()[1]
-            if op not in ("=", "!="):
+            ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                   ">": pc.greater, "<=": pc.less_equal,
+                   ">=": pc.greater_equal}
+            if op not in ops:
                 raise SparqlUnsupported(f"unsupported FILTER operator {op!r}")
             val = self.term()
-            if op == "=":
-                return lambda t: pc.equal(t[var], pa.scalar(val, pa.string()))
-            return lambda t: pc.not_equal(t[var], pa.scalar(val, pa.string()))
+
+            def cmp(t: pa.Table, var=var, val=val, op=op) -> pa.Array:
+                # type-aware: numeric columns (aggregate aliases,
+                # STRLEN binds) compare numerically, strings lexically
+                c = t[var]
+                if isinstance(val, str) and val.startswith("?"):
+                    return ops[op](c, t[val[1:]])
+                typ = c.type
+                if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                    return ops[op](pc.cast(c, pa.float64()),
+                                   pa.scalar(float(val), pa.float64()))
+                return ops[op](c, pa.scalar(val, pa.string()))
+
+            return cmp
         raise SparqlError(f"cannot parse FILTER at {v!r}")
 
     def _strip_str_of_var(self) -> str:
@@ -885,6 +905,10 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
 
     if ast.aggs or ast.group_by:
         out, have = _aggregate(out, have, ast)
+        for fn in ast.having:
+            out = out.map_batches(_masker(fn), batch_format="pyarrow")
+    elif ast.having:
+        raise SparqlError("HAVING without GROUP BY / aggregates")
 
     select = ast.select or [v for v in have if not v.startswith("__b")]
     missing = [v for v in select if v not in have]

@@ -228,6 +228,29 @@ class TestSparqlSelect:
         with pytest.raises(SparqlUnsupported):
             sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
 
+    def test_having_and_comparisons(self):
+        q = PFX + """
+            SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
+            GROUP BY ?s HAVING (?n >= 2)
+        """
+        assert rows(sparql_select(store(), q), ["s", "n"]) == [
+            (NS + "t1", 2)]
+        q1 = PFX + """
+            SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ?p ?t }
+            GROUP BY ?s HAVING (?n > 3)
+        """
+        assert rows(sparql_select(store(), q1), ["s", "n"]) == [
+            (NS + "t1", 5)]
+        # lexical comparison on string bindings
+        q2 = PFX + 'SELECT ?l { ?s ex:label ?l FILTER (?l < "b") }'
+        assert rows(sparql_select(store(), q2), ["l"]) == [("alpha",)]
+        # var-to-var comparison
+        q3 = PFX + 'SELECT ?s { ?s ex:label ?l FILTER (?s > ?l) }'
+        assert len(rows(sparql_select(store(), q3), ["s"])) == 2
+        with pytest.raises(SparqlError):
+            sparql_select(store(), PFX +
+                          'SELECT ?l {?s ex:label ?l} HAVING (?l = "x")')
+
     def test_inverse_and_sequence_paths(self):
         # inverse: ^measure from the measurement node back to the test
         q = PFX + """
