@@ -45,7 +45,9 @@ so a reference user can run their existing query strings unchanged:
   transitive closure, or a seeded broadcast-frontier BFS when one end
   is constant), ``^pred`` (inverse — direction swap), and sequences
   ``p1 / p2`` (fresh-variable chain rewrite; whitespace around ``/``
-  required, since ``/`` inside a prefixed name belongs to the name)
+  required, since ``/`` inside a prefixed name belongs to the name),
+  and alternation ``p1 | p2`` (rewrites to a UNION block; branches may
+  themselves be chains)
 - ``MINUS { … }`` and ``FILTER [NOT] EXISTS { … }`` — one co-group
   anti-/semi-join per block on the shared variables
 - ``GRAPH <name> { … }`` — scopes a sub-BGP to the store's ``graph``
@@ -132,7 +134,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|])
     """,
     re.X,
 )
@@ -465,7 +467,8 @@ class _Parser:
                 self.expect(")")
                 binds.append((fn, alias, deps))
             else:
-                patterns.extend(self.triple_statement())
+                patterns.extend(self.triple_statement(
+                    unions=None if in_optional else unions))
             # statement separator (optional before '}')
             if self.peek()[1] == ".":
                 self.next()
@@ -533,14 +536,14 @@ class _Parser:
         self.expect("}")
         return vars_, rows
 
-    def triple_statement(self) -> list[tuple]:
+    def triple_statement(self, unions=None) -> list[tuple]:
         out: list[tuple] = []
         kind, v = self.peek()
         if v == "[":
             subj = self.bnode_props(out)
         else:
             subj = self.term()
-        self.pred_obj_list(subj, out)
+        self.pred_obj_list(subj, out, unions)
         return out
 
     def path_step(self):
@@ -585,9 +588,27 @@ class _Parser:
             out.append((nxt, pred, cur) if inv else (cur, pred, nxt))
             cur = nxt
 
-    def pred_obj_list(self, subj: str, out: list) -> None:
+    def pred_obj_list(self, subj: str, out: list, unions=None) -> None:
         while True:
-            steps = self.path_pred()
+            paths = [self.path_pred()]
+            while self.peek()[1] == "|":    # alternation → UNION block
+                self.next()
+                paths.append(self.path_pred())
+            if len(paths) > 1 and unions is None:
+                raise SparqlUnsupported(
+                    "path alternation inside a bnode property list")
+
+            def emit(obj):
+                if len(paths) == 1:
+                    self.emit_path(subj, paths[0], obj, out)
+                    return
+                branches = []
+                for steps in paths:
+                    br: list[tuple] = []
+                    self.emit_path(subj, steps, obj, br)
+                    branches.append(br)
+                unions.append(branches)
+
             while True:
                 kind, v = self.peek()
                 if v == "[":
@@ -595,10 +616,10 @@ class _Parser:
                     # BGP fold always has a shared variable
                     inner: list[tuple] = []
                     obj = self.bnode_props(inner)
-                    self.emit_path(subj, steps, obj, out)
+                    emit(obj)
                     out.extend(inner)
                 else:
-                    self.emit_path(subj, steps, self.term(), out)
+                    emit(self.term())
                 if self.peek()[1] == ",":
                     self.next()
                     continue

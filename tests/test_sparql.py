@@ -270,6 +270,23 @@ class TestSparqlSelect:
         assert rows(sparql_select(store(), q3), ["m", "l"]) == [
             ("_:m1", "alpha")]
 
+    def test_path_alternation(self):
+        # label | unit values across both shapes (rewrites to UNION)
+        q = PFX + """
+            SELECT ?s ?v WHERE { ?s ex:label | ex:unit ?v }
+        """
+        assert rows(sparql_select(store(), q), ["s", "v"]) == [
+            ("_:m1", NS + "mg"), (NS + "t1", "alpha"), (NS + "t2", "beta")]
+        # alternation joined with another pattern; branch may be a chain
+        q2 = PFX + """
+            SELECT ?s ?v WHERE {
+                ?s a ex:Test .
+                ?s ex:label | ex:measure / rdf:value ?v
+            }
+        """
+        assert rows(sparql_select(store(), q2), ["s", "v"]) == [
+            (NS + "t1", "42"), (NS + "t1", "alpha"), (NS + "t2", "beta")]
+
     def test_minus_and_exists(self):
         # MINUS: tests WITHOUT a measurement
         q = PFX + """
