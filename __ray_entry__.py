@@ -2331,6 +2331,25 @@ def _q_kg_sparql_having(sf_dir: str):
     return sparql_select(_ecotox_star_store(sf_dir), q)
 
 
+def _q_kg_sparql_subquery(sf_dir: str):
+    """SPARQL 1.1 subquery: per-chemical result counts computed in a
+    nested SELECT (distributed groupby) and joined back to the outer
+    (chemical, species) pattern."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT DISTINCT ?chemical ?species ?n WHERE {
+            ?t ns:chemical ?chemical ; ns:species ?species .
+            { SELECT ?chemical (COUNT(?r) AS ?n) WHERE {
+                ?t2 rdf:type ns:Test ;
+                    ns:chemical ?chemical ;
+                    ns:hasResult ?r .
+              } GROUP BY ?chemical }
+        }
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -3491,6 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_sparql_seq_path": _q_kg_sparql_seq_path,
         "kg_sparql_having": _q_kg_sparql_having,
+        "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_unionfind": _q_kg_unionfind,
         "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
@@ -4773,6 +4793,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_agg": _sparql_agg_sql(fx),
         "kg_sparql_having":
             f"SELECT * FROM ({_sparql_agg_sql(fx)}) WHERE n >= 5",
+        # subquery: per-chemical counts joined to the distinct
+        # (chemical, species) pairs of the cleaned tests table
+        "kg_sparql_subquery":
+            f"WITH pairs AS ("
+            f"  SELECT DISTINCT '{NS}cas/'||trim(test_cas) AS chemical,"
+            f"   '{NS}taxon/'||trim(species_number) AS species"
+            f"  FROM read_parquet('{fx}/tests.parquet')"
+            f"  WHERE {_sent('test_id')} IS NOT NULL"
+            f"   AND {_sent('test_cas')} IS NOT NULL"
+            f"   AND {_sent('species_number')} IS NOT NULL)"
+            f" SELECT DISTINCT p.chemical, p.species, a.n"
+            f" FROM pairs p JOIN ({_sparql_agg_sql(fx)}) a"
+            f" USING (chemical)",
         "kg_sparql_union": _sparql_union_sql(fx),
         # CONSTRUCT rewrite: the ns:Chemical-typed subjects are exactly
         # the cas/ subjects (groups type as ChemicalGroup), so the

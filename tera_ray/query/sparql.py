@@ -39,8 +39,8 @@ so a reference user can run their existing query strings unchanged:
   combiner-first distributed groupby (``relational.grouped_agg``);
   SUM/AVG drop non-numeric bindings (SPARQL error-drop), MIN/MAX
   compare lexically on the string store
-- ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort) and
-  ``LIMIT``
+- ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort), ``LIMIT``
+  and ``OFFSET`` (a ``split_at_indices`` stream slice)
 - property paths: ``pred+`` (one-or-more — the semi-naive distributed
   transitive closure, or a seeded broadcast-frontier BFS when one end
   is constant), ``^pred`` (inverse — direction swap), and sequences
@@ -58,13 +58,17 @@ so a reference user can run their existing query strings unchanged:
   STR/IRI/URI (identity on the string store), UCASE, LCASE, STRLEN,
   STRAFTER, STRBEFORE, REPLACE, SUBSTR — applied before FILTERs so the
   BIND-then-FILTER shape works
+- ``{ SELECT … }`` subqueries — evaluated bottom-up to their own
+  projected relation (aggregation / DISTINCT / ORDER / LIMIT apply
+  inside) and joined to the surrounding bindings on the shared
+  variables
 - ``CONSTRUCT { template } WHERE { … }`` via :func:`sparql_construct`
   (a NEW dedup'd triple Dataset), ``ASK`` via :func:`sparql_ask`,
   ``DESCRIBE <iri>`` via :func:`sparql_describe`
 
-Unsupported constructs the reference never uses (subqueries,
-``SERVICE``, ``OFFSET``, ``pred*`` zero-or-more paths) raise
-``SparqlUnsupported`` with the offending token.
+The few remaining constructs the reference never uses (``SERVICE``
+federation, ``pred*`` zero-or-more paths) raise ``SparqlUnsupported``
+with the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -139,7 +143,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"SERVICE", "OFFSET"}
+_UNSUPPORTED = {"SERVICE"}
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -174,6 +178,7 @@ class _Query:
     optionals: list[list[tuple]]  # one sub-BGP per OPTIONAL group
     filters: list = field(default_factory=list)  # compiled mask fns
     limit: int | None = None
+    offset: int = 0
     unions: list = field(default_factory=list)   # blocks: [branch BGPs]
     values: list = field(default_factory=list)   # (vars, rows) clauses
     graphs: list = field(default_factory=list)   # (graph name, patterns)
@@ -181,6 +186,7 @@ class _Query:
     minuses: list = field(default_factory=list)  # MINUS sub-BGPs
     exists: list = field(default_factory=list)   # (negated, sub-BGP)
     having: list = field(default_factory=list)   # post-agg mask fns
+    subqueries: list = field(default_factory=list)  # nested _Query
     aggs: list = field(default_factory=list)     # _Agg select items
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, descending)
@@ -260,6 +266,17 @@ class _Parser:
 
     def parse(self) -> _Query:
         self.parse_prologue()
+        q = self.select_query()
+        kind, v = self.peek()
+        if kind != "eof":
+            raise (SparqlUnsupported(f"unsupported construct {v!r}")
+                   if v.upper() in _UNSUPPORTED
+                   else SparqlError(f"unexpected trailing {v!r}"))
+        return q
+
+    def select_query(self) -> _Query:
+        """``SELECT … [solution modifiers]`` — the recursive unit
+        shared by the top level and ``{ SELECT … }`` subqueries."""
         if not self.kw("SELECT"):
             kind, v = self.peek()
             if v.upper() in ("CONSTRUCT", "ASK", "DESCRIBE"):
@@ -287,7 +304,7 @@ class _Parser:
                 break
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds, minuses, exists) = self.group()
+         binds, minuses, exists, subqueries) = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -317,19 +334,21 @@ class _Parser:
             if not order_by:
                 raise SparqlError("empty ORDER BY")
         limit = None
-        if self.kw("LIMIT"):
-            limit = int(self.next()[1])
-        kind, v = self.peek()
-        if kind != "eof":
-            raise (SparqlUnsupported(f"unsupported construct {v!r}")
-                   if v.upper() in _UNSUPPORTED
-                   else SparqlError(f"unexpected trailing {v!r}"))
+        offset = 0
+        # LIMIT/OFFSET in either order, as the grammar allows
+        while True:
+            if self.kw("LIMIT"):
+                limit = int(self.next()[1])
+            elif self.kw("OFFSET"):
+                offset = int(self.next()[1])
+            else:
+                break
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
                       binds=binds, minuses=minuses, exists=exists,
-                      aggs=aggs, group_by=group_by, order_by=order_by,
-                      having=having)
+                      subqueries=subqueries, aggs=aggs, group_by=group_by,
+                      order_by=order_by, having=having, offset=offset)
 
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
@@ -355,7 +374,7 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds, minuses, exists) = self.group()
+         binds, minuses, exists, subqueries) = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -365,7 +384,8 @@ class _Parser:
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
                    unions=unions, values=values, graphs=graphs,
-                   binds=binds, minuses=minuses, exists=exists)
+                   binds=binds, minuses=minuses, exists=exists,
+                   subqueries=subqueries)
         return template, q
 
     def agg_item(self) -> _Agg:
@@ -408,18 +428,26 @@ class _Parser:
         binds: list = []
         minuses: list[list[tuple]] = []
         exists: list[tuple[bool, list[tuple]]] = []
+        subqueries: list[_Query] = []
         while True:
             kind, v = self.peek()
             if v == "}":
                 self.next()
                 return (patterns, optionals, filters, unions, values,
-                        graphs, binds, minuses, exists)
+                        graphs, binds, minuses, exists, subqueries)
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
                 if in_optional:
                     raise SparqlUnsupported("group pattern inside OPTIONAL")
-                unions.append(self.union_block())
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else ("eof", ""))
+                if nxt[0] == "word" and nxt[1].upper() == "SELECT":
+                    self.next()                 # consume '{'
+                    subqueries.append(self.select_query())
+                    self.expect("}")
+                else:
+                    unions.append(self.union_block())
             elif self.kw("OPTIONAL"):
                 if in_optional:
                     raise SparqlUnsupported("nested OPTIONAL")
@@ -922,7 +950,17 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     from ..stages.base import dedup_triples
 
     ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
-    out, have = _eval_where(triples, ast, num_buckets)
+    out, _ = _run_query(triples, ast, num_buckets)
+    return out
+
+
+def _run_query(triples, ast: _Query, num_buckets: int,
+               narrow: bool = True):
+    """Evaluate a (possibly nested) SELECT: WHERE block + solution
+    modifiers.  Returns (Dataset, projected var list)."""
+    from ..stages.base import dedup_triples
+
+    out, have = _eval_where(triples, ast, num_buckets, narrow=narrow)
 
     if ast.aggs or ast.group_by:
         out, have = _aggregate(out, have, ast)
@@ -946,9 +984,14 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
             raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
         out = out.sort([v for v, _ in ast.order_by],
                        descending=[d for _, d in ast.order_by])
+    if ast.offset:
+        # solution-sequence slice: split_at_indices drops the first
+        # `offset` rows of the (ORDER-BY-sorted) stream without a
+        # driver collect
+        out = out.split_at_indices([ast.offset])[1]
     if ast.limit is not None:
         out = out.limit(ast.limit)
-    return out
+    return out, select
 
 
 def sparql_construct(triples, query: str, num_buckets: int = 64,
@@ -1008,14 +1051,14 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
         raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
     p.kw("WHERE")
     (patterns, optionals, filters, unions, values, graphs, binds,
-     minuses, exists) = p.group()
+     minuses, exists, subqueries) = p.group()
     kind, v = p.peek()
     if kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
     ast = _Query(select=[], distinct=False, patterns=patterns,
                  optionals=optionals, filters=filters, unions=unions,
                  values=values, graphs=graphs, binds=binds,
-                 minuses=minuses, exists=exists)
+                 minuses=minuses, exists=exists, subqueries=subqueries)
     out, _ = _eval_where(triples, ast, num_buckets)
     return out.limit(1).count() > 0
 
@@ -1052,36 +1095,54 @@ def sparql_describe(triples, query: str, num_buckets: int = 64,
     return triples.map_batches(pick, batch_format="pyarrow")
 
 
-def _eval_where(triples, ast: _Query, num_buckets: int):
+def _collect_patterns(ast: _Query) -> list:
+    """Every triple pattern reachable from this query, subqueries
+    included (for the single predicate-narrowing pass)."""
+    pats = (list(ast.patterns)
+            + [p for g in ast.optionals for p in g]
+            + [p for blk in ast.unions for br in blk for p in br]
+            + [p for _, ps in ast.graphs for p in ps]
+            + [p for g in ast.minuses for p in g]
+            + [p for _, g in ast.exists for p in g])
+    for sub in ast.subqueries:
+        pats.extend(_collect_patterns(sub))
+    return pats
+
+
+def _uses_graph(ast: _Query) -> bool:
+    return bool(ast.graphs) or any(_uses_graph(q) for q in ast.subqueries)
+
+
+def _eval_where(triples, ast: _Query, num_buckets: int,
+                narrow: bool = True):
     """Evaluate the WHERE block (BGP + UNION + OPTIONAL + VALUES +
     FILTER) to a binding relation; returns (Dataset, bound var list)."""
     from .kg import bgp_match
 
-    if not ast.patterns and not ast.unions and not ast.graphs:
+    if not (ast.patterns or ast.unions or ast.graphs or ast.subqueries):
         raise SparqlError("empty WHERE block")
 
     # ONE narrowing pass over the store for the WHOLE query (required
     # patterns + every OPTIONAL group + every UNION branch + every
-    # GRAPH block): each bgp_match pattern scan re-reads its input, so
-    # narrow+materialize here and disable bgp_match's own pass — a lazy
-    # store's upstream lineage executes exactly once per query
-    all_patterns = (list(ast.patterns)
-                    + [p for g in ast.optionals for p in g]
-                    + [p for blk in ast.unions for br in blk for p in br]
-                    + [p for _, ps in ast.graphs for p in ps]
-                    + [p for g in ast.minuses for p in g]
-                    + [p for _, g in ast.exists for p in g])
-    preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
-             for p in all_patterns]
-    keep = ["subj", "pred", "obj"] + (["graph"] if ast.graphs else [])
-    if all(not pr.startswith("?") for pr in preds):
-        pset = pa.array(sorted(set(preds)), pa.string())
+    # GRAPH block + every subquery): each bgp_match pattern scan
+    # re-reads its input, so narrow+materialize here and disable
+    # bgp_match's own pass — a lazy store's upstream lineage executes
+    # exactly once per query.  Subqueries re-enter with narrow=False.
+    if narrow:
+        all_patterns = _collect_patterns(ast)
+        preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
+                 for p in all_patterns]
+        keep = (["subj", "pred", "obj"]
+                + (["graph"] if _uses_graph(ast) else []))
+        if all(not pr.startswith("?") for pr in preds):
+            pset = pa.array(sorted(set(preds)), pa.string())
 
-        def _narrow(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["pred"], value_set=pset)).select(keep)
+            def _narrow(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t["pred"], value_set=pset)).select(keep)
 
-        triples = triples.map_batches(_narrow, batch_format="pyarrow")
-    triples = triples.materialize()
+            triples = triples.map_batches(_narrow, batch_format="pyarrow")
+        triples = triples.materialize()
 
     if ast.patterns:
         out = bgp_match(triples, _connect_order(ast.patterns),
@@ -1121,6 +1182,23 @@ def _eval_where(triples, ast: _Query, num_buckets: int):
                               "preceding patterns")
         out, have = _join_on_vars(out, have, ub, blk_vars, shared,
                                   num_buckets, how="inner")
+
+    # Subqueries: evaluated bottom-up to their own projected relation
+    # (with their own aggregation / DISTINCT / LIMIT), then joined to
+    # the surrounding bindings on the shared variables — standard
+    # SPARQL 1.1 subquery semantics for var-disjoint-safe plans
+    for subq in ast.subqueries:
+        sub_out, sub_vars = _run_query(triples, subq, num_buckets,
+                                       narrow=False)
+        if out is None:
+            out, have = sub_out, list(sub_vars)
+            continue
+        shared = [v for v in sub_vars if v in have]
+        if not shared:
+            raise SparqlError("subquery shares no variable with the "
+                              "surrounding patterns")
+        out, have = _join_on_vars(out, have, sub_out, list(sub_vars),
+                                  shared, num_buckets, how="inner")
 
     # GRAPH blocks: the store's ``graph`` lineage column scopes the
     # sub-BGP (an engine extension: graph names are the emitters' plain

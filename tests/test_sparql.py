@@ -270,6 +270,34 @@ class TestSparqlSelect:
         assert rows(sparql_select(store(), q3), ["m", "l"]) == [
             ("_:m1", "alpha")]
 
+    def test_subquery(self):
+        # aggregate in a subquery joined back to the outer pattern
+        q = PFX + """
+            SELECT ?s ?l ?n WHERE {
+                ?s ex:label ?l .
+                { SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
+                  GROUP BY ?s }
+            }
+        """
+        assert rows(sparql_select(store(), q), ["s", "l", "n"]) == [
+            (NS + "t1", "alpha", 2)]
+        # subquery as the whole WHERE block
+        q2 = PFX + """
+            SELECT ?n WHERE {
+                { SELECT (COUNT(*) AS ?n) WHERE { ?s ex:tag ?t } }
+            }
+        """
+        assert rows(sparql_select(store(), q2), ["n"]) == [(2,)]
+        # subquery LIMIT applies inside, before the outer join
+        q3 = PFX + """
+            SELECT ?s ?l WHERE {
+                ?s ex:label ?l .
+                { SELECT ?s WHERE { ?s a ex:Test } ORDER BY ?s LIMIT 1 }
+            }
+        """
+        assert rows(sparql_select(store(), q3), ["s", "l"]) == [
+            (NS + "t1", "alpha")]
+
     def test_path_alternation(self):
         # label | unit values across both shapes (rewrites to UNION)
         q = PFX + """
@@ -449,6 +477,21 @@ class TestSparqlSelect:
         out = sparql_select(store(), q)
         got = [tuple(r.values()) for r in out.take_all()]
         assert got == [(NS + "t2", "beta")]
+        # OFFSET: skip the first solution of the ordered sequence
+        q2 = PFX + """
+            SELECT ?l WHERE { ?s ex:label ?l } ORDER BY ?l OFFSET 1
+        """
+        got2 = [tuple(r.values()) for r in
+                sparql_select(store(), q2).take_all()]
+        assert got2 == [("beta",)]
+        # OFFSET + LIMIT window
+        q3 = PFX + """
+            SELECT ?v WHERE { ?s ?p ?v FILTER (isLiteral(?v)) }
+            ORDER BY ?v LIMIT 1 OFFSET 1
+        """
+        got3 = [tuple(r.values()) for r in
+                sparql_select(store(), q3).take_all()]
+        assert got3 == [("alpha",)]
 
     def test_prefixes_helper_matches_reference_format(self):
         s = prefixes({"ex": NS})
