@@ -21,7 +21,8 @@ so a reference user can run their existing query strings unchanged:
   sub-BGP and LEFT-joined to the required bindings on the shared
   variables (one co-group shuffle per group), which is exact SPARQL
   left-join semantics for the reference's non-nested optionals
-- ``FILTER`` with ``isURI``/``isLiteral``, ``STRSTARTS(str(?v), …)``,
+- ``FILTER`` with ``isURI``/``isLiteral``/``isBlank``,
+  ``STRSTARTS``/``STRENDS``/``CONTAINS`` ``(str(?v), …)``,
   ``regex(?v, "re")``, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
   (type-aware: numeric columns compare numerically, strings lexically;
   var-to-var allowed), ``&&`` / ``||`` — compiled to vectorized Arrow
@@ -35,7 +36,7 @@ so a reference user can run their existing query strings unchanged:
   ``is_in`` mask; multi-variable tuples join as a driver-tiny inline
   table (``UNDEF`` → null, which matches nothing in multi-var form)
 - aggregate select expressions ``(COUNT(*)/COUNT(?v)/COUNT(DISTINCT
-  ?v)/SUM/MIN/MAX/AVG(?v) AS ?alias)`` with ``GROUP BY`` — a
+  ?v)/SUM/MIN/MAX/AVG/SAMPLE(?v) AS ?alias)`` with ``GROUP BY`` — a
   combiner-first distributed groupby (``relational.grouped_agg``);
   SUM/AVG drop non-numeric bindings (SPARQL error-drop), MIN/MAX
   compare lexically on the string store
@@ -145,7 +146,7 @@ _TOKEN = re.compile(
 
 _UNSUPPORTED = {"SERVICE"}
 
-_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
@@ -845,13 +846,21 @@ class _Parser:
                     pc.match_substring_regex(
                         t[var], r"^[A-Za-z][A-Za-z0-9+.-]*://"),
                     pc.starts_with(t[var], "_:")))
-            if low == "strstarts":
+            if low in ("strstarts", "strends", "contains"):
                 self.next(), self.expect("(")
                 var = self._strip_str_of_var()
                 self.expect(",")
-                pref = self._str_arg()
+                needle = self._str_arg()
                 self.expect(")")
-                return lambda t: pc.starts_with(t[var], pref)
+                kernel = {"strstarts": pc.starts_with,
+                          "strends": pc.ends_with,
+                          "contains": pc.match_substring}[low]
+                return lambda t, k=kernel, n=needle: k(t[var], n)
+            if low == "isblank":
+                self.next(), self.expect("(")
+                var = self._strip_str_of_var()
+                self.expect(")")
+                return lambda t: pc.starts_with(t[var], "_:")
             if low == "regex":
                 self.next(), self.expect("(")
                 var = self._strip_str_of_var()
@@ -1429,7 +1438,7 @@ def _aggregate(out, have: list[str], ast: _Query):
                     pc.if_else(pc.fill_null(num, False), s,
                                pa.scalar(None, pa.string())),
                     pa.float64())
-            else:  # min / max — lexical on the string store
+            else:  # min / max / sample — lexical on the string store
                 cols[f"__v_{a.alias}"] = t[a.var]
         return pa.table(cols) if cols else t.select(keys)
 
@@ -1448,6 +1457,11 @@ def _aggregate(out, have: list[str], ast: _Query):
                 spec.append((keys[0], "count", a.alias))
             elif a.fn == "count":
                 spec.append((f"__v_{a.alias}", "sum", a.alias))
+            elif a.fn == "sample":
+                # deterministic representative: the minimum (SPARQL
+                # leaves SAMPLE implementation-defined; min is stable
+                # across runs and cluster sizes)
+                spec.append((f"__v_{a.alias}", "min", a.alias))
             else:
                 spec.append((f"__v_{a.alias}", a.fn, a.alias))
         res = grouped_agg(prepped, keys, spec)

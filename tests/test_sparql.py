@@ -270,6 +270,23 @@ class TestSparqlSelect:
         assert rows(sparql_select(store(), q3), ["m", "l"]) == [
             ("_:m1", "alpha")]
 
+    def test_small_builtins(self):
+        # isBlank / CONTAINS / STRENDS
+        q = PFX + "SELECT ?o { ?s ex:measure ?o FILTER (isBlank(?o)) }"
+        assert rows(sparql_select(store(), q), ["o"]) == [("_:m1",)]
+        q2 = PFX + 'SELECT ?l { ?s ex:label ?l FILTER (CONTAINS(?l, "lph")) }'
+        assert rows(sparql_select(store(), q2), ["l"]) == [("alpha",)]
+        q3 = PFX + ('SELECT ?l { ?s ex:label ?l '
+                    'FILTER (STRENDS(str(?l), "ta")) }')
+        assert rows(sparql_select(store(), q3), ["l"]) == [("beta",)]
+        # SAMPLE: deterministic (minimum) representative per group
+        q4 = PFX + """
+            SELECT ?s (SAMPLE(?t) AS ?one) WHERE { ?s ex:tag ?t }
+            GROUP BY ?s
+        """
+        assert rows(sparql_select(store(), q4), ["s", "one"]) == [
+            (NS + "t1", NS + "x")]
+
     def test_subquery(self):
         # aggregate in a subquery joined back to the outer pattern
         q = PFX + """
