@@ -673,18 +673,28 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
         return ds.map_batches(add, batch_format="pyarrow")
 
+    def _sch(cols):
+        return pa.schema([(c, pa.string()) for c in cols])
+
     def fold(acc, acc_vars, p, how):
         bv = _vars(p)
         shared = [v for v in acc_vars if v in bv]
         assert shared, ("cartesian BGP product (no shared variable) "
                         f"not supported: {p}")
         b = bindings(p)
+        # binding columns are all strings — pass static schemas so the
+        # join never probes a lazy side (a probe re-executes upstream
+        # lineage, and an EMPTY intermediate would probe to None)
         if len(shared) == 1:
             acc = hash_join(acc, b, on=shared[0], how=how,
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets,
+                            left_schema=_sch(acc_vars),
+                            right_schema=_sch(bv))
         else:
             acc = hash_join(_with_key(acc, shared), _with_key(b, shared),
-                            on="__k", how=how, num_buckets=num_buckets)
+                            on="__k", how=how, num_buckets=num_buckets,
+                            left_schema=_sch(acc_vars + ["__k"]),
+                            right_schema=_sch(bv + ["__k"]))
 
             def clean(t: pa.Table) -> pa.Table:
                 drop = [c for c in t.schema.names

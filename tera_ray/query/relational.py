@@ -1015,7 +1015,9 @@ def heavy_hitters(ds, col: str, threshold: float, num_buckets: int = 64,
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", num_buckets: int = 64,
               rsuffix: str = "_r", hot_keys=None, salt: int = 8,
-              hot_min_count: int = 1_000_000):
+              hot_min_count: int = 1_000_000,
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None):
     """General large×large equi-join: ONE hash-bucket co-group shuffle.
 
     Both sides are tagged and unioned (padded to the superset schema
@@ -1069,7 +1071,14 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     from ..stages.base import schema_of
 
-    lsch, rsch = schema_of(left), schema_of(right)
+    # Pass left_schema/right_schema when the caller knows them: on a
+    # lazy side the probe re-executes upstream lineage, and on an EMPTY
+    # lazy side Ray drops all blocks and the probe returns None.
+    lsch = schema_of(left, static=left_schema)
+    rsch = schema_of(right, static=right_schema)
+    assert lsch is not None and rsch is not None, (
+        "join side has no schema (empty lazy relation) — pass "
+        "left_schema/right_schema")
     key_type = lsch.field(on).type
     assert key_type == rsch.field(right_on).type, (
         f"join key types differ: {key_type} vs {rsch.field(right_on).type}")

@@ -489,12 +489,12 @@ class _Parser:
                 if in_optional:
                     raise SparqlUnsupported("BIND inside OPTIONAL")
                 self.expect("(")
-                fn, deps = self.value_expr()
+                fn, deps, vtype = self.value_expr()
                 if not self.kw("AS"):
                     raise SparqlError("BIND needs (expr AS ?var)")
                 alias = self._var_name()
                 self.expect(")")
-                binds.append((fn, alias, deps))
+                binds.append((fn, alias, deps, vtype))
             else:
                 patterns.extend(self.triple_statement(
                     unions=None if in_optional else unions))
@@ -688,8 +688,8 @@ class _Parser:
             self.expect("(")
             args, arg_deps = [], []
             while True:
-                a, d = self.value_expr()
-                args.append(a)
+                a, d, _vt = self.value_expr()
+                args.append((a, _vt))
                 arg_deps.append(d)
                 if self.peek()[1] == ",":
                     self.next()
@@ -706,16 +706,18 @@ class _Parser:
                         raise SparqlUnsupported(
                             f"non-constant argument to {fname}")
             deps = [x for d in arg_deps for x in d]
-            return self._compile_fn(fname, args), deps
+            vtype = pa.int64() if fname == "STRLEN" else pa.string()
+            return self._compile_fn(fname, [a for a, _ in args]), deps, vtype
         if kind == "var":
             name = self._var_name()
-            return (lambda t, name=name: _chunked(t[name])), [name]
+            return (lambda t, name=name: _chunked(t[name])), [name], \
+                pa.string()
         const = self.term()
 
         def const_col(t: pa.Table, const=const) -> pa.Array:
             return pa.repeat(pa.scalar(const, pa.string()), t.num_rows)
 
-        return const_col, []
+        return const_col, [], pa.string()
 
     @staticmethod
     def _compile_fn(fname: str, args: list):
@@ -959,7 +961,7 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     from ..stages.base import dedup_triples
 
     ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
-    out, _ = _run_query(triples, ast, num_buckets)
+    out, _, _ = _run_query(triples, ast, num_buckets)
     return out
 
 
@@ -969,10 +971,15 @@ def _run_query(triples, ast: _Query, num_buckets: int,
     modifiers.  Returns (Dataset, projected var list)."""
     from ..stages.base import dedup_triples
 
-    out, have = _eval_where(triples, ast, num_buckets, narrow=narrow)
+    out, have, types = _eval_where(triples, ast, num_buckets,
+                                   narrow=narrow)
 
     if ast.aggs or ast.group_by:
         out, have = _aggregate(out, have, ast)
+        for a in ast.aggs:
+            types[a.alias] = (pa.int64() if a.fn == "count"
+                              else pa.float64() if a.fn in ("sum", "avg")
+                              else pa.string())
         for fn in ast.having:
             out = out.map_batches(_masker(fn), batch_format="pyarrow")
     elif ast.having:
@@ -1000,7 +1007,7 @@ def _run_query(triples, ast: _Query, num_buckets: int,
         out = out.split_at_indices([ast.offset])[1]
     if ast.limit is not None:
         out = out.limit(ast.limit)
-    return out, select
+    return out, select, {v: types.get(v, pa.string()) for v in select}
 
 
 def sparql_construct(triples, query: str, num_buckets: int = 64,
@@ -1017,7 +1024,7 @@ def sparql_construct(triples, query: str, num_buckets: int = 64,
 
     template, ast = _Parser(_tokenize(query),
                             _resolve_ns(init_ns)).parse_construct()
-    out, have = _eval_where(triples, ast, num_buckets)
+    out, have, _ = _eval_where(triples, ast, num_buckets)
     tvars = {t[1:] for pat in template for t in pat
              if isinstance(t, str) and t.startswith("?")}
     missing = sorted(tvars - set(have))
@@ -1068,7 +1075,7 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
                  optionals=optionals, filters=filters, unions=unions,
                  values=values, graphs=graphs, binds=binds,
                  minuses=minuses, exists=exists, subqueries=subqueries)
-    out, _ = _eval_where(triples, ast, num_buckets)
+    out, _, _ = _eval_where(triples, ast, num_buckets)
     return out.limit(1).count() > 0
 
 
@@ -1152,7 +1159,17 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
 
             triples = triples.map_batches(_narrow, batch_format="pyarrow")
         triples = triples.materialize()
+        # materialize() DROPS empty blocks: a store whose narrow pass
+        # matched nothing (or an empty input) comes back with ZERO
+        # blocks and no schema, which would crash every downstream
+        # schema-dependent join — re-seat it as a typed empty relation
+        if triples.schema(fetch_if_missing=False) is None:
+            import ray.data
 
+            triples = ray.data.from_arrow(pa.table(
+                {c: pa.array([], pa.string()) for c in keep}))
+
+    types: dict = {}    # non-string binding columns (string is default)
     if ast.patterns:
         out = bgp_match(triples, _connect_order(ast.patterns),
                         num_buckets=num_buckets, narrow=False)
@@ -1190,15 +1207,17 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             raise SparqlError("UNION block shares no variable with the "
                               "preceding patterns")
         out, have = _join_on_vars(out, have, ub, blk_vars, shared,
-                                  num_buckets, how="inner")
+                                  num_buckets, how="inner", types=types)
 
     # Subqueries: evaluated bottom-up to their own projected relation
     # (with their own aggregation / DISTINCT / LIMIT), then joined to
     # the surrounding bindings on the shared variables — standard
     # SPARQL 1.1 subquery semantics for var-disjoint-safe plans
     for subq in ast.subqueries:
-        sub_out, sub_vars = _run_query(triples, subq, num_buckets,
-                                       narrow=False)
+        sub_out, sub_vars, sub_types = _run_query(triples, subq,
+                                                  num_buckets,
+                                                  narrow=False)
+        types.update(sub_types)
         if out is None:
             out, have = sub_out, list(sub_vars)
             continue
@@ -1207,7 +1226,8 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             raise SparqlError("subquery shares no variable with the "
                               "surrounding patterns")
         out, have = _join_on_vars(out, have, sub_out, list(sub_vars),
-                                  shared, num_buckets, how="inner")
+                                  shared, num_buckets, how="inner",
+                                  types=types)
 
     # GRAPH blocks: the store's ``graph`` lineage column scopes the
     # sub-BGP (an engine extension: graph names are the emitters' plain
@@ -1234,7 +1254,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             raise SparqlError("GRAPH block shares no variable with the "
                               "preceding patterns")
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
-                                  num_buckets, how="inner")
+                                  num_buckets, how="inner", types=types)
 
     for group in ast.optionals:
         shared = _shared_vars(have, group)
@@ -1247,7 +1267,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             v[1:] for p in group for v in p
             if isinstance(v, str) and v.startswith("?")))
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
-                                  num_buckets, how="left")
+                                  num_buckets, how="left", types=types)
 
     # MINUS / FILTER [NOT] EXISTS: the negation family, compiled to
     # one co-group anti-/semi-join per block on the shared variables.
@@ -1269,7 +1289,8 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 "EXISTS block shares no variable with the outer pattern")
         sub = bgp_match(triples, _connect_order(gpats),
                         num_buckets=num_buckets, narrow=False)
-        out = _semi_anti(out, sub, shared, num_buckets, anti=negated)
+        out = _semi_anti(out, have, sub, shared, num_buckets,
+                         anti=negated, types=types)
 
     # VALUES: single bound variable → vectorized is_in mask (no
     # shuffle); multi-variable → inner join against the (driver-tiny)
@@ -1298,11 +1319,11 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         # a deliberate restriction vs SPARQL's per-column wildcard UNDEF
         out, have = _join_on_vars(out, have, ray.data.from_arrow(vt),
                                   list(v_vars), list(v_vars),
-                                  num_buckets, how="inner")
+                                  num_buckets, how="inner", types=types)
 
     # BIND: derived columns, applied before FILTERs so filters can
     # reference them (the common BIND-then-FILTER shape)
-    for fn, alias, deps in ast.binds:
+    for fn, alias, deps, vtype in ast.binds:
         if alias in have:
             raise SparqlError(f"BIND alias ?{alias} is already bound")
         missing = [d for d in deps if d not in have]
@@ -1315,14 +1336,16 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
 
         out = out.map_batches(_binder, batch_format="pyarrow")
         have = have + [alias]
+        if not pa.types.is_string(vtype):
+            types[alias] = vtype
 
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")
-    return out, have
+    return out, have, types
 
 
-def _semi_anti(left, right, shared: list[str], num_buckets: int,
-               anti: bool):
+def _semi_anti(left, l_vars: list[str], right, shared: list[str],
+               num_buckets: int, anti: bool, types: dict | None = None):
     """Semi-join (EXISTS) / anti-join (NOT EXISTS, MINUS) of the
     binding relation against a sub-BGP on the shared variables — ONE
     hash-bucket co-group via ``relational.multi_key_anti_join``; the
@@ -1331,16 +1354,20 @@ def _semi_anti(left, right, shared: list[str], num_buckets: int,
     from ..query.relational import multi_key_anti_join
     from ..stages.base import dedup_triples
 
+    types = types or {}
     proj = _projector(shared)
     right = right.map_batches(proj, batch_format="pyarrow")
     if anti:
+        lsch = pa.schema([(v, types.get(v, pa.string()))
+                          for v in l_vars])
         return multi_key_anti_join(left, right, keys=shared,
-                                   num_buckets=num_buckets)
+                                   num_buckets=num_buckets,
+                                   left_schema=lsch)
     right = dedup_triples(right, keys=tuple(shared),
                           num_buckets=num_buckets)
-    joined, _ = _join_on_vars(left, [c for c in shared], right,
+    joined, _ = _join_on_vars(left, list(l_vars), right,
                               list(shared), shared, num_buckets,
-                              how="inner")
+                              how="inner", types=types)
     return joined
 
 
@@ -1357,20 +1384,35 @@ def _align_cols(all_vars: list[str], present: set[str]):
 
 
 def _join_on_vars(left, l_vars: list[str], right, r_vars: list[str],
-                  shared: list[str], num_buckets: int, how: str):
+                  shared: list[str], num_buckets: int, how: str,
+                  types: dict | None = None):
     """Join two binding relations on their shared variables via ONE
     composite-key co-group shuffle (``relational.hash_join``); returns
     (joined, merged var list).  ``how="left"`` = SPARQL OPTIONAL,
-    ``"inner"`` = join with a UNION block / VALUES table."""
+    ``"inner"`` = join with a UNION block / VALUES table / subquery.
+
+    ``types`` maps non-string columns (aggregate aliases, STRLEN
+    binds); everything else is string.  Static schemas are passed to
+    the join so a lazy side is never schema-probed — a probe would
+    re-execute its upstream lineage, and an EMPTY intermediate relation
+    (zero blocks after Ray drops empties) would probe to None."""
     from ..query.relational import hash_join
     from ..stages.base import cat
+
+    types = types or {}
+
+    def typ(v):
+        return types.get(v, pa.string())
 
     def keyed(t: pa.Table) -> pa.Table:
         parts: list = []
         for i, v in enumerate(shared):
             if i:
                 parts.append("\x1f")
-            parts.append(t[v])
+            c = t[v]
+            if not pa.types.is_string(c.type):
+                c = pc.cast(c, pa.string())
+            parts.append(c)
         return t.append_column("__k", cat(*parts))
 
     new_cols = [v for v in r_vars if v not in l_vars]
@@ -1381,8 +1423,12 @@ def _join_on_vars(left, l_vars: list[str], right, r_vars: list[str],
     l = left.map_batches(keyed, batch_format="pyarrow")
     r = right.map_batches(keyed, batch_format="pyarrow").map_batches(
         proj, batch_format="pyarrow")
-    out = hash_join(l, r, on="__k", how=how,
-                    num_buckets=num_buckets).map_batches(
+    lsch = pa.schema([(v, typ(v)) for v in l_vars]
+                     + [("__k", pa.string())])
+    rsch = pa.schema([("__k", pa.string())]
+                     + [(v, typ(v)) for v in new_cols])
+    out = hash_join(l, r, on="__k", how=how, num_buckets=num_buckets,
+                    left_schema=lsch, right_schema=rsch).map_batches(
         _drop_key, batch_format="pyarrow")
     return out, l_vars + new_cols
 
