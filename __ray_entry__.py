@@ -2181,6 +2181,30 @@ def _q_kg_sparql_path(sf_dir: str):
     return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
 
 
+def _q_kg_sparql_star_path(sf_dir: str):
+    """SPARQL zero-or-more path (anchored): one taxon's
+    ancestors-or-self via ``rdfs:subClassOf*`` — the constant end
+    matches itself (zero-length path, SPARQL 1.1 §9.3) and the seeded
+    broadcast-frontier BFS supplies the rest."""
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.schema import NCBI_NS
+
+    q = (f"SELECT ?o WHERE {{ <{NCBI_NS}taxon/950000>"
+         " rdfs:subClassOf* ?o }")
+    return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
+
+
+def _q_kg_sparql_zero_or_one(sf_dir: str):
+    """SPARQL zero-or-one path ``rdfs:subClassOf?`` over the NCBI
+    hierarchy store: DISTINCT direct parent edges unioned with identity
+    pairs over EVERY node of the full store (zero-length matches all
+    graph nodes, not just the path predicate's subgraph)."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = "SELECT ?s ?o WHERE { ?s rdfs:subClassOf? ?o }"
+    return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
+
+
 def _q_kg_sparql_construct(sf_dir: str):
     """SPARQL CONSTRUCT (KG rewriting): chemical ``rdfs:label`` edges
     re-emitted as ``skos:altLabel`` triples — returns a NEW triple
@@ -3502,6 +3526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_union": _q_kg_sparql_union,
         "kg_sparql_path": _q_kg_sparql_path,
+        "kg_sparql_star_path": _q_kg_sparql_star_path,
+        "kg_sparql_zero_or_one": _q_kg_sparql_zero_or_one,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
@@ -3903,6 +3929,40 @@ c(src, anc, depth) AS (
   SELECT c.src, e.dst, c.depth + 1 FROM c JOIN e ON e.src = c.anc
 )
 SELECT src, anc, depth FROM c
+"""
+
+
+def _star_path_sql(fx: str) -> str:
+    """Anchored ``rdfs:subClassOf*`` oracle: recursive reachability
+    seeded with the anchor ITSELF (SPARQL 1.1 §9.3 zero-length match),
+    then every parent hop."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    x = NNS + "taxon/950000"
+    return f"""
+WITH RECURSIVE h AS (SELECT * FROM ({_ncbi_hierarchy_sql(fx)})),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM h
+      WHERE pred = '{RDFS_SUBCLASSOF}'),
+r(n) AS (
+  SELECT '{x}'
+  UNION
+  SELECT e.dst FROM r JOIN e ON e.src = r.n
+)
+SELECT n AS o FROM r
+"""
+
+
+def _zero_or_one_sql(fx: str) -> str:
+    """``rdfs:subClassOf?`` oracle: DISTINCT direct edges unioned with
+    identity pairs over every node (subject or object) of the store."""
+    return f"""
+WITH h AS ({_ncbi_hierarchy_sql(fx)}),
+nodes AS (SELECT DISTINCT subj AS n FROM h
+          UNION SELECT DISTINCT obj FROM h)
+SELECT DISTINCT subj AS s, obj AS o FROM h
+WHERE pred = '{RDFS_SUBCLASSOF}'
+UNION
+SELECT n AS s, n AS o FROM nodes
 """
 
 
@@ -4900,6 +4960,11 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_path":
             f"SELECT DISTINCT src AS s, anc AS o"
             f" FROM ({_closure_sql(fx)})",
+        # ancestors-or-self: the recursion seeded with the anchor itself
+        # (zero-length path — the constant end always matches itself)
+        "kg_sparql_star_path": _star_path_sql(fx),
+        # direct edges ∪ identity over every node of the full store
+        "kg_sparql_zero_or_one": _zero_or_one_sql(fx),
         # compounds() scan: every cas/ subject the chemical emitter
         # produces (subjects exist iff all three source fields survive
         # sentinel-nullification, mirroring emit_chemicals' row gate)

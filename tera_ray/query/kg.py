@@ -504,11 +504,33 @@ def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
     return out
 
 
-def _path_bindings(triples, s, uri: str, o, num_buckets: int):
-    """Bindings for a ``pred+`` property-path pattern: DISTINCT
-    transitive pairs of the predicate's edge relation (existential
-    SPARQL path semantics — no per-path duplicates), via the
-    semi-naive distributed :func:`transitive_closure`."""
+def _graph_nodes(triples, col: str, num_buckets: int):
+    """DISTINCT RDF nodes (subjects ∪ objects) of the store as a
+    one-column relation named ``col`` — the zero-length-path domain
+    (SPARQL 1.1 §9.3: a zero-length path matches every graph node)."""
+    from ..stages.base import dedup_triples
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({col: t["subj"]}),
+                                 pa.table({col: t["obj"]})])
+
+    return dedup_triples(triples.map_batches(proj, batch_format="pyarrow"),
+                         keys=(col,), num_buckets=num_buckets)
+
+
+def _path_bindings(triples, s, uri: str, o, num_buckets: int,
+                   mod: str = "+", full_store=None):
+    """Bindings for a ``pred+`` / ``pred*`` / ``pred?`` property-path
+    pattern: DISTINCT pairs of the predicate's edge relation under the
+    modifier's reachability semantics (existential SPARQL paths — no
+    per-path duplicates), via the semi-naive distributed
+    :func:`transitive_closure`.
+
+    Zero-length matches (``*`` / ``?``) follow SPARQL 1.1 §9.3: with
+    both ends variable they bind every node of the FULL store
+    (``full_store``, pre-narrowing — not just the path predicate's
+    subgraph); with one end constant the constant itself always binds,
+    whether or not it appears in the graph."""
     from ..stages.base import dedup_triples
 
     def edges(t: pa.Table) -> pa.Table:
@@ -535,9 +557,17 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int):
         e = (edge_ds if fwd else edge_ds.map_batches(
             lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
             batch_format="pyarrow")).materialize()
-        seen: set = set()
+        # zero-length: the constant end always matches itself ("*"/"?");
+        # "+" reaches the seed only through a cycle.  "?" stops after
+        # one hop.
+        seen: set = {seed} if mod in ("*", "?") else set()
         frontier = [seed]
+        hops_left = 1 if mod == "?" else None
         while frontier:
+            if hops_left is not None:
+                if hops_left == 0:
+                    break
+                hops_left -= 1
             fr = pa.array(sorted(frontier), pa.string())
 
             def hop(t: pa.Table, fr=fr) -> pa.Table:
@@ -553,16 +583,30 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int):
         return ray.data.from_arrow(
             pa.table({var: pa.array(sorted(seen), pa.string())}))
 
-    clos = transitive_closure(edge_ds,
-                              num_buckets=max(16, num_buckets // 4))
-    pairs = dedup_triples(
-        clos.map_batches(lambda t: t.select(["src", "anc"]),
-                         batch_format="pyarrow"),
-        keys=("src", "anc"), num_buckets=num_buckets)
+    if mod == "?":                          # zero-or-one: direct edges
+        reach = edge_ds.map_batches(
+            lambda t: pa.table({"src": t["src"], "anc": t["dst"]}),
+            batch_format="pyarrow")
+    else:
+        clos = transitive_closure(edge_ds,
+                                  num_buckets=max(16, num_buckets // 4))
+        reach = clos.map_batches(lambda t: t.select(["src", "anc"]),
+                                 batch_format="pyarrow")
+    if mod in ("*", "?"):
+        # zero-length identity pairs over the FULL store's node set
+        nodes = _graph_nodes(full_store if full_store is not None
+                             else triples, "src", num_buckets)
+        ident = nodes.map_batches(
+            lambda t: pa.table({"src": t["src"], "anc": t["src"]}),
+            batch_format="pyarrow")
+        reach = reach.union(ident)
+    pairs = dedup_triples(reach, keys=("src", "anc"),
+                          num_buckets=num_buckets)
 
     def shape(t: pa.Table) -> pa.Table:
         assert is_var(s) and is_var(o)      # anchored cases returned above
-        if s == o:                          # ?x p+ ?x — cyclic reach
+        if s == o:                          # ?x p+ ?x — cyclic reach only;
+            # for * / ? the identity pairs make this every graph node
             t2 = t.filter(pc.equal(t["src"], t["anc"]))
             return pa.table({s[1:]: t2["src"]})
         return pa.table({s[1:]: t["src"], o[1:]: t["anc"]})
@@ -614,6 +658,10 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
     assert patterns, "empty BGP"
 
+    # zero-length path matches ("*" / "?") enumerate the FULL store's
+    # node set — capture it before predicate narrowing prunes the scan
+    full_store = triples
+
     if narrow:
         # ONE narrowing pass: every pattern scan below re-reads the
         # store, so a lazy input would re-execute its whole upstream
@@ -635,8 +683,9 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
     def bindings(p):
         s, pr, o = p
-        if isinstance(pr, tuple) and pr[0] == "+":
-            return _path_bindings(triples, s, pr[1], o, num_buckets)
+        if isinstance(pr, tuple) and pr[0] in ("+", "*", "?"):
+            return _path_bindings(triples, s, pr[1], o, num_buckets,
+                                  mod=pr[0], full_store=full_store)
         pos = (("subj", s), ("pred", pr), ("obj", o))
 
         def f(t: pa.Table) -> pa.Table:

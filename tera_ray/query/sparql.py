@@ -44,7 +44,11 @@ so a reference user can run their existing query strings unchanged:
   and ``OFFSET`` (a ``split_at_indices`` stream slice)
 - property paths: ``pred+`` (one-or-more — the semi-naive distributed
   transitive closure, or a seeded broadcast-frontier BFS when one end
-  is constant), ``^pred`` (inverse — direction swap), and sequences
+  is constant), ``pred*`` (zero-or-more — the closure unioned with
+  identity pairs over the full store's node set per SPARQL 1.1 §9.3;
+  an anchored constant end always matches itself), ``pred?``
+  (zero-or-one — direct edges plus the same zero-length identity),
+  ``^pred`` (inverse — direction swap), and sequences
   ``p1 / p2`` (fresh-variable chain rewrite; whitespace around ``/``
   required, since ``/`` inside a prefixed name belongs to the name),
   and alternation ``p1 | p2`` (rewrites to a UNION block; branches may
@@ -67,9 +71,9 @@ so a reference user can run their existing query strings unchanged:
   (a NEW dedup'd triple Dataset), ``ASK`` via :func:`sparql_ask`,
   ``DESCRIBE <iri>`` via :func:`sparql_describe`
 
-The few remaining constructs the reference never uses (``SERVICE``
-federation, ``pred*`` zero-or-more paths) raise ``SparqlUnsupported``
-with the offending token.
+The one remaining construct the reference never uses (``SERVICE``
+federation — no network in scope) raises ``SparqlUnsupported`` with
+the offending token.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -139,7 +143,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?])
     """,
     re.X,
 )
@@ -584,15 +588,12 @@ class _Parser:
         pred = self.term()
         if pred.startswith("?") is False and not pred:
             raise SparqlError("empty predicate")
-        if self.peek()[1] == "+":           # one-or-more
-            self.next()
+        if self.peek()[1] in ("+", "*", "?"):   # one-or-more / zero-or-
+            mod = self.next()[1]                # more / zero-or-one
             if pred.startswith("?"):
                 raise SparqlError(
                     "property-path modifier on a variable predicate")
-            pred = ("+", pred)
-        elif self.peek()[1] == "*":
-            raise SparqlUnsupported(
-                "zero-or-more property path (use pred+)")
+            pred = (mod, pred)
         if inv and isinstance(pred, str) and pred.startswith("?"):
             raise SparqlError("inverse path on a variable predicate")
         return inv, pred
@@ -1150,7 +1151,13 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                  for p in all_patterns]
         keep = (["subj", "pred", "obj"]
                 + (["graph"] if _uses_graph(ast) else []))
-        if all(not pr.startswith("?") for pr in preds):
+        # zero-length paths ("*" / "?") bind every node of the FULL
+        # store (SPARQL 1.1 §9.3) — predicate narrowing would shrink
+        # that domain, so keep the whole (column-pruned) store; the
+        # node enumeration needs the full pass regardless
+        zero_len = any(isinstance(p[1], tuple) and p[1][0] in ("*", "?")
+                       for p in all_patterns)
+        if not zero_len and all(not pr.startswith("?") for pr in preds):
             pset = pa.array(sorted(set(preds)), pa.string())
 
             def _narrow(t: pa.Table) -> pa.Table:

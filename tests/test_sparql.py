@@ -225,8 +225,56 @@ class TestSparqlSelect:
             SELECT ?l ?o WHERE { ?s ex:label ?l . ?s ex:sub+ ?o }
         """), ["l", "o"])
         assert j == [("A", NS + "b"), ("A", NS + "c"), ("A", NS + "d")]
-        with pytest.raises(SparqlUnsupported):
-            sparql_select(chain, PFX + "SELECT ?s { ?s ex:sub* ?o }")
+
+    def test_property_path_zero_length(self):
+        rows_in = [
+            (NS + "a", NS + "sub", NS + "b"),
+            (NS + "b", NS + "sub", NS + "c"),
+            (NS + "a", NS + "label", "A"),
+        ]
+        chain = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+        }))
+        # graph nodes = {a, b, c, "A"} (subjects ∪ objects, full store)
+        nodes = {NS + "a", NS + "b", NS + "c", "A"}
+        # ?s sub* ?o — closure ∪ identity over ALL nodes (§9.3)
+        got = set(rows(sparql_select(chain, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:sub* ?o }
+        """), ["s", "o"]))
+        closure = {(NS + "a", NS + "b"), (NS + "a", NS + "c"),
+                   (NS + "b", NS + "c")}
+        assert got == closure | {(n, n) for n in nodes}
+        # ?s sub? ?o — direct edges ∪ identity
+        got_q = set(rows(sparql_select(chain, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:sub? ?o }
+        """), ["s", "o"]))
+        direct = {(NS + "a", NS + "b"), (NS + "b", NS + "c")}
+        assert got_q == direct | {(n, n) for n in nodes}
+        # anchored: the constant end always matches itself
+        fwd = rows(sparql_select(chain, PFX + f"""
+            SELECT ?o WHERE {{ <{NS}b> ex:sub* ?o }}
+        """), ["o"])
+        assert fwd == [(NS + "b",), (NS + "c",)]
+        one = rows(sparql_select(chain, PFX + f"""
+            SELECT ?o WHERE {{ <{NS}a> ex:sub? ?o }}
+        """), ["o"])
+        assert one == [(NS + "a",), (NS + "b",)]
+        back = rows(sparql_select(chain, PFX + f"""
+            SELECT ?s WHERE {{ ?s ex:sub* <{NS}c> }}
+        """), ["s"])
+        assert back == [(NS + "a",), (NS + "b",), (NS + "c",)]
+        # ?x sub* ?x — identity makes this every graph node
+        self_s = set(rows(sparql_select(chain, PFX + """
+            SELECT ?x WHERE { ?x ex:sub* ?x }
+        """), ["x"]))
+        assert self_s == {(n,) for n in nodes}
+        # star path joined with a plain pattern: label reachable via sub*
+        j = rows(sparql_select(chain, PFX + """
+            SELECT ?s ?l WHERE { ?s ex:sub* ?m . ?m ex:label ?l }
+        """), ["s", "l"])
+        assert j == [(NS + "a", "A")]
 
     def test_having_and_comparisons(self):
         q = PFX + """
