@@ -2205,6 +2205,17 @@ def _q_kg_sparql_zero_or_one(sf_dir: str):
     return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
 
 
+def _q_kg_sparql_group_concat(sf_dir: str):
+    """SPARQL GROUP_CONCAT over the synonym emitter store: each taxon's
+    synonyms joined '|'-separated in deterministic ascending order
+    (mirrored by the oracle's ``string_agg(... ORDER BY ...)``)."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = ('SELECT ?s (GROUP_CONCAT(?o ; SEPARATOR="|") AS ?syns) '
+         'WHERE { ?s ns:synonym ?o } GROUP BY ?s')
+    return sparql_select(_q_kg_synonyms(sf_dir), q)
+
+
 def _q_kg_sparql_construct(sf_dir: str):
     """SPARQL CONSTRUCT (KG rewriting): chemical ``rdfs:label`` edges
     re-emitted as ``skos:altLabel`` triples — returns a NEW triple
@@ -3528,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path": _q_kg_sparql_path,
         "kg_sparql_star_path": _q_kg_sparql_star_path,
         "kg_sparql_zero_or_one": _q_kg_sparql_zero_or_one,
+        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
@@ -4965,6 +4977,16 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_star_path": _star_path_sql(fx),
         # direct edges ∪ identity over every node of the full store
         "kg_sparql_zero_or_one": _zero_or_one_sql(fx),
+        # bag-semantics concat in ascending value order — the engine
+        # sorts values so the result is deterministic (module docs)
+        "kg_sparql_group_concat":
+            f"SELECT '{NS}taxon/'||trim(species_number) AS s,"
+            f" string_agg(trim(latin_name), '|'"
+            f"   ORDER BY trim(latin_name)) AS syns"
+            f" FROM read_parquet('{fx}/species_synonyms.parquet')"
+            f" WHERE {_sent('species_number')} IS NOT NULL"
+            f" AND {_sent('latin_name')} IS NOT NULL"
+            f" GROUP BY 1",
         # compounds() scan: every cas/ subject the chemical emitter
         # produces (subjects exist iff all three source fields survive
         # sentinel-nullification, mirroring emit_chemicals' row gate)

@@ -39,7 +39,10 @@ so a reference user can run their existing query strings unchanged:
   ?v)/SUM/MIN/MAX/AVG/SAMPLE(?v) AS ?alias)`` with ``GROUP BY`` — a
   combiner-first distributed groupby (``relational.grouped_agg``);
   SUM/AVG drop non-numeric bindings (SPARQL error-drop), MIN/MAX
-  compare lexically on the string store
+  compare lexically on the string store; ``GROUP_CONCAT([DISTINCT]
+  ?v ; SEPARATOR="…")`` (sole aggregate, ≤1 group variable) runs on
+  the K4 ``ordered_group_concat`` shuffle with deterministic
+  ascending value order
 - ``ORDER BY ?v / ASC(?v) / DESC(?v)`` (distributed sort), ``LIMIT``
   and ``OFFSET`` (a ``split_at_indices`` stream slice)
 - property paths: ``pred+`` (one-or-more — the semi-naive distributed
@@ -150,7 +153,7 @@ _TOKEN = re.compile(
 
 _UNSUPPORTED = {"SERVICE"}
 
-_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
@@ -169,10 +172,11 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 
 @dataclass
 class _Agg:
-    fn: str                     # count | sum | min | max | avg
+    fn: str                     # count | sum | min | max | avg | ...
     var: str | None             # None = COUNT(*)
     distinct: bool
     alias: str
+    sep: str = " "              # GROUP_CONCAT separator (spec default)
 
 
 @dataclass
@@ -411,14 +415,26 @@ class _Parser:
                 raise SparqlError(f"{fn}(*) is not valid SPARQL")
         else:
             var = self._var_name()
+        sep = " "                           # SPARQL default separator
+        if fn == "GROUP_CONCAT" and self.peek()[1] == ";":
+            self.next()
+            if not self.kw("SEPARATOR"):
+                raise SparqlError("expected SEPARATOR after ';' in "
+                                  "GROUP_CONCAT")
+            self.expect("=")
+            kind, v = self.next()
+            if kind != "lit":
+                raise SparqlError("SEPARATOR expects a string literal")
+            sep = re.sub(r"\\(.)", r"\1", v[1:-1])
         self.expect(")")
         if not self.kw("AS"):
             raise SparqlError("aggregate select expression needs AS ?alias")
         alias = self._var_name()
         self.expect(")")
-        if distinct and fn != "COUNT":
+        if distinct and fn not in ("COUNT", "GROUP_CONCAT"):
             raise SparqlUnsupported(f"{fn}(DISTINCT …)")
-        return _Agg(fn=fn.lower(), var=var, distinct=distinct, alias=alias)
+        return _Agg(fn=fn.lower(), var=var, distinct=distinct, alias=alias,
+                    sep=sep)
 
     def group(self, in_optional: bool = False):
         """``{ … }`` → (patterns, optional groups, filter fns, union
@@ -1464,6 +1480,9 @@ def _aggregate(out, have: list[str], ast: _Query):
     if bad:
         raise SparqlError(f"SELECT variables not in GROUP BY: {bad}")
 
+    if any(a.fn == "group_concat" for a in ast.aggs):
+        return _group_concat_agg(out, keys, ast)
+
     distinct_aggs = [a for a in ast.aggs if a.distinct]
     if distinct_aggs and len(ast.aggs) > 1:
         raise SparqlUnsupported(
@@ -1523,6 +1542,49 @@ def _aggregate(out, have: list[str], ast: _Query):
                               batch_format="pyarrow")
         keys = []
     return res, keys + [a.alias for a in ast.aggs]
+
+
+def _group_concat_agg(out, keys: list[str], ast: _Query):
+    """``GROUP_CONCAT([DISTINCT] ?v ; SEPARATOR="…")`` — compiled onto
+    the engine's K4 machinery (:func:`~tera_ray.query.relational.
+    ordered_group_concat`: one bucketed shuffle, vectorized polars
+    ``str.join`` per bucket).  SPARQL leaves concatenation order
+    implementation-defined; this engine sorts values ascending so the
+    result is deterministic across runs and cluster sizes (mirror
+    oracles with ``string_agg(v, sep ORDER BY v)``).  Unbound values
+    are skipped (SQL ``string_agg`` NULL semantics); a group with no
+    bound values is dropped.  Must be the only aggregate and group on
+    at most one variable."""
+    from ..query.relational import ordered_group_concat
+    from ..stages.base import dedup_triples
+
+    if len(ast.aggs) > 1:
+        raise SparqlUnsupported("GROUP_CONCAT mixed with other aggregates")
+    kvars = list(keys)
+    if len(kvars) > 1:
+        raise SparqlUnsupported(
+            "GROUP_CONCAT with more than one GROUP BY variable")
+    a = ast.aggs[0]
+    key = kvars[0] if kvars else "__g"
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[a.var]))
+        cols = {a.var: t[a.var]}
+        cols[key] = (t[key] if kvars
+                     else pa.nulls(t.num_rows, pa.string()).fill_null(""))
+        return pa.table(cols)
+
+    src = out.map_batches(prep, batch_format="pyarrow")
+    if a.distinct:
+        src = dedup_triples(src, keys=(key, a.var))
+    res = ordered_group_concat(src, key=key,
+                               order=[(a.var, "ascending")],
+                               value_col=a.var, sep=a.sep,
+                               out_names=(key, "__n", a.alias))
+    drop = ["__n"] + ([] if kvars else [key])
+    res = res.map_batches(lambda t: t.drop_columns(drop),
+                          batch_format="pyarrow")
+    return res, kvars + [a.alias]
 
 
 def _drop_key(t: pa.Table) -> pa.Table:

@@ -194,6 +194,31 @@ class TestSparqlSelect:
         """
         assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
 
+    def test_group_concat(self):
+        rows_in = [("t1", "b"), ("t1", "a"), ("t2", "z"), ("t1", "a")]
+        tags = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([NS + "tag"] * 4, pa.string()),
+            "obj": pa.array([r[1] for r in rows_in], pa.string()),
+        }))
+        # bag semantics + deterministic ascending value order
+        q = PFX + ('SELECT ?s (GROUP_CONCAT(?t ; SEPARATOR="|") AS ?ts) '
+                   'WHERE { ?s ex:tag ?t } GROUP BY ?s')
+        assert rows(sparql_select(tags, q), ["s", "ts"]) == [
+            ("t1", "a|a|b"), ("t2", "z")]
+        # DISTINCT dedups before the concat
+        qd = PFX + ('SELECT ?s (GROUP_CONCAT(DISTINCT ?t ; SEPARATOR=",") '
+                    'AS ?ts) WHERE { ?s ex:tag ?t } GROUP BY ?s')
+        assert rows(sparql_select(tags, qd), ["s", "ts"]) == [
+            ("t1", "a,b"), ("t2", "z")]
+        # global (no GROUP BY) with the spec default " " separator
+        qg = PFX + "SELECT (GROUP_CONCAT(?t) AS ?ts) WHERE { ?s ex:tag ?t }"
+        assert rows(sparql_select(tags, qg), ["ts"]) == [("a a b z",)]
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(tags, PFX + (
+                "SELECT ?s (GROUP_CONCAT(?t) AS ?ts) (COUNT(?t) AS ?n) "
+                "WHERE { ?s ex:tag ?t } GROUP BY ?s"))
+
     def test_property_path_plus(self):
         rows_in = [
             (NS + "a", NS + "sub", NS + "b"),
