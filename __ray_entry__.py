@@ -2216,6 +2216,18 @@ def _q_kg_sparql_group_concat(sf_dir: str):
     return sparql_select(_q_kg_synonyms(sf_dir), q)
 
 
+def _q_kg_sparql_negated(sf_dir: str):
+    """SPARQL negated property set over the NCBI names store: every
+    data triple whose predicate is NOT a schema edge (subPropertyOf /
+    domain) — the complement scan that predicate narrowing must skip."""
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.schema import OWL_SUBPROPERTYOF, RDFS_DOMAIN
+
+    q = (f"SELECT ?s ?o WHERE {{ ?s !(<{OWL_SUBPROPERTYOF}> |"
+         f" <{RDFS_DOMAIN}>) ?o }}")
+    return sparql_select(_q_kg_ncbi_names(sf_dir), q)
+
+
 def _q_kg_sparql_construct(sf_dir: str):
     """SPARQL CONSTRUCT (KG rewriting): chemical ``rdfs:label`` edges
     re-emitted as ``skos:altLabel`` triples — returns a NEW triple
@@ -3540,6 +3552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_star_path": _q_kg_sparql_star_path,
         "kg_sparql_zero_or_one": _q_kg_sparql_zero_or_one,
         "kg_sparql_group_concat": _q_kg_sparql_group_concat,
+        "kg_sparql_negated": _q_kg_sparql_negated,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
@@ -3941,6 +3954,18 @@ c(src, anc, depth) AS (
   SELECT c.src, e.dst, c.depth + 1 FROM c JOIN e ON e.src = c.anc
 )
 SELECT src, anc, depth FROM c
+"""
+
+
+def _negated_sql(fx: str) -> str:
+    """Negated-property-set oracle: the NCBI names store minus the
+    schema predicates, one row per surviving emitted triple."""
+    from tera_ray.schema import OWL_SUBPROPERTYOF as SUBP, RDFS_DOMAIN as DOM
+
+    return f"""
+WITH n AS ({_ncbi_names_sql(fx)})
+SELECT subj AS s, obj AS o FROM n
+WHERE pred NOT IN ('{SUBP}', '{DOM}')
 """
 
 
@@ -4979,6 +5004,9 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_zero_or_one": _zero_or_one_sql(fx),
         # bag-semantics concat in ascending value order — the engine
         # sorts values so the result is deterministic (module docs)
+        # complement scan: every names-store triple whose predicate is
+        # not in the negated set (bag semantics — no dedup)
+        "kg_sparql_negated": _negated_sql(fx),
         "kg_sparql_group_concat":
             f"SELECT '{NS}taxon/'||trim(species_number) AS s,"
             f" string_agg(trim(latin_name), '|'"

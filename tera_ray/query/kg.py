@@ -669,9 +669,14 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
         # → 23s on the reference flagship query).  Filter to the
         # constant predicates when every pattern has one, then park the
         # (small, spillable) narrowed set in the object store.
-        preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
-                 for p in list(patterns) + list(optional)]
-        if all(not _is_var(pr) for pr in preds):
+        # negated property sets ("!") match a complement — no constant
+        # predicate list can cover them, so they defeat narrowing.
+        # Zero-length paths ("*"/"?") stay narrowable HERE because
+        # their node domain reads full_store, not the narrowed scan.
+        preds = [p[1][1] if isinstance(p[1], tuple) and p[1][0] != "!"
+                 else p[1] for p in list(patterns) + list(optional)]
+        if all(not _is_var(pr) and not isinstance(pr, tuple)
+               for pr in preds):
             pset = pa.array(sorted(set(preds)), pa.string())
 
             def _narrow(t: pa.Table) -> pa.Table:
@@ -686,10 +691,16 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
         if isinstance(pr, tuple) and pr[0] in ("+", "*", "?"):
             return _path_bindings(triples, s, pr[1], o, num_buckets,
                                   mod=pr[0], full_store=full_store)
-        pos = (("subj", s), ("pred", pr), ("obj", o))
+        neg_set = None                      # negated property set !(…)
+        if isinstance(pr, tuple) and pr[0] == "!":
+            neg_set = pa.array(sorted(pr[1]), pa.string())
+            pos = (("subj", s), ("obj", o))
+        else:
+            pos = (("subj", s), ("pred", pr), ("obj", o))
 
         def f(t: pa.Table) -> pa.Table:
-            mask = None
+            mask = (pc.invert(pc.is_in(t["pred"], value_set=neg_set))
+                    if neg_set is not None else None)
             var_cols: dict[str, list[str]] = {}
             for col, val in pos:
                 if _is_var(val):

@@ -55,7 +55,10 @@ so a reference user can run their existing query strings unchanged:
   ``p1 / p2`` (fresh-variable chain rewrite; whitespace around ``/``
   required, since ``/`` inside a prefixed name belongs to the name),
   and alternation ``p1 | p2`` (rewrites to a UNION block; branches may
-  themselves be chains)
+  themselves be chains); negated property sets ``!pred`` /
+  ``!(p1 | p2)`` scan the complement (they defeat predicate
+  narrowing — the store scan stays full; no inverse members or
+  modifiers on a negated set)
 - ``MINUS { … }`` and ``FILTER [NOT] EXISTS { … }`` — one co-group
   anti-/semi-join per block on the shared variables
 - ``GRAPH <name> { … }`` — scopes a sub-BGP to the store's ``graph``
@@ -146,7 +149,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?!])
     """,
     re.X,
 )
@@ -601,6 +604,29 @@ class _Parser:
         if self.peek()[1] == "^":
             self.next()
             inv = True
+        if self.peek()[1] == "!":           # negated property set
+            self.next()
+            if inv:
+                raise SparqlUnsupported(
+                    "inverse of a negated property set")
+            if self.peek()[1] == "(":
+                self.next()
+                negs = [self.term()]
+                while self.peek()[1] == "|":
+                    self.next()
+                    if self.peek()[1] == "^":
+                        raise SparqlUnsupported(
+                            "inverse member in a negated property set")
+                    negs.append(self.term())
+                self.expect(")")
+            else:
+                negs = [self.term()]
+            if any(p.startswith("?") for p in negs):
+                raise SparqlError("variable in a negated property set")
+            if self.peek()[1] in ("+", "*", "?"):
+                raise SparqlUnsupported(
+                    "path modifier on a negated property set")
+            return False, ("!", tuple(sorted(set(negs))))
         pred = self.term()
         if pred.startswith("?") is False and not pred:
             raise SparqlError("empty predicate")
@@ -1163,18 +1189,29 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # exactly once per query.  Subqueries re-enter with narrow=False.
     if narrow:
         all_patterns = _collect_patterns(ast)
-        preds = [p[1][1] if isinstance(p[1], tuple) else p[1]
-                 for p in all_patterns]
         keep = (["subj", "pred", "obj"]
                 + (["graph"] if _uses_graph(ast) else []))
-        # zero-length paths ("*" / "?") bind every node of the FULL
-        # store (SPARQL 1.1 §9.3) — predicate narrowing would shrink
-        # that domain, so keep the whole (column-pruned) store; the
-        # node enumeration needs the full pass regardless
-        zero_len = any(isinstance(p[1], tuple) and p[1][0] in ("*", "?")
-                       for p in all_patterns)
-        if not zero_len and all(not pr.startswith("?") for pr in preds):
-            pset = pa.array(sorted(set(preds)), pa.string())
+        # Narrowing needs every pattern's predicate to be a known
+        # constant.  Three shapes defeat it: variable predicates,
+        # zero-length paths ("*" / "?" bind every node of the FULL
+        # store, SPARQL 1.1 §9.3 — narrowing would shrink that
+        # domain), and negated property sets (a complement can match
+        # any predicate).
+        flat_preds: list[str] = []
+        narrowable = True
+        for p in all_patterns:
+            pr = p[1]
+            if isinstance(pr, tuple):
+                if pr[0] in ("*", "?", "!"):
+                    narrowable = False
+                else:
+                    flat_preds.append(pr[1])
+            elif pr.startswith("?"):
+                narrowable = False
+            else:
+                flat_preds.append(pr)
+        if narrowable:
+            pset = pa.array(sorted(set(flat_preds)), pa.string())
 
             def _narrow(t: pa.Table) -> pa.Table:
                 return t.filter(

@@ -194,6 +194,31 @@ class TestSparqlSelect:
         """
         assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
 
+    def test_negated_property_set(self):
+        rows_in = [("a", NS + "p", "1"), ("a", NS + "q", "2"),
+                   ("b", NS + "p", "3")]
+        store3 = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+        }))
+        got = rows(sparql_select(store3, PFX +
+                                 "SELECT ?s ?o WHERE { ?s !ex:p ?o }"),
+                   ["s", "o"])
+        assert got == [("a", "2")]
+        # multi-member set: complement of everything matches nothing
+        got2 = rows(sparql_select(store3, PFX +
+                                  "SELECT ?s ?o { ?s !(ex:p | ex:q) ?o }"),
+                    ["s", "o"])
+        assert got2 == []
+        # joins with a plain pattern on the shared variable
+        got3 = rows(sparql_select(store3, PFX +
+                                  "SELECT ?o ?x { ?s !ex:q ?o . "
+                                  "?s ex:q ?x }"), ["o", "x"])
+        assert got3 == [("1", "2")]
+        with pytest.raises(SparqlUnsupported):
+            sparql_select(store3, PFX + "SELECT ?s { ?s !ex:p+ ?o }")
+
     def test_group_concat(self):
         rows_in = [("t1", "b"), ("t1", "a"), ("t2", "z"), ("t1", "a")]
         tags = ray.data.from_arrow(pa.table({
