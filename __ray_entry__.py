@@ -2228,6 +2228,20 @@ def _q_kg_sparql_negated(sf_dir: str):
     return sparql_select(_q_kg_ncbi_names(sf_dir), q)
 
 
+def _q_kg_sparql_update(sf_dir: str):
+    """SPARQL 1.1 UPDATE (DELETE/INSERT WHERE) over the NCBI names
+    store: rename the ``uniqueName`` data predicate to
+    ``skos:prefLabel``.  Deletes drop every copy (bag store); inserts
+    are set-inserted via the composite-key anti-join."""
+    from tera_ray.query.sparql import sparql_update
+    from tera_ray.schema import NCBI_NS, SKOS_PREFLABEL
+
+    u = (f"DELETE {{ ?s <{NCBI_NS}uniqueName> ?o }}"
+         f" INSERT {{ ?s <{SKOS_PREFLABEL}> ?o }}"
+         f" WHERE {{ ?s <{NCBI_NS}uniqueName> ?o }}")
+    return sparql_update(_q_kg_ncbi_names(sf_dir), u)
+
+
 def _q_kg_sparql_construct(sf_dir: str):
     """SPARQL CONSTRUCT (KG rewriting): chemical ``rdfs:label`` edges
     re-emitted as ``skos:altLabel`` triples — returns a NEW triple
@@ -3553,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_zero_or_one": _q_kg_sparql_zero_or_one,
         "kg_sparql_group_concat": _q_kg_sparql_group_concat,
         "kg_sparql_negated": _q_kg_sparql_negated,
+        "kg_sparql_update": _q_kg_sparql_update,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
@@ -3954,6 +3969,25 @@ c(src, anc, depth) AS (
   SELECT c.src, e.dst, c.depth + 1 FROM c JOIN e ON e.src = c.anc
 )
 SELECT src, anc, depth FROM c
+"""
+
+
+def _update_sql(fx: str) -> str:
+    """DELETE/INSERT-WHERE oracle: kept bag (everything but the renamed
+    predicate) plus the DISTINCT renamed triples not already present
+    (set-insert = EXCEPT against the kept bag)."""
+    from tera_ray.schema import NCBI_NS as NNS, SKOS_PREFLABEL as PREF
+
+    return f"""
+WITH n AS ({_ncbi_names_sql(fx)}),
+kept AS (SELECT subj, pred, obj FROM n WHERE pred <> '{NNS}uniqueName'),
+ins AS (
+  SELECT DISTINCT subj, '{PREF}' AS pred, obj FROM n
+  WHERE pred = '{NNS}uniqueName'
+  EXCEPT SELECT subj, pred, obj FROM kept
+)
+SELECT subj, pred, obj FROM kept
+UNION ALL SELECT subj, pred, obj FROM ins
 """
 
 
@@ -5007,6 +5041,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         # complement scan: every names-store triple whose predicate is
         # not in the negated set (bag semantics — no dedup)
         "kg_sparql_negated": _negated_sql(fx),
+        # DELETE/INSERT WHERE: bag-delete + set-insert (EXCEPT)
+        "kg_sparql_update": _update_sql(fx),
         "kg_sparql_group_concat":
             f"SELECT '{NS}taxon/'||trim(species_number) AS s,"
             f" string_agg(trim(latin_name), '|'"

@@ -76,6 +76,12 @@ so a reference user can run their existing query strings unchanged:
 - ``CONSTRUCT { template } WHERE { … }`` via :func:`sparql_construct`
   (a NEW dedup'd triple Dataset), ``ASK`` via :func:`sparql_ask`,
   ``DESCRIBE <iri>`` via :func:`sparql_describe`
+- SPARQL 1.1 UPDATE via :func:`sparql_update` (returns the NEW store —
+  Datasets are immutable): ``INSERT DATA`` / ``DELETE DATA`` (ground
+  triples, one broadcast-filtered scan, no shuffle), ``DELETE WHERE``,
+  and ``DELETE {} INSERT {} WHERE {}`` (bindings evaluated once
+  against the pre-update store; bag-delete, set-insert via a
+  composite-key anti-join)
 
 The one remaining construct the reference never uses (``SERVICE``
 federation — no network in scope) raises ``SparqlUnsupported`` with
@@ -99,7 +105,7 @@ import pyarrow.compute as pc
 from ..schema import ECOTOX_NS, OWL, RDF, RDFS, SKOS, UNIT
 
 __all__ = ["sparql_select", "sparql_construct", "sparql_ask",
-           "sparql_describe", "prefixes", "DEFAULT_NS",
+           "sparql_describe", "sparql_update", "prefixes", "DEFAULT_NS",
            "SparqlError", "SparqlUnsupported"]
 
 
@@ -362,28 +368,92 @@ class _Parser:
                       subqueries=subqueries, aggs=aggs, group_by=group_by,
                       order_by=order_by, having=having, offset=offset)
 
+    def template_block(self, what: str) -> list[tuple]:
+        """``{ s p o . … }`` triple template (no paths, no bnodes)."""
+        template: list[tuple] = []
+        self.expect("{")
+        while self.peek()[1] != "}":
+            if self.peek()[1] == "[":
+                raise SparqlUnsupported(
+                    f"blank nodes in a {what} template")
+            for pat in self.triple_statement():
+                if isinstance(pat[1], tuple):
+                    raise SparqlError(
+                        f"property path in a {what} template")
+                template.append(pat)
+            if self.peek()[1] == ".":
+                self.next()
+        self.next()
+        if not template:
+            raise SparqlError(f"empty {what} template")
+        return template
+
+    def parse_update(self):
+        """One SPARQL UPDATE operation → ``(delete_template,
+        insert_template, where _Query | None)``.  ``INSERT DATA`` /
+        ``DELETE DATA`` return ground templates with ``where=None``;
+        ``DELETE WHERE { … }`` uses its pattern block as both."""
+        self.parse_prologue()
+        delete_t = insert_t = None
+        if self.kw("INSERT"):
+            if self.kw("DATA"):
+                t = self.template_block("INSERT DATA")
+                self._expect_eof()
+                return None, self._ground(t, "INSERT DATA"), None
+            insert_t = self.template_block("INSERT")
+        elif self.kw("DELETE"):
+            if self.kw("DATA"):
+                t = self.template_block("DELETE DATA")
+                self._expect_eof()
+                return self._ground(t, "DELETE DATA"), None, None
+            if self.peek()[1] != "{" and self.kw("WHERE"):
+                # DELETE WHERE { … }: the pattern block is the template
+                delete_t = self.template_block("DELETE WHERE")
+                self._expect_eof()
+                q = _Query(select=[], distinct=False, patterns=delete_t,
+                           optionals=[])
+                return delete_t, None, q
+            delete_t = self.template_block("DELETE")
+            if self.kw("INSERT"):
+                insert_t = self.template_block("INSERT")
+        else:
+            raise SparqlError(
+                f"expected INSERT or DELETE, got {self.peek()[1]!r}")
+        if not self.kw("WHERE"):
+            raise SparqlError("UPDATE with a template needs WHERE { … }")
+        (patterns, optionals, filters, unions, values, graphs,
+         binds, minuses, exists, subqueries) = self.group()
+        self._expect_eof()
+        q = _Query(select=[], distinct=False, patterns=patterns,
+                   optionals=optionals, filters=filters,
+                   unions=unions, values=values, graphs=graphs,
+                   binds=binds, minuses=minuses, exists=exists,
+                   subqueries=subqueries)
+        return delete_t, insert_t, q
+
+    def _ground(self, template: list[tuple], what: str) -> list[tuple]:
+        for pat in template:
+            for term in pat:
+                if isinstance(term, str) and term.startswith("?"):
+                    raise SparqlError(
+                        f"variable {term} in a {what} block "
+                        "(ground triples only)")
+        return template
+
+    def _expect_eof(self) -> None:
+        kind, v = self.peek()
+        if kind != "eof":
+            raise (SparqlUnsupported(f"unsupported construct {v!r}")
+                   if v.upper() in _UNSUPPORTED
+                   else SparqlError(f"unexpected trailing {v!r}"))
+
     def parse_construct(self):
         """``CONSTRUCT { template } WHERE { … }`` → (template patterns,
         WHERE as a ``_Query``)."""
         self.parse_prologue()
         if not self.kw("CONSTRUCT"):
             raise SparqlError(f"expected CONSTRUCT, got {self.peek()[1]!r}")
-        template: list[tuple] = []
-        self.expect("{")
-        while self.peek()[1] != "}":
-            if self.peek()[1] == "[":
-                raise SparqlUnsupported(
-                    "blank nodes in a CONSTRUCT template")
-            for pat in self.triple_statement():
-                if isinstance(pat[1], tuple):
-                    raise SparqlError(
-                        "property path in a CONSTRUCT template")
-                template.append(pat)
-            if self.peek()[1] == ".":
-                self.next()
-        self.next()
-        if not template:
-            raise SparqlError("empty CONSTRUCT template")
+        template = self.template_block("CONSTRUCT")
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
          binds, minuses, exists, subqueries) = self.group()
@@ -1068,12 +1138,22 @@ def sparql_construct(triples, query: str, num_buckets: int = 64,
     template, ast = _Parser(_tokenize(query),
                             _resolve_ns(init_ns)).parse_construct()
     out, have, _ = _eval_where(triples, ast, num_buckets)
+    emitted = _instantiate(out, have, template, "CONSTRUCT")
+    return dedup_triples(emitted, num_buckets=num_buckets, mode="hash")
+
+
+def _instantiate(out, have: list[str], template: list[tuple], what: str):
+    """Instantiate a triple template once per binding-relation solution
+    (vectorized: one column take + constant-repeat per template slot);
+    solutions with an unbound (null) template variable emit nothing
+    for that pattern (SPARQL semantics).  Returns a bag — callers
+    dedup."""
     tvars = {t[1:] for pat in template for t in pat
              if isinstance(t, str) and t.startswith("?")}
     missing = sorted(tvars - set(have))
     if missing:
         raise SparqlError(
-            f"CONSTRUCT template variables not bound in WHERE: {missing}"
+            f"{what} template variables not bound in WHERE: {missing}"
             " (blank-node templates are not supported)")
 
     def emit(t: pa.Table) -> pa.Table:
@@ -1095,8 +1175,7 @@ def sparql_construct(triples, query: str, num_buckets: int = 64,
             tabs.append(tt.filter(mask))
         return pa.concat_tables(tabs)
 
-    return dedup_triples(out.map_batches(emit, batch_format="pyarrow"),
-                         num_buckets=num_buckets, mode="hash")
+    return out.map_batches(emit, batch_format="pyarrow")
 
 
 def sparql_ask(triples, query: str, num_buckets: int = 64,
@@ -1152,6 +1231,114 @@ def sparql_describe(triples, query: str, num_buckets: int = 64,
         return t.filter(m).select(["subj", "pred", "obj"])
 
     return triples.map_batches(pick, batch_format="pyarrow")
+
+
+def sparql_update(triples, update: str, num_buckets: int = 64,
+                  init_ns: dict | None = None):
+    """Run one SPARQL 1.1 UPDATE operation against a triple Dataset and
+    return the NEW store (Datasets are immutable — the functional
+    equivalent of a graph-store mutation, like the engine's
+    incremental-KG surface).  Supported forms::
+
+        INSERT DATA { ground triples }
+        DELETE DATA { ground triples }
+        DELETE WHERE { patterns }
+        DELETE { template } WHERE { … }
+        INSERT { template } WHERE { … }
+        DELETE { template } INSERT { template } WHERE { … }
+
+    Semantics: the WHERE bindings are evaluated ONCE against the
+    pre-update store; deletes apply before inserts (spec §3.1.3).
+    Deleting removes EVERY copy of a matching triple; inserting is
+    set-insert (a triple already present is not duplicated — enforced
+    by a composite-key anti-join of the inserts against the store, the
+    one unavoidable co-group shuffle of the update; the tiny ``DATA``
+    forms instead use one broadcast-filtered scan, no shuffle).
+    Output columns are ``(subj, pred, obj)``."""
+    import ray.data
+
+    from ..query.relational import multi_key_anti_join
+    from ..stages.base import dedup_triples
+
+    delete_t, insert_t, ast = _Parser(
+        _tokenize(update), _resolve_ns(init_ns)).parse_update()
+
+    _SPO = ["subj", "pred", "obj"]
+    spo_schema = pa.schema([(c, pa.string()) for c in _SPO])
+    store = triples.map_batches(lambda t: t.select(_SPO),
+                                batch_format="pyarrow")
+
+    def ground_table(tmpl) -> pa.Table:
+        return pa.table({
+            "subj": pa.array([p[0] for p in tmpl], pa.string()),
+            "pred": pa.array([p[1] for p in tmpl], pa.string()),
+            "obj": pa.array([p[2] for p in tmpl], pa.string()),
+        })
+
+    def key_arr(tbl: pa.Table) -> pa.Array:
+        from ..stages.base import cat
+
+        return cat(tbl["subj"].combine_chunks(), "\x1f",
+                   tbl["pred"].combine_chunks(), "\x1f",
+                   tbl["obj"].combine_chunks())
+
+    if ast is None:                         # ground DATA forms
+        if delete_t:
+            dset = pa.compute.unique(key_arr(ground_table(delete_t)))
+
+            def drop(t: pa.Table) -> pa.Table:
+                return t.filter(pc.invert(
+                    pc.is_in(key_arr(t), value_set=dset)))
+
+            return store.map_batches(drop, batch_format="pyarrow")
+        ins = ground_table(insert_t)
+        ins = ins.take(pc.sort_indices(key_arr(ins)))
+        ins = ins.filter(_first_of_run(key_arr(ins)))  # in-batch dedup
+        iset = key_arr(ins)
+
+        def present(t: pa.Table) -> pa.Table:
+            k = key_arr(t)
+            return pa.table({"k": pc.unique(k.filter(
+                pc.is_in(k, value_set=iset)))})
+
+        seen: set = set()
+        for b in store.map_batches(present,
+                                   batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            seen.update(b["k"].to_pylist())
+        missing = ins.filter(pc.invert(pc.is_in(
+            key_arr(ins), value_set=pa.array(sorted(seen), pa.string()))))
+        return store.union(ray.data.from_arrow(missing))
+
+    out, have, _ = _eval_where(triples, ast, num_buckets)
+    if delete_t:
+        dels = dedup_triples(_instantiate(out, have, delete_t, "DELETE"),
+                             num_buckets=num_buckets, mode="hash")
+        store = multi_key_anti_join(store, dels, keys=_SPO,
+                                    num_buckets=num_buckets,
+                                    left_schema=spo_schema)
+    if insert_t:
+        ins = dedup_triples(_instantiate(out, have, insert_t, "INSERT"),
+                            num_buckets=num_buckets, mode="hash")
+        fresh = multi_key_anti_join(ins, store, keys=_SPO,
+                                    num_buckets=num_buckets,
+                                    left_schema=spo_schema)
+        store = store.union(fresh)
+    return store
+
+
+def _first_of_run(sorted_keys: pa.Array) -> pa.Array:
+    """Boolean mask keeping the first row of each equal-key run in a
+    SORTED key array (tiny driver-side dedup for ground templates)."""
+    import numpy as np
+
+    n = len(sorted_keys)
+    if n == 0:
+        return pa.array([], pa.bool_())
+    eq = pc.equal(sorted_keys.slice(1), sorted_keys.slice(0, n - 1))
+    keep = np.ones(n, bool)
+    keep[1:] = pc.invert(eq).to_numpy(zero_copy_only=False)
+    return pa.array(keep)
 
 
 def _collect_patterns(ast: _Query) -> list:

@@ -194,6 +194,41 @@ class TestSparqlSelect:
         """
         assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
 
+    def test_sparql_update(self):
+        from tera_ray.query.sparql import sparql_update
+
+        def mk():
+            return ray.data.from_arrow(pa.table({
+                "subj": pa.array(["a", "a", "b"], pa.string()),
+                "pred": pa.array([NS + "p", NS + "q", NS + "p"],
+                                 pa.string()),
+                "obj": pa.array(["1", "2", "3"], pa.string()),
+            }))
+
+        def trips(ds):
+            return sorted(tuple(r.values()) for r in ds.take_all())
+
+        # INSERT DATA is a set-insert: the duplicate is not re-added
+        r = sparql_update(mk(), PFX + (
+            'INSERT DATA { <c> ex:p "9" . <a> ex:p "1" }'))
+        assert trips(r) == [("a", NS + "p", "1"), ("a", NS + "q", "2"),
+                            ("b", NS + "p", "3"), ("c", NS + "p", "9")]
+        # DELETE DATA drops the exact ground triple
+        r = sparql_update(mk(), PFX + 'DELETE DATA { <a> ex:q "2" }')
+        assert trips(r) == [("a", NS + "p", "1"), ("b", NS + "p", "3")]
+        # DELETE WHERE: the pattern block is its own template
+        r = sparql_update(mk(), PFX + "DELETE WHERE { ?s ex:p ?o }")
+        assert trips(r) == [("a", NS + "q", "2")]
+        # DELETE { } INSERT { } WHERE { }: predicate rename
+        r = sparql_update(mk(), PFX + (
+            "DELETE { ?s ex:p ?o } INSERT { ?s ex:r ?o } "
+            "WHERE { ?s ex:p ?o }"))
+        assert trips(r) == [("a", NS + "q", "2"), ("a", NS + "r", "1"),
+                            ("b", NS + "r", "3")]
+        # variables are illegal in DATA blocks
+        with pytest.raises(SparqlError):
+            sparql_update(mk(), PFX + "INSERT DATA { ?s ex:p \"1\" }")
+
     def test_negated_property_set(self):
         rows_in = [("a", NS + "p", "1"), ("a", NS + "q", "2"),
                    ("b", NS + "p", "3")]
