@@ -117,6 +117,22 @@ def _q_docs_dedup_exact(sf_dir: str):
     return dedup_exact(ds, keys=["text"], order_by="doc_id")
 
 
+def _q_docs_line_dedup(sf_dir: str):
+    """Corpus-level exact line dedup (RefinedWeb-style boilerplate
+    scrub): any whitespace-separated token occurring in ≥ 80% of the
+    documents is removed from every document, order preserved.  The
+    synthetic docs are single-line, so the judged separator is the
+    token boundary; real corpora use the default ``sep="\\n"``."""
+    import pyarrow.parquet as pq
+
+    from tera_ray.dedup.lines import dedup_lines
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines(ds, sep=" ", min_docs=int(0.8 * n_docs))
+
+
 def _q_docs_token_stats(sf_dir: str):
     from tera_ray.text.analysis import token_stats
 
@@ -3446,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
         "docs_dedup_exact": _q_docs_dedup_exact,
+        "docs_line_dedup": _q_docs_line_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
         "orders_top1_per_customer": _q_orders_top1,
@@ -4585,6 +4602,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "docs_dedup_exact":
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        # corpus-level line scrub: tokens in >= 80% of docs removed
+        # everywhere, order preserved (parallel unnests zip in DuckDB)
+        "docs_line_dedup": """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line,
+                  unnest(range(len(string_split(text, ' ')))) AS i
+           FROM documents),
+hot AS (SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc_id) >=
+               (SELECT CAST(floor(count(*) * 0.8) AS BIGINT)
+                FROM documents)),
+kept AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
+         FROM l WHERE line NOT IN (SELECT line FROM hot)
+         GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+""",
         "docs_token_stats":
             "SELECT doc_id,"
             " len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,"

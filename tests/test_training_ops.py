@@ -77,6 +77,29 @@ class TestDedup:
         out = dedup_exact(ds, keys=["text"], order_by="doc_id").take_all()
         assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 5]
 
+    def test_line_dedup_scrubs_hot_lines(self, ray_session):
+        from tera_ray.dedup.lines import dedup_lines, hot_lines
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a\nb\nc", "b\nc", "x\nb\nx"], pa.string()),
+        })
+        # hot at min_docs=2: b (3 docs) and c (2 docs); x repeats only
+        # WITHIN doc 3, so per-doc distinctness keeps it cold
+        hot = sorted(r["line"] for r in hot_lines(
+            ray.data.from_arrow(docs), min_docs=2).take_all())
+        assert hot == ["b", "c"]
+        out = {r["doc_id"]: r["text"] for r in dedup_lines(
+            ray.data.from_arrow(docs), min_docs=2).take_all()}
+        # surviving lines keep order; fully-scrubbed docs keep '' text
+        assert out == {1: "a", 2: "", 3: "x\nx"}
+        out3 = {r["doc_id"]: r["text"] for r in dedup_lines(
+            ray.data.from_arrow(docs), min_docs=3).take_all()}
+        assert out3 == {1: "a\nc", 2: "c", 3: "x\nx"}
+        # the broadcast-set bound fails fast instead of silently growing
+        with pytest.raises(ValueError):
+            dedup_lines(ray.data.from_arrow(docs), min_docs=1, max_hot=2)
+
     def test_minhash_clusters_near_dups(self, ray_session):
         from tera_ray.dedup.minhash import minhash_dedup
 
