@@ -75,7 +75,9 @@ so a reference user can run their existing query strings unchanged:
   variables
 - ``CONSTRUCT { template } WHERE { … }`` via :func:`sparql_construct`
   (a NEW dedup'd triple Dataset), ``ASK`` via :func:`sparql_ask`,
-  ``DESCRIBE <iri>`` via :func:`sparql_describe`
+  ``DESCRIBE <iri>`` / ``DESCRIBE ?v WHERE { … }`` via
+  :func:`sparql_describe` (the variable form collects the bounded
+  DISTINCT binding set and broadcasts it into the one-pass filter)
 - SPARQL 1.1 UPDATE via :func:`sparql_update` (returns the NEW store —
   Datasets are immutable): ``INSERT DATA`` / ``DELETE DATA`` (ground
   triples, one broadcast-filtered scan, no shuffle), ``DELETE WHERE``,
@@ -1202,27 +1204,74 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
 
 
 def sparql_describe(triples, query: str, num_buckets: int = 64,
-                    init_ns: dict | None = None):
-    """Run a SPARQL DESCRIBE over explicit resource IRIs: the one-hop
-    description — every store triple whose subject OR object is one of
-    the listed resources (a flat approximation of the concise bounded
-    description; BNode closure is a ``construct_subgraph`` call away).
-    ``DESCRIBE ?var WHERE …`` is not supported (the reference never
-    describes)."""
+                    init_ns: dict | None = None, max_resources: int = 100_000):
+    """Run a SPARQL DESCRIBE: the one-hop description — every store
+    triple whose subject OR object is one of the described resources
+    (a flat approximation of the concise bounded description; BNode
+    closure is a ``construct_subgraph`` call away).
+
+    Two forms: explicit IRIs (``DESCRIBE <a> <b>``), and
+    ``DESCRIBE ?v WHERE { … }`` — the WHERE bindings are evaluated
+    distributed, the DISTINCT ``?v`` values are collected (bounded by
+    ``max_resources`` — the same driver-held broadcast-set assumption
+    as the anchored-path BFS; raises past the bound) and broadcast into
+    the same one-pass filter."""
+    from ..stages.base import dedup_triples
+
     p = _Parser(_tokenize(query), _resolve_ns(init_ns))
     p.parse_prologue()
     if not p.kw("DESCRIBE"):
         raise SparqlError(f"expected DESCRIBE, got {p.peek()[1]!r}")
     uris: list[str] = []
-    while p.peek()[0] in ("uri", "pname"):
-        uris.append(p.term())
+    var = None
+    while p.peek()[0] in ("uri", "pname", "var"):
+        kind, _ = p.peek()
+        if kind == "var":
+            if var is not None or uris:
+                raise SparqlUnsupported(
+                    "DESCRIBE with more than one variable/IRI mix")
+            var = p.next()[1][1:]
+        else:
+            uris.append(p.term())
     kind, v = p.peek()
-    if kind == "var" or v.upper() == "WHERE" or v == "{":
+    if var is not None:
+        if not (p.kw("WHERE") or p.peek()[1] == "{"):
+            raise SparqlError("DESCRIBE ?var needs a WHERE pattern")
+        (patterns, optionals, filters, unions, values, graphs, binds,
+         minuses, exists, subqueries) = p.group()
+        kind, v = p.peek()
+        if kind != "eof":
+            raise SparqlError(f"unexpected trailing {v!r}")
+        ast = _Query(select=[var], distinct=True, patterns=patterns,
+                     optionals=optionals, filters=filters, unions=unions,
+                     values=values, graphs=graphs, binds=binds,
+                     minuses=minuses, exists=exists, subqueries=subqueries)
+        out, have, _ = _eval_where(triples, ast, num_buckets)
+        if var not in have:
+            raise SparqlError(f"DESCRIBE variable ?{var} not bound")
+        vals = dedup_triples(
+            out.map_batches(lambda t, v=var: t.select([v]),
+                            batch_format="pyarrow"),
+            keys=(var,), num_buckets=num_buckets)
+        for b in vals.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+            uris.extend(x for x in b[var].to_pylist() if x is not None)
+            if len(uris) > max_resources:
+                raise SparqlError(
+                    f"DESCRIBE ?{var} binds more than {max_resources} "
+                    "resources; add constraints or raise max_resources")
+    elif kind == "var" or v.upper() == "WHERE" or v == "{":
         raise SparqlUnsupported("DESCRIBE with a WHERE pattern")
-    if kind != "eof":
+    elif kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
-    if not uris:
-        raise SparqlError("DESCRIBE needs at least one IRI")
+    if var is None and not uris:
+        raise SparqlError("DESCRIBE needs at least one IRI or variable")
+    if not uris:                            # ?var form, zero bindings
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string())
+             for c in ("subj", "pred", "obj")}))
     uset = pa.array(sorted(set(uris)), pa.string())
 
     def pick(t: pa.Table) -> pa.Table:

@@ -549,8 +549,19 @@ class TestSparqlSelect:
                  ["subj", "pred", "obj"])
         assert d == [(NS + "t2", NS + "label", "beta"),
                      (NS + "t2", RDF + "type", NS + "Test")]
-        with pytest.raises(SparqlUnsupported):
-            sparql_describe(store(), PFX + "DESCRIBE ?x WHERE { ?x a ex:T }")
+        # DESCRIBE ?var WHERE: bindings evaluated, then the same
+        # subject-or-object one-hop filter
+        dv = rows(sparql_describe(store(), PFX +
+                                  "DESCRIBE ?x WHERE { ?x a ex:Test . "
+                                  '?x ex:label "beta" }'),
+                  ["subj", "pred", "obj"])
+        assert dv == [(NS + "t2", NS + "label", "beta"),
+                      (NS + "t2", RDF + "type", NS + "Test")]
+        # zero bindings → empty (typed) description
+        assert rows(sparql_describe(store(), PFX +
+                                    'DESCRIBE ?x WHERE { ?x ex:label '
+                                    '"nope" }'),
+                    ["subj", "pred", "obj"]) == []
         # wrong entry point gets a pointer to the right one
         with pytest.raises(SparqlError, match="sparql_ask"):
             sparql_select(store(), PFX + "ASK { ?s ?p ?o }")
