@@ -1448,6 +1448,28 @@ def _q_emb_label_centroids(sf_dir: str):
     return vector_group_mean(ds, "label", "embedding")
 
 
+def _q_emb_dim_stats(sf_dir: str):
+    """Per-dimension mean + sample variance of the embedding column
+    from ONE pass of mergeable moment partials — the SQL-checkable face
+    of the distributed PCA moment machinery (`ann/pca.py`)."""
+    from tera_ray.ann.pca import vector_dim_stats
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return vector_dim_stats(ds)
+
+
+def _q_emb_pca(sf_dir: str):
+    """Distributed PCA: fit on the moment partials (driver eigh of the
+    d×d covariance, canonical component signs), then broadcast-project
+    every embedding to the top-4 components.  No shuffle in fit or
+    transform; rows-only (no SQL eigensolver)."""
+    from tera_ray.ann.pca import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mu, comps, _ = pca_fit(ds, k=4)
+    return pca_transform(ds, mu, comps, round_digits=4)
+
+
 _KMEANS_K = 8
 
 
@@ -3509,6 +3531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "emb_pca": _q_emb_pca,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "emb_kmeans_iter": _q_emb_kmeans_iter,
         "emb_semdedup": _q_emb_semdedup,
@@ -5424,6 +5448,15 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " prefix % 2048 AS chunk_offset,"
             " CASE WHEN n = 0 THEN prefix // 2048"
             " ELSE (prefix + n - 1) // 2048 END AS last_chunk FROM p",
+        # same rounding convention as the centroids oracle; var_samp
+        # mirrors the engine's (Σx² − n·μ²)/(n−1) sample variance
+        "emb_dim_stats":
+            "WITH u AS (SELECT unnest(embedding) AS v,"
+            " unnest(range(0, len(embedding))) AS dim FROM embeddings)"
+            " SELECT dim,"
+            " round_even(avg(v::DOUBLE) * 1e6, 0) / 1e6 AS mean,"
+            " round_even(var_samp(v::DOUBLE) * 1e6, 0) / 1e6 AS var"
+            " FROM u GROUP BY dim",
         "emb_label_centroids":
             "WITH u AS (SELECT label, unnest(embedding) AS v,"
             " unnest(range(0, len(embedding))) AS dim FROM embeddings)"

@@ -258,6 +258,39 @@ class TestANN:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPCA:
+    def test_fit_transform_matches_numpy(self, ray_session):
+        import numpy as np
+
+        from tera_ray.ann.pca import (pca_fit, pca_transform,
+                                      vector_dim_stats)
+
+        rng = np.random.default_rng(0)
+        X32 = (rng.normal(size=(200, 8))
+               @ np.diag([5, 3, 1, 1, .5, .5, .1, .1])).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(X32.tolist(), pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        X = X32.astype(np.float64)
+        mu, comps, evar = pca_fit(ds, k=3)
+        w = np.sort(np.linalg.eigvalsh(np.cov(X, rowvar=False)))[::-1][:3]
+        assert np.allclose(np.sort(evar)[::-1], w, rtol=1e-8)
+        # canonical signs: largest-|entry| coordinate positive
+        for row in comps:
+            assert row[int(np.argmax(np.abs(row)))] > 0
+        out = pca_transform(ds, mu, comps, round_digits=6).take_all()
+        got = np.stack([r["pca"] for r in
+                        sorted(out, key=lambda r: r["vec_id"])])
+        want = np.round((X - X.mean(0)) @ comps.T, 6)
+        assert np.allclose(got, want)
+        st = vector_dim_stats(ds)
+        assert np.allclose(st["mean"].to_numpy(), np.round(X.mean(0), 6))
+        assert np.allclose(st["var"].to_numpy(),
+                           np.round(X.var(0, ddof=1), 6))
+
+
 class TestNgramJaccard:
     def test_doc_shingles_strict_and_distinct(self):
         import numpy as np
