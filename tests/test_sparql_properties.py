@@ -167,3 +167,63 @@ def test_select_matches_naive_evaluator(case):
     got = sorted(got, key=lambda r: tuple(str(x) for x in r))
     assert got == want, (
         f"\nquery: {q}\nstore: {triples}\ngot:  {got}\nwant: {want}")
+
+
+def naive_path(triples, pred, mod):
+    """DISTINCT (s, o) pairs of ``pred`` under a path modifier, per
+    SPARQL 1.1 §9.3 — an independent reachability oracle."""
+    edges = {(s, o) for s, p, o in triples if p == pred}
+    nodes = {s for s, _, _ in triples} | {o for _, _, o in triples}
+    if mod == "?":
+        return edges | {(n, n) for n in nodes}
+    # transitive closure by repeated squaring-ish expansion
+    clos = set(edges)
+    while True:
+        new = {(a, d) for a, b in clos for c, d in edges if b == c} - clos
+        if not new:
+            break
+        clos |= new
+    if mod == "*":
+        return clos | {(n, n) for n in nodes}
+    return clos
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=25, deadline=None)
+@given(st.lists(triple_st, min_size=1, max_size=20),
+       st.sampled_from(["+", "*", "?"]),
+       st.sampled_from(PREDS),
+       st.sampled_from([None, "fwd", "back"]))
+def test_path_modifiers_match_reachability_oracle(triples, mod, pred,
+                                                  anchor):
+    want_pairs = naive_path(triples, pred, mod)
+    store = ray.data.from_arrow(pa.table({
+        "subj": pa.array([t[0] for t in triples], pa.string()),
+        "pred": pa.array([t[1] for t in triples], pa.string()),
+        "obj": pa.array([t[2] for t in triples], pa.string()),
+    }))
+    if anchor is None:
+        q = f"SELECT ?s ?o WHERE {{ ?s <{pred}>{mod} ?o }}"
+        want = sorted(want_pairs)
+        cols = ["s", "o"]
+    elif anchor == "fwd":
+        a = SUBJECTS[0]
+        q = f"SELECT ?o WHERE {{ <{a}> <{pred}>{mod} ?o }}"
+        want = sorted((o,) for s, o in want_pairs if s == a)
+        # anchored zero-length: the constant matches itself even when
+        # absent from the graph
+        if mod in ("*", "?") and (a,) not in want:
+            want = sorted(want + [(a,)])
+        cols = ["o"]
+    else:
+        b = OBJECTS[0]
+        q = f"SELECT ?s WHERE {{ ?s <{pred}>{mod} <{b}> }}"
+        want = sorted((s,) for s, o in want_pairs if o == b)
+        if mod in ("*", "?") and (b,) not in want:
+            want = sorted(want + [(b,)])
+        cols = ["s"]
+    out = sparql_select(store, q, num_buckets=4)
+    got = []
+    for batch in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        got.extend(zip(*[batch[c].to_pylist() for c in cols]))
+    assert sorted(got) == want, f"\nquery: {q}\nstore: {triples}"
