@@ -133,6 +133,53 @@ def _q_docs_line_dedup(sf_dir: str):
     return dedup_lines(ds, sep=" ", min_docs=int(0.8 * n_docs))
 
 
+def _q_docs_union_by_name(sf_dir: str):
+    """UNION ALL BY NAME (schema evolution): two shards of the
+    documents table exposing different column subsets union by column
+    name with null padding — the new-shard-gains-a-column case a
+    long-lived 100 TB ingest hits constantly."""
+    from tera_ray.query.relational import union_by_name
+
+    a = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    b = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return union_by_name([a, b])
+
+
+def _q_orders_upsert(sf_dir: str):
+    """SCD-1 merge (MERGE INTO): whole-row updates win on key, new keys
+    insert, unmatched base rows pass through — one composite-key
+    anti-join shuffle."""
+    import ray.data
+
+    from tera_ray.query.relational import upsert
+
+    base = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        m = pc.equal(
+            pc.subtract(t["o_orderkey"],
+                        pc.multiply(pc.divide(t["o_orderkey"], 7),
+                                    pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        t2 = t.filter(m)
+        n = t2.num_rows
+        return pa.table({
+            "o_orderkey": t2["o_orderkey"],
+            "o_totalprice": pa.array([0.0] * n, pa.float64()),
+            "o_orderstatus": pa.array(["X"] * n, pa.string()),
+        })
+
+    updates = base.map_batches(mk_updates, batch_format="pyarrow")
+    new_row = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([-1], pa.int64()),
+        "o_totalprice": pa.array([0.0], pa.float64()),
+        "o_orderstatus": pa.array(["X"], pa.string()),
+    }))
+    return upsert(base, updates.union(new_row),
+                  keys=["o_orderkey"])
+
+
 def _q_docs_token_stats(sf_dir: str):
     from tera_ray.text.analysis import token_stats
 
@@ -3485,6 +3532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data / relational ops over the driver's sf tables
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_line_dedup": _q_docs_line_dedup,
+        "docs_union_by_name": _q_docs_union_by_name,
+        "orders_upsert": _q_orders_upsert,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
         "orders_top1_per_customer": _q_orders_top1,
@@ -4642,6 +4691,20 @@ kept AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
 SELECT d.doc_id, coalesce(k.text, '') AS text
 FROM documents d LEFT JOIN kept k USING (doc_id)
 """,
+        # schema-evolution union: column match by NAME, null padding
+        "docs_union_by_name":
+            "SELECT doc_id, lang, NULL::VARCHAR AS source FROM documents"
+            " UNION ALL"
+            " SELECT doc_id, NULL::VARCHAR, source FROM documents",
+        # MERGE INTO: updates (key%7=0 rows zeroed + one new key) win
+        "orders_upsert":
+            "SELECT o_orderkey,"
+            " CASE WHEN o_orderkey % 7 = 0 THEN 0.0"
+            "      ELSE o_totalprice END AS o_totalprice,"
+            " CASE WHEN o_orderkey % 7 = 0 THEN 'X'"
+            "      ELSE o_orderstatus END AS o_orderstatus"
+            " FROM orders"
+            " UNION ALL SELECT -1, 0.0, 'X'",
         "docs_token_stats":
             "SELECT doc_id,"
             " len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,"

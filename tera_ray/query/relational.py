@@ -1775,3 +1775,73 @@ def grouped_corr(ds, keys: list[str], x: str, y: str,
         return pa.table(out)
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def union_by_name(datasets, schemas=None):
+    """SQL ``UNION ALL BY NAME`` over Datasets with differing schemas
+    (schema evolution: a new source shard gains/loses columns): columns
+    match by NAME, missing ones null-pad, order = first appearance.
+    A column present in several inputs must have one type (no silent
+    casts — schema drift should fail loudly).  Stream-union, no
+    shuffle.
+
+    ``schemas`` optionally supplies static schemas (same order as
+    ``datasets``) so lazy inputs are never schema-probed."""
+    assert datasets, "union_by_name of nothing"
+    schemas = list(schemas) if schemas else [None] * len(datasets)
+    cols: dict[str, pa.DataType] = {}
+    resolved = []
+    from ..stages.base import schema_of
+
+    for ds, st in zip(datasets, schemas):
+        sch = schema_of(ds, static=st)
+        resolved.append(sch)
+        for f in sch:
+            if f.name in cols and cols[f.name] != f.type:
+                raise TypeError(
+                    f"column {f.name!r} has conflicting types "
+                    f"{cols[f.name]} vs {f.type}")
+            cols.setdefault(f.name, f.type)
+
+    def pad(have: set):
+        def f(t: pa.Table) -> pa.Table:
+            out = {}
+            for name, typ in cols.items():
+                out[name] = (t[name] if name in have
+                             else pa.nulls(t.num_rows, typ))
+            return pa.table(out)
+
+        return f
+
+    out = None
+    for ds, sch in zip(datasets, resolved):
+        part = ds.map_batches(pad({f.name for f in sch}),
+                              batch_format="pyarrow")
+        out = part if out is None else out.union(part)
+    return out
+
+
+def upsert(base, updates, keys: list[str], num_buckets: int = 64,
+           base_schema=None):
+    """SCD-1 merge (SQL ``MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`` with whole-row updates): every ``updates`` row
+    wins on its key tuple; ``base`` rows without a matching key pass
+    through.  One composite-key anti-join co-group shuffle — the same
+    plan the incremental-KG update uses for its store merge.
+
+    Both sides must share the base schema (column order is
+    re-projected).  Duplicate keys WITHIN ``updates`` are kept as-is
+    (bag semantics) — dedup first if updates may self-conflict."""
+    from ..stages.base import schema_of
+
+    sch = schema_of(base, static=base_schema)
+    names = [f.name for f in sch]
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(names)
+
+    survivors = multi_key_anti_join(base, updates, keys=list(keys),
+                                    num_buckets=num_buckets,
+                                    left_schema=sch)
+    return updates.map_batches(proj, batch_format="pyarrow").union(
+        survivors.map_batches(proj, batch_format="pyarrow"))

@@ -122,6 +122,36 @@ class TestKGQueries:
 
 @pytest.mark.usefixtures("ray_session")
 class TestRelational:
+    def test_union_by_name(self):
+        from tera_ray.query.relational import union_by_name
+
+        a = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "x": pa.array(["a", "b"], pa.string())}))
+        b = ray.data.from_arrow(pa.table({
+            "k": pa.array([3], pa.int64()),
+            "y": pa.array([9.5], pa.float64())}))
+        out = union_by_name([a, b]).take_all()
+        got = sorted((r["k"], r["x"], r["y"]) for r in out)
+        assert got == [(1, "a", None), (2, "b", None), (3, None, 9.5)]
+        # conflicting types fail loudly, no silent cast
+        c = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+        with pytest.raises(TypeError):
+            union_by_name([a, c])
+
+    def test_upsert(self):
+        from tera_ray.query.relational import upsert
+
+        base = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array(["old1", "old2", "old3"], pa.string())}))
+        ups = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 9], pa.int64()),
+            "v": pa.array(["new2", "new9"], pa.string())}))
+        got = sorted((r["k"], r["v"])
+                     for r in upsert(base, ups, keys=["k"]).take_all())
+        assert got == [(1, "old1"), (2, "new2"), (3, "old3"), (9, "new9")]
+
     def test_top1_per_key(self):
         from tera_ray.query.relational import top1_per_key
 
