@@ -130,10 +130,14 @@ def dedup_lines(ds, id_col: str = "doc_id", text_col: str = "text",
     selectivity, or scrub in key-range passes)."""
     import ray
 
-    hot = pa.concat_tables(hot_lines(
+    parts = list(hot_lines(
         ds, id_col=id_col, text_col=text_col, sep=sep, min_docs=min_docs,
         num_buckets=num_buckets).iter_batches(batch_format="pyarrow",
                                               batch_size=None))
+    if not parts:                           # no hot lines: nothing to scrub
+        logger.info("dedup_lines: hot-line set empty, pass-through")
+        return ds
+    hot = pa.concat_tables(parts)
     if hot.num_rows > max_hot:
         raise ValueError(
             f"hot-line set ({hot.num_rows}) exceeds max_hot ({max_hot}); "

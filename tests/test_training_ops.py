@@ -99,6 +99,11 @@ class TestDedup:
         # the broadcast-set bound fails fast instead of silently growing
         with pytest.raises(ValueError):
             dedup_lines(ray.data.from_arrow(docs), min_docs=1, max_hot=2)
+        # empty hot set (threshold above every count): pure pass-through
+        # (regression: Ray drops empty blocks, concat of [] raised)
+        out9 = {r["doc_id"]: r["text"] for r in dedup_lines(
+            ray.data.from_arrow(docs), min_docs=9).take_all()}
+        assert out9 == {1: "a\nb\nc", 2: "b\nc", 3: "x\nb\nx"}
 
     def test_minhash_clusters_near_dups(self, ray_session):
         from tera_ray.dedup.minhash import minhash_dedup
