@@ -2370,6 +2370,29 @@ def _q_kg_sparql_graph(sf_dir: str):
     return sparql_select(chems.union(taxa), q)
 
 
+def _q_kg_sparql_graph_var(sf_dir: str):
+    """``GRAPH ?g { … }`` (variable graph name): per-lineage-tag triple
+    counts over a two-graph store (synonym + EOL term-label emitters) —
+    the block evaluates once per distinct tag (tags are few by
+    construction) and unions with ``?g`` bound."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.ecotox import emit_synonyms
+    from tera_ray.stages.traits import emit_term_labels
+
+    fx = _fx(sf_dir)
+    syn = ray.data.read_parquet(
+        os.path.join(fx, "species_synonyms.parquet")).map_batches(
+        emit_synonyms, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    terms = ray.data.read_parquet(
+        os.path.join(fx, "terms.parquet")).map_batches(
+        emit_term_labels, batch_format="pyarrow", batch_size=EMIT_BATCH)
+    q = ("SELECT ?g (COUNT(?s) AS ?n) WHERE {"
+         " GRAPH ?g { ?s ?p ?o } } GROUP BY ?g")
+    return sparql_select(syn.union(terms), q)
+
+
 def _q_kg_sparql_ask(sf_dir: str):
     """SPARQL ASK (existence, short-circuit limit(1)) wrapped as a
     1-row boolean table for the driver compare."""
@@ -3658,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_group_concat": _q_kg_sparql_group_concat,
         "kg_sparql_negated": _q_kg_sparql_negated,
         "kg_sparql_update": _q_kg_sparql_update,
+        "kg_sparql_graph_var": _q_kg_sparql_graph_var,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
@@ -5163,6 +5187,18 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_negated": _negated_sql(fx),
         # DELETE/INSERT WHERE: bag-delete + set-insert (EXCEPT)
         "kg_sparql_update": _update_sql(fx),
+        # per-graph triple counts: each emitter yields one triple per
+        # surviving source row, so counts = filtered row counts
+        "kg_sparql_graph_var":
+            f"SELECT 'ecotox_taxonomy' AS g, count(*)::BIGINT AS n"
+            f" FROM read_parquet('{fx}/species_synonyms.parquet')"
+            f" WHERE {_sent('species_number')} IS NOT NULL"
+            f" AND {_sent('latin_name')} IS NOT NULL"
+            f" UNION ALL"
+            f" SELECT 'eol_traits', count(*)::BIGINT"
+            f" FROM read_parquet('{fx}/terms.parquet')"
+            f" WHERE regexp_matches(trim(uri), '{_URL_SQL}')"
+            f" AND length(trim(name)) > 0",
         "kg_sparql_group_concat":
             f"SELECT '{NS}taxon/'||trim(species_number) AS s,"
             f" string_agg(trim(latin_name), '|'"

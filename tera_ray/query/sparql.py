@@ -64,7 +64,9 @@ so a reference user can run their existing query strings unchanged:
 - ``GRAPH <name> { … }`` — scopes a sub-BGP to the store's ``graph``
   lineage column (an engine extension: graph names are the emitters'
   plain graph tags such as ``"ecotox_chemicals"``, not IRIs; quote
-  them as literals)
+  them as literals); ``GRAPH ?g { … }`` evaluates the block once per
+  DISTINCT tag (tags are few by construction — one per emitter) and
+  unions the per-tag solutions with ``?g`` bound
 - ``BIND(expr AS ?v)`` with vectorized string expressions — CONCAT,
   STR/IRI/URI (identity on the string store), UCASE, LCASE, STRLEN,
   STRAFTER, STRBEFORE, REPLACE, SUBSTR — applied before FILTERs so the
@@ -553,9 +555,7 @@ class _Parser:
             elif self.kw("GRAPH"):
                 if in_optional:
                     raise SparqlUnsupported("GRAPH inside OPTIONAL/UNION")
-                gname = self.term()
-                if gname.startswith("?"):
-                    raise SparqlUnsupported("variable GRAPH name")
+                gname = self.term()         # constant tag or ?var
                 sub = self.group(in_optional=True)
                 graphs.append((gname, self._plain_sub(sub, "GRAPH")))
             elif self.kw("MINUS"):
@@ -1427,6 +1427,13 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         all_patterns = _collect_patterns(ast)
         keep = (["subj", "pred", "obj"]
                 + (["graph"] if _uses_graph(ast) else []))
+        if _uses_graph(ast):
+            from ..stages.base import schema_of as _schema_of
+
+            if "graph" not in _schema_of(triples).names:
+                raise SparqlError(
+                    "GRAPH block over a store without a 'graph' "
+                    "lineage column")
         # Narrowing needs every pattern's predicate to be a known
         # constant.  Three shapes defeat it: variable predicates,
         # zero-length paths ("*" / "?" bind every node of the FULL
@@ -1528,20 +1535,63 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # GRAPH blocks: the store's ``graph`` lineage column scopes the
     # sub-BGP (an engine extension: graph names are the emitters' plain
     # graph tags, not IRIs).  Filter once per block, match, then join
-    # the surrounding bindings on the shared variables.
+    # the surrounding bindings on the shared variables.  A VARIABLE
+    # graph name (``GRAPH ?g { … }``) evaluates the block once per
+    # DISTINCT tag — lineage tags are few by construction (one per
+    # emitter), so the tag list is driver-held — and unions the
+    # per-tag solutions with ``?g`` bound to the tag.
     for gname, gpats in ast.graphs:
-        gset = pa.scalar(gname, pa.string())
+        if gname.startswith("?"):
+            from ..stages.base import dedup_triples as _dd
 
-        def _gfilter(t: pa.Table, gset=gset) -> pa.Table:
-            return t.filter(pc.equal(t["graph"], gset)).select(
-                ["subj", "pred", "obj"])
+            gvar = gname[1:]
+            tags_ds = _dd(triples.map_batches(
+                lambda t: pa.table({"g": t["graph"]}),
+                batch_format="pyarrow"), keys=("g",),
+                num_buckets=min(16, num_buckets))
+            tags = sorted(r["g"] for r in tags_ds.take_all()
+                          if r["g"] is not None)
+            sub = None
+            g_vars = list(dict.fromkeys(
+                [v[1:] for p in gpats for v in p
+                 if isinstance(v, str) and v.startswith("?")] + [gvar]))
+            for tag in tags:
+                gset = pa.scalar(tag, pa.string())
 
-        gstore = triples.map_batches(_gfilter, batch_format="pyarrow")
-        sub = bgp_match(gstore, _connect_order(gpats),
-                        num_buckets=num_buckets, narrow=False)
-        g_vars = list(dict.fromkeys(
-            v[1:] for p in gpats for v in p
-            if isinstance(v, str) and v.startswith("?")))
+                def _gfilter(t: pa.Table, gset=gset) -> pa.Table:
+                    return t.filter(pc.equal(t["graph"], gset)).select(
+                        ["subj", "pred", "obj"])
+
+                one = bgp_match(triples.map_batches(_gfilter,
+                                                    batch_format="pyarrow"),
+                                _connect_order(gpats),
+                                num_buckets=num_buckets, narrow=False)
+
+                def _tag_col(t: pa.Table, tag=tag) -> pa.Table:
+                    return t.append_column(
+                        gvar, pa.repeat(pa.scalar(tag, pa.string()),
+                                        t.num_rows))
+
+                one = one.map_batches(_tag_col, batch_format="pyarrow")
+                sub = one if sub is None else sub.union(one)
+            if sub is None:                 # store with no graph tags
+                import ray.data
+
+                sub = ray.data.from_arrow(pa.table(
+                    {v: pa.array([], pa.string()) for v in g_vars}))
+        else:
+            gset = pa.scalar(gname, pa.string())
+
+            def _gfilter(t: pa.Table, gset=gset) -> pa.Table:
+                return t.filter(pc.equal(t["graph"], gset)).select(
+                    ["subj", "pred", "obj"])
+
+            gstore = triples.map_batches(_gfilter, batch_format="pyarrow")
+            sub = bgp_match(gstore, _connect_order(gpats),
+                            num_buckets=num_buckets, narrow=False)
+            g_vars = list(dict.fromkeys(
+                v[1:] for p in gpats for v in p
+                if isinstance(v, str) and v.startswith("?")))
         if out is None:
             out, have = sub, g_vars
             continue

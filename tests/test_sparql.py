@@ -127,7 +127,8 @@ class TestSparqlSelect:
         assert sparql_select(store(), q3).count() == 1
 
     def test_errors(self):
-        with pytest.raises(SparqlUnsupported):
+        # GRAPH (constant or ?var) needs the lineage column
+        with pytest.raises(SparqlError, match="lineage"):
             sparql_select(store(), PFX + "SELECT ?s WHERE "
                           "{ GRAPH ?g { ?s ?p ?o } }")
         with pytest.raises(SparqlError):
@@ -591,9 +592,18 @@ class TestSparqlSelect:
             }
         """), ["l", "o"])
         assert got2 == [("A", NS + "c")]
-        with pytest.raises(SparqlUnsupported):
-            sparql_select(st, PFX +
-                          "SELECT ?o { GRAPH ?g { ?s ex:p ?o } }")
+        # variable graph name: one evaluation per distinct tag,
+        # ?g bound to the tag
+        got3 = rows(sparql_select(st, PFX + """
+            SELECT ?g ?o WHERE { GRAPH ?g { ?s ex:p ?o } }
+        """), ["g", "o"])
+        assert got3 == [("g1", NS + "b"), ("g2", NS + "c")]
+        # GRAPH ?g joined with an unscoped pattern + aggregate
+        got4 = rows(sparql_select(st, PFX + """
+            SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+            GROUP BY ?g
+        """), ["g", "n"])
+        assert got4 == [("g1", 2), ("g2", 1)]
 
     def test_construct(self):
         # rewrite label edges into a new vocabulary + a type assertion
