@@ -109,8 +109,8 @@ import pyarrow.compute as pc
 from ..schema import ECOTOX_NS, OWL, RDF, RDFS, SKOS, UNIT
 
 __all__ = ["sparql_select", "sparql_construct", "sparql_ask",
-           "sparql_describe", "sparql_update", "prefixes", "DEFAULT_NS",
-           "SparqlError", "SparqlUnsupported"]
+           "sparql_describe", "sparql_update", "sparql_explain",
+           "prefixes", "DEFAULT_NS", "SparqlError", "SparqlUnsupported"]
 
 
 def prefixes(init_ns: dict) -> str:
@@ -1078,6 +1078,60 @@ def sparql_select(triples, query: str, num_buckets: int = 64,
     ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
     out, _, _ = _run_query(triples, ast, num_buckets)
     return out
+
+
+def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
+    """Compile a SELECT query WITHOUT executing it and return the
+    logical plan: the rewritten required patterns in join order (paths
+    appear as ``(mod, pred)`` tuples, bnode property lists as fresh
+    ``?__b*`` variables), whether the one-pass predicate narrowing
+    applies (and to which predicate set), the feature blocks in play,
+    and an upper bound on co-group shuffles (star-sibling batching can
+    only reduce it).  Debug/planning surface — no Ray session needed."""
+    ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
+    ordered = _connect_order(ast.patterns) if ast.patterns else []
+    all_patterns = _collect_patterns(ast)
+    narrowable, preds = True, set()
+    for p in all_patterns:
+        pr = p[1]
+        if isinstance(pr, tuple):
+            if pr[0] in ("*", "?", "!"):
+                narrowable = False
+            else:
+                preds.add(pr[1])
+        elif pr.startswith("?"):
+            narrowable = False
+        else:
+            preds.add(pr)
+    join_shuffles = max(0, len(ordered) - 1)
+    extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
+             + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
+             + len(ast.subqueries))
+    return {
+        "form": "SELECT",
+        "select": list(ast.select),
+        "distinct": ast.distinct,
+        "patterns_in_join_order": ordered,
+        "narrowable": narrowable,
+        "narrowed_predicates": sorted(preds) if narrowable else [],
+        "blocks": {
+            "optionals": len(ast.optionals),
+            "union_branches": sum(len(b) for b in ast.unions),
+            "graphs": len(ast.graphs),
+            "minus": len(ast.minuses),
+            "exists": len(ast.exists),
+            "values": len(ast.values),
+            "binds": len(ast.binds),
+            "subqueries": len(ast.subqueries),
+            "filters": len(ast.filters),
+        },
+        "aggregates": [(a.fn, a.var, a.alias) for a in ast.aggs],
+        "group_by": list(ast.group_by),
+        "order_by": list(ast.order_by),
+        "limit": ast.limit,
+        "offset": ast.offset,
+        "co_group_shuffles_upper_bound": join_shuffles + extra,
+    }
 
 
 def _run_query(triples, ast: _Query, num_buckets: int,

@@ -195,6 +195,27 @@ class TestSparqlSelect:
         """
         assert rows(sparql_select(store(), q3), ["n"]) == [(1,)]
 
+    def test_explain(self):
+        from tera_ray.query.sparql import sparql_explain
+
+        p = sparql_explain(PFX + """
+            SELECT DISTINCT ?s ?l WHERE {
+                ?s a ex:Test ; ex:label ?l .
+                OPTIONAL { ?s ex:measure ?m }
+            } LIMIT 5
+        """)
+        assert p["form"] == "SELECT" and p["distinct"]
+        assert p["limit"] == 5
+        assert len(p["patterns_in_join_order"]) == 2
+        assert p["narrowable"] and len(p["narrowed_predicates"]) == 3
+        assert p["blocks"]["optionals"] == 1
+        assert p["co_group_shuffles_upper_bound"] == 2
+        # negated sets / zero-length paths defeat narrowing
+        p2 = sparql_explain(PFX + "SELECT ?s ?o { ?s !ex:label ?o }")
+        assert not p2["narrowable"]
+        p3 = sparql_explain(PFX + "SELECT ?s ?o { ?s ex:sub* ?o }")
+        assert not p3["narrowable"]
+
     def test_sparql_update(self):
         from tera_ray.query.sparql import sparql_update
 
