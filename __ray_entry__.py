@@ -133,6 +133,28 @@ def _q_docs_line_dedup(sf_dir: str):
     return dedup_lines(ds, sep=" ", min_docs=int(0.8 * n_docs))
 
 
+def _q_docs_quality_model(sf_dir: str):
+    """Model-based quality scoring (FineWeb-Edu pattern): distributed
+    IRLS logistic regression on the vectorized quality signals
+    (label: is the doc English), then broadcast-weight sigmoid scoring
+    of every document.  Rows-only — no SQL Newton solver."""
+    from tera_ray.text.analysis import quality_stats
+    from tera_ray.text.classifier import logreg_fit, logreg_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        q = quality_stats(t)
+        return q.append_column(
+            "y", pc.cast(pc.equal(t["lang"], "en"), pa.int64()))
+
+    feat_cols = ["alpha_ratio", "punct_ratio", "stopword_ratio",
+                 "mean_word_len"]
+    fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    w, _ = logreg_fit(fds, feat_cols, "y")
+    return logreg_score(fds, w, feat_cols)
+
+
 def _q_docs_union_by_name(sf_dir: str):
     """UNION ALL BY NAME (schema evolution): two shards of the
     documents table exposing different column subsets union by column
@@ -3556,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_union_by_name": _q_docs_union_by_name,
+        "docs_quality_model": _q_docs_quality_model,
         "orders_upsert": _q_orders_upsert,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,

@@ -1,0 +1,134 @@
+"""Distributed logistic-regression quality classifier.
+
+Model-based quality filtering (the FineWeb-Edu / CCNet pattern: score
+every document with a small trained model, keep the top band) needs a
+trainer that never collects the corpus.  This is the classic
+distributed IRLS (Newton) decomposition, same shape as the engine's
+PCA/k-means loops:
+
+- **fit** — per Newton iteration, ONE ``map_batches`` pass emits a
+  fixed-size partial ``(XᵀWX d×d, Xᵀ(y−p) d, loss, n)`` per batch
+  (float64; the rows never leave the task); the driver sums the tiny
+  partials and solves the d×d system.  d = a handful of quality
+  features, iterations ≈ 8 — IRLS is deterministic given the data,
+  independent of batch order (the partials are exact sums).
+- **score** — the weight vector broadcasts via ``ray.put``; scoring is
+  one vectorized sigmoid per batch in an actor-pool stage.
+
+The trainer is the supervised counterpart of ``ann/kmeans.kmeans_lloyd``
+(unsupervised) and ``ann/pca.pca_fit`` (spectral): all three move only
+O(blocks · d²) floats per pass regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+__all__ = ["logreg_fit", "logreg_score"]
+
+
+def _design(t: pa.Table, feature_cols: list[str]) -> np.ndarray:
+    """(n, d+1) float64 design matrix with a leading intercept column."""
+    n = t.num_rows
+    X = np.empty((n, len(feature_cols) + 1), np.float64)
+    X[:, 0] = 1.0
+    for j, c in enumerate(feature_cols):
+        X[:, j + 1] = t[c].cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+    return X
+
+
+def logreg_fit(ds, feature_cols: list[str], label_col: str,
+               iters: int = 8, l2: float = 1e-6):
+    """Fit binary logistic regression (intercept + ``feature_cols``)
+    with distributed IRLS; ``label_col`` must be 0/1 (or boolean).
+
+    Returns ``(weights (d+1,), history)`` where ``history`` is the
+    per-iteration mean negative log-likelihood.  ``l2`` is a small
+    ridge term that also keeps the Newton system well-posed under
+    separable data."""
+    d1 = len(feature_cols) + 1
+    w = np.zeros(d1, np.float64)
+    history: list[float] = []
+    for _ in range(iters):
+        w_list = w.tolist()
+
+        def partial(t: pa.Table, w_list=w_list) -> pa.Table:
+            X = _design(t, feature_cols)
+            y = t[label_col].cast(pa.float64()).to_numpy(
+                zero_copy_only=False)
+            z = X @ np.asarray(w_list, np.float64)
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p * (1.0 - p)
+            H = (X * r[:, None]).T @ X               # (d+1, d+1)
+            g = X.T @ (y - p)                        # (d+1,)
+            eps = 1e-12
+            loss = -np.sum(y * np.log(p + eps)
+                           + (1.0 - y) * np.log(1.0 - p + eps))
+            return pa.table({
+                "h": pa.array([H.reshape(-1).tolist()],
+                              pa.list_(pa.float64())),
+                "g": pa.array([g.tolist()], pa.list_(pa.float64())),
+                "loss": pa.array([float(loss)], pa.float64()),
+                "n": pa.array([X.shape[0]], pa.int64()),
+            })
+
+        H = np.zeros((d1, d1), np.float64)
+        g = np.zeros(d1, np.float64)
+        loss, n = 0.0, 0
+        for b in ds.map_batches(partial,
+                                batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            for row in b.to_pylist():
+                H += np.asarray(row["h"], np.float64).reshape(d1, d1)
+                g += np.asarray(row["g"], np.float64)
+                loss += row["loss"]
+                n += row["n"]
+        if n == 0:
+            raise ValueError("logreg_fit over an empty dataset")
+        H += l2 * np.eye(d1)
+        g -= l2 * w
+        w = w + np.linalg.solve(H, g)
+        history.append(loss / n)
+    return w, history
+
+
+class _ScoreStage:
+    """Actor-pool stage: broadcast-weight sigmoid scoring."""
+
+    def __init__(self, w_ref, feature_cols: list[str], id_col: str,
+                 out_col: str, round_digits: int | None):
+        w = ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef) else w_ref
+        self.w = np.asarray(w, np.float64)
+        self.feature_cols = list(feature_cols)
+        self.id_col, self.out_col = id_col, out_col
+        self.round_digits = round_digits
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _design(t, self.feature_cols)
+        p = 1.0 / (1.0 + np.exp(-(X @ self.w)))
+        if self.round_digits is not None:
+            p = np.round(p, self.round_digits)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            self.out_col: pa.array(p, pa.float64()),
+        })
+
+
+def logreg_score(ds, weights, feature_cols: list[str],
+                 id_col: str = "doc_id", out_col: str = "score",
+                 round_digits: int | None = 6,
+                 concurrency: int | None = None):
+    """Score every row with the fitted model → ``(id_col, out_col)``;
+    the weight vector ships once per node via ``ray.put``."""
+    ref = ray.put(np.asarray(weights, np.float64))
+    return ds.map_batches(
+        _ScoreStage,
+        fn_constructor_kwargs={"w_ref": ref, "feature_cols": feature_cols,
+                               "id_col": id_col, "out_col": out_col,
+                               "round_digits": round_digits},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency) if concurrency else (1, 8))

@@ -263,6 +263,39 @@ class TestANN:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestLogReg:
+    def test_irls_matches_numpy_and_separates(self, ray_session):
+        import numpy as np
+
+        from tera_ray.text.classifier import logreg_fit, logreg_score
+
+        rng = np.random.default_rng(1)
+        n = 800
+        X = rng.normal(size=(n, 3))
+        z = 0.5 + X @ np.array([2.0, -1.0, 0.3])
+        y = (rng.uniform(size=n) < 1 / (1 + np.exp(-z))).astype(np.int64)
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "f1": pa.array(X[:, 0]), "f2": pa.array(X[:, 1]),
+            "f3": pa.array(X[:, 2]), "y": pa.array(y),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(9)
+        w, hist = logreg_fit(ds, ["f1", "f2", "f3"], "y")
+        # independent single-machine IRLS (identical algorithm)
+        Xd = np.column_stack([np.ones(n), X])
+        wo = np.zeros(4)
+        for _ in range(8):
+            p = 1 / (1 + np.exp(-Xd @ wo))
+            H = (Xd * (p * (1 - p))[:, None]).T @ Xd + 1e-6 * np.eye(4)
+            wo = wo + np.linalg.solve(H, Xd.T @ (y - p) - 1e-6 * wo)
+        assert np.allclose(w, wo, atol=1e-9)
+        assert hist[-1] < hist[0]           # loss decreased
+        sc = logreg_score(ds, w, ["f1", "f2", "f3"]).take_all()
+        pred = {r["doc_id"]: r["score"] > 0.5 for r in sc}
+        acc = np.mean([pred[i] == bool(y[i]) for i in range(n)])
+        assert acc > 0.75                   # separates the noisy labels
+
+
 class TestPCA:
     def test_fit_transform_matches_numpy(self, ray_session):
         import numpy as np
