@@ -133,6 +133,18 @@ def _q_docs_line_dedup(sf_dir: str):
     return dedup_lines(ds, sep=" ", min_docs=int(0.8 * n_docs))
 
 
+def _q_docs_hash_embed(sf_dir: str):
+    """Feature-hashing bag-of-words embeddings (the hashing trick):
+    deterministic FNV-based signed slot sums, L2-normalized — text →
+    fixed-width vectors with no model, feeding the in-engine ANN /
+    k-means / PCA / SemDeDup stack.  Pure per-batch map."""
+    from tera_ray.text.analysis import hash_embed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: hash_embed(t, dim=16),
+                          batch_format="pyarrow")
+
+
 def _q_docs_quality_model(sf_dir: str):
     """Model-based quality scoring (FineWeb-Edu pattern): distributed
     IRLS logistic regression on the vectorized quality signals
@@ -3579,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_quality_model": _q_docs_quality_model,
+        "docs_hash_embed": _q_docs_hash_embed,
         "orders_upsert": _q_orders_upsert,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
@@ -4459,6 +4472,45 @@ WHERE d.doc_id % 10 <> 0
 """
 
 
+def _hash_embed_sql(dim: int = 16) -> str:
+    """Feature-hashing embedding oracle: same FNV-1a per token as the
+    fingerprint oracle, signed by the hash's top bit, slot = hash mod
+    dim, L2-normalized, zero-filled grid, engine rounding."""
+    fnv = _fnv_sql("t")
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, '')),
+                                 ' '||chr(9)||chr(10)||chr(13)),
+                            '[^a-z0-9]+') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM tk
+), h AS (
+  SELECT doc_id, {fnv} AS hv FROM tok WHERE t <> ''
+), s AS (
+  SELECT doc_id, (hv % {dim})::BIGINT AS slot,
+         CASE WHEN hv >= 9223372036854775808::HUGEINT
+              THEN -1.0 ELSE 1.0 END AS sgn
+  FROM h
+), agg AS (SELECT doc_id, slot, sum(sgn) AS v FROM s GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v*v)) AS nn FROM agg GROUP BY 1),
+grid AS (SELECT d.doc_id, r.range::BIGINT AS slot
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         CROSS JOIN range({dim}) r),
+vals AS (
+  SELECT g.doc_id, g.slot,
+         round_even(coalesce(a.v, 0)
+                    / coalesce(NULLIF(n.nn, 0), 1) * 1e6, 0) / 1e6 AS v
+  FROM grid g
+  LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.slot = g.slot
+  LEFT JOIN nrm n ON n.doc_id = g.doc_id
+)
+SELECT doc_id, array_agg(v ORDER BY slot) AS embedding
+FROM vals GROUP BY doc_id
+"""
+
+
 def _fingerprint_sql() -> str:
     """Rolling FNV-1a document fingerprint, reproduced bit-for-bit in
     SQL: per-token FNV-1a over ASCII codes (list_reduce with the xor
@@ -5271,6 +5323,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "docs_quality_stats": _quality_stats_sql(),
         "docs_quality": _docs_quality_sql(),
         "docs_fingerprint": _fingerprint_sql(),
+        "docs_hash_embed": _hash_embed_sql(),
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "events_tumbling":
             "SELECT event_type,"

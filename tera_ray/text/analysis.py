@@ -394,3 +394,45 @@ def bigram_fluency(ds, id_col: str = "doc_id", text_col: str = "text",
                          "score": sc})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def hash_embed(batch: pa.Table, column: str = "text",
+               id_col: str = "doc_id", dim: int = 16, norm: bool = True,
+               round_digits: int | None = 6) -> pa.Table:
+    """Feature-hashing bag-of-words embedding (the "hashing trick"):
+    every token occurrence adds ``sign(h)`` to slot ``h % dim`` of the
+    document vector, where ``h`` is the same FNV-1a the fingerprint
+    uses (deterministic, SQL-reproducible); optional L2 normalization.
+
+    Turns raw text into fixed-width ``list<double>`` vectors with NO
+    model weights, so the whole ANN stack (brute/IVF search, k-means,
+    PCA, SemDeDup) runs on text corpora in-engine.  Pure per-batch map
+    — no shuffle, no state.  Zero-token documents embed as the zero
+    vector."""
+    text = _text_col(batch, column)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    offsets, tok_h = hash_tokens_batch(text)
+    offsets = offsets.astype(np.int64)
+    n = batch.num_rows
+    V = np.zeros((n, dim), np.float64)
+    if len(tok_h):
+        seg_len = np.diff(offsets)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), seg_len)
+        # drop EMPTY tokens (the split of "" is [''], whose FNV is the
+        # offset basis) so zero-token docs embed as the zero vector
+        keep = tok_h != _FP_OFFSET
+        doc_of, tok_h = doc_of[keep], tok_h[keep]
+        slot = (tok_h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((tok_h >> np.uint64(63)) == 0, 1.0, -1.0)
+        np.add.at(V, (doc_of, slot), sign)
+    if norm:
+        nn = np.sqrt((V * V).sum(axis=1))
+        nz = nn > 0
+        V[nz] /= nn[nz, None]
+    if round_digits is not None:
+        V = np.round(V, round_digits)
+    return pa.table({
+        id_col: batch[id_col],
+        "embedding": pa.array(V.tolist(), pa.list_(pa.float64())),
+    })

@@ -263,6 +263,30 @@ class TestANN:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHashEmbed:
+    def test_deterministic_normed_and_zero_doc(self):
+        import numpy as np
+
+        from tera_ray.text.analysis import hash_embed
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["hello world hello", "world", "",
+                              "HELLO world hello"], pa.string()),
+        })
+        V = np.array(hash_embed(t, dim=8)["embedding"].to_pylist())
+        # L2-normalized non-empty docs; empty doc = zero vector
+        assert np.allclose(np.linalg.norm(V[[0, 1, 3]], axis=1), 1.0)
+        assert np.allclose(V[2], 0.0)
+        # case-insensitive tokenization: rows 0 and 3 identical
+        assert np.allclose(V[0], V[3])
+        # same tokens, different counts: same support, different vector
+        assert set(np.nonzero(V[1])[0]) <= set(np.nonzero(V[0])[0])
+        # stable across calls (no seed/hash-randomization dependence)
+        V2 = np.array(hash_embed(t, dim=8)["embedding"].to_pylist())
+        assert np.array_equal(V, V2)
+
+
 class TestLogReg:
     def test_irls_matches_numpy_and_separates(self, ray_session):
         import numpy as np
