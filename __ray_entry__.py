@@ -145,6 +145,25 @@ def _q_docs_hash_embed(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_docs_embed_cluster(sf_dir: str):
+    """Capstone composition: raw text → feature-hashing embeddings →
+    broadcast nearest-centroid assignment (centroids = the first 8
+    docs' vectors), all in-engine with no model weights and ONE pass
+    per stage — the hashed-vector pipeline the ANN stack enables."""
+    from tera_ray.ann.kmeans import kmeans_assign
+    from tera_ray.text.analysis import hash_embed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = ds.map_batches(lambda t: hash_embed(t, dim=16),
+                         batch_format="pyarrow")
+    head = emb.filter(
+        lambda r: r["doc_id"] < 8).take_all()
+    head.sort(key=lambda r: r["doc_id"])
+    cids = [r["doc_id"] for r in head]
+    C = [r["embedding"] for r in head]
+    return kmeans_assign(emb, cids, C, id_col="doc_id")
+
+
 def _q_docs_quality_model(sf_dir: str):
     """Model-based quality scoring (FineWeb-Edu pattern): distributed
     IRLS logistic regression on the vectorized quality signals
@@ -3592,6 +3611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_quality_model": _q_docs_quality_model,
         "docs_hash_embed": _q_docs_hash_embed,
+        "docs_embed_cluster": _q_docs_embed_cluster,
         "orders_upsert": _q_orders_upsert,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
@@ -5324,6 +5344,19 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "docs_quality": _docs_quality_sql(),
         "docs_fingerprint": _fingerprint_sql(),
         "docs_hash_embed": _hash_embed_sql(),
+        # text → hashed vectors → nearest-centroid assignment, same
+        # min-dist/min-cid convention as the kmeans oracle
+        "docs_embed_cluster":
+            f"WITH e AS ({_hash_embed_sql()}),"
+            " cents AS (SELECT doc_id AS cid, embedding AS cvec"
+            " FROM e WHERE doc_id < 8),"
+            " d AS (SELECT e.doc_id, c.cid,"
+            " list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[])"
+            " AS dist FROM e CROSS JOIN cents c),"
+            " m AS (SELECT doc_id, cid, dist,"
+            " min(dist) OVER (PARTITION BY doc_id) AS md FROM d)"
+            " SELECT doc_id, min(cid) AS cluster FROM m"
+            " WHERE dist = md GROUP BY doc_id",
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "events_tumbling":
             "SELECT event_type,"
