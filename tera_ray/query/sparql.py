@@ -21,7 +21,8 @@ so a reference user can run their existing query strings unchanged:
   sub-BGP and LEFT-joined to the required bindings on the shared
   variables (one co-group shuffle per group), which is exact SPARQL
   left-join semantics for the reference's non-nested optionals
-- ``FILTER`` with ``isURI``/``isLiteral``/``isBlank``,
+- ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
+  idiom), unary ``!``, ``isURI``/``isLiteral``/``isBlank``,
   ``STRSTARTS``/``STRENDS``/``CONTAINS`` ``(str(?v), …)``,
   ``regex(?v, "re")``, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
   (type-aware: numeric columns compare numerically, strings lexically;
@@ -941,6 +942,10 @@ class _Parser:
 
     def _primary(self):
         kind, v = self.peek()
+        if v == "!":                        # unary negation (Kleene:
+            self.next()                     # !null stays null → dropped)
+            inner = self._primary()
+            return (lambda f: lambda t: pc.invert(f(t)))(inner)
         if v == "(":
             self.next()
             fn = self._or_expr()
@@ -949,6 +954,11 @@ class _Parser:
         if kind == "word":
             word = v
             low = word.lower()
+            if low == "bound":
+                self.next(), self.expect("(")
+                var = self._var_name()
+                self.expect(")")
+                return (lambda var: lambda t: pc.is_valid(t[var]))(var)
             if low in ("isuri", "isiri"):
                 self.next(), self.expect("(")
                 var = self._strip_str_of_var()

@@ -216,6 +216,27 @@ class TestSparqlSelect:
         p3 = sparql_explain(PFX + "SELECT ?s ?o { ?s ex:sub* ?o }")
         assert not p3["narrowable"]
 
+    def test_bound_and_negation(self):
+        # BOUND(?m): t1 has a measure, t2 does not (OPTIONAL null)
+        q = PFX + """
+            SELECT ?s WHERE {
+                ?s a ex:Test OPTIONAL { ?s ex:measure ?m }
+                FILTER (BOUND(?m))
+            }
+        """
+        assert rows(sparql_select(store(), q), ["s"]) == [(NS + "t1",)]
+        # the classic OPTIONAL-negation idiom: !BOUND
+        qn = PFX + """
+            SELECT ?s WHERE {
+                ?s a ex:Test OPTIONAL { ?s ex:measure ?m }
+                FILTER (!BOUND(?m))
+            }
+        """
+        assert rows(sparql_select(store(), qn), ["s"]) == [(NS + "t2",)]
+        # unary ! over a builtin
+        qb = PFX + 'SELECT ?l { ?s ex:label ?l FILTER (!CONTAINS(?l, "lph")) }'
+        assert rows(sparql_select(store(), qb), ["l"]) == [("beta",)]
+
     def test_sparql_update(self):
         from tera_ray.query.sparql import sparql_update
 
