@@ -22,7 +22,8 @@ so a reference user can run their existing query strings unchanged:
   variables (one co-group shuffle per group), which is exact SPARQL
   left-join semantics for the reference's non-nested optionals
 - ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
-  idiom), unary ``!``, ``isURI``/``isLiteral``/``isBlank``,
+  idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
+  unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
   ``STRSTARTS``/``STRENDS``/``CONTAINS`` ``(str(?v), …)``,
   ``regex(?v, "re")``, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
   (type-aware: numeric columns compare numerically, strings lexically;
@@ -998,6 +999,35 @@ class _Parser:
             raise SparqlUnsupported(f"unsupported FILTER function {word!r}")
         if kind == "var":
             var = self._var_name()
+            nk, nv = self.peek()
+            neg_in = False
+            if nk == "word" and nv.upper() == "NOT":
+                self.next()
+                if not self.kw("IN"):
+                    raise SparqlError("expected IN after NOT in FILTER")
+                neg_in = True
+            if neg_in or (nk == "word" and self.kw("IN")):
+                self.expect("(")
+                vals = []
+                if self.peek()[1] != ")":
+                    vals.append(self.term())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        vals.append(self.term())
+                self.expect(")")
+                vset = pa.array(sorted(set(vals)), pa.string())
+
+                def inset(t: pa.Table, var=var, vset=vset,
+                          neg=neg_in) -> pa.Array:
+                    m = pc.is_in(t[var], value_set=vset)
+                    if neg:
+                        m = pc.invert(m)
+                    # unbound ?v is an ERROR in SPARQL IN/NOT IN → the
+                    # row drops either way (is_in maps null to False,
+                    # which NOT IN would otherwise wrongly keep)
+                    return pc.and_(m, pc.is_valid(t[var]))
+
+                return inset
             op = self.next()[1]
             ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
                    ">": pc.greater, "<=": pc.less_equal,

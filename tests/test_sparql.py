@@ -237,6 +237,22 @@ class TestSparqlSelect:
         qb = PFX + 'SELECT ?l { ?s ex:label ?l FILTER (!CONTAINS(?l, "lph")) }'
         assert rows(sparql_select(store(), qb), ["l"]) == [("beta",)]
 
+    def test_filter_in(self):
+        q = PFX + ('SELECT ?l { ?s ex:label ?l '
+                   'FILTER (?l IN ("alpha", "nope")) }')
+        assert rows(sparql_select(store(), q), ["l"]) == [("alpha",)]
+        qn = PFX + ('SELECT ?l { ?s ex:label ?l '
+                    'FILTER (?l NOT IN ("alpha")) }')
+        assert rows(sparql_select(store(), qn), ["l"]) == [("beta",)]
+        # unbound var is an ERROR in (NOT) IN → row drops either way
+        qo = PFX + """
+            SELECT ?s WHERE {
+                ?s a ex:Test OPTIONAL { ?s ex:measure ?m }
+                FILTER (?m NOT IN ("zzz"))
+            }
+        """
+        assert rows(sparql_select(store(), qo), ["s"]) == [(NS + "t1",)]
+
     def test_sparql_update(self):
         from tera_ray.query.sparql import sparql_update
 
