@@ -459,6 +459,17 @@ class _Parser:
         self.parse_prologue()
         if not self.kw("CONSTRUCT"):
             raise SparqlError(f"expected CONSTRUCT, got {self.peek()[1]!r}")
+        if self.peek()[1] != "{":
+            # CONSTRUCT WHERE { … } shorthand (spec §10.2.3): the plain
+            # pattern block is its own template
+            if not self.kw("WHERE"):
+                raise SparqlError(
+                    f"expected {{ or WHERE, got {self.peek()[1]!r}")
+            template = self.template_block("CONSTRUCT WHERE")
+            q = _Query(select=[], distinct=False, patterns=template,
+                       optionals=[])
+            self._expect_eof()
+            return template, q
         template = self.template_block("CONSTRUCT")
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,

@@ -216,6 +216,14 @@ class TestSparqlSelect:
         p3 = sparql_explain(PFX + "SELECT ?s ?o { ?s ex:sub* ?o }")
         assert not p3["narrowable"]
 
+    def test_construct_where_shorthand(self):
+        # CONSTRUCT WHERE { … }: the pattern block is its own template
+        out = sparql_construct(store(), PFX +
+                               "CONSTRUCT WHERE { ?s ex:label ?l }")
+        got = rows(out, ["subj", "pred", "obj"])
+        assert got == [(NS + "t1", NS + "label", "alpha"),
+                       (NS + "t2", NS + "label", "beta")]
+
     def test_bound_and_negation(self):
         # BOUND(?m): t1 has a measure, t2 does not (OPTIONAL null)
         q = PFX + """
