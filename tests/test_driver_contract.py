@@ -103,6 +103,19 @@ PARITY_KEYS = [
     "source_top_tokens",
     "events_interarrival",
     "lang_quality_means",
+    # session-5 additions
+    "kg_sparql_star_path",
+    "kg_sparql_zero_or_one",
+    "kg_sparql_group_concat",
+    "kg_sparql_negated",
+    "kg_sparql_update",
+    "kg_sparql_graph_var",
+    "docs_line_dedup",
+    "emb_dim_stats",
+    "docs_union_by_name",
+    "orders_upsert",
+    "docs_hash_embed",
+    "docs_embed_cluster",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
