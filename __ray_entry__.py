@@ -55,11 +55,15 @@ def _fx(sf_dir: str) -> str:
     return fixture_dir(scale)
 
 
-def _read(sf_dir: str, name: str, columns=None):
+def _read(sf_dir: str, name: str, columns=None, predicate=None):
+    """Column-pruned (and optionally row-filter-pushed) parquet read:
+    ``predicate`` is a pyarrow dataset expression evaluated at the SCAN
+    — row groups whose statistics exclude it never leave storage."""
     import ray.data
 
     return ray.data.read_parquet(
-        os.path.join(sf_dir, name + ".parquet"), columns=columns)
+        os.path.join(sf_dir, name + ".parquet"), columns=columns,
+        filter=predicate)
 
 
 def _collect(ds) -> pa.Table:
@@ -1745,14 +1749,15 @@ def _q_customer_urgent_full(sf_dir: str):
     SQL ``COALESCE(l.k, r.k)``."""
     from tera_ray.query.relational import grouped_agg, hash_join
 
+    import pyarrow.dataset as pads
+
+    # constant filters pushed INTO the scan (row-group pruning)
     bld = _read(sf_dir, "customer",
-                columns=["c_custkey", "c_mktsegment"]).map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-        batch_format="pyarrow")
+                columns=["c_custkey", "c_mktsegment"],
+                predicate=pads.field("c_mktsegment") == "BUILDING")
     urgent = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_orderpriority"]).map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
-        batch_format="pyarrow")
+                   columns=["o_custkey", "o_orderpriority"],
+                   predicate=pads.field("o_orderpriority") == "1-URGENT")
     cnt = grouped_agg(urgent, ["o_custkey"],
                       [("o_custkey", "count", "urgent_cnt")])
     return hash_join(bld, cnt, on="c_custkey", right_on="o_custkey",
