@@ -86,8 +86,9 @@ so a reference user can run their existing query strings unchanged:
   Datasets are immutable): ``INSERT DATA`` / ``DELETE DATA`` (ground
   triples, one broadcast-filtered scan, no shuffle), ``DELETE WHERE``,
   and ``DELETE {} INSERT {} WHERE {}`` (bindings evaluated once
-  against the pre-update store; bag-delete, set-insert via a
-  composite-key anti-join)
+  against the per-operation store; bag-delete, set-insert via a
+  composite-key anti-join); ``;``-separated operation sequences apply
+  left to right, each seeing its predecessors' writes (spec §3.1)
 
 The one remaining construct the reference never uses (``SERVICE``
 federation — no network in scope) raises ``SparqlUnsupported`` with
@@ -394,28 +395,26 @@ class _Parser:
             raise SparqlError(f"empty {what} template")
         return template
 
-    def parse_update(self):
-        """One SPARQL UPDATE operation → ``(delete_template,
-        insert_template, where _Query | None)``.  ``INSERT DATA`` /
-        ``DELETE DATA`` return ground templates with ``where=None``;
-        ``DELETE WHERE { … }`` uses its pattern block as both."""
-        self.parse_prologue()
+    def parse_update_op(self):
+        """ONE SPARQL UPDATE operation → ``(delete_template,
+        insert_template, where _Query | None)``; does NOT consume the
+        trailing ``;``/eof (the executor loops over ``;``-separated
+        operations).  ``INSERT DATA`` / ``DELETE DATA`` return ground
+        templates with ``where=None``; ``DELETE WHERE { … }`` uses its
+        pattern block as both."""
         delete_t = insert_t = None
         if self.kw("INSERT"):
             if self.kw("DATA"):
                 t = self.template_block("INSERT DATA")
-                self._expect_eof()
                 return None, self._ground(t, "INSERT DATA"), None
             insert_t = self.template_block("INSERT")
         elif self.kw("DELETE"):
             if self.kw("DATA"):
                 t = self.template_block("DELETE DATA")
-                self._expect_eof()
                 return self._ground(t, "DELETE DATA"), None, None
             if self.peek()[1] != "{" and self.kw("WHERE"):
                 # DELETE WHERE { … }: the pattern block is the template
                 delete_t = self.template_block("DELETE WHERE")
-                self._expect_eof()
                 q = _Query(select=[], distinct=False, patterns=delete_t,
                            optionals=[])
                 return delete_t, None, q
@@ -429,7 +428,6 @@ class _Parser:
             raise SparqlError("UPDATE with a template needs WHERE { … }")
         (patterns, optionals, filters, unions, values, graphs,
          binds, minuses, exists, subqueries) = self.group()
-        self._expect_eof()
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
                    unions=unions, values=values, graphs=graphs,
@@ -1409,18 +1407,38 @@ def sparql_update(triples, update: str, num_buckets: int = 64,
     one unavoidable co-group shuffle of the update; the tiny ``DATA``
     forms instead use one broadcast-filtered scan, no shuffle).
     Output columns are ``(subj, pred, obj)``."""
+    _SPO = ["subj", "pred", "obj"]
+    store = triples.map_batches(lambda t: t.select(_SPO),
+                                batch_format="pyarrow")
+    p = _Parser(_tokenize(update), _resolve_ns(init_ns))
+    p.parse_prologue()
+    while True:                             # ';'-separated operations
+        delete_t, insert_t, ast = p.parse_update_op()
+        store = _apply_update_op(store, delete_t, insert_t, ast,
+                                 num_buckets)
+        kind, v = p.peek()
+        if v == ";":
+            p.next()
+            if p.peek()[0] == "eof":        # trailing ';' is legal
+                break
+            continue
+        if kind != "eof":
+            raise SparqlError(f"unexpected trailing {v!r}")
+        break
+    return store
+
+
+def _apply_update_op(store, delete_t, insert_t, ast, num_buckets: int):
+    """Apply one parsed UPDATE operation to an SPO store Dataset; the
+    WHERE (if any) evaluates against the store AS OF this operation —
+    ``;``-sequences see each predecessor's writes (spec §3.1)."""
     import ray.data
 
     from ..query.relational import multi_key_anti_join
     from ..stages.base import dedup_triples
 
-    delete_t, insert_t, ast = _Parser(
-        _tokenize(update), _resolve_ns(init_ns)).parse_update()
-
     _SPO = ["subj", "pred", "obj"]
     spo_schema = pa.schema([(c, pa.string()) for c in _SPO])
-    store = triples.map_batches(lambda t: t.select(_SPO),
-                                batch_format="pyarrow")
 
     def ground_table(tmpl) -> pa.Table:
         return pa.table({
@@ -1464,7 +1482,7 @@ def sparql_update(triples, update: str, num_buckets: int = 64,
             key_arr(ins), value_set=pa.array(sorted(seen), pa.string()))))
         return store.union(ray.data.from_arrow(missing))
 
-    out, have, _ = _eval_where(triples, ast, num_buckets)
+    out, have, _ = _eval_where(store, ast, num_buckets)
     if delete_t:
         dels = dedup_triples(_instantiate(out, have, delete_t, "DELETE"),
                              num_buckets=num_buckets, mode="hash")

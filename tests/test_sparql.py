@@ -295,6 +295,16 @@ class TestSparqlSelect:
         # variables are illegal in DATA blocks
         with pytest.raises(SparqlError):
             sparql_update(mk(), PFX + "INSERT DATA { ?s ex:p \"1\" }")
+        # ';'-separated operations apply sequentially: each op's WHERE
+        # sees the previous op's writes (spec §3.1)
+        seq = PFX + ('INSERT DATA { <c> ex:p "9" } ; '
+                     "DELETE WHERE { ?s ex:q ?o } ; "
+                     "INSERT { ?s ex:seen ?o } WHERE { ?s ex:p ?o } ;")
+        r = sparql_update(mk(), seq)
+        assert trips(r) == [
+            ("a", NS + "p", "1"), ("a", NS + "seen", "1"),
+            ("b", NS + "p", "3"), ("b", NS + "seen", "3"),
+            ("c", NS + "p", "9"), ("c", NS + "seen", "9")]
 
     def test_negated_property_set(self):
         rows_in = [("a", NS + "p", "1"), ("a", NS + "q", "2"),
