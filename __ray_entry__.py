@@ -137,6 +137,21 @@ def _q_docs_line_dedup(sf_dir: str):
     return dedup_lines(ds, sep=" ", min_docs=int(0.8 * n_docs))
 
 
+def _q_docs_hot_lines(sf_dir: str):
+    """The line-dedup CENSUS half standalone: lines (here tokens, the
+    docs are single-line) present in ≥ 60% of distinct documents —
+    one hash-bucket groupby over per-batch-distinct (line, doc)
+    pairs."""
+    import pyarrow.parquet as pq
+
+    from tera_ray.dedup.lines import hot_lines
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hot_lines(ds, sep=" ", min_docs=int(0.6 * n_docs))
+
+
 def _q_docs_hash_embed(sf_dir: str):
     """Feature-hashing bag-of-words embeddings (the hashing trick):
     deterministic FNV-based signed slot sums, L2-normalized — text →
@@ -3617,6 +3632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_model": _q_docs_quality_model,
         "docs_hash_embed": _q_docs_hash_embed,
         "docs_embed_cluster": _q_docs_embed_cluster,
+        "docs_hot_lines": _q_docs_hot_lines,
         "orders_upsert": _q_orders_upsert,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_counts": _q_docs_lang_counts,
@@ -4815,6 +4831,14 @@ kept AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
 SELECT d.doc_id, coalesce(k.text, '') AS text
 FROM documents d LEFT JOIN kept k USING (doc_id)
 """,
+        # the line-dedup census standalone: tokens in >= 60% of docs
+        "docs_hot_lines":
+            "WITH l AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS line FROM documents)"
+            " SELECT line FROM l GROUP BY line"
+            " HAVING count(DISTINCT doc_id) >="
+            " (SELECT CAST(floor(count(*) * 0.6) AS BIGINT)"
+            "  FROM documents)",
         # schema-evolution union: column match by NAME, null padding
         "docs_union_by_name":
             "SELECT doc_id, lang, NULL::VARCHAR AS source FROM documents"
