@@ -606,7 +606,13 @@ def _q_source_top_tokens(sf_dir: str):
 def _q_events_props_sum(sf_dir: str):
     """Semi-structured payloads: vectorized JSON-path extraction from
     the ``events.props`` JSON string column (polars ``json_path_match``
-    per batch — no Python row loop) folded by the grouped combiner."""
+    per batch — no Python row loop) folded by the grouped combiner.
+    The string→int64 cast uses ``sql_try_cast_int64`` — DuckDB-identical
+    semantics (decimal rounding, whitespace, exponents), because polars'
+    strict-less Int64 cast nulls shapes like ``'1.5'``/``' 7 '`` that
+    the oracle's ``CAST(… AS BIGINT)`` coerces (the r02 driver
+    hash-mismatch root cause)."""
+    from tera_ray.cleaning import sql_try_cast_int64
     from tera_ray.query.relational import grouped_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
@@ -615,9 +621,9 @@ def _q_events_props_sum(sf_dir: str):
         import polars as pl
 
         s = pl.from_arrow(t["props"].combine_chunks())
-        k = s.str.json_path_match("$.k").cast(pl.Int64, strict=False)
+        raw = s.str.json_path_match("$.k").to_arrow()
         return pa.table({"event_type": t["event_type"],
-                         "k": k.to_arrow()})
+                         "k": sql_try_cast_int64(raw)})
 
     return grouped_agg(ds.map_batches(extract, batch_format="pyarrow"),
                        ["event_type"],
@@ -2609,7 +2615,9 @@ def _q_kg_conversations(sf_dir: str):
 
     from tera_ray.query.relational import ordered_group_concat
 
-    ts = ray.data.read_parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    ts = ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "ts", "text"])
     return ordered_group_concat(
         ts, "conv_id", [("turn_idx", "ascending"), ("ts", "ascending")],
         "text", sep="\x1f", out_names=("conv_id", "n_turns", "seq"))
@@ -2629,7 +2637,8 @@ def _q_conv_training_examples(sf_dir: str):
     from tera_ray.text.curation import chunk_windows
 
     ts = ray.data.read_parquet(
-        os.path.join(_fx(sf_dir), "transcripts.parquet"))
+        os.path.join(_fx(sf_dir), "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "ts", "text"])
     seqs = ordered_group_concat(
         ts, "conv_id", [("turn_idx", "ascending"), ("ts", "ascending")],
         "text", sep=" ", out_names=("conv_id", "n_turns", "text"))
@@ -2864,7 +2873,8 @@ def _q_kg_incremental(sf_dir: str):
     from tera_ray.pipelines.transcripts import build_kg_from, update_kg
 
     fx = _fx(sf_dir)
-    tr = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    tr = ray.data.read_parquet(os.path.join(fx, "transcripts.parquet"),
+                               columns=["conv_id", "turn_idx", "text"])
 
     def half(even: bool):
         def f(t: pa.Table) -> pa.Table:

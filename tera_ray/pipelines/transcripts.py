@@ -655,8 +655,12 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
         # at 2/CPU the last wave leaves a third of the pool idle
         # (measured 44.3s → 34.1s at 8 CPUs on the 2M-turn build)
         override_num_blocks = max(8, 4 * ncpu)
+    # Read-time column pruning (SURVEY §7.4): the linker consumes only
+    # (conv_id, turn_idx, text); role/tool/ts never leave storage.  At
+    # the input_hint schema this drops ~a third of the scanned bytes.
     transcripts = ray.data.read_parquet(
         os.path.join(data_dir, "transcripts.parquet"),
+        columns=["conv_id", "turn_idx", "text"],
         override_num_blocks=override_num_blocks,
     )
     return build_kg_from(transcripts, data_dir, fuzzy=fuzzy, dedup=dedup,

@@ -201,7 +201,9 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
 
     def make_link():
         lex_ref = build_lexicon(data_dir)
-        tr = ray.data.read_parquet(tpath)
+        # prune to the linker's three columns at the read (SURVEY §7.4)
+        tr = ray.data.read_parquet(
+            tpath, columns=["conv_id", "turn_idx", "text"])
         return link_transcripts(tr, lex_ref, fuzzy=fuzzy)
 
     link_ds, link_skipped = run_stage(make_link, ckpt_root, "link", fp_link,

@@ -116,6 +116,7 @@ PARITY_KEYS = [
     "orders_upsert",
     "docs_hash_embed",
     "docs_embed_cluster",
+    "docs_hot_lines",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
