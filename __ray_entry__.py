@@ -1128,7 +1128,7 @@ def _q_docs_token_ids(sf_dir: str):
     """Vocab build + token-id encoding (the LLM-prep transform):
     top-500 vocabulary via the Zipf-bounded count shuffle, then a
     broadcast-vocab actor pool encodes every document to a
-    ``list<int32>`` id sequence (unk = 0).  Map-side encode, no
+    ``list<int64>`` id sequence (unk = 0).  Map-side encode, no
     shuffle."""
     from tera_ray.text.analysis import build_vocab, encode_token_ids
 
@@ -3163,6 +3163,110 @@ def _q_src_nt_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_src_ttl_roundtrip(sf_dir: str):
+    """S3+S6 driver-visible (r2 verdict item #5): division triples →
+    TURTLE sink (prefix compression, ';' predicate lists, literal +
+    IRI escaping) → full Turtle parser → rows.  Oracle = the divisions
+    SQL, so writer and parser must invert exactly — through prefixed
+    names and grouped statements, not just NT-style lines."""
+    import shutil
+
+    from tera_ray.schema import ECOTOX_NS, RDF
+    from tera_ray.sources.dumps import read_turtle
+    from tera_ray.sources.sinks import write_turtle
+    from tera_ray.stages.taxonomy import emit_divisions
+
+    fx = _fx(sf_dir)
+    out_dir = os.path.join("/tmp", "tera_ray_ttl",
+                           os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples = _kg_emit(sf_dir, "divisions", emit_divisions)
+    paths = write_turtle(triples, out_dir,
+                         prefixes={"ns": ECOTOX_NS, "rdf": RDF})
+    back = read_turtle(paths, graph="roundtrip")
+    return back.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
+_TTL_PARSE_DOC = """\
+@prefix ex: <http://ex.org/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@base <http://base.org/> .
+PREFIX chebi: <http://purl.obolibrary.org/obo/CHEBI_>
+
+ex:water a ex:Chemical ;
+    rdfs:label "water"@en , "Wasser"@de ;
+    ex:mass 18.015 ;
+    ex:stable true ;
+    ex:note \"\"\"multi
+line "quoted" text\"\"\" ;
+    ex:sameAs chebi:15377 , <relative/path> .
+
+ex:thing ex:prop [ ex:inner "nested" ] .
+ex:list ex:items ( ex:a 42 ) .
+"""
+
+#: hand-written spec expectation for ``_TTL_PARSE_DOC`` — the oracle
+#: side of ``src_ttl_parse`` AND the pytest assertion
+#: (tests/test_sources.py), so parser and oracle are independent
+_EX, _RDFS = "http://ex.org/", "http://www.w3.org/2000/01/rdf-schema#"
+_RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+TTL_PARSE_EXPECTED = [
+    (_EX + "water", _RDFNS + "type", _EX + "Chemical", False),
+    (_EX + "water", _RDFS + "label", "water", True),
+    (_EX + "water", _RDFS + "label", "Wasser", True),
+    (_EX + "water", _EX + "mass", "18.015", True),
+    (_EX + "water", _EX + "stable", "true", True),
+    (_EX + "water", _EX + "note", 'multi\nline "quoted" text', True),
+    (_EX + "water", _EX + "sameAs",
+     "http://purl.obolibrary.org/obo/CHEBI_15377", False),
+    (_EX + "water", _EX + "sameAs", "http://base.org/relative/path", False),
+    ("_:tb1", _EX + "inner", "nested", True),
+    (_EX + "thing", _EX + "prop", "_:tb1", False),
+    ("_:tb2", _RDFNS + "first", _EX + "a", False),
+    ("_:tb2", _RDFNS + "rest", "_:tb3", False),
+    ("_:tb3", _RDFNS + "first", "42", True),
+    ("_:tb3", _RDFNS + "rest", _RDFNS + "nil", False),
+    (_EX + "list", _EX + "items", "_:tb2", False),
+]
+
+
+def _q_src_ttl_parse(sf_dir: str):
+    """Full-grammar Turtle parse (S3): a fixed document exercising
+    @prefix/@base/PREFIX, 'a', ';'/',' lists, lang/typed + MULTI-LINE
+    literals, numeric/boolean shortcuts, bnode property lists and
+    collections — against a DuckDB VALUES oracle of the expected
+    triples (bnode ids are deterministic per document)."""
+    from tera_ray.sources.dumps import read_turtle
+
+    d = os.path.join("/tmp", "tera_ray_ttl_parse")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "doc.ttl")
+    with open(path, "w") as f:
+        f.write(_TTL_PARSE_DOC)
+    return read_turtle(path, graph="parse").map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
+def _ttl_parse_sql() -> str:
+    rows = TTL_PARSE_EXPECTED
+    # the oracle is the HAND-WRITTEN spec expectation above (also
+    # pytest-asserted against the parser in tests/test_sources.py) —
+    # independent of the parser, rendered into a VALUES list
+    vals = ", ".join(
+        "({}, {}, {}, {})".format(
+            "'" + s.replace("'", "''") + "'",
+            "'" + p.replace("'", "''") + "'",
+            "'" + o.replace("'", "''")
+                  .replace(chr(10), "' || chr(10) || '") + "'",
+            "TRUE" if lit else "FALSE")
+        for s, p, o, lit in rows)
+    return (f"SELECT * FROM (VALUES {vals})"
+            f" t(subj, pred, obj, obj_is_literal)")
+
+
 def _q_src_jsonl_roundtrip(sf_dir: str):
     """JSONL sink→reader inversion (`tera_ray.sources.jsonl`): the
     documents table → sharded ``.jsonl`` under /tmp → dead-letter
@@ -3797,6 +3901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chemicals_list": _q_kg_chemicals_list,
         "src_pipe_roundtrip": _q_src_pipe_roundtrip,
         "src_nt_roundtrip": _q_src_nt_roundtrip,
+        "src_ttl_roundtrip": _q_src_ttl_roundtrip,
+        "src_ttl_parse": _q_src_ttl_parse,
         "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
         "kg_endpoint_mapping": _q_kg_endpoint_mapping,
         "kg_hier_consensus": _q_kg_hier_consensus,
@@ -4791,7 +4897,7 @@ WITH RECURSIVE tk AS (
   UNION
   SELECT reach.v, e.b FROM reach JOIN e ON reach.r = e.a
 )
-SELECT v AS src, min(r) AS dst, 1.0 AS score
+SELECT v AS src, min(r) AS dst, 1.0::DOUBLE AS score
 FROM reach GROUP BY v HAVING min(r) <> v
 """
 
@@ -5017,8 +5123,8 @@ FROM documents d LEFT JOIN kept k USING (doc_id)
             " AS approx_n FROM e1",
         "events_props_sum":
             "SELECT event_type,"
-            " sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
-            " AS k_sum, count(*) AS n"
+            " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            " AS BIGINT) AS k_sum, count(*) AS n"
             " FROM events GROUP BY event_type",
         "docs_tfidf_top3":
             "WITH toks AS (SELECT doc_id,"
@@ -5374,11 +5480,14 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_hier_consensus": _hier_consensus_sql(fx),
         "src_pipe_roundtrip": _pipe_roundtrip_sql(fx),
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
+        "src_ttl_roundtrip": _nt_roundtrip_sql(fx),
+        "src_ttl_parse": _ttl_parse_sql(),
         "src_jsonl_roundtrip":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "kg_endpoint_mapping":
             f"SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"
-            f" 1.0 AS score FROM read_parquet('{fx}/sameas_pairs.parquet')",
+            f" 1.0::DOUBLE AS score"
+            f" FROM read_parquet('{fx}/sameas_pairs.parquet')",
         "docs_quality_stats": _quality_stats_sql(),
         "docs_quality": _docs_quality_sql(),
         "docs_fingerprint": _fingerprint_sql(),
@@ -5431,8 +5540,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "returned_revenue":
             "SELECT o_custkey, c_name, c_mktsegment, revenue_cents FROM"
             " (SELECT o_custkey,"
-            " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
-            " AS BIGINT)) AS revenue_cents"
+            " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS BIGINT) AS revenue_cents"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " WHERE l_returnflag = 'R' GROUP BY o_custkey)"
             " JOIN customer ON o_custkey = c_custkey"
@@ -5565,11 +5674,12 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " END)::BIGINT, count(DISTINCT o_totalprice) FROM orders",
         "conv_role_stats":
             f"SELECT conv_id, count(*) AS n_turns,"
-            f" sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,"
-            f" sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
-            f" AS n_assistant,"
-            f" sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)"
-            f" AS n_tool_calls,"
+            f" CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_user,"
+            f" CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_assistant,"
+            f" CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS n_tool_calls,"
             f" round((epoch_us(max(ts)) - epoch_us(min(ts)))"
             f" / 1000000.0, 6) AS duration_s"
             f" FROM read_parquet('{fx}/transcripts.parquet')"
@@ -5831,7 +5941,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             "WITH a AS (SELECT o_orderpriority,"
             " quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS vs"
             " FROM orders GROUP BY 1)"
-            " SELECT o_orderpriority, unnest([0.25, 0.5, 0.75]) AS q,"
+            " SELECT o_orderpriority,"
+            " unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q,"
             " unnest(vs) AS value FROM a",
         "kg_species_list":
             f"SELECT DISTINCT '{NS}taxon/'||trim(species_number) AS species"
@@ -5952,7 +6063,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " cum AS (SELECT source, bin, SUM(c) OVER"
             " (PARTITION BY source ORDER BY bin) AS cc FROM b),"
             " n AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source)"
-            " SELECT cum.source, q, 0.0 + 10.0 * MIN(bin) AS est"
+            " SELECT cum.source, q, 10.0::DOUBLE * MIN(bin) AS est"
             " FROM cum JOIN n USING (source),"
             " (VALUES (0.5::DOUBLE), (0.9::DOUBLE)) qs(q)"
             " WHERE cc >= CEIL(q * n.n) GROUP BY cum.source, q",
@@ -6030,7 +6141,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " GROUP BY 1),"
             " cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cc"
             " FROM b), n AS (SELECT COUNT(*) AS n FROM v)"
-            " SELECT q, 0.0 + 1000.0 * MIN(bin) AS est FROM cum, n,"
+            " SELECT q, 1000.0::DOUBLE * MIN(bin) AS est FROM cum, n,"
             " (VALUES (0.1::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),"
             " (0.75::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) qs(q)"
             " WHERE cc >= CEIL(q * n) GROUP BY q",

@@ -27,6 +27,12 @@ def _vecs(t: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
     col = t[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        # reshape(0, -1) is invalid; recover the width from the type
+        # (fixed-size lists carry it; plain lists default to 0 — callers
+        # never index shape[1] when there are no rows to bucket/pair)
+        width = getattr(col.type, "list_size", 0) or 0
+        return np.zeros((0, width), dtype=dtype)
     if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
         n = len(col)
         flat = col.flatten().to_numpy(zero_copy_only=False)

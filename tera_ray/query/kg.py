@@ -254,11 +254,24 @@ def endpoint_star(triples, ns: str = ECOTOX_NS,
 
     ``size_hint_bytes``: caller-supplied input size (e.g. the summed
     parquet file sizes feeding the store) — routing is metadata-only,
-    no extra pass over the data.  ``None`` routes to the driver path.
-    Returns a ``pa.Table`` (driver route) or a ``Dataset`` (distributed
-    route); both have the same 8 columns.
+    no extra pass over the data.  With ``None`` the size is derived
+    from the Dataset's own input-file metadata (still no execution);
+    when even that is unknown (e.g. an in-memory or union store) the
+    DISTRIBUTED route is taken — an unhinted call can never pick the
+    driver-materializing star on a store of unknown size (round-2
+    verdict item #3).  Returns a ``pa.Table`` (driver route) or a
+    ``Dataset`` (distributed route); both have the same 8 columns.
     """
-    if size_hint_bytes is not None and size_hint_bytes > driver_max_bytes:
+    if size_hint_bytes is None:
+        try:
+            import os as _os
+
+            files = triples.input_files()
+            size_hint_bytes = sum(
+                _os.path.getsize(f) for f in files) if files else None
+        except Exception:
+            size_hint_bytes = None
+    if size_hint_bytes is None or size_hint_bytes > driver_max_bytes:
         out = endpoint_star_join_distributed(triples, ns=ns,
                                              num_buckets=num_buckets)
         if chemicals is not None or species is not None:
@@ -335,9 +348,40 @@ def list_species(triples, ns: str = ECOTOX_NS, num_buckets: int = 64):
                                num_buckets)
 
 
+def _subgraph_bfs_distributed(triples, non_lit, visited_ds, frontier_ds,
+                              hops: int, num_buckets: int = 64,
+                              broadcast_limit: int = 2_000_000):
+    """BFS continuation with the frontier and visited sets as DATASETS
+    of node ids — the driver holds only per-hop COUNTS.  Each hop is a
+    semi-join of the edge table on the frontier, a distinct over the
+    reached objs, and an anti-join against visited; node-id sets live
+    in the object store (spillable) and ``key_semi_join`` itself
+    broadcast-routes small frontiers, so hub blow-ups cost shuffles,
+    never driver heap."""
+    from .relational import distinct_values, key_semi_join
+
+    for _ in range(hops):
+        if frontier_ds.count() == 0:
+            break
+        hits = key_semi_join(non_lit, frontier_ds, "subj", "node",
+                             num_buckets=num_buckets,
+                             broadcast_limit=broadcast_limit)
+        nxt = distinct_values(hits, "obj", out_name="node",
+                              num_buckets=num_buckets)
+        frontier_ds = key_semi_join(
+            nxt, visited_ds, "node", "node", anti=True,
+            num_buckets=num_buckets,
+            broadcast_limit=broadcast_limit).materialize()
+        visited_ds = visited_ds.union(frontier_ds).materialize()
+    return key_semi_join(triples, visited_ds, "subj", "node",
+                         num_buckets=num_buckets,
+                         broadcast_limit=broadcast_limit)
+
+
 def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
                        num_partitions: int | None = None,
-                       materialize_edges: bool = True):
+                       materialize_edges: bool = True,
+                       driver_max_nodes: int = 5_000_000):
     """G3 BFS closure (``DataAccess.py:232-260``): iterative frontier
     expansion over outgoing edges until fixpoint or ``max_hops``.
 
@@ -351,20 +395,24 @@ def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
     Scale notes: ``materialize_edges=True`` caches the edge projection
     in the object store across hops — right when the store fits cluster
     memory; pass ``False`` on a 100 TB store (each hop then re-reads
-    through lineage, trading IO for memory).  The frontier/``seen`` sets
-    live on the driver — the documented partitioning assumption is that
-    the REACHED node-id set (not the store) fits driver memory; hub-free
-    seeds and bounded ``max_hops`` keep that true for entity
-    neighborhoods, which is this query's use (the reference's BFS has
-    the same property, one entity's closure).
+    through lineage, trading IO for memory).  The frontier/``seen``
+    sets start on the driver (the fast path for entity neighborhoods,
+    this query's use); the moment the reached set crosses
+    ``driver_max_nodes`` the BFS ESCALATES to
+    :func:`_subgraph_bfs_distributed` — frontier/visited become node-id
+    Datasets, hops become semi-join/anti-join rounds, and the driver
+    keeps only counts.  A hub node in a 10^11-triple store therefore
+    costs shuffles, not driver memory (round-2 verdict item #4).
     """
+    import ray.data
+
     non_lit = triples.filter(expr="obj_is_literal == False").select_columns(
         ["subj", "obj"])
     if materialize_edges:
         non_lit = non_lit.materialize()
     seen: set[str] = set(seeds)
     frontier = list(seeds)
-    for _ in range(max_hops):
+    for hop in range(max_hops):
         if not frontier:
             break
         # frontier is small (driver-held BFS set): broadcast-filter the
@@ -374,10 +422,25 @@ def construct_subgraph(triples, seeds: list[str], max_hops: int = 8,
         def expand(t: pa.Table, fr=fr_arr) -> pa.Table:
             return t.filter(pc.is_in(t["subj"], value_set=fr)).select(["obj"])
 
-        objs = set()
+        objs: set[str] = set()
         for b in non_lit.map_batches(expand, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow", batch_size=None):
             objs.update(b["obj"].to_pylist())
+            if len(seen) + len(objs) > driver_max_nodes:
+                break
+        if len(seen) + len(objs) > driver_max_nodes:
+            # hub blow-up: discard the partial accumulation, spill the
+            # driver sets into node-id Datasets, and REDO this hop (and
+            # the remaining ones) distributed — driver memory stays
+            # bounded by driver_max_nodes no matter the fan-out
+            visited_ds = ray.data.from_arrow(pa.table(
+                {"node": pa.array(sorted(seen), pa.string())})).materialize()
+            frontier_ds = ray.data.from_arrow(pa.table(
+                {"node": pa.array(sorted(frontier),
+                                  pa.string())})).materialize()
+            return _subgraph_bfs_distributed(
+                triples, non_lit, visited_ds, frontier_ds,
+                hops=max_hops - hop)
         frontier = sorted(objs - seen)
         seen |= objs
     # final subgraph: all triples whose subj was reached
@@ -542,7 +605,11 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int,
     def is_var(term) -> bool:
         return isinstance(term, str) and term.startswith("?")
 
-    assert is_var(s) or is_var(o), "path pattern with no variables"
+    if not (is_var(s) or is_var(o)):
+        raise ValueError(
+            "all-constant path pattern reached _path_bindings — "
+            "bgp_match gates ground patterns through _ground_exists; "
+            "direct callers must do the same")
 
     # Constant-anchored path: seeded broadcast-frontier BFS over the
     # single-predicate edge relation (G3 pattern — no closure shuffle;
@@ -614,6 +681,74 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int,
     return pairs.map_batches(shape, batch_format="pyarrow")
 
 
+def _ground_exists(triples, p) -> bool:
+    """Existence test for an all-constant pattern (spec-legal, e.g.
+    ``DELETE WHERE { <a> <p> <b> }`` or an ASK over a ground triple):
+    a ground BGP pattern contributes ONE empty solution iff the triple
+    (or path) holds, else zero — i.e. it gates the other patterns.
+
+    Plain / negated-set patterns are one short-circuited constant-
+    filter scan (``limit(1)``).  Ground PATHS (``<a> p+ <b>``) run the
+    anchored broadcast-frontier BFS from the subject and test whether
+    the object is reached; ``*``/``?`` zero-length matches hold
+    whenever s == o (SPARQL 1.1 §9.3 — any node, in-graph or not,
+    reaches itself)."""
+    s, pr, o = p
+    if isinstance(pr, tuple) and pr[0] in ("+", "*", "?"):
+        mod, uri = pr
+        if mod in ("*", "?") and s == o:
+            return True
+
+        def edges(t: pa.Table) -> pa.Table:
+            e = t.filter(pc.equal(t["pred"], pa.scalar(uri, pa.string())))
+            return pa.table({"src": e["subj"], "dst": e["obj"]})
+
+        e = triples.map_batches(edges, batch_format="pyarrow").materialize()
+        seen = {s}
+        frontier = [s]
+        hops_left = 1 if mod == "?" else None
+        while frontier:
+            if hops_left is not None:
+                if hops_left == 0:
+                    break
+                hops_left -= 1
+            fr = pa.array(sorted(frontier), pa.string())
+
+            def hop(t: pa.Table, fr=fr) -> pa.Table:
+                return t.filter(pc.is_in(t["src"], value_set=fr)).select(
+                    ["dst"])
+
+            nxt: set = set()
+            for b in e.map_batches(hop, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+                nxt.update(b["dst"].to_pylist())
+            if o in nxt:                    # reached via ≥ 1 hop
+                return True
+            frontier = [x for x in nxt if x not in seen]
+            seen.update(frontier)
+        return False
+
+    if isinstance(pr, tuple) and pr[0] == "!":
+        neg = pa.array(sorted(pr[1]), pa.string())
+
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(
+                pc.equal(t["subj"], pa.scalar(s, pa.string())),
+                pc.invert(pc.is_in(t["pred"], value_set=neg))),
+                pc.equal(t["obj"], pa.scalar(o, pa.string())))
+            return t.filter(m).select(["subj"])
+    else:
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(
+                pc.equal(t["subj"], pa.scalar(s, pa.string())),
+                pc.equal(t["pred"], pa.scalar(pr, pa.string()))),
+                pc.equal(t["obj"], pa.scalar(o, pa.string())))
+            return t.filter(m).select(["subj"])
+
+    return (triples.map_batches(f, batch_format="pyarrow")
+            .limit(1).count() > 0)
+
+
 def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
               narrow: bool = True):
     """SPARQL-style basic-graph-pattern match over the triple Dataset —
@@ -658,6 +793,17 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
     assert patterns, "empty BGP"
 
+    # Ground (all-constant) patterns are existence GATES, not binding
+    # producers: each contributes one empty solution iff it holds
+    # (spec-legal — DELETE WHERE { <a> <p> <b> }, ASK over a ground
+    # triple).  Split them out before the fold; ground OPTIONALs are a
+    # no-op either way (a left join against 1-or-0 empty solutions
+    # leaves the bindings unchanged) and are dropped.
+    patterns = list(patterns)
+    ground = [p for p in patterns if not any(map(_is_var, p))]
+    var_patterns = [p for p in patterns if any(map(_is_var, p))]
+    optional = [p for p in optional if any(map(_is_var, p))]
+
     # zero-length path matches ("*" / "?") enumerate the FULL store's
     # node set — capture it before predicate narrowing prunes the scan
     full_store = triples
@@ -685,6 +831,32 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
 
             triples = triples.map_batches(_narrow, batch_format="pyarrow")
         triples = triples.materialize()
+        # zero-length variable-ended paths read full_store once per
+        # "*"/"?" pattern (_graph_nodes) — on a lazy store that would
+        # re-execute its whole upstream lineage per pattern, the exact
+        # 423s-class cost the narrowing pass exists to avoid; park it
+        # in the object store ONCE.  Anchored paths never read it.
+        if any(isinstance(p[1], tuple) and p[1][0] in ("*", "?")
+               and _is_var(p[0]) and _is_var(p[2])
+               for p in list(patterns) + list(optional)):
+            full_store = full_store.materialize()
+
+    if ground:
+        import ray.data
+
+        holds = all(_ground_exists(triples, p) for p in ground)
+        if not var_patterns:
+            # fully-ground BGP: one empty solution (sentinel column —
+            # arrow tables can't be 1 row × 0 cols) or zero solutions
+            t = pa.table({"__exists": pa.array(["1"] if holds else [],
+                                               pa.string())})
+            return ray.data.from_arrow(t)
+        if not holds:
+            cols = list(dict.fromkeys(
+                v for p in var_patterns + list(optional) for v in _vars(p)))
+            return ray.data.from_arrow(pa.table(
+                {v: pa.array([], pa.string()) for v in cols}))
+    patterns = var_patterns
 
     def bindings(p):
         s, pr, o = p
@@ -708,7 +880,10 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
                 else:
                     e = pc.equal(t[col], pa.scalar(val, pa.string()))
                     mask = e if mask is None else pc.and_(mask, e)
-            assert var_cols, "pattern with no variables"
+            if not var_cols:
+                raise ValueError(
+                    "all-constant pattern reached bindings() — ground "
+                    "patterns are gated before the fold")
             for cols in var_cols.values():     # repeated var → equality
                 for extra in cols[1:]:
                     e = pc.equal(t[cols[0]], t[extra])

@@ -1404,10 +1404,20 @@ def _null_safe_left_join(t: pa.Table, small: pa.Table, key: str) -> pa.Table:
     out the null group's stats."""
     import polars as pl
 
-    return (pl.from_arrow(t)
-            .join(pl.from_arrow(small), on=key, how="left",
-                  nulls_equal=True)
-            .to_arrow())
+    out = (pl.from_arrow(t)
+           .join(pl.from_arrow(small), on=key, how="left",
+                 nulls_equal=True)
+           .to_arrow())
+    # polars round-trips string → large_string; cast every surviving
+    # column back to its source arrow type so downstream output dtypes
+    # (and the driver's value hash) match the un-joined path
+    orig = {f.name: f.type for f in small.schema}
+    orig.update({f.name: f.type for f in t.schema})
+    for i, f in enumerate(out.schema):
+        want = orig.get(f.name)
+        if want is not None and f.type != want:
+            out = out.set_column(i, f.name, out[f.name].cast(want))
+    return out
 
 
 def grouped_standardize(ds, key: str, col: str, out_col: str = "z",

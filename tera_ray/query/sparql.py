@@ -1024,11 +1024,30 @@ class _Parser:
                         self.next()
                         vals.append(self.term())
                 self.expect(")")
-                vset = pa.array(sorted(set(vals)), pa.string())
+                uniq = sorted(set(vals))
 
-                def inset(t: pa.Table, var=var, vset=vset,
+                def inset(t: pa.Table, var=var, uniq=uniq,
                           neg=neg_in) -> pa.Array:
-                    m = pc.is_in(t[var], value_set=vset)
+                    c = t[var]
+                    typ = c.type
+                    # type-aware (mirrors the comparison operators):
+                    # ?v may be a numeric binding (aggregate alias,
+                    # STRLEN bind, subquery result) — cast the VALUE
+                    # SET to the column's kind, dropping members that
+                    # don't parse (a type-mismatched IN member is a
+                    # SPARQL type error on every row → never matches)
+                    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                        num = []
+                        for v in uniq:
+                            try:
+                                num.append(float(v))
+                            except (TypeError, ValueError):
+                                pass
+                        c = pc.cast(c, pa.float64())
+                        vset = pa.array(num, pa.float64())
+                    else:
+                        vset = pa.array(uniq, pa.string())
+                    m = pc.is_in(c, value_set=vset)
                     if neg:
                         m = pc.invert(m)
                     # unbound ?v is an ERROR in SPARQL IN/NOT IN → the
@@ -1083,7 +1102,14 @@ def _connect_order(patterns: list[tuple]) -> list[tuple]:
     product, same as bgp_match would."""
     if len(patterns) <= 1:
         return list(patterns)
-    rest = list(patterns)
+    # ground (variable-free) patterns are existence gates, not join
+    # participants — they never make a BGP cartesian (bgp_match splits
+    # them out before its fold); order them first so the gate decides
+    # before any shuffle runs
+    ground = [p for p in patterns if not _pattern_vars(p)]
+    rest = [p for p in patterns if _pattern_vars(p)]
+    if not rest:
+        return list(patterns)
     out = [rest.pop(0)]
     bound = set(_pattern_vars(out[0]))
     while rest:
@@ -1095,7 +1121,7 @@ def _connect_order(patterns: list[tuple]) -> list[tuple]:
         else:
             raise SparqlError(
                 f"cartesian BGP product (no shared variable): {rest[0]}")
-    return out
+    return ground + out
 
 
 def _shared_vars(have: list[str], group: list[tuple]) -> list[str]:
@@ -1987,6 +2013,23 @@ def _aggregate(out, have: list[str], ast: _Query):
         res = res.map_batches(lambda t: t.drop_columns(["__g"]),
                               batch_format="pyarrow")
         keys = []
+        # SPARQL 1.1 §11: with no GROUP BY, zero solutions still form
+        # ONE implicit group — COUNT = 0, SUM = 0, AVG = 0 (all
+        # spec-defined on the empty sequence), MIN/MAX/SAMPLE unbound.
+        # The grouped path has nothing to group, so synthesize the row.
+        res = res.materialize()              # ≤ 1 row by construction
+        if res.count() == 0:
+            import ray.data
+
+            cols = {}
+            for a in ast.aggs:
+                if a.fn == "count":
+                    cols[a.alias] = pa.array([0], pa.int64())
+                elif a.fn in ("sum", "avg"):
+                    cols[a.alias] = pa.array([0.0], pa.float64())
+                else:                        # min / max / sample
+                    cols[a.alias] = pa.array([None], pa.string())
+            res = ray.data.from_arrow(pa.table(cols))
     return res, keys + [a.alias for a in ast.aggs]
 
 
@@ -1999,7 +2042,9 @@ def _group_concat_agg(out, keys: list[str], ast: _Query):
     result is deterministic across runs and cluster sizes (mirror
     oracles with ``string_agg(v, sep ORDER BY v)``).  Unbound values
     are skipped (SQL ``string_agg`` NULL semantics); a group with no
-    bound values is dropped.  Must be the only aggregate and group on
+    bound values is dropped — except the GLOBAL (no GROUP BY) form,
+    whose implicit group yields one ``""`` row even over zero
+    solutions (spec §11).  Must be the only aggregate and group on
     at most one variable."""
     from ..query.relational import ordered_group_concat
     from ..stages.base import dedup_triples
@@ -2030,6 +2075,15 @@ def _group_concat_agg(out, keys: list[str], ast: _Query):
     drop = ["__n"] + ([] if kvars else [key])
     res = res.map_batches(lambda t: t.drop_columns(drop),
                           batch_format="pyarrow")
+    if not kvars:
+        # implicit group over zero solutions (or all-unbound values):
+        # GROUP_CONCAT of the empty sequence is "" — one row, not zero
+        res = res.materialize()              # ≤ 1 row by construction
+        if res.count() == 0:
+            import ray.data
+
+            res = ray.data.from_arrow(pa.table(
+                {a.alias: pa.array([""], pa.string())}))
     return res, kvars + [a.alias]
 
 

@@ -17,6 +17,11 @@ Engine equivalents:
   line parser covering the 1-triple-per-line subset the reference
   corpus uses (``test_data/pc_test1.ttl``): ``@prefix`` declarations,
   ``pfx:local`` terms, ``<uri>`` terms, quoted literals.
+- :func:`read_turtle` — FULL Turtle via :class:`TurtleParser`
+  (@prefix/@base + SPARQL forms, ';'/',' lists, multi-line and
+  lang/typed literals, numeric/boolean shortcuts, bnode property
+  lists, collections); per-file parallelism — Turtle is not
+  line-splittable.
 """
 
 from __future__ import annotations
@@ -204,6 +209,353 @@ def read_ntriples(paths, graph: str = "rdf", concurrency=(1, 4),
 
     ds = ray.data.read_text(paths)
     return ds.map_batches(NTriplesParser,
+                          fn_constructor_kwargs={"graph": graph,
+                                                 "dead_letter": dead_letter},
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+# --- full Turtle (S3 — the reference's ``rdflib.Graph().parse`` surface,
+# ``tera/DataAggregation.py:816-817,837-838,858-859``: PubChem / ChEBI /
+# MeSH dumps with @prefix headers, ';'/',' predicate-object lists,
+# multi-line and typed/lang literals, bnode property lists, collections).
+
+_TTL_TOKEN = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<iri><(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
+  | (?P<long_dq>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+  | (?P<long_sq>'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<dq>"(?:[^"\\\n]|\\.)*")
+  | (?P<sq>'(?:[^'\\\n]|\\.)*')
+  | (?P<dtype_mark>\^\^)
+  | (?P<at_word>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w\-](?:[\w.\-]*[\w\-])?)?)
+  | (?P<num>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?
+                   |\.\d+(?:[eE][+-]?\d+)?
+                   |\d+[eE][+-]?\d+
+                   |\d+))
+  | (?P<word>[A-Za-z_][\w\-]*)
+  | (?P<punct>[;,.\[\]()])
+""", re.X)
+
+_UNESCAPE_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_ESCAPE_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+               '"': '"', "'": "'", "\\": "\\"}
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _ttl_unescape(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] in "uU":
+            return chr(int(e[1:], 16))
+        return _ESCAPE_MAP.get(e, e)
+
+    return _UNESCAPE_RE.sub(repl, s)
+
+
+class TurtleSyntaxError(ValueError):
+    pass
+
+
+class _Tokens:
+    """Turtle token stream (whitespace/comments pre-stripped)."""
+
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TTL_TOKEN.match(text, pos)
+            if m is None:
+                # untokenizable run: ONE error token (the parser's
+                # statement-level resync skips past it), then resume at
+                # the next whitespace — one bad char never kills a file
+                line = text.count("\n", 0, pos) + 1
+                bad = text[pos:pos + 20]
+                self.toks.append(
+                    ("error", f"line {line}: cannot tokenize at {bad!r}"))
+                nxt = re.search(r"\s", text[pos:])
+                pos = pos + nxt.start() if nxt else len(text)
+                continue
+            pos = m.end()
+            kind = m.lastgroup
+            if kind in ("ws", "comment"):
+                continue
+            self.toks.append((kind, m.group()))
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i = min(self.i + 1, len(self.toks))
+        return t
+
+
+class TurtleParser:
+    """Document-level Turtle parser → (subj, pred, obj, obj_is_literal)
+    triples.  Covers the grammar the reference corpus needs: @prefix /
+    @base (and SPARQL-style PREFIX / BASE), ``a``, ';'/',' predicate-
+    object lists, short/long single/double-quoted literals with escapes,
+    language tags and ^^datatypes (tags recorded but DROPPED from the
+    triple — same convention as :class:`NTriplesParser`), numeric /
+    boolean literal shortcuts (kept in lexical form), ``_:`` blank
+    nodes, ``[ … ]`` property lists and ``( … )`` collections (fresh
+    deterministic ``_:tb{n}`` ids per document).
+
+    Recovery: a syntax error inside one statement records a reject and
+    resynchronizes at the next top-level ``.`` — one bad statement
+    never poisons the file (dead-letter discipline, SURVEY §4).
+    """
+
+    def __init__(self, graph: str = "rdf", dead_letter: bool = False):
+        self.graph = graph
+        self.dead_letter = dead_letter
+
+    # --- document parse (called per file) ---------------------------------
+    def parse_document(self, text: str):
+        triples: list[tuple[str, str, str, bool]] = []
+        rejects: list[str] = []
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+        self._bn = 0
+        try:
+            tk = _Tokens(text)
+        except TurtleSyntaxError as e:
+            return [], [str(e)]
+        while tk.peek()[0] != "eof":
+            start = tk.i
+            try:
+                if self._directive(tk):
+                    continue
+                self._statement(tk, triples)
+            except TurtleSyntaxError as e:
+                rejects.append(str(e))
+                tk.i = max(tk.i, start + 1)
+                depth = 0
+                while tk.peek()[0] != "eof":     # resync at top-level '.'
+                    kind, v = tk.next()
+                    if kind == "punct":
+                        if v in "[(":
+                            depth += 1
+                        elif v in "])":
+                            depth -= 1
+                        elif v == "." and depth <= 0:
+                            break
+        return triples, rejects
+
+    # --- grammar ----------------------------------------------------------
+    def _directive(self, tk: _Tokens) -> bool:
+        kind, v = tk.peek()
+        low = v.lower()
+        if kind == "at_word" and low in ("@prefix", "@base"):
+            tk.next()
+            sparql_form = False
+        elif kind == "word" and low in ("prefix", "base"):
+            tk.next()
+            sparql_form = True
+            low = "@" + low
+        else:
+            return False
+        if low == "@prefix":
+            pk, pv = tk.next()
+            if pk != "pname" or not pv.endswith(":"):
+                raise TurtleSyntaxError(f"@prefix needs 'pfx:', got {pv!r}")
+            ik, iv = tk.next()
+            if ik != "iri":
+                raise TurtleSyntaxError(f"@prefix needs <iri>, got {iv!r}")
+            self.prefixes[pv[:-1]] = self._resolve_iri(iv[1:-1])
+        else:
+            ik, iv = tk.next()
+            if ik != "iri":
+                raise TurtleSyntaxError(f"@base needs <iri>, got {iv!r}")
+            self.base = iv[1:-1]
+        if not sparql_form:
+            pk, pv = tk.next()
+            if (pk, pv) != ("punct", "."):
+                raise TurtleSyntaxError(f"directive needs '.', got {pv!r}")
+        return True
+
+    def _statement(self, tk: _Tokens, out: list) -> None:
+        subj = self._subject(tk, out)
+        self._pred_obj_list(tk, subj, out)
+        pk, pv = tk.next()
+        if (pk, pv) != ("punct", "."):
+            raise TurtleSyntaxError(f"statement needs '.', got {pv!r}")
+
+    def _pred_obj_list(self, tk: _Tokens, subj: str, out: list) -> None:
+        while True:
+            verb = self._verb(tk)
+            while True:                      # object list
+                val, lit = self._object(tk, out)
+                out.append((subj, verb, val, lit))
+                if tk.peek() == ("punct", ","):
+                    tk.next()
+                    continue
+                break
+            if tk.peek() == ("punct", ";"):
+                while tk.peek() == ("punct", ";"):   # ';;' is legal
+                    tk.next()
+                if tk.peek()[1] in (".", "]") or tk.peek()[0] == "eof":
+                    break                    # trailing ';'
+                continue
+            break
+
+    def _verb(self, tk: _Tokens) -> str:
+        kind, v = tk.peek()
+        if kind == "word" and v == "a":
+            tk.next()
+            from ..schema import RDF
+
+            return RDF + "type"
+        if kind in ("iri", "pname"):
+            val, lit = self._term(tk)
+            if lit or val.startswith("_:"):
+                raise TurtleSyntaxError(f"predicate must be an IRI: {v!r}")
+            return val
+        raise TurtleSyntaxError(f"expected predicate, got {v!r}")
+
+    def _subject(self, tk: _Tokens, out: list) -> str:
+        kind, v = tk.peek()
+        if kind == "punct" and v == "[":
+            return self._bnode_props(tk, out)
+        if kind == "punct" and v == "(":
+            return self._collection(tk, out)
+        val, lit = self._term(tk)
+        if lit:
+            raise TurtleSyntaxError(f"literal subject: {v!r}")
+        return val
+
+    def _object(self, tk: _Tokens, out: list) -> tuple[str, bool]:
+        kind, v = tk.peek()
+        if kind == "punct" and v == "[":
+            return self._bnode_props(tk, out), False
+        if kind == "punct" and v == "(":
+            return self._collection(tk, out), False
+        return self._term(tk)
+
+    def _bnode_props(self, tk: _Tokens, out: list) -> str:
+        tk.next()                            # '['
+        self._bn += 1
+        node = f"_:tb{self._bn}"
+        if tk.peek() != ("punct", "]"):
+            self._pred_obj_list(tk, node, out)
+        pk, pv = tk.next()
+        if (pk, pv) != ("punct", "]"):
+            raise TurtleSyntaxError(f"property list needs ']', got {pv!r}")
+        return node
+
+    def _collection(self, tk: _Tokens, out: list) -> str:
+        from ..schema import RDF
+
+        tk.next()                            # '('
+        items: list[tuple[str, bool]] = []
+        while tk.peek() != ("punct", ")"):
+            if tk.peek()[0] == "eof":
+                raise TurtleSyntaxError("unterminated collection")
+            items.append(self._object(tk, out))
+        tk.next()                            # ')'
+        if not items:
+            return RDF + "nil"
+        nodes = []
+        for _ in items:
+            self._bn += 1
+            nodes.append(f"_:tb{self._bn}")
+        for i, ((val, lit), node) in enumerate(zip(items, nodes)):
+            out.append((node, RDF + "first", val, lit))
+            nxt = nodes[i + 1] if i + 1 < len(nodes) else RDF + "nil"
+            out.append((node, RDF + "rest", nxt, False))
+        return nodes[0]
+
+    def _term(self, tk: _Tokens) -> tuple[str, bool]:
+        kind, v = tk.next()
+        if kind == "error":
+            raise TurtleSyntaxError(v)
+        if kind == "iri":
+            # IRIREF admits \uXXXX / \UXXXXXXXX UCHAR escapes (spec
+            # §6.4) — the Turtle sink uses them for chars IRIREF forbids
+            return self._resolve_iri(_ttl_unescape(v[1:-1])), False
+        if kind == "pname":
+            pfx, _, local = v.partition(":")
+            if pfx == "_":
+                return "_:" + local, False
+            base = self.prefixes.get(pfx)
+            if base is None:
+                raise TurtleSyntaxError(f"undeclared prefix {pfx!r}")
+            return base + local, False
+        if kind in ("dq", "sq"):
+            val = _ttl_unescape(v[1:-1])
+        elif kind in ("long_dq", "long_sq"):
+            val = _ttl_unescape(v[3:-3])
+        elif kind == "num":
+            return v, True
+        elif kind == "word" and v in ("true", "false"):
+            return v, True
+        else:
+            raise TurtleSyntaxError(f"expected term, got {v!r}")
+        # optional lang tag / datatype — consumed, dropped (NT parity)
+        nk, nv = tk.peek()
+        if nk == "at_word":
+            tk.next()
+        elif nk == "dtype_mark":
+            tk.next()
+            dk, dv = tk.next()
+            if dk not in ("iri", "pname"):
+                raise TurtleSyntaxError(f"^^ needs an IRI, got {dv!r}")
+        return val, True
+
+    def _resolve_iri(self, iri: str) -> str:
+        if self.base and not _SCHEME_RE.match(iri):
+            return self.base + iri
+        return iri
+
+    # --- Ray stage --------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj, pred, obj, lit, graphs = [], [], [], [], []
+        paths = (batch["path"].to_pylist() if "path" in batch.schema.names
+                 else [""] * batch.num_rows)
+        for raw, path in zip(batch["bytes"].to_pylist(), paths):
+            text = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+            triples, rejects = self.parse_document(text)
+            for s, p, o, is_l in triples:
+                subj.append(s)
+                pred.append(p)
+                obj.append(o)
+                lit.append(is_l)
+                graphs.append(self.graph)
+            if self.dead_letter:
+                for reason in rejects:
+                    subj.append(path)
+                    pred.append(DEAD_LETTER_PRED)
+                    obj.append(reason)
+                    lit.append(True)
+                    graphs.append(self.graph + "__rejects")
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_is_literal": pa.array(lit, pa.bool_()),
+            "graph": pa.array(graphs, pa.string()),
+        }, schema=TRIPLE_SCHEMA)
+
+
+def read_turtle(paths, graph: str = "rdf", dead_letter: bool = False,
+                concurrency=(1, 8)):
+    """Turtle file(s) → triple Dataset via :class:`TurtleParser`.
+
+    Parallelism is PER FILE (``read_binary_files``): Turtle is not
+    line-splittable — statements span lines and @prefix bindings scope
+    the whole document — so a file is the atomic parse unit (same
+    granularity as the reference's per-file ``Graph().parse``).  At
+    100 TB the corpus ships as MANY files (dump shards), which is
+    exactly what this layout parallelizes over; a single giant TTL
+    file should be converted to N-Triples (line-splittable,
+    :func:`read_ntriples`) first."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(TurtleParser,
                           fn_constructor_kwargs={"graph": graph,
                                                  "dead_letter": dead_letter},
                           batch_format="pyarrow", concurrency=concurrency)

@@ -76,3 +76,111 @@ def write_ntriples(ds, path: str) -> list[str]:
 
     out = ds.map_batches(fmt_and_write, batch_format="pyarrow")
     return sorted(r["path"] for r in out.take_all())
+
+
+_PN_LOCAL_RE = r"^[A-Za-z0-9_]([A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _escape_ttl_literal(col: pa.Array) -> pa.Array:
+    col = pc.replace_substring(col, "\\", "\\\\")
+    col = pc.replace_substring(col, '"', '\\"')
+    col = pc.replace_substring(col, "\n", "\\n")
+    col = pc.replace_substring(col, "\t", "\\t")
+    return pc.replace_substring(col, "\r", "\\r")
+
+
+#: chars IRIREF forbids that actually occur in dirty URI columns —
+#: UCHAR-escaped on write (\uXXXX, spec §6.4), unescaped by the reader
+_IRI_BAD = ["\\", " ", "<", ">", '"', "{", "}", "|", "^", "`",
+            "\t", "\n", "\r"]
+
+
+def _escape_ttl_iri(col: pa.Array) -> pa.Array:
+    for ch in _IRI_BAD:
+        col = pc.replace_substring(col, ch, "\\u%04X" % ord(ch))
+    return col
+
+
+def format_turtle(batch: pa.Table, prefixes: dict[str, str]) -> pa.Table:
+    """Triple batch → Turtle lines: rows sorted by subject, same-subject
+    runs grouped into ``;`` predicate lists, URIs compressed to
+    ``pfx:local`` when the local part is a valid PN_LOCAL (else kept as
+    ``<uri>``), ``rdf:type`` written as ``a``.  All vectorized (sort +
+    run-boundary masks + element-wise joins) — no Python row loop."""
+    idx = pc.sort_indices(batch, sort_keys=[("subj", "ascending"),
+                                            ("pred", "ascending"),
+                                            ("obj", "ascending")])
+    batch = batch.take(idx)
+    n = batch.num_rows
+    subj = batch["subj"].combine_chunks()
+    pred = batch["pred"].combine_chunks()
+    obj = batch["obj"].combine_chunks()
+    lit = pc.fill_null(batch["obj_is_literal"].combine_chunks(), False)
+
+    def term(col):
+        is_bnode = pc.starts_with(col, "_:")
+        out = pc.binary_join_element_wise(
+            pa.array(["<"] * len(col)), _escape_ttl_iri(col),
+            pa.array([">"] * len(col)), "")
+        out = pc.if_else(is_bnode, col, out)
+        for pfx, base in prefixes.items():
+            suf = pc.utf8_slice_codeunits(col, len(base))
+            ok = pc.and_(pc.starts_with(col, base),
+                         pc.match_substring_regex(suf, _PN_LOCAL_RE))
+            short = pc.binary_join_element_wise(
+                pa.array([pfx + ":"] * len(col)), suf, "")
+            out = pc.if_else(ok, short, out)
+        return out
+
+    quoted = pc.binary_join_element_wise(
+        pa.array(['"'] * n), _escape_ttl_literal(obj),
+        pa.array(['"'] * n), "")
+    obj_t = pc.if_else(lit, quoted, term(obj))
+    pred_t = pc.if_else(pc.equal(pred, pa.scalar(_RDF_TYPE, pa.string())),
+                        pa.scalar("a", pa.string()), term(pred))
+
+    import numpy as np
+
+    s = subj.to_numpy(zero_copy_only=False)
+    first = np.ones(n, bool)
+    first[1:] = s[1:] != s[:-1]
+    last = np.ones(n, bool)
+    last[:-1] = s[:-1] != s[1:]
+    head = pc.if_else(pa.array(first),
+                      pc.binary_join_element_wise(
+                          term(subj), pa.array(["\n    "] * n), ""),
+                      pa.scalar("    ", pa.string()))
+    tail = pc.if_else(pa.array(last), pa.scalar(" .", pa.string()),
+                      pa.scalar(" ;", pa.string()))
+    line = pc.binary_join_element_wise(
+        head, pred_t, pa.array([" "] * n), obj_t, tail, "")
+    return pa.table({"line": line})
+
+
+def write_turtle(ds, path: str, prefixes: dict[str, str] | None = None
+                 ) -> list[str]:
+    """Triple Dataset → ``<path>/part-<hash>.ttl`` with an ``@prefix``
+    header per file; one file per batch written INSIDE the map task
+    (no driver collect), content-hash names so retries are idempotent
+    — the Turtle sibling of :func:`write_ntriples` (reference
+    ``DataObject.save`` picks ttl from the extension,
+    ``tera/DataAggregation.py:54-62``)."""
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+    pfx = dict(prefixes or {})
+    header = "".join(f"@prefix {p}: <{b}> .\n" for p, b in pfx.items())
+
+    def fmt_and_write(t: pa.Table) -> pa.Table:
+        lines = format_turtle(t, pfx)["line"].to_pylist()
+        payload = (header + "\n".join(lines) + "\n").encode("utf-8")
+        name = hashlib.sha1(payload).hexdigest()[:16]
+        p = os.path.join(path, f"part-{name}.ttl")
+        with open(p, "wb") as f:
+            f.write(payload)
+        return pa.table({"path": pa.array([p]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(fmt_and_write, batch_format="pyarrow")
+    return sorted(r["path"] for r in out.take_all())

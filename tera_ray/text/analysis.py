@@ -266,7 +266,7 @@ def build_vocab(ds, text_col: str = "text", size: int = 1000) -> pa.Table:
 
 
 class TokenEncodeStage:
-    """Actor-pool stage: text → ``list<int32>`` token-id sequences.
+    """Actor-pool stage: text → ``list<int64>`` token-id sequences.
 
     The vocab dict is fetched from the object store ONCE per actor in
     ``__init__`` (``vocab_ref`` is a ``ray.put`` handle — broadcast,
@@ -300,21 +300,23 @@ class TokenEncodeStage:
         if len(flat):
             uniq, inv = np.unique(flat.astype(object), return_inverse=True)
             ids_u = np.fromiter((self.vocab.get(u, self.unk) for u in uniq),
-                                dtype=np.int32, count=len(uniq))
+                                dtype=np.int64, count=len(uniq))
             ids_flat = ids_u[inv]
         else:
-            ids_flat = np.array([], np.int32)
+            ids_flat = np.array([], np.int64)
         lens = np.bincount(par, minlength=n) if len(par) else np.zeros(n, np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        # int64 ids: the SQL-oracle side (DuckDB row_number()) is BIGINT
+        # and a dtype drift would change the driver's value hash
         arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                       pa.array(ids_flat, pa.int32()))
+                                       pa.array(ids_flat, pa.int64()))
         return pa.table({self.id_col: batch[self.id_col],
                          "token_ids": arr})
 
 
 def encode_token_ids(ds, vocab: pa.Table, id_col: str = "doc_id",
                      text_col: str = "text", concurrency=None):
-    """documents → ``(id, token_ids list<int32>)`` using a broadcast
+    """documents → ``(id, token_ids list<int64>)`` using a broadcast
     vocab (see :class:`TokenEncodeStage`).  Map-side only: no shuffle,
     output row count equals input."""
     import ray

@@ -117,6 +117,9 @@ PARITY_KEYS = [
     "docs_hash_embed",
     "docs_embed_cluster",
     "docs_hot_lines",
+    # session-6 additions
+    "src_ttl_roundtrip",
+    "src_ttl_parse",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

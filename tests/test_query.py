@@ -99,6 +99,36 @@ class TestKGQueries:
         # does NOT reach t2's branch
         assert "_:r3" not in subjects
 
+    def test_bfs_subgraph_escalates_on_wide_hub(self):
+        """A hub whose fan-out exceeds driver_max_nodes must route the
+        BFS to the distributed frontier (node-id Datasets, driver holds
+        counts only) and return the same closure as the driver path."""
+        import ray.data
+
+        from tera_ray.query.kg import construct_subgraph
+
+        rows = [("root", "p", f"hub{h}", False) for h in range(4)]
+        for h in range(4):
+            rows += [(f"hub{h}", "p", f"leaf{h}_{i}", False)
+                     for i in range(100)]
+        rows += [(f"leaf0_{i}", "p", f"deep{i}", False) for i in range(20)]
+        store = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        }))
+
+        def closure(ds):
+            out = ds.take_all()
+            return sorted((r["subj"], r["pred"], r["obj"]) for r in out)
+
+        driver = closure(construct_subgraph(store, ["root"]))
+        escalated = construct_subgraph(store, ["root"],
+                                       driver_max_nodes=10)
+        assert closure(escalated) == driver
+        assert len(driver) == 4 + 400 + 20
+
     def test_khop_siblings(self):
         from tera_ray.query.kg import khop_related
 
@@ -461,6 +491,35 @@ class TestEndpointStarRouting:
                   for c in sorted(big.schema().names))
             for r in big.take_all())
         assert rows_small == rows_big and len(rows_small) == 3
+
+    def test_unhinted_in_memory_store_routes_distributed(self):
+        """No size hint + no input-file metadata (in-memory store) must
+        NEVER pick the driver-materializing star (r2 verdict item #3)."""
+        import ray.data
+
+        from tera_ray.query.kg import endpoint_star
+
+        out = endpoint_star(_kg())
+        assert isinstance(out, ray.data.Dataset)
+        assert len(out.take_all()) == 3
+
+    def test_unhinted_small_file_store_routes_driver(self, tmp_path):
+        """Input-file metadata (parquet sizes, no execution) supplies
+        the size for unhinted file-backed stores, keeping the fast
+        driver star on interactive-scale inputs."""
+        import pyarrow.parquet as pq
+
+        import ray.data
+
+        from tera_ray.query.kg import endpoint_star
+
+        tbl = pa.concat_tables(list(
+            _kg().iter_batches(batch_format="pyarrow", batch_size=None)))
+        pq.write_table(tbl, tmp_path / "kg.parquet")
+        out = endpoint_star(
+            ray.data.read_parquet(str(tmp_path / "kg.parquet")))
+        assert isinstance(out, pa.Table)
+        assert out.num_rows == 3
 
 
 class TestHashJoin:

@@ -1,5 +1,6 @@
 """Dump-source tests (SURVEY S1-S3): pipe dumps, comma CSV fallback, NT/TTL."""
 
+import pyarrow as pa
 import pytest
 
 import ray
@@ -308,3 +309,93 @@ class TestJsonl:
         back = read_jsonl(str(out), self._cols()).take_all()
         assert all(r["__error"] is None for r in back)
         assert sorted(r["doc_id"] for r in back) == [7, 8]
+
+
+class TestTurtleParser:
+    """Full Turtle grammar (S3 — r2 verdict item #5): document-level
+    parser, no Ray needed for the grammar cases."""
+
+    def test_turtle_parser_grammar(self):
+        """The hand-written spec expectation (which is ALSO the
+        src_ttl_parse DuckDB oracle) matches the parser exactly."""
+        import __ray_entry__ as e
+        from tera_ray.sources.dumps import TurtleParser
+
+        triples, rejects = TurtleParser().parse_document(e._TTL_PARSE_DOC)
+        assert rejects == []
+        assert triples == e.TTL_PARSE_EXPECTED
+
+    def test_error_recovery_and_dead_letter(self):
+        from tera_ray.sources.dumps import TurtleParser
+
+        ttl = ('@prefix ex: <http://ex.org/> .\n'
+               'ex:good ex:p "ok" .\n'
+               'ex:bad ex:oops ??? .\n'          # untokenizable
+               'undeclared:x ex:p "y" .\n'       # unknown prefix
+               'ex:after ex:p "still parsed" .\n')
+        triples, rejects = TurtleParser().parse_document(ttl)
+        assert [(s, o) for s, _, o, _ in triples] == [
+            ("http://ex.org/good", "ok"),
+            ("http://ex.org/after", "still parsed")]
+        assert len(rejects) == 2
+        assert "cannot tokenize" in rejects[0]
+        assert "undeclared prefix" in rejects[1]
+
+    def test_statement_dot_vs_decimal(self):
+        """'42.' must parse as integer 42 + statement dot, while 4.2
+        stays one decimal token (the classic Turtle ambiguity)."""
+        from tera_ray.sources.dumps import TurtleParser
+
+        ttl = ('@prefix ex: <http://e/> .\n'
+               'ex:a ex:p 42.\nex:b ex:q 4.2 .\n')
+        triples, rejects = TurtleParser().parse_document(ttl)
+        assert rejects == []
+        assert [(o, l) for _, _, o, l in triples] == [
+            ("42", True), ("4.2", True)]
+
+    def test_semicolon_variants(self):
+        from tera_ray.sources.dumps import TurtleParser
+
+        ttl = ('@prefix ex: <http://e/> .\n'
+               'ex:a ex:p "1" ; ; ex:q "2" ; .\n')   # ';;' + trailing ';'
+        triples, rejects = TurtleParser().parse_document(ttl)
+        assert rejects == []
+        assert [(p, o) for _, p, o, _ in triples] == [
+            ("http://e/p", "1"), ("http://e/q", "2")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTurtleRoundtrip:
+    def test_writer_reader_invert(self, tmp_path):
+        """write_turtle (prefix compression, ';' grouping, IRI UCHAR
+        escapes, literal escapes) inverts through read_turtle."""
+        import ray.data
+
+        from tera_ray.sources.dumps import read_turtle
+        from tera_ray.sources.sinks import write_turtle
+
+        rows = [
+            ("http://ex.org/w", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "http://ex.org/C", False),
+            ("http://ex.org/w", "http://ex.org/label",
+             'qu"ote\nnew\tline\\slash', True),
+            ("_:b1", "http://ex.org/p", "_:b2", False),
+            ("http://ex.org/odd uri", "http://ex.org/p",
+             "http://other.org/x", False),
+            ("http://ex.org/w", "http://ex.org/empty", "", True),
+        ]
+        t = pa.table({
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+        paths = write_turtle(ray.data.from_arrow(t), str(tmp_path / "ttl"),
+                             prefixes={"ex": "http://ex.org/"})
+        body = open(paths[0]).read()
+        assert "ex:w" in body and "@prefix ex:" in body   # compressed
+        assert "\\u0020" in body                          # IRI escape
+        back = read_turtle(paths, dead_letter=True)
+        got = sorted((r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+                     for r in back.take_all())
+        assert got == sorted(rows)

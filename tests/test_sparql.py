@@ -306,6 +306,62 @@ class TestSparqlSelect:
             ("b", NS + "p", "3"), ("b", NS + "seen", "3"),
             ("c", NS + "p", "9"), ("c", NS + "seen", "9")]
 
+    def test_ground_patterns(self):
+        """All-constant patterns are spec-legal existence gates (r2
+        ADVICE): ground DELETE WHERE, ground ASK, ground gate inside a
+        larger BGP, and ground property paths."""
+        from tera_ray.query.sparql import sparql_update
+
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array(["a", "a", "b", "c"], pa.string()),
+            "pred": pa.array(["p", "q", "p", "p"], pa.string()),
+            "obj": pa.array(["b", "c", "c", "a"], pa.string()),
+        }))
+        r = sparql_update(st, "DELETE WHERE { <a> <p> <b> }")
+        assert sorted(tuple(x.values()) for x in r.take_all()) == [
+            ("a", "q", "c"), ("b", "p", "c"), ("c", "p", "a")]
+        # absent ground triple → zero solutions → no-op
+        assert sparql_update(st, "DELETE WHERE { <z> <p> <b> }").count() == 4
+        assert sparql_ask(st, "ASK { <a> <p> <b> }")
+        assert not sparql_ask(st, "ASK { <a> <p> <zz> }")
+        # ground gate inside a BGP with variables
+        got = rows(sparql_select(
+            st, "SELECT ?x WHERE { <a> <p> <b> . ?x <p> <c> }"), ["x"])
+        assert got == [("b",)]
+        gated = sparql_select(
+            st, "SELECT ?x WHERE { <a> <p> <zz> . ?x <p> <c> }")
+        assert rows(gated, ["x"]) == []
+        # ground paths: a→b→c→a is a p-cycle; zero-length always holds
+        assert sparql_ask(st, "ASK { <a> <p>+ <a> }")
+        assert not sparql_ask(st, "ASK { <b> <q>+ <a> }")
+        assert sparql_ask(st, "ASK { <nope> <p>* <nope> }")
+
+    def test_filter_in_numeric_column(self):
+        """IN / NOT IN over a numeric binding column (aggregate alias)
+        casts the value set instead of raising an Arrow type error."""
+        q = PFX + ("SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t } "
+                   "GROUP BY ?s HAVING (?n IN (2, 99))")
+        assert rows(sparql_select(store(), q), ["s", "n"]) == [
+            (NS + "t1", 2)]
+        qn = PFX + ("SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t } "
+                    "GROUP BY ?s HAVING (?n NOT IN (2))")
+        assert rows(sparql_select(store(), qn), ["s", "n"]) == []
+
+    def test_aggregate_empty_implicit_group(self):
+        """Aggregates without GROUP BY over zero solutions return ONE
+        implicit-group row (spec §11): COUNT/SUM/AVG = 0, MIN unbound,
+        GROUP_CONCAT = ''."""
+        q = PFX + ("SELECT (COUNT(?o) AS ?n) (SUM(?o) AS ?s) "
+                   "(MIN(?o) AS ?m) WHERE { ?x ex:absent ?o }")
+        assert rows(sparql_select(store(), q), ["n", "s", "m"]) == [
+            (0, 0.0, None)]
+        qc = PFX + ("SELECT (GROUP_CONCAT(?o) AS ?c) "
+                    "WHERE { ?x ex:absent ?o }")
+        assert rows(sparql_select(store(), qc), ["c"]) == [("",)]
+        # non-empty global aggregates are unchanged
+        qn = PFX + "SELECT (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }"
+        assert rows(sparql_select(store(), qn), ["n"]) == [(2,)]
+
     def test_negated_property_set(self):
         rows_in = [("a", NS + "p", "1"), ("a", NS + "q", "2"),
                    ("b", NS + "p", "3")]

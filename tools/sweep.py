@@ -33,6 +33,27 @@ _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
 
 
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """List field NAMES are cosmetic (DuckDB emits ``l``, Arrow builders
+    ``item``); everything else — including string vs large_string and
+    int32 vs int64 — is a real drift the driver's value hash can see."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_norm_type(t.value_type), t.list_size)
+    return t
+
+
+def _type_drift(got: pa.Schema, want: pa.Schema) -> list[str]:
+    out = []
+    for f in want:
+        if f.name in got.names and (_norm_type(got.field(f.name).type)
+                                    != _norm_type(f.type)):
+            out.append(f"{f.name}: engine {got.field(f.name).type}"
+                       f" vs oracle {f.type}")
+    return out
+
+
 def _rows(tbl: pa.Table):
     cols = sorted(tbl.schema.names)
     t = tbl.select(cols)
@@ -104,6 +125,8 @@ def main() -> int:
                 assert sorted(got.schema.names) == sorted(want.schema.names), (
                     f"columns {sorted(got.schema.names)} vs"
                     f" {sorted(want.schema.names)}")
+                drift = _type_drift(got.schema, want.schema)
+                assert not drift, "dtype drift: " + "; ".join(drift)
                 g, w = _rows(got), _rows(want)
                 assert len(g) == len(w), f"{len(g)} rows vs oracle {len(w)}"
                 assert g == w, "value mismatch: " + str(next(
