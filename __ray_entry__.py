@@ -205,6 +205,57 @@ def _q_docs_quality_model(sf_dir: str):
     return logreg_score(fds, w, feat_cols)
 
 
+_LOGREG_FEATS = ["alpha_ratio", "punct_ratio", "stopword_ratio",
+                 "mean_word_len"]
+
+
+def _q_docs_logreg_partials(sf_dir: str):
+    """SQL-oracleable face of the IRLS trainer (r2 verdict item #7):
+    the first Newton iteration's summed Hessian/gradient partials at
+    w = 0 over the same quality features docs_quality_model trains on.
+    The d×d solve itself stays driver-side and non-SQL; everything
+    that MOVES (the mergeable partials) is oracle-checked here."""
+    from tera_ray.text.analysis import quality_stats
+    from tera_ray.text.classifier import logreg_partials
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        q = quality_stats(t)
+        return q.append_column(
+            "y", pc.cast(pc.equal(t["lang"], "en"), pa.int64()))
+
+    return logreg_partials(ds.map_batches(feats, batch_format="pyarrow"),
+                           _LOGREG_FEATS, "y")
+
+
+def _logreg_partials_sql() -> str:
+    # integer micro-units: q_k = round_even(x_k * 1000) BIGINT with
+    # q0 = 1000 the intercept — exact sums, immune to float sum order
+    qs = ["CAST(1000 AS BIGINT)"] + [
+        f"CAST(round_even({c} * 1000, 0) AS BIGINT)"
+        for c in _LOGREG_FEATS]
+    arms = []
+    for i, qi in enumerate(qs):
+        for j, qj in enumerate(qs):
+            arms.append(
+                f"SELECT 'xx' AS kind, CAST({i} AS BIGINT) AS i,"
+                f" CAST({j} AS BIGINT) AS j,"
+                f" CAST(sum(({qi}) * ({qj})) AS BIGINT)"
+                f" AS value FROM f")
+    for j, qj in enumerate(qs):
+        arms.append(
+            f"SELECT 'xy' AS kind, CAST(-1 AS BIGINT) AS i,"
+            f" CAST({j} AS BIGINT) AS j,"
+            f" CAST(sum(({qj}) * (2 * y - 1)) AS BIGINT)"
+            f" AS value FROM f")
+    return (f"WITH q AS ({_quality_stats_sql()}),"
+            f" f AS (SELECT q.*,"
+            f" CAST(d.lang = 'en' AS BIGINT) AS y"
+            f" FROM q JOIN documents d USING (doc_id)) "
+            + " UNION ALL ".join(arms))
+
+
 def _q_docs_union_by_name(sf_dir: str):
     """UNION ALL BY NAME (schema evolution): two shards of the
     documents table exposing different column subsets union by column
@@ -871,6 +922,37 @@ def _q_emb_semdedup(sf_dir: str):
 
 
 # rows-only (non-SQL-expressible) over sf tables ---------------------------
+
+def _q_docs_bpe_pair_counts(sf_dir: str):
+    """SQL-oracleable face of BPE training (r2 verdict item #7): the
+    first round's freq-weighted adjacent-codepoint pair counts over
+    the distinct-word table (`tera_ray.text.bpe.pair_counts`) — the
+    exact table every merge round's argmax reduces over."""
+    from tera_ray.text.bpe import pair_counts
+
+    return pair_counts(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+def _bpe_pair_counts_sql() -> str:
+    return r"""
+WITH w AS (
+  SELECT tok AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(
+            trim(lower(coalesce(text, ''))), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), p AS (
+  SELECT (CAST(unicode(substring(word, g, 1)) AS BIGINT) << 32)
+         | CAST(unicode(substring(word, g + 1, 1)) AS BIGINT) AS pair,
+         freq
+  FROM (SELECT word, freq,
+               unnest(generate_series(1, length(word) - 1)) AS g
+        FROM w WHERE length(word) >= 2)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+"""
+
 
 def _q_docs_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (`tera_ray.text.bpe.bpe_train`,
@@ -3744,6 +3826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_quality_model": _q_docs_quality_model,
+        "docs_logreg_partials": _q_docs_logreg_partials,
         "docs_hash_embed": _q_docs_hash_embed,
         "docs_embed_cluster": _q_docs_embed_cluster,
         "docs_hot_lines": _q_docs_hot_lines,
@@ -3777,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         # rows-only training-data ops
         "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
         "docs_quality": _q_docs_quality,
         "docs_quality_stats": _q_docs_quality_stats,
         "events_tumbling": _q_events_tumbling,
@@ -5482,6 +5566,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
         "src_ttl_roundtrip": _nt_roundtrip_sql(fx),
         "src_ttl_parse": _ttl_parse_sql(),
+        "docs_logreg_partials": _logreg_partials_sql(),
+        "docs_bpe_pair_counts": _bpe_pair_counts_sql(),
         "src_jsonl_roundtrip":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "kg_endpoint_mapping":

@@ -179,6 +179,21 @@ def _sym_str(sym: int, merged_str: dict) -> str:
     return merged_str[sym] if sym >= _MERGE_BASE else chr(sym)
 
 
+def pair_counts(ds, text_col: str = "text", lowercase: bool = True):
+    """FIRST-round BPE pair statistics: freq-weighted counts of
+    adjacent codepoint pairs over the distinct-word table — the
+    SQL-oracleable face of :func:`bpe_train` (r2 verdict item #7: the
+    iterative argmax is non-SQL, but the pair-count table every round
+    reduces over IS).  ``pair`` packs ``left_codepoint << 32 | right``
+    (mirror oracles with DuckDB ``unicode(substring(word, g, 1))``)."""
+    from ..query.relational import grouped_agg
+
+    wc = word_counts(ds, text_col=text_col, lowercase=lowercase)
+    sy = wc.map_batches(_to_symbols, batch_format="pyarrow")
+    parts = sy.map_batches(_pair_partials, batch_format="pyarrow")
+    return grouped_agg(parts, ["pair"], [("cnt", "sum", "cnt")])
+
+
 # ---------------------------------------------------------------------------
 # training loop
 

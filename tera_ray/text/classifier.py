@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray
 
-__all__ = ["logreg_fit", "logreg_score"]
+__all__ = ["logreg_fit", "logreg_partials", "logreg_score"]
 
 
 def _design(t: pa.Table, feature_cols: list[str]) -> np.ndarray:
@@ -94,6 +94,53 @@ def logreg_fit(ds, feature_cols: list[str], label_col: str,
         w = w + np.linalg.solve(H, g)
         history.append(loss / n)
     return w, history
+
+
+def logreg_partials(ds, feature_cols: list[str], label_col: str,
+                    scale: int = 1000):
+    """The FIRST IRLS iteration's Newton partials (w = 0) as a LONG
+    table — the SQL-oracleable face of :func:`logreg_fit` (r2 verdict
+    item #7: every mergeable sub-step of the non-SQL solver IS
+    SQL-checkable even though the d×d solve is not).
+
+    Values are EXACT integer micro-unit sums (features quantized to
+    ``q = round_half_even(x · scale)`` int64, with q₀ = scale the
+    intercept) so the check is immune to float summation order:
+      kind='xx': S_ij = Σ q_i q_j        (H_ij = S_ij / (4·scale²))
+      kind='xy': T_j  = Σ q_j (2y − 1)   (g_j  = T_j / (2·scale),
+                                          i = −1)
+    Rows: ``(kind, i, j, value)``.  Per batch one fixed-size integer
+    partial; ONE tiny grouped sum merges them.  Mirror oracles with
+    ``CAST(round_even(x * scale, 0) AS BIGINT)`` — quantization is a
+    deterministic function of bit-identical inputs, so both sides
+    produce the SAME integers and the sums compare exactly.  Overflow
+    headroom: |q| ≤ scale·max|x|, so Σ q_i q_j ≤ n·(scale·max|x|)² —
+    at scale 1000 and |x| ≤ 100 that is 10¹⁰ per row, int64-safe past
+    10⁸ rows."""
+    from ..query.relational import grouped_agg
+
+    d1 = len(feature_cols) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = _design(t, feature_cols)
+        q = np.round(X * float(scale)).astype(np.int64)
+        y = t[label_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        s = (2.0 * y - 1.0).astype(np.int64)
+        S = q.T @ q                              # exact int64
+        T = q.T @ s
+        kinds = ["xx"] * (d1 * d1) + ["xy"] * d1
+        ii = [i for i in range(d1) for _ in range(d1)] + [-1] * d1
+        jj = [j for _ in range(d1) for j in range(d1)] + list(range(d1))
+        vals = np.concatenate([S.reshape(-1), T])
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "i": pa.array(ii, pa.int64()),
+            "j": pa.array(jj, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        })
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["kind", "i", "j"], [("v", "sum", "value")])
 
 
 class _ScoreStage:

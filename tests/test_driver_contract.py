@@ -120,6 +120,9 @@ PARITY_KEYS = [
     # session-6 additions
     "src_ttl_roundtrip",
     "src_ttl_parse",
+    # session-7 additions
+    "docs_logreg_partials",
+    "docs_bpe_pair_counts",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
