@@ -67,11 +67,22 @@ class ImageDecodeStage:
         self.out = out_size
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
-        if _HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError(
-                "real decode path requires PIL at runtime; wire "
-                "PIL.Image.open(io.BytesIO(payload)) here")
+        """Decoder seam — the ONLY method a real codec replaces.
+        Contract (enforced by tests/test_multimodal.py's contract
+        test): returns ``uint8`` pixels shaped ``(h', w', 3)`` for any
+        positive dims; everything downstream (resize, tensor layout,
+        output schema) is decoder-independent."""
+        if _HAVE_PIL:  # pragma: no cover - PIL absent in this container
+            return self._decode_real(payload)
         return _fake_pixels(payload, w, h)
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
 
     def _resize(self, px: np.ndarray) -> np.ndarray:
         """Nearest-neighbor resize to (out, out) — pure numpy gather."""

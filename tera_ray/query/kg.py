@@ -581,8 +581,37 @@ def _graph_nodes(triples, col: str, num_buckets: int):
                          keys=(col,), num_buckets=num_buckets)
 
 
+def _zl_provider(path_pat, group):
+    """Scalability escape hatch for zero-length property paths: a
+    var-var ``*`` / ``?`` path's identity pairs may be scoped to the
+    value domain ANOTHER pattern in the same BGP already binds for one
+    of the path's end variables — the BGP's own join drops every
+    solution outside that domain, so §9.3 semantics are preserved on
+    the bound domain while the full-store node enumeration (10^11
+    nodes at target scale) is skipped entirely.  Returns
+    ``(end_var_term, provider_pattern)`` where provider is a PLAIN
+    (non-path, non-negated-set) pattern in ``group`` mentioning the
+    end variable in subject or object position, else None (anchored
+    paths need no domain; unscoped var-var paths fall back to the
+    spec's full node set)."""
+    s, pr, o = path_pat
+    if not (isinstance(pr, tuple) and pr[0] in ("*", "?")):
+        return None
+    ends = [t for t in (s, o)
+            if isinstance(t, str) and t.startswith("?")]
+    if len(ends) < 2:
+        return None
+    for q in group:
+        if isinstance(q[1], tuple):        # paths / negated sets can't
+            continue                       # provide a plain domain scan
+        for v in ends:
+            if q[0] == v or q[2] == v:
+                return v, q
+    return None
+
+
 def _path_bindings(triples, s, uri: str, o, num_buckets: int,
-                   mod: str = "+", full_store=None):
+                   mod: str = "+", full_store=None, ident_nodes=None):
     """Bindings for a ``pred+`` / ``pred*`` / ``pred?`` property-path
     pattern: DISTINCT pairs of the predicate's edge relation under the
     modifier's reachability semantics (existential SPARQL paths — no
@@ -593,7 +622,10 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int,
     both ends variable they bind every node of the FULL store
     (``full_store``, pre-narrowing — not just the path predicate's
     subgraph); with one end constant the constant itself always binds,
-    whether or not it appears in the graph."""
+    whether or not it appears in the graph.  ``ident_nodes`` (a
+    one-column ``src`` relation) replaces the full-store node domain
+    when the caller has proven a narrower domain is join-equivalent
+    (:func:`_zl_provider`)."""
     from ..stages.base import dedup_triples
 
     def edges(t: pa.Table) -> pa.Table:
@@ -660,9 +692,11 @@ def _path_bindings(triples, s, uri: str, o, num_buckets: int,
         reach = clos.map_batches(lambda t: t.select(["src", "anc"]),
                                  batch_format="pyarrow")
     if mod in ("*", "?"):
-        # zero-length identity pairs over the FULL store's node set
-        nodes = _graph_nodes(full_store if full_store is not None
-                             else triples, "src", num_buckets)
+        # zero-length identity pairs: the FULL store's node set (§9.3)
+        # unless the caller scoped the domain (_zl_provider)
+        nodes = (ident_nodes if ident_nodes is not None
+                 else _graph_nodes(full_store if full_store is not None
+                                   else triples, "src", num_buckets))
         ident = nodes.map_batches(
             lambda t: pa.table({"src": t["src"], "anc": t["src"]}),
             batch_format="pyarrow")
@@ -805,8 +839,14 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
     optional = [p for p in optional if any(map(_is_var, p))]
 
     # zero-length path matches ("*" / "?") enumerate the FULL store's
-    # node set — capture it before predicate narrowing prunes the scan
+    # node set — capture it before predicate narrowing prunes the scan.
+    # Escape hatch: a var-var zero-length path whose end variable is
+    # bound by a PLAIN required pattern scopes its identity domain to
+    # that pattern's values instead (_zl_provider) — join-equivalent,
+    # and the full store is never enumerated.
     full_store = triples
+    zl_scope = {id(p): prov for p in list(var_patterns) + list(optional)
+                if (prov := _zl_provider(p, var_patterns)) is not None}
 
     if narrow:
         # ONE narrowing pass: every pattern scan below re-reads the
@@ -835,9 +875,11 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
         # "*"/"?" pattern (_graph_nodes) — on a lazy store that would
         # re-execute its whole upstream lineage per pattern, the exact
         # 423s-class cost the narrowing pass exists to avoid; park it
-        # in the object store ONCE.  Anchored paths never read it.
+        # in the object store ONCE.  Anchored paths never read it, and
+        # neither do domain-scoped ones (zl_scope above).
         if any(isinstance(p[1], tuple) and p[1][0] in ("*", "?")
                and _is_var(p[0]) and _is_var(p[2])
+               and id(p) not in zl_scope
                for p in list(patterns) + list(optional)):
             full_store = full_store.materialize()
 
@@ -861,8 +903,22 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
     def bindings(p):
         s, pr, o = p
         if isinstance(pr, tuple) and pr[0] in ("+", "*", "?"):
+            ident = None
+            if pr[0] in ("*", "?") and id(p) in zl_scope:
+                from ..stages.base import dedup_triples
+
+                v, q = zl_scope[id(p)]
+                vname = v[1:]
+
+                def dom(t: pa.Table, vname=vname) -> pa.Table:
+                    return pa.table({"src": t[vname]})
+
+                ident = dedup_triples(
+                    bindings(q).map_batches(dom, batch_format="pyarrow"),
+                    keys=("src",), num_buckets=num_buckets)
             return _path_bindings(triples, s, pr[1], o, num_buckets,
-                                  mod=pr[0], full_store=full_store)
+                                  mod=pr[0], full_store=full_store,
+                                  ident_nodes=ident)
         neg_set = None                      # negated property set !(…)
         if isinstance(pr, tuple) and pr[0] == "!":
             neg_set = pa.array(sorted(pr[1]), pa.string())

@@ -51,7 +51,11 @@ so a reference user can run their existing query strings unchanged:
   transitive closure, or a seeded broadcast-frontier BFS when one end
   is constant), ``pred*`` (zero-or-more — the closure unioned with
   identity pairs over the full store's node set per SPARQL 1.1 §9.3;
-  an anchored constant end always matches itself), ``pred?``
+  an anchored constant end always matches itself; when another plain
+  pattern in the same group already binds an end variable, the
+  identity domain is scoped to that pattern's values — join-
+  equivalent, skips the full-store node enumeration, and keeps
+  predicate narrowing enabled for the query), ``pred?``
   (zero-or-one — direct edges plus the same zero-length identity),
   ``^pred`` (inverse — direction swap), and sequences
   ``p1 / p2`` (fresh-variable chain rewrite; whitespace around ``/``
@@ -1163,21 +1167,29 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
     applies (and to which predicate set), the feature blocks in play,
     and an upper bound on co-group shuffles (star-sibling batching can
     only reduce it).  Debug/planning surface — no Ray session needed."""
+    from .kg import _zl_provider
+
     ast = _Parser(_tokenize(query), _resolve_ns(init_ns)).parse()
     ordered = _connect_order(ast.patterns) if ast.patterns else []
-    all_patterns = _collect_patterns(ast)
-    narrowable, preds = True, set()
-    for p in all_patterns:
-        pr = p[1]
-        if isinstance(pr, tuple):
-            if pr[0] in ("*", "?", "!"):
-                narrowable = False
+    narrowable, flat_preds = _narrow_plan(ast)
+    preds = set(flat_preds)
+    # zero-length-path identity domains: pattern-scoped (escape hatch,
+    # kg._zl_provider) vs the spec's full-store node enumeration
+    zl_domains = []
+    for grp in _collect_groups(ast):
+        for p in grp:
+            pr = p[1]
+            if not (isinstance(pr, tuple) and pr[0] in ("*", "?")):
+                continue
+            isv = [isinstance(t, str) and t.startswith("?")
+                   for t in (p[0], p[2])]
+            if not all(isv):
+                dom = "anchored-constant"
             else:
-                preds.add(pr[1])
-        elif pr.startswith("?"):
-            narrowable = False
-        else:
-            preds.add(pr)
+                prov = _zl_provider(p, grp)
+                dom = (f"pattern-scoped:{prov[0]}" if prov is not None
+                       else "full-store")
+            zl_domains.append({"pattern": p, "identity_domain": dom})
     join_shuffles = max(0, len(ordered) - 1)
     extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
              + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
@@ -1189,6 +1201,7 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
         "patterns_in_join_order": ordered,
         "narrowable": narrowable,
         "narrowed_predicates": sorted(preds) if narrowable else [],
+        "zero_length_domains": zl_domains,
         "blocks": {
             "optionals": len(ast.optionals),
             "union_branches": sum(len(b) for b in ast.unions),
@@ -1539,18 +1552,59 @@ def _first_of_run(sorted_keys: pa.Array) -> pa.Array:
     return pa.array(keep)
 
 
-def _collect_patterns(ast: _Query) -> list:
-    """Every triple pattern reachable from this query, subqueries
-    included (for the single predicate-narrowing pass)."""
-    pats = (list(ast.patterns)
-            + [p for g in ast.optionals for p in g]
-            + [p for blk in ast.unions for br in blk for p in br]
-            + [p for _, ps in ast.graphs for p in ps]
-            + [p for g in ast.minuses for p in g]
-            + [p for _, g in ast.exists for p in g])
+def _collect_groups(ast: _Query) -> list[list]:
+    """Pattern GROUPS as bgp_match will see them (one call per group):
+    required patterns, each OPTIONAL group, each UNION branch, each
+    GRAPH block, each MINUS / EXISTS group, subqueries recursively.
+    Zero-length-path domain scoping (kg._zl_provider) resolves within
+    a group, so narrowability must be judged per group."""
+    groups = [list(ast.patterns)] if ast.patterns else []
+    groups += [list(g) for g in ast.optionals]
+    groups += [list(br) for blk in ast.unions for br in blk]
+    groups += [list(ps) for _, ps in ast.graphs]
+    groups += [list(g) for g in ast.minuses]
+    groups += [list(g) for _, g in ast.exists]
     for sub in ast.subqueries:
-        pats.extend(_collect_patterns(sub))
-    return pats
+        groups += _collect_groups(sub)
+    return groups
+
+
+def _narrow_plan(ast: _Query) -> tuple[bool, list[str]]:
+    """Whether the one-pass predicate narrowing applies, and the
+    constant-predicate list it would keep.
+
+    Narrowing needs every pattern's predicate to be a known constant.
+    Shapes that defeat it: variable predicates; negated property sets
+    (a complement can match any predicate); and var-var zero-length
+    paths ("*" / "?" bind every node of the FULL store, SPARQL 1.1
+    §9.3 — narrowing would shrink that domain) UNLESS a plain pattern
+    in the same group binds one of the path's end variables, in which
+    case the identity domain is pattern-scoped (kg._zl_provider) and
+    the full store is never enumerated.  Anchored zero-length paths
+    never read the full store and are always narrowable."""
+    from .kg import _zl_provider
+
+    def _isv(t) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    flat_preds: list[str] = []
+    narrowable = True
+    for grp in _collect_groups(ast):
+        for p in grp:
+            pr = p[1]
+            if isinstance(pr, tuple):
+                if pr[0] == "!":
+                    narrowable = False
+                else:
+                    flat_preds.append(pr[1])
+                    if (pr[0] in ("*", "?") and _isv(p[0]) and _isv(p[2])
+                            and _zl_provider(p, grp) is None):
+                        narrowable = False
+            elif pr.startswith("?"):
+                narrowable = False
+            else:
+                flat_preds.append(pr)
+    return narrowable, flat_preds
 
 
 def _uses_graph(ast: _Query) -> bool:
@@ -1573,7 +1627,6 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # bgp_match's own pass — a lazy store's upstream lineage executes
     # exactly once per query.  Subqueries re-enter with narrow=False.
     if narrow:
-        all_patterns = _collect_patterns(ast)
         keep = (["subj", "pred", "obj"]
                 + (["graph"] if _uses_graph(ast) else []))
         if _uses_graph(ast):
@@ -1583,25 +1636,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 raise SparqlError(
                     "GRAPH block over a store without a 'graph' "
                     "lineage column")
-        # Narrowing needs every pattern's predicate to be a known
-        # constant.  Three shapes defeat it: variable predicates,
-        # zero-length paths ("*" / "?" bind every node of the FULL
-        # store, SPARQL 1.1 §9.3 — narrowing would shrink that
-        # domain), and negated property sets (a complement can match
-        # any predicate).
-        flat_preds: list[str] = []
-        narrowable = True
-        for p in all_patterns:
-            pr = p[1]
-            if isinstance(pr, tuple):
-                if pr[0] in ("*", "?", "!"):
-                    narrowable = False
-                else:
-                    flat_preds.append(pr[1])
-            elif pr.startswith("?"):
-                narrowable = False
-            else:
-                flat_preds.append(pr)
+        narrowable, flat_preds = _narrow_plan(ast)
         if narrowable:
             pset = pa.array(sorted(set(flat_preds)), pa.string())
 

@@ -37,6 +37,36 @@ class TestMultimodal:
         key = lambda rows: {r["media_id"]: list(r["pixels"]) for r in rows}
         assert key(a) == key(b)
 
+    def test_decoder_contract_stub_vs_real(self):
+        """Contract test for the decoder seam (`ImageDecodeStage._decode`):
+        ANY decoder honoring the contract — uint8 pixels (h', w', 3) —
+        yields the IDENTICAL output schema and batch shape through the
+        stage.  A 'real' decoder stands in for PIL here (the container
+        has no codecs); swapping in PIL only replaces `_decode_real`,
+        so this pins exactly what a codec slot-in may not change."""
+        import numpy as np
+
+        from tera_ray.multimodal.media import ImageDecodeStage
+
+        class GradientDecoder(ImageDecodeStage):
+            # simulates a real codec: dims from the payload itself, not
+            # the metadata columns (PIL ignores width/height metadata)
+            def _decode(self, payload, w, h):
+                hh, ww = 7 + len(payload) % 5, 11 + len(payload) % 3
+                g = (np.arange(hh * ww * 3) + len(payload)) % 256
+                return g.reshape(hh, ww, 3).astype(np.uint8)
+
+        t = synthetic_media(15)
+        stub = ImageDecodeStage(out_size=8)(t)
+        real = GradientDecoder(out_size=8)(t)
+        assert stub.schema.equals(real.schema)
+        assert stub.num_rows == real.num_rows == 15
+        assert real["pixels"].type == pa.list_(pa.uint8(), 8 * 8 * 3)
+        # and through the Dataset/actor-pool plumbing: same schema
+        ds_stub = decode_images(ray.data.from_arrow(t), out_size=8,
+                                concurrency=(1, 2))
+        assert ds_stub.schema().base_schema.equals(stub.schema)
+
     def test_frame_sampling_fans_out(self):
         t = synthetic_media(6, kind="video")
         out = sample_frames(ray.data.from_arrow(t), num_frames=3, out_size=4,

@@ -494,6 +494,62 @@ class TestSparqlSelect:
         """), ["s", "l"])
         assert j == [(NS + "a", "A")]
 
+    def test_zero_length_domain_scoping(self):
+        """A var-var */? path whose end variable is bound by a plain
+        pattern in the same group scopes its identity domain to that
+        pattern's values (kg._zl_provider) — same §9.3 solutions on
+        the bound domain, full-store node enumeration skipped, and
+        predicate narrowing stays ENABLED for the query."""
+        from tera_ray.query.sparql import sparql_explain
+
+        rows_in = [
+            (NS + "a", RDF + "type", NS + "T"),
+            (NS + "d", RDF + "type", NS + "T"),   # no sub edges at all
+            (NS + "a", NS + "sub", NS + "b"),
+            (NS + "b", NS + "sub", NS + "c"),
+            (NS + "z", NS + "other", NS + "w"),   # store nodes ∉ domain
+        ]
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+        }))
+        q = PFX + """
+            SELECT ?x ?y WHERE { ?x rdf:type ex:T . ?x ex:sub* ?y }
+        """
+        # plan surface: narrowable despite the * path, domain scoped
+        p = sparql_explain(q)
+        assert p["narrowable"]
+        assert NS + "sub" in p["narrowed_predicates"]
+        assert p["zero_length_domains"] == [{
+            "pattern": ("?x", ("*", NS + "sub"), "?y"),
+            "identity_domain": "pattern-scoped:?x",
+        }]
+        # solutions: d has NO sub edges but zero-length still binds
+        # (d, d) — proves the identity domain is the provider's value
+        # set, not the path predicate's subgraph
+        got = set(rows(sparql_select(st, q), ["x", "y"]))
+        assert got == {(NS + "a", NS + "a"), (NS + "a", NS + "b"),
+                       (NS + "a", NS + "c"), (NS + "d", NS + "d")}
+        # zero-or-one variant through the same hatch
+        got_q = set(rows(sparql_select(st, PFX + """
+            SELECT ?x ?y WHERE { ?x rdf:type ex:T . ?x ex:sub? ?y }
+        """), ["x", "y"]))
+        assert got_q == {(NS + "a", NS + "a"), (NS + "a", NS + "b"),
+                         (NS + "d", NS + "d")}
+        # unbound var-var path keeps the spec's full-store domain
+        p2 = sparql_explain(PFX + "SELECT ?s ?o { ?s ex:sub* ?o }")
+        assert not p2["narrowable"]
+        assert (p2["zero_length_domains"][0]["identity_domain"]
+                == "full-store")
+        got_full = set(rows(sparql_select(st, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:sub* ?o }
+        """), ["s", "o"]))
+        nodes = {NS + n for n in ("a", "b", "c", "d", "z", "w", "T")}
+        closure = {(NS + "a", NS + "b"), (NS + "a", NS + "c"),
+                   (NS + "b", NS + "c")}
+        assert got_full == closure | {(n, n) for n in nodes}
+
     def test_having_and_comparisons(self):
         q = PFX + """
             SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
