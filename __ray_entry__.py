@@ -3349,6 +3349,118 @@ def _ttl_parse_sql() -> str:
             f" t(subj, pred, obj, obj_is_literal)")
 
 
+def _q_src_rdfxml_roundtrip(sf_dir: str):
+    """S3+S6, third dump format (reference rdflib parses/saves RDF/XML,
+    `tera/DataAggregation.py:54-62`): division triples → RDF/XML sink
+    (one well-formed document per block, XML text/attr escaping, bnode
+    nodeIDs, factorized predicate QNames) → RdfXmlParser → rows.
+    Oracle = the divisions SQL, so writer and parser must invert
+    exactly."""
+    import shutil
+
+    from tera_ray.sources.dumps import read_rdfxml
+    from tera_ray.sources.sinks import write_rdfxml
+    from tera_ray.stages.taxonomy import emit_divisions
+
+    fx = _fx(sf_dir)
+    out_dir = os.path.join("/tmp", "tera_ray_rdfxml",
+                           os.path.basename(os.path.normpath(fx)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples = _kg_emit(sf_dir, "divisions", emit_divisions)
+    paths = write_rdfxml(triples, out_dir)
+    back = read_rdfxml(paths, graph="roundtrip")
+    return back.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
+_RDFXML_PARSE_DOC = """\
+<?xml version="1.0" encoding="utf-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/"
+         xml:base="http://base.org/">
+  <ex:Chemical rdf:about="http://ex.org/water" ex:formula="H2O">
+    <ex:label xml:lang="en">water</ex:label>
+    <ex:mass rdf:datatype="http://www.w3.org/2001/XMLSchema#double">\
+18.015</ex:mass>
+    <ex:sameAs rdf:resource=\
+"http://purl.obolibrary.org/obo/CHEBI_15377"/>
+    <ex:part>
+      <rdf:Description rdf:ID="hydrogen">
+        <ex:count>2</ex:count>
+      </rdf:Description>
+    </ex:part>
+    <ex:props rdf:parseType="Resource">
+      <ex:state>liquid</ex:state>
+    </ex:props>
+    <ex:tags rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://ex.org/solvent"/>
+      <rdf:Description rdf:about="http://ex.org/polar"/>
+    </ex:tags>
+  </ex:Chemical>
+  <rdf:Description rdf:nodeID="alpha">
+    <rdf:li>first</rdf:li>
+    <rdf:li rdf:resource="relative/path"/>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+#: hand-written spec expectation for ``_RDFXML_PARSE_DOC`` — the oracle
+#: side of ``src_rdfxml_parse`` AND the pytest assertion
+#: (tests/test_sources.py), independent of the parser
+_BASE = "http://base.org/"
+RDFXML_PARSE_EXPECTED = [
+    (_EX + "water", _RDFNS + "type", _EX + "Chemical", False),
+    (_EX + "water", _EX + "formula", "H2O", True),
+    (_EX + "water", _EX + "label", "water", True),
+    (_EX + "water", _EX + "mass", "18.015", True),
+    (_EX + "water", _EX + "sameAs",
+     "http://purl.obolibrary.org/obo/CHEBI_15377", False),
+    (_BASE + "#hydrogen", _EX + "count", "2", True),
+    (_EX + "water", _EX + "part", _BASE + "#hydrogen", False),
+    (_EX + "water", _EX + "props", "_:rx1", False),
+    ("_:rx1", _EX + "state", "liquid", True),
+    (_EX + "water", _EX + "tags", "_:rx2", False),
+    ("_:rx2", _RDFNS + "first", _EX + "solvent", False),
+    ("_:rx2", _RDFNS + "rest", "_:rx3", False),
+    ("_:rx3", _RDFNS + "first", _EX + "polar", False),
+    ("_:rx3", _RDFNS + "rest", _RDFNS + "nil", False),
+    ("_:alpha", _RDFNS + "_1", "first", True),
+    ("_:alpha", _RDFNS + "_2", _BASE + "relative/path", False),
+]
+
+
+def _q_src_rdfxml_parse(sf_dir: str):
+    """Full-grammar RDF/XML parse (S3): a fixed document exercising
+    typed node elements, property attributes, rdf:about/ID/nodeID,
+    xml:base resolution, rdf:resource/datatype, nested node elements,
+    parseType Resource/Collection, and rdf:li container numbering —
+    against a DuckDB VALUES oracle of the expected triples (fresh
+    bnode ids are deterministic ``_:rx{n}`` per document)."""
+    from tera_ray.sources.dumps import read_rdfxml
+
+    d = os.path.join("/tmp", "tera_ray_rdfxml_parse")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "doc.rdf")
+    with open(path, "w") as f:
+        f.write(_RDFXML_PARSE_DOC)
+    return read_rdfxml(path, graph="parse").map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "obj_is_literal"]),
+        batch_format="pyarrow")
+
+
+def _rdfxml_parse_sql() -> str:
+    vals = ", ".join(
+        "({}, {}, {}, {})".format(
+            "'" + s.replace("'", "''") + "'",
+            "'" + p.replace("'", "''") + "'",
+            "'" + o.replace("'", "''") + "'",
+            "TRUE" if lit else "FALSE")
+        for s, p, o, lit in RDFXML_PARSE_EXPECTED)
+    return (f"SELECT * FROM (VALUES {vals})"
+            f" t(subj, pred, obj, obj_is_literal)")
+
+
 def _q_src_jsonl_roundtrip(sf_dir: str):
     """JSONL sink→reader inversion (`tera_ray.sources.jsonl`): the
     documents table → sharded ``.jsonl`` under /tmp → dead-letter
@@ -3987,6 +4099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "src_nt_roundtrip": _q_src_nt_roundtrip,
         "src_ttl_roundtrip": _q_src_ttl_roundtrip,
         "src_ttl_parse": _q_src_ttl_parse,
+        "src_rdfxml_roundtrip": _q_src_rdfxml_roundtrip,
+        "src_rdfxml_parse": _q_src_rdfxml_parse,
         "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
         "kg_endpoint_mapping": _q_kg_endpoint_mapping,
         "kg_hier_consensus": _q_kg_hier_consensus,
@@ -5566,6 +5680,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "src_nt_roundtrip": _nt_roundtrip_sql(fx),
         "src_ttl_roundtrip": _nt_roundtrip_sql(fx),
         "src_ttl_parse": _ttl_parse_sql(),
+        "src_rdfxml_roundtrip": _nt_roundtrip_sql(fx),
+        "src_rdfxml_parse": _rdfxml_parse_sql(),
         "docs_logreg_partials": _logreg_partials_sql(),
         "docs_bpe_pair_counts": _bpe_pair_counts_sql(),
         "src_jsonl_roundtrip":

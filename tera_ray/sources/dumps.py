@@ -559,3 +559,207 @@ def read_turtle(paths, graph: str = "rdf", dead_letter: bool = False,
                           fn_constructor_kwargs={"graph": graph,
                                                  "dead_letter": dead_letter},
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML (the third reference dump format: rdflib's Graph().parse
+# handles .xml/.rdf dumps and DataObject.save picks the format from the
+# extension, tera/DataAggregation.py:54-62 — PubChem/MeSH ship RDF/XML)
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_SCHEME_RE2 = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class RdfXmlParser:
+    """Document-level RDF/XML parser → (subj, pred, obj, obj_is_literal)
+    triples, covering the serialization rdflib and typical ontology
+    dumps emit: ``rdf:Description`` and typed node elements,
+    ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID`` subjects (resolved
+    against ``xml:base``), property elements with ``rdf:resource`` /
+    ``rdf:nodeID`` / ``rdf:datatype`` / text / nested node elements,
+    ``rdf:parseType="Resource"`` (implicit bnode), ``"Literal"``
+    (inner XML kept as the literal's lexical form) and ``"Collection"``
+    (rdf:first/rest chains), property ATTRIBUTES on node elements, and
+    ``rdf:li`` → ``rdf:_n`` container numbering.  Language tags and
+    datatypes are recorded but DROPPED from the triple — the same
+    convention as :class:`NTriplesParser` / :class:`TurtleParser`.
+    Reification (``rdf:ID`` on property elements) is not supported.
+
+    XML is a document format — a well-formedness error rejects the
+    whole file (ONE dead-letter row), unlike Turtle's per-statement
+    resync; fresh bnodes are deterministic ``_:rx{n}`` per document."""
+
+    def __init__(self, graph: str = "rdfxml", dead_letter: bool = False):
+        self.graph = graph
+        self.dead_letter = dead_letter
+
+    # --- document parse (called per file) ---------------------------------
+    def parse_document(self, text: str):
+        import xml.etree.ElementTree as ET
+
+        self._bn = 0
+        triples: list[tuple[str, str, str, bool]] = []
+        try:
+            root = ET.fromstring(text)
+        except ET.ParseError as e:
+            return [], [f"XML parse error: {e}"]
+        base = root.get(f"{{{_XML_NS}}}base", "")
+        rejects: list[str] = []
+        nodes = (list(root) if root.tag == f"{{{_RDF_NS}}}RDF" else [root])
+        for el in nodes:
+            try:
+                self._node(el, triples, base)
+            except ValueError as e:        # pragma: no cover - defensive
+                rejects.append(str(e))
+        return triples, rejects
+
+    def _fresh(self) -> str:
+        self._bn += 1
+        return f"_:rx{self._bn}"
+
+    def _resolve(self, iri: str, base: str) -> str:
+        if base and not _SCHEME_RE2.match(iri):
+            return base + iri
+        return iri
+
+    @staticmethod
+    def _expand(tag: str) -> str:
+        # ElementTree's Clark notation {ns}local → ns+local (RDF names
+        # concatenate namespace and local part)
+        return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
+
+    _NODE_ATTRS = (f"{{{_RDF_NS}}}about", f"{{{_RDF_NS}}}ID",
+                   f"{{{_RDF_NS}}}nodeID", f"{{{_XML_NS}}}base",
+                   f"{{{_XML_NS}}}lang")
+
+    def _node(self, el, out: list, base: str) -> str:
+        """A node element → its subject term (emitting its triples)."""
+        base = el.get(f"{{{_XML_NS}}}base", base)
+        about = el.get(f"{{{_RDF_NS}}}about")
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if about is not None:
+            subj = self._resolve(about, base)
+        elif rid is not None:
+            subj = f"{base}#{rid}"
+        elif nid is not None:
+            subj = "_:" + nid
+        else:
+            subj = self._fresh()
+        tag = self._expand(el.tag)
+        if tag != _RDF_NS + "Description":
+            out.append((subj, _RDF_NS + "type", tag, False))
+        for attr, val in el.attrib.items():
+            if attr in self._NODE_ATTRS:
+                continue
+            a = self._expand(attr)
+            if a == _RDF_NS + "type":
+                out.append((subj, a, self._resolve(val, base), False))
+            elif not a.startswith(_RDF_NS):    # property attribute
+                out.append((subj, a, val, True))
+        li = 0
+        for pel in el:
+            li = self._property(subj, pel, out, base, li)
+        return subj
+
+    def _property(self, subj: str, pel, out: list, base: str,
+                  li: int) -> int:
+        """One property element of ``subj``; returns the updated
+        ``rdf:li`` counter."""
+        base = pel.get(f"{{{_XML_NS}}}base", base)
+        pred = self._expand(pel.tag)
+        if pred == _RDF_NS + "li":
+            li += 1
+            pred = f"{_RDF_NS}_{li}"
+        ptype = pel.get(f"{{{_RDF_NS}}}parseType")
+        res = pel.get(f"{{{_RDF_NS}}}resource")
+        nid = pel.get(f"{{{_RDF_NS}}}nodeID")
+        dt = pel.get(f"{{{_RDF_NS}}}datatype")
+        if ptype == "Resource":
+            b = self._fresh()
+            out.append((subj, pred, b, False))
+            inner_li = 0
+            for sub in pel:
+                inner_li = self._property(b, sub, out, base, inner_li)
+            return li
+        if ptype == "Literal":
+            import xml.etree.ElementTree as ET
+
+            lex = (pel.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in pel)
+            out.append((subj, pred, lex, True))
+            return li
+        if ptype == "Collection":
+            items = [self._node(c, out, base) for c in pel]
+            head = _RDF_NS + "nil" if not items else self._fresh()
+            out.append((subj, pred, head, False))
+            cur = head
+            for i, item in enumerate(items):
+                out.append((cur, _RDF_NS + "first", item, False))
+                nxt = (self._fresh() if i + 1 < len(items)
+                       else _RDF_NS + "nil")
+                out.append((cur, _RDF_NS + "rest", nxt, False))
+                cur = nxt
+            return li
+        if res is not None:
+            out.append((subj, pred, self._resolve(res, base), False))
+            return li
+        if nid is not None:
+            out.append((subj, pred, "_:" + nid, False))
+            return li
+        children = list(pel)
+        if children:                        # nested node element(s)
+            for c in children:
+                obj = self._node(c, out, base)
+                out.append((subj, pred, obj, False))
+            return li
+        # plain / typed literal (datatype recorded but dropped, dt unused
+        # beyond documenting intent — same convention as the TTL parser)
+        del dt
+        out.append((subj, pred, pel.text or "", True))
+        return li
+
+    # --- Ray stage --------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj, pred, obj, lit, graphs = [], [], [], [], []
+        paths = (batch["path"].to_pylist() if "path" in batch.schema.names
+                 else [""] * batch.num_rows)
+        for raw, path in zip(batch["bytes"].to_pylist(), paths):
+            text = raw.decode("utf-8") if isinstance(raw, bytes) else raw
+            triples, rejects = self.parse_document(text)
+            for s, p, o, is_l in triples:
+                subj.append(s)
+                pred.append(p)
+                obj.append(o)
+                lit.append(is_l)
+                graphs.append(self.graph)
+            if self.dead_letter:
+                for reason in rejects:
+                    subj.append(path)
+                    pred.append(DEAD_LETTER_PRED)
+                    obj.append(reason)
+                    lit.append(True)
+                    graphs.append(self.graph + "__rejects")
+        return pa.table({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_is_literal": pa.array(lit, pa.bool_()),
+            "graph": pa.array(graphs, pa.string()),
+        }, schema=TRIPLE_SCHEMA)
+
+
+def read_rdfxml(paths, graph: str = "rdfxml", dead_letter: bool = False,
+                concurrency=(1, 8)):
+    """RDF/XML file(s) → triple Dataset via :class:`RdfXmlParser`.
+    Per-FILE parallelism like :func:`read_turtle` — XML is not
+    line-splittable; dump corpora ship as many files, which is the unit
+    this layout fans out over."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(RdfXmlParser,
+                          fn_constructor_kwargs={"graph": graph,
+                                                 "dead_letter": dead_letter},
+                          batch_format="pyarrow", concurrency=concurrency)

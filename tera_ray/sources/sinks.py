@@ -14,6 +14,7 @@ from the file extension).  Engine sinks:
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -177,6 +178,133 @@ def write_turtle(ds, path: str, prefixes: dict[str, str] | None = None
         payload = (header + "\n".join(lines) + "\n").encode("utf-8")
         name = hashlib.sha1(payload).hexdigest()[:16]
         p = os.path.join(path, f"part-{name}.ttl")
+        with open(p, "wb") as f:
+            f.write(payload)
+        return pa.table({"path": pa.array([p]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(fmt_and_write, batch_format="pyarrow")
+    return sorted(r["path"] for r in out.take_all())
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML sink (reference DataObject.save with a .xml/.rdf extension,
+# tera/DataAggregation.py:54-62)
+
+_NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9._-]*$")
+
+
+def _escape_xml_text(col: pa.Array) -> pa.Array:
+    col = pc.replace_substring(col, "&", "&amp;")   # FIRST — order matters
+    col = pc.replace_substring(col, "<", "&lt;")
+    return pc.replace_substring(col, ">", "&gt;")
+
+
+def _escape_xml_attr(col: pa.Array) -> pa.Array:
+    return pc.replace_substring(_escape_xml_text(col), '"', "&quot;")
+
+
+def _qname_split(uri: str) -> tuple[str, str]:
+    """Namespace/local split for a predicate URI: the longest NCName
+    suffix becomes the local part (the rdflib convention).  Raises on
+    predicates with no serializable local part (e.g. ending in '/')."""
+    m = _NCNAME_SUFFIX.search(uri)
+    if not m or m.start() == 0:
+        raise ValueError(f"predicate not RDF/XML-serializable: {uri!r}")
+    return uri[:m.start()], uri[m.start():]
+
+
+def format_rdfxml(batch: pa.Table) -> tuple[pa.Table, dict[str, str]]:
+    """Triple batch → RDF/XML body lines + the namespace table the
+    enclosing ``<rdf:RDF>`` element must declare.  Vectorized like
+    :func:`format_turtle`: subject-sorted rows, run-boundary masks open/
+    close one ``rdf:Description`` per subject, predicate QNames come
+    from a factorize over the (low-cardinality) distinct predicates."""
+    import numpy as np
+
+    idx = pc.sort_indices(batch, sort_keys=[("subj", "ascending"),
+                                            ("pred", "ascending"),
+                                            ("obj", "ascending")])
+    batch = batch.take(idx)
+    n = batch.num_rows
+    subj = batch["subj"].combine_chunks()
+    pred = batch["pred"].combine_chunks()
+    obj = batch["obj"].combine_chunks()
+    lit = pc.fill_null(batch["obj_is_literal"].combine_chunks(), False)
+
+    # predicate QNames: factorize, then map the few distinct values
+    codes = pc.dictionary_encode(pred)
+    uniq = codes.dictionary.to_pylist() if n else []
+    ns: dict[str, str] = {}
+    qn = []
+    for u in uniq:
+        ns_uri, local = _qname_split(u)
+        pfx = ns.setdefault(ns_uri, f"n{len(ns)}")
+        qn.append(f"{pfx}:{local}")
+    qnames = pa.array(np.asarray(qn, object)[
+        codes.indices.to_numpy(zero_copy_only=False)] if n else [],
+        pa.string())
+
+    def bnode_id(col):
+        return pc.utf8_slice_codeunits(col, 2)
+
+    obj_bn = pc.and_(pc.invert(lit), pc.starts_with(obj, "_:"))
+    obj_iri = pc.and_(pc.invert(lit), pc.invert(pc.starts_with(obj, "_:")))
+    prop = pc.binary_join_element_wise(          # literal form by default
+        pa.array(["    <"] * n), qnames, pa.array([">"] * n),
+        _escape_xml_text(obj),
+        pa.array(["</"] * n), qnames, pa.array([">"] * n), "")
+    prop = pc.if_else(obj_iri, pc.binary_join_element_wise(
+        pa.array(["    <"] * n), qnames,
+        pa.array([' rdf:resource="'] * n), _escape_xml_attr(obj),
+        pa.array(['"/>'] * n), ""), prop)
+    prop = pc.if_else(obj_bn, pc.binary_join_element_wise(
+        pa.array(["    <"] * n), qnames,
+        pa.array([' rdf:nodeID="'] * n), bnode_id(obj),
+        pa.array(['"/>'] * n), ""), prop)
+
+    s = subj.to_numpy(zero_copy_only=False)
+    first = np.ones(n, bool)
+    first[1:] = s[1:] != s[:-1]
+    last = np.ones(n, bool)
+    last[:-1] = s[:-1] != s[1:]
+    subj_bn = pc.starts_with(subj, "_:")
+    open_tag = pc.if_else(subj_bn, pc.binary_join_element_wise(
+        pa.array(['  <rdf:Description rdf:nodeID="'] * n), bnode_id(subj),
+        pa.array(['">\n'] * n), ""),
+        pc.binary_join_element_wise(
+            pa.array(['  <rdf:Description rdf:about="'] * n),
+            _escape_xml_attr(subj), pa.array(['">\n'] * n), ""))
+    head = pc.if_else(pa.array(first), open_tag, pa.scalar("", pa.string()))
+    tail = pc.if_else(pa.array(last),
+                      pa.scalar("\n  </rdf:Description>", pa.string()),
+                      pa.scalar("", pa.string()))
+    line = pc.binary_join_element_wise(head, prop, tail, "")
+    return pa.table({"line": line}), ns
+
+
+def write_rdfxml(ds, path: str) -> list[str]:
+    """Triple Dataset → ``<path>/part-<hash>.rdf``, one well-formed
+    RDF/XML document per block written INSIDE the map task (no driver
+    collect), content-hash names so retries are idempotent — the
+    RDF/XML sibling of :func:`write_ntriples` / :func:`write_turtle`."""
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def fmt_and_write(t: pa.Table) -> pa.Table:
+        body, ns = format_rdfxml(t)
+        decls = "".join(f'\n         xmlns:{p}="{u}"'
+                        for u, p in ns.items())
+        payload = (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<rdf:RDF xmlns:rdf='
+            '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            f"{decls}>\n"
+            + "\n".join(body["line"].to_pylist())
+            + "\n</rdf:RDF>\n").encode("utf-8")
+        name = hashlib.sha1(payload).hexdigest()[:16]
+        p = os.path.join(path, f"part-{name}.rdf")
         with open(p, "wb") as f:
             f.write(payload)
         return pa.table({"path": pa.array([p]),

@@ -123,6 +123,8 @@ PARITY_KEYS = [
     # session-7 additions
     "docs_logreg_partials",
     "docs_bpe_pair_counts",
+    "src_rdfxml_roundtrip",
+    "src_rdfxml_parse",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -399,3 +399,91 @@ class TestTurtleRoundtrip:
         got = sorted((r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
                      for r in back.take_all())
         assert got == sorted(rows)
+
+
+class TestRdfXmlParser:
+    """RDF/XML grammar (S3, third dump format): document-level parser,
+    no Ray needed for the grammar cases."""
+
+    def test_rdfxml_parser_grammar(self):
+        """The hand-written spec expectation (which is ALSO the
+        src_rdfxml_parse DuckDB oracle) matches the parser exactly."""
+        import __ray_entry__ as e
+        from tera_ray.sources.dumps import RdfXmlParser
+
+        triples, rejects = RdfXmlParser().parse_document(
+            e._RDFXML_PARSE_DOC)
+        assert rejects == []
+        assert sorted(triples) == sorted(e.RDFXML_PARSE_EXPECTED)
+
+    def test_malformed_document_rejects_whole_file(self):
+        from tera_ray.sources.dumps import RdfXmlParser
+
+        triples, rejects = RdfXmlParser().parse_document(
+            "<rdf:RDF><unclosed></rdf:RDF>")
+        assert triples == []
+        assert len(rejects) == 1 and "XML parse error" in rejects[0]
+
+    def test_typed_nodes_and_nesting(self):
+        from tera_ray.sources.dumps import RdfXmlParser
+
+        doc = ('<rdf:RDF xmlns:rdf='
+               '"http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+               'xmlns:ex="http://e/">'
+               '<ex:T rdf:about="http://e/a">'
+               '<ex:p><ex:U rdf:about="http://e/b"/></ex:p>'
+               '<ex:q>x &amp; &lt;y&gt;</ex:q>'
+               '</ex:T></rdf:RDF>')
+        triples, rejects = RdfXmlParser().parse_document(doc)
+        assert rejects == []
+        R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        assert sorted(triples) == sorted([
+            ("http://e/a", R + "type", "http://e/T", False),
+            ("http://e/b", R + "type", "http://e/U", False),
+            ("http://e/a", "http://e/p", "http://e/b", False),
+            ("http://e/a", "http://e/q", "x & <y>", True),
+        ])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRdfXmlRoundtrip:
+    def test_writer_reader_invert(self, tmp_path):
+        """write_rdfxml (XML text/attr escaping, bnode nodeIDs,
+        factorized QNames) inverts through read_rdfxml."""
+        import ray.data
+
+        from tera_ray.sources.dumps import read_rdfxml
+        from tera_ray.sources.sinks import write_rdfxml
+
+        rows = [
+            ("http://ex.org/w",
+             "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "http://ex.org/C", False),
+            ("http://ex.org/w", "http://ex.org/label",
+             'amp & lt < gt > quote " text', True),
+            ("_:b1", "http://ex.org/p", "_:b2", False),
+            ("http://ex.org/w", "http://ex.org/empty", "", True),
+            ("http://ex.org/w", "http://ex.org/ref",
+             'http://other.org/x?a=1&b="2"', False),
+        ]
+        t = pa.table({
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+            "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+        paths = write_rdfxml(ray.data.from_arrow(t), str(tmp_path / "rx"))
+        body = open(paths[0]).read()
+        assert body.startswith('<?xml version="1.0"')
+        assert "&amp;" in body and 'rdf:nodeID="b1"' in body
+        back = read_rdfxml(paths, dead_letter=True)
+        got = sorted((r["subj"], r["pred"], r["obj"], r["obj_is_literal"])
+                     for r in back.take_all())
+        assert got == sorted(rows)
+
+    def test_unserializable_predicate_raises(self):
+        from tera_ray.sources.sinks import _qname_split
+
+        with pytest.raises(ValueError):
+            _qname_split("http://ex.org/ends/with/slash/")
+        assert _qname_split("http://e/#p") == ("http://e/#", "p")
