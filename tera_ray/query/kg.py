@@ -784,7 +784,7 @@ def _ground_exists(triples, p) -> bool:
 
 
 def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
-              narrow: bool = True):
+              narrow: bool = True, optional_relations=()):
     """SPARQL-style basic-graph-pattern match over the triple Dataset —
     the generic form of the reference's SPARQL access layer
     (``tera/DataAccess.py`` builds every query as a BGP + filters):
@@ -812,6 +812,16 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
     bindings with nulls in the optional variables.  Each optional
     pattern must share a variable with the required bindings, and
     optional patterns bind independently of one another.
+
+    ``optional_relations``: pre-evaluated OPTIONAL groups as
+    ``(dataset, vars, shared_var)`` — each RIDES as a "left" part in
+    the star-sibling multijoin keyed on its shared variable (the same
+    shuffle fusion the hand-written distributed star uses for
+    studyDuration), so a fused OPTIONAL costs ZERO extra co-group
+    shuffles.  Valid only when the group shares exactly one
+    required-bound variable and binds otherwise-fresh variables —
+    left-join-then-inner-join commute under that condition; leftovers
+    that never find a matching batch left-join after the fold.
     """
     from ..query.relational import hash_join
 
@@ -1000,6 +1010,7 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
     acc = bindings(patterns[0])
     acc_vars = _vars(patterns[0])
     remaining = list(patterns[1:])
+    opt_rel = list(optional_relations)
     while remaining:
         # Star-sibling batching: all remaining patterns that join the
         # accumulator on the SAME single variable (and bind pairwise-
@@ -1024,14 +1035,34 @@ def bgp_match(triples, patterns, optional=(), num_buckets: int = 64,
             else:
                 rest.append(p)
         remaining = rest
-        if len(batch) == 1:
+        # pre-evaluated OPTIONAL groups keyed on this batch's variable
+        # ride the SAME shuffle as "left" parts (zero extra exchanges)
+        riders, opt_rest = [], []
+        for rds, rvars, rshared in opt_rel:
+            fresh = [v for v in rvars if v != rshared]
+            if rshared == key and not (set(fresh) & new_seen):
+                riders.append((rds, fresh))
+                new_seen.update(fresh)
+            else:
+                opt_rest.append((rds, rvars, rshared))
+        opt_rel = opt_rest
+        if len(batch) == 1 and not riders:
             acc, acc_vars = fold(acc, acc_vars, batch[0][0], "inner")
             continue
         parts = [(acc, [v for v in acc_vars if v != key], "inner")]
         for p, fresh in batch:
             parts.append((bindings(p), fresh, "inner"))
+        for rds, fresh in riders:
+            parts.append((rds, fresh, "left"))
         acc = bucket_multijoin(parts, key=key, num_buckets=num_buckets)
-        acc_vars = acc_vars + [v for _, fresh in batch for v in fresh]
+        acc_vars = (acc_vars + [v for _, fresh in batch for v in fresh]
+                    + [v for _, fresh in riders for v in fresh])
     for p in optional:
         acc, acc_vars = fold(acc, acc_vars, p, "left")
+    for rds, rvars, rshared in opt_rel:   # groups that found no batch
+        acc = hash_join(acc, rds, on=rshared, how="left",
+                        num_buckets=num_buckets,
+                        left_schema=_sch(acc_vars),
+                        right_schema=_sch(rvars))
+        acc_vars = acc_vars + [v for v in rvars if v != rshared]
     return acc

@@ -132,6 +132,10 @@ def prefixes(init_ns: dict) -> str:
 
 #: the reference's default namespaces (``DataAccess.py:71-80``) with the
 #: engine's store namespace bound to ``ns:``
+#: OPTIONAL-group shuffle fusion (see _eval_where) — module switch so
+#: deployments can A/B the plan shape; semantics are identical.
+_FUSE_OPTIONALS = True
+
 DEFAULT_NS = {
     "rdf": RDF,
     "rdfs": RDFS,
@@ -1657,12 +1661,49 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 {c: pa.array([], pa.string()) for c in keep}))
 
     types: dict = {}    # non-string binding columns (string is default)
+
+    # OPTIONAL fusion: when the WHERE block is pure BGP+OPTIONAL (no
+    # UNION/GRAPH/MINUS/EXISTS/subquery re-ordering concerns), an
+    # OPTIONAL group sharing exactly ONE variable with the required
+    # patterns pre-evaluates to a relation that rides the star-sibling
+    # multijoin keyed on that variable as a "left" part — the flagship
+    # query's studyDuration block stops paying its own full-result
+    # left-join shuffle (the hand star's sdt fusion, query/kg.py).
+    post_optionals = list(ast.optionals)
+    fused: list = []
+    if (_FUSE_OPTIONALS and ast.patterns
+            and not (ast.unions or ast.subqueries or ast.graphs
+                     or ast.minuses or ast.exists)):
+        req_vars = list(dict.fromkeys(
+            v[1:] for p in ast.patterns for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        post_optionals = []
+        for gi, group in enumerate(ast.optionals):
+            g_vars = list(dict.fromkeys(
+                v[1:] for p in group for v in p
+                if isinstance(v, str) and v.startswith("?")))
+            shared = [v for v in g_vars if v in req_vars]
+            other = {v[1:] for gj, g2 in enumerate(ast.optionals)
+                     if gj != gi for p in g2 for v in p
+                     if isinstance(v, str) and v.startswith("?")}
+            cross = [v for v in g_vars
+                     if v in other and v not in req_vars]
+            if len(shared) == 1 and not cross:
+                sub = bgp_match(triples, _connect_order(group),
+                                num_buckets=num_buckets, narrow=False)
+                fused.append((sub, g_vars, shared[0]))
+            else:
+                post_optionals.append(group)
+
     if ast.patterns:
         out = bgp_match(triples, _connect_order(ast.patterns),
-                        num_buckets=num_buckets, narrow=False)
+                        num_buckets=num_buckets, narrow=False,
+                        optional_relations=fused)
         have = [v[1:] for p in ast.patterns for v in p
                 if isinstance(v, str) and v.startswith("?")]
         have = list(dict.fromkeys(have))
+        for _, g_vars, rshared in fused:
+            have += [v for v in g_vars if v != rshared]
     else:
         out, have = None, []
 
@@ -1786,7 +1827,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
                                   num_buckets, how="inner", types=types)
 
-    for group in ast.optionals:
+    for group in post_optionals:
         shared = _shared_vars(have, group)
         if not shared:
             raise SparqlError("OPTIONAL group shares no variable with "

@@ -550,6 +550,44 @@ class TestSparqlSelect:
                    (NS + "b", NS + "c")}
         assert got_full == closure | {(n, n) for n in nodes}
 
+    def test_optional_fusion_semantics(self):
+        """OPTIONAL-group shuffle fusion (_FUSE_OPTIONALS): a
+        single-shared-var multi-pattern OPTIONAL rides the required
+        fold's multijoin — identical solutions to the unfused plan,
+        including null-filled unmatched rows; a TWO-shared-var group
+        stays on the post left-join path either way."""
+        import tera_ray.query.sparql as S
+
+        rows_in = [
+            (NS + "t1", RDF + "type", NS + "T"),
+            (NS + "t2", RDF + "type", NS + "T"),
+            (NS + "t1", NS + "m", "_:m1"),
+            ("_:m1", RDF + "value", "7"),
+            ("_:m1", NS + "unit", NS + "days"),
+            # t2 has NO measurement → null sd/sdu
+        ]
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([r[0] for r in rows_in], pa.string()),
+            "pred": pa.array([r[1] for r in rows_in], pa.string()),
+            "obj": pa.array([r[2] for r in rows_in], pa.string()),
+        }))
+        q = PFX + """
+            SELECT ?x ?sd ?sdu WHERE {
+                ?x rdf:type ex:T .
+                OPTIONAL { ?x ex:m ?n . ?n rdf:value ?sd .
+                           ?n ex:unit ?sdu }
+            }
+        """
+        expect = [(NS + "t1", "7", NS + "days"), (NS + "t2", None, None)]
+        assert S._FUSE_OPTIONALS          # fused is the default plan
+        got_fused = rows(sparql_select(st, q), ["x", "sd", "sdu"])
+        try:
+            S._FUSE_OPTIONALS = False
+            got_unfused = rows(sparql_select(st, q), ["x", "sd", "sdu"])
+        finally:
+            S._FUSE_OPTIONALS = True
+        assert got_fused == got_unfused == expect
+
     def test_having_and_comparisons(self):
         q = PFX + """
             SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
