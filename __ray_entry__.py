@@ -3605,6 +3605,49 @@ def _q_kg_ncbi_names(sf_dir: str):
     return _kg_emit(sf_dir, "taxonomy_names", emit_names)
 
 
+def _q_kg_sparql_service(sf_dir: str):
+    """SPARQL 1.1 SERVICE as offline federation (the engine's by-design
+    replacement for remote endpoints, like S4): the NCBI hierarchy
+    store is the main graph, the names store registers as a SERVICE
+    endpoint, and the query joins each taxon's rank edge with its
+    scientific name ACROSS the two stores.  Oracle = the SQL join of
+    the two emitters' oracles."""
+    from tera_ray.query.sparql import (
+        register_service,
+        sparql_select,
+        unregister_service,
+    )
+    from tera_ray.schema import NCBI_NS
+
+    iri = "http://tera-ray.local/ncbi-names"
+    register_service(iri, _q_kg_ncbi_names(sf_dir))
+    try:
+        q = f"""
+            PREFIX ncbi: <{NCBI_NS}>
+            SELECT ?t ?r ?name WHERE {{
+                ?t ncbi:rank ?r .
+                SERVICE <{iri}> {{ ?t ncbi:scientific_name ?name }}
+            }}
+        """
+        return sparql_select(_q_kg_ncbi_hierarchy(sf_dir), q)
+    finally:
+        # the compiled plan captured the Dataset; the registry entry
+        # is only needed during sparql_select's plan construction
+        unregister_service(iri)
+
+
+def _kg_sparql_service_sql(fx: str) -> str:
+    from tera_ray.schema import NCBI_NS as NNS
+
+    return f"""
+WITH h AS ({_ncbi_hierarchy_sql(fx)}), n AS ({_ncbi_names_sql(fx)})
+SELECT h.subj AS t, h.obj AS r, n.obj AS name
+FROM h JOIN n ON n.subj = h.subj
+WHERE h.pred = '{NNS}rank'
+  AND n.pred = '{NNS}scientific_name'
+"""
+
+
 def _q_kg_divisions(sf_dir: str):
     from tera_ray.stages.taxonomy import emit_divisions
 
@@ -4107,6 +4150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NCBI taxonomy emitters + KG query layer + id pivot
         "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
         "kg_ncbi_names": _q_kg_ncbi_names,
+        "kg_sparql_service": _q_kg_sparql_service,
         "kg_divisions": _q_kg_divisions,
         "kg_subgraph": _q_kg_subgraph,
         "kg_siblings": _q_kg_siblings,
@@ -6174,6 +6218,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " ON a.obj = b.subj",
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
+        "kg_sparql_service": _kg_sparql_service_sql(fx),
         "kg_divisions": _divisions_sql(fx),
         "kg_subgraph": _subgraph_sql(fx),
         "kg_closure": _closure_sql(fx),

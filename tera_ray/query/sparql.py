@@ -94,9 +94,14 @@ so a reference user can run their existing query strings unchanged:
   composite-key anti-join); ``;``-separated operation sequences apply
   left to right, each seeing its predecessors' writes (spec §3.1)
 
-The one remaining construct the reference never uses (``SERVICE``
-federation — no network in scope) raises ``SparqlUnsupported`` with
-the offending token.
+``SERVICE [SILENT] <iri> { … }`` federates OFFLINE: the sub-BGP
+evaluates against the triple Dataset registered for the IRI via
+:func:`register_service` (the same by-design replacement as the S4
+endpoint source — no network in this engine), with its own narrowing
+pass, joining the surrounding bindings on the shared variables.
+``SILENT`` over an unregistered IRI yields the spec's single empty
+solution (a join no-op); non-SILENT raises.  Variable endpoints
+(``SERVICE ?ep``) are unsupported.
 
 ``isURI`` note: the engine's term columns are plain strings, so
 ``isURI(?v)`` is compiled as an IRI-scheme prefix test
@@ -135,6 +140,25 @@ def prefixes(init_ns: dict) -> str:
 #: OPTIONAL-group shuffle fusion (see _eval_where) — module switch so
 #: deployments can A/B the plan shape; semantics are identical.
 _FUSE_OPTIONALS = True
+
+#: SERVICE endpoint registry (offline federation): the sandbox has no
+#: network, so SERVICE <iri> { … } resolves against a triple Dataset
+#: registered under that IRI — the same by-design replacement as the
+#: S4 endpoint source (reference `utils.query_endpoint`,
+#: `tera/utils.py:257-296`, which the engine replaces with precomputed
+#: mapping stores).  SERVICE SILENT over an unregistered IRI follows
+#: the spec's failure contract (one empty solution — a no-op join);
+#: non-SILENT raises.
+_SERVICE_REGISTRY: dict = {}
+
+
+def register_service(iri: str, triples) -> None:
+    """Register a triple Dataset as the store behind ``SERVICE <iri>``."""
+    _SERVICE_REGISTRY[iri] = triples
+
+
+def unregister_service(iri: str) -> None:
+    _SERVICE_REGISTRY.pop(iri, None)
 
 DEFAULT_NS = {
     "rdf": RDF,
@@ -175,7 +199,7 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_UNSUPPORTED = {"SERVICE"}
+_UNSUPPORTED: set = set()
 
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
@@ -215,6 +239,7 @@ class _Query:
     unions: list = field(default_factory=list)   # blocks: [branch BGPs]
     values: list = field(default_factory=list)   # (vars, rows) clauses
     graphs: list = field(default_factory=list)   # (graph name, patterns)
+    services: list = field(default_factory=list)  # (iri, silent, patterns)
     binds: list = field(default_factory=list)    # (col fn, alias, deps)
     minuses: list = field(default_factory=list)  # MINUS sub-BGPs
     exists: list = field(default_factory=list)   # (negated, sub-BGP)
@@ -337,7 +362,7 @@ class _Parser:
                 break
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds, minuses, exists, subqueries) = self.group()
+         services, binds, minuses, exists, subqueries) = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -379,9 +404,10 @@ class _Parser:
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
-                      binds=binds, minuses=minuses, exists=exists,
-                      subqueries=subqueries, aggs=aggs, group_by=group_by,
-                      order_by=order_by, having=having, offset=offset)
+                      services=services, binds=binds, minuses=minuses,
+                      exists=exists, subqueries=subqueries, aggs=aggs,
+                      group_by=group_by, order_by=order_by, having=having,
+                      offset=offset)
 
     def template_block(self, what: str) -> list[tuple]:
         """``{ s p o . … }`` triple template (no paths, no bnodes)."""
@@ -435,12 +461,12 @@ class _Parser:
         if not self.kw("WHERE"):
             raise SparqlError("UPDATE with a template needs WHERE { … }")
         (patterns, optionals, filters, unions, values, graphs,
-         binds, minuses, exists, subqueries) = self.group()
+         services, binds, minuses, exists, subqueries) = self.group()
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
                    unions=unions, values=values, graphs=graphs,
-                   binds=binds, minuses=minuses, exists=exists,
-                   subqueries=subqueries)
+                   services=services, binds=binds, minuses=minuses,
+                   exists=exists, subqueries=subqueries)
         return delete_t, insert_t, q
 
     def _ground(self, template: list[tuple], what: str) -> list[tuple]:
@@ -479,7 +505,7 @@ class _Parser:
         template = self.template_block("CONSTRUCT")
         self.kw("WHERE")
         (patterns, optionals, filters, unions, values, graphs,
-         binds, minuses, exists, subqueries) = self.group()
+         services, binds, minuses, exists, subqueries) = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -489,8 +515,8 @@ class _Parser:
         q = _Query(select=[], distinct=False, patterns=patterns,
                    optionals=optionals, filters=filters,
                    unions=unions, values=values, graphs=graphs,
-                   binds=binds, minuses=minuses, exists=exists,
-                   subqueries=subqueries)
+                   services=services, binds=binds, minuses=minuses,
+                   exists=exists, subqueries=subqueries)
         return template, q
 
     def agg_item(self) -> _Agg:
@@ -542,6 +568,7 @@ class _Parser:
         unions: list[list[list[tuple]]] = []
         values: list[tuple[list[str], list[tuple]]] = []
         graphs: list[tuple[str, list[tuple]]] = []
+        services: list[tuple[str, bool, list[tuple]]] = []
         binds: list = []
         minuses: list[list[tuple]] = []
         exists: list[tuple[bool, list[tuple]]] = []
@@ -551,7 +578,8 @@ class _Parser:
             if v == "}":
                 self.next()
                 return (patterns, optionals, filters, unions, values,
-                        graphs, binds, minuses, exists, subqueries)
+                        graphs, services, binds, minuses, exists,
+                        subqueries)
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
@@ -577,6 +605,17 @@ class _Parser:
                 gname = self.term()         # constant tag or ?var
                 sub = self.group(in_optional=True)
                 graphs.append((gname, self._plain_sub(sub, "GRAPH")))
+            elif self.kw("SERVICE"):
+                if in_optional:
+                    raise SparqlUnsupported("SERVICE inside OPTIONAL/UNION")
+                silent = self.kw("SILENT")
+                sname = self.term()
+                if sname.startswith("?"):
+                    raise SparqlUnsupported(
+                        "SERVICE with a variable endpoint")
+                sub = self.group(in_optional=True)
+                services.append((sname, silent,
+                                 self._plain_sub(sub, "SERVICE")))
             elif self.kw("MINUS"):
                 if in_optional:
                     raise SparqlUnsupported("MINUS inside OPTIONAL")
@@ -624,7 +663,7 @@ class _Parser:
         if any(sub[1:]):
             raise SparqlUnsupported(
                 f"{ctx} containing OPTIONAL/FILTER/UNION/VALUES/GRAPH/"
-                "BIND/MINUS")
+                "SERVICE/BIND/MINUS")
         return sub_p
 
     def union_block(self) -> list[list[tuple]]:
@@ -1210,6 +1249,7 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
             "optionals": len(ast.optionals),
             "union_branches": sum(len(b) for b in ast.unions),
             "graphs": len(ast.graphs),
+            "services": len(ast.services),
             "minus": len(ast.minuses),
             "exists": len(ast.exists),
             "values": len(ast.values),
@@ -1336,15 +1376,16 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
     if not p.kw("ASK"):
         raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
     p.kw("WHERE")
-    (patterns, optionals, filters, unions, values, graphs, binds,
-     minuses, exists, subqueries) = p.group()
+    (patterns, optionals, filters, unions, values, graphs, services,
+     binds, minuses, exists, subqueries) = p.group()
     kind, v = p.peek()
     if kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
     ast = _Query(select=[], distinct=False, patterns=patterns,
                  optionals=optionals, filters=filters, unions=unions,
-                 values=values, graphs=graphs, binds=binds,
-                 minuses=minuses, exists=exists, subqueries=subqueries)
+                 values=values, graphs=graphs, services=services,
+                 binds=binds, minuses=minuses, exists=exists,
+                 subqueries=subqueries)
     out, _, _ = _eval_where(triples, ast, num_buckets)
     return out.limit(1).count() > 0
 
@@ -1383,15 +1424,16 @@ def sparql_describe(triples, query: str, num_buckets: int = 64,
     if var is not None:
         if not (p.kw("WHERE") or p.peek()[1] == "{"):
             raise SparqlError("DESCRIBE ?var needs a WHERE pattern")
-        (patterns, optionals, filters, unions, values, graphs, binds,
-         minuses, exists, subqueries) = p.group()
+        (patterns, optionals, filters, unions, values, graphs,
+         services, binds, minuses, exists, subqueries) = p.group()
         kind, v = p.peek()
         if kind != "eof":
             raise SparqlError(f"unexpected trailing {v!r}")
         ast = _Query(select=[var], distinct=True, patterns=patterns,
                      optionals=optionals, filters=filters, unions=unions,
-                     values=values, graphs=graphs, binds=binds,
-                     minuses=minuses, exists=exists, subqueries=subqueries)
+                     values=values, graphs=graphs, services=services,
+                     binds=binds, minuses=minuses, exists=exists,
+                     subqueries=subqueries)
         out, have, _ = _eval_where(triples, ast, num_buckets)
         if var not in have:
             raise SparqlError(f"DESCRIBE variable ?{var} not bound")
@@ -1568,6 +1610,9 @@ def _collect_groups(ast: _Query) -> list[list]:
     groups += [list(ps) for _, ps in ast.graphs]
     groups += [list(g) for g in ast.minuses]
     groups += [list(g) for _, g in ast.exists]
+    # SERVICE groups are EXCLUDED: they scan a different (registered)
+    # store, so they neither contribute to nor defeat the main store's
+    # predicate narrowing; their own bgp_match narrows independently.
     for sub in ast.subqueries:
         groups += _collect_groups(sub)
     return groups
@@ -1621,7 +1666,8 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     FILTER) to a binding relation; returns (Dataset, bound var list)."""
     from .kg import bgp_match
 
-    if not (ast.patterns or ast.unions or ast.graphs or ast.subqueries):
+    if not (ast.patterns or ast.unions or ast.graphs or ast.subqueries
+            or ast.services):
         raise SparqlError("empty WHERE block")
 
     # ONE narrowing pass over the store for the WHOLE query (required
@@ -1673,7 +1719,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     fused: list = []
     if (_FUSE_OPTIONALS and ast.patterns
             and not (ast.unions or ast.subqueries or ast.graphs
-                     or ast.minuses or ast.exists)):
+                     or ast.services or ast.minuses or ast.exists)):
         req_vars = list(dict.fromkeys(
             v[1:] for p in ast.patterns for v in p
             if isinstance(v, str) and v.startswith("?")))
@@ -1825,6 +1871,36 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             raise SparqlError("GRAPH block shares no variable with the "
                               "preceding patterns")
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
+                                  num_buckets, how="inner", types=types)
+
+    # SERVICE blocks: the sub-BGP evaluates against the Dataset
+    # registered for the IRI (offline federation — see
+    # register_service) with its OWN narrowing pass, then joins the
+    # surrounding bindings on the shared variables.  SILENT over an
+    # unregistered IRI = the spec's one-empty-solution failure result,
+    # i.e. a join no-op.
+    for sname, silent, spats in ast.services:
+        svc = _SERVICE_REGISTRY.get(sname)
+        if svc is None:
+            if silent:
+                continue
+            raise SparqlError(
+                f"SERVICE endpoint not registered: <{sname}> (offline "
+                "engine — register a triple Dataset via "
+                "tera_ray.query.sparql.register_service)")
+        sub = bgp_match(svc, _connect_order(spats),
+                        num_buckets=num_buckets, narrow=True)
+        s_vars = list(dict.fromkeys(
+            v[1:] for p in spats for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        if out is None:
+            out, have = sub, s_vars
+            continue
+        shared = [v for v in s_vars if v in have]
+        if not shared:
+            raise SparqlError("SERVICE block shares no variable with "
+                              "the surrounding patterns")
+        out, have = _join_on_vars(out, have, sub, s_vars, shared,
                                   num_buckets, how="inner", types=types)
 
     for group in post_optionals:

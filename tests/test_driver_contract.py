@@ -125,6 +125,7 @@ PARITY_KEYS = [
     "docs_bpe_pair_counts",
     "src_rdfxml_roundtrip",
     "src_rdfxml_parse",
+    "kg_sparql_service",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

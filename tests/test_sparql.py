@@ -588,6 +588,64 @@ class TestSparqlSelect:
             S._FUSE_OPTIONALS = True
         assert got_fused == got_unfused == expect
 
+    def test_service_offline_federation(self):
+        """SERVICE [SILENT] <iri> { … } evaluates against the Dataset
+        registered for the IRI (offline federation — the S4-style
+        by-design endpoint replacement) and joins on shared vars;
+        SILENT over an unregistered IRI is the spec's one-empty-
+        solution no-op; non-SILENT raises; ?var endpoints unsupported."""
+        from tera_ray.query.sparql import (
+            register_service,
+            sparql_explain,
+            unregister_service,
+        )
+
+        def mk(rows_in):
+            return ray.data.from_arrow(pa.table({
+                "subj": pa.array([r[0] for r in rows_in], pa.string()),
+                "pred": pa.array([r[1] for r in rows_in], pa.string()),
+                "obj": pa.array([r[2] for r in rows_in], pa.string()),
+            }))
+
+        main = mk([(NS + "a", NS + "label", "A"),
+                   (NS + "b", NS + "label", "B")])
+        svc = mk([(NS + "a", NS + "sameAs", "http://other/a1")])
+        iri = "http://svc.example/sparql"
+        register_service(iri, svc)
+        try:
+            q = PFX + f"""
+                SELECT ?x ?l ?y WHERE {{
+                    ?x ex:label ?l .
+                    SERVICE <{iri}> {{ ?x ex:sameAs ?y }}
+                }}
+            """
+            assert rows(sparql_select(main, q), ["x", "l", "y"]) == [
+                (NS + "a", "A", "http://other/a1")]
+            p = sparql_explain(q)
+            assert p["blocks"]["services"] == 1
+            # the service block's patterns scan a DIFFERENT store, so
+            # they don't defeat the main store's predicate narrowing
+            assert p["narrowable"]
+            assert p["narrowed_predicates"] == [NS + "label"]
+        finally:
+            unregister_service(iri)
+        silent = PFX + """
+            SELECT ?x ?l WHERE {
+                ?x ex:label ?l .
+                SERVICE SILENT <http://nope/> { ?x ex:sameAs ?y }
+            }
+        """
+        assert rows(sparql_select(main, silent), ["x", "l"]) == [
+            (NS + "a", "A"), (NS + "b", "B")]
+        with pytest.raises(SparqlError, match="not registered"):
+            sparql_select(main,
+                          silent.replace("SERVICE SILENT", "SERVICE"))
+        with pytest.raises(SparqlUnsupported, match="variable endpoint"):
+            sparql_select(main, PFX + """
+                SELECT ?x WHERE { ?x ex:label ?l .
+                                  SERVICE ?ep { ?x ex:sameAs ?y } }
+            """)
+
     def test_having_and_comparisons(self):
         q = PFX + """
             SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s ex:tag ?t }
