@@ -3461,6 +3461,30 @@ def _rdfxml_parse_sql() -> str:
             f" t(subj, pred, obj, obj_is_literal)")
 
 
+def _q_src_csv_roundtrip(sf_dir: str):
+    """CSV sink→reader inversion (S1/S2's write-side counterpart —
+    the reference's dumps are CSV, so a complete engine must emit
+    them too): documents → sharded ``.csv`` under /tmp (Arrow CSV
+    writer: minimal quoting, embedded quotes/commas/newlines) →
+    ``ray.data.read_csv`` with ``newlines_in_values`` → original
+    columns.  Oracle = the documents table itself."""
+    import shutil
+
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    out_dir = os.path.join("/tmp", "tera_ray_csv",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _read(sf_dir, "documents", columns=cols).write_csv(out_dir)
+    back = ray.data.read_csv(
+        out_dir,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True))
+    return back.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow")
+
+
 def _q_src_jsonl_roundtrip(sf_dir: str):
     """JSONL sink→reader inversion (`tera_ray.sources.jsonl`): the
     documents table → sharded ``.jsonl`` under /tmp → dead-letter
@@ -4145,6 +4169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "src_rdfxml_roundtrip": _q_src_rdfxml_roundtrip,
         "src_rdfxml_parse": _q_src_rdfxml_parse,
         "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
+        "src_csv_roundtrip": _q_src_csv_roundtrip,
         "kg_endpoint_mapping": _q_kg_endpoint_mapping,
         "kg_hier_consensus": _q_kg_hier_consensus,
         # NCBI taxonomy emitters + KG query layer + id pivot
@@ -5729,6 +5754,8 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "docs_logreg_partials": _logreg_partials_sql(),
         "docs_bpe_pair_counts": _bpe_pair_counts_sql(),
         "src_jsonl_roundtrip":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "src_csv_roundtrip":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "kg_endpoint_mapping":
             f"SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,"

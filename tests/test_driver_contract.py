@@ -126,6 +126,7 @@ PARITY_KEYS = [
     "src_rdfxml_roundtrip",
     "src_rdfxml_parse",
     "kg_sparql_service",
+    "src_csv_roundtrip",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
