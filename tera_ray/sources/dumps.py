@@ -149,9 +149,15 @@ class NTriplesParser:
         for m in _TERM_RE.finditer(body):
             uri, lit, pfx, local = m.group(1), m.group(2), m.group(3), m.group(4)
             if uri is not None:
-                terms.append((uri, False))
+                # invert the writer's UCHAR escapes (\uXXXX for the
+                # IRIREF-forbidden chars, sinks._IRI_BAD)
+                terms.append((_ttl_unescape(uri) if "\\" in uri else uri,
+                              False))
             elif lit is not None:
-                terms.append((lit.replace('\\"', '"'), True))
+                # full ECHAR/UCHAR unescape (\\ \" \n \t \r \uXXXX…),
+                # inverting sinks._escape_literal — not just \"
+                terms.append((_ttl_unescape(lit) if "\\" in lit else lit,
+                              True))
             elif local is not None:
                 if pfx == "_":  # blank node: keep the _:id form verbatim
                     terms.append(("_:" + local, False))

@@ -40,8 +40,11 @@ def format_nt(batch: pa.Table) -> pa.Table:
 
     def term(col, allow_literal=False, lit_mask=None):
         is_bnode = pc.starts_with(col, "_:")
+        # UCHAR-escape IRIREF-forbidden chars (space, <>, quotes, …) so
+        # dirty URI columns can't corrupt the line; the reader inverts
         uri = pc.binary_join_element_wise(
-            pa.array(["<"] * len(col)), col, pa.array([">"] * len(col)), "")
+            pa.array(["<"] * len(col)), _escape_ttl_iri(col),
+            pa.array([">"] * len(col)), "")
         out = pc.if_else(is_bnode, col, uri)
         if allow_literal:
             quoted = pc.binary_join_element_wise(
@@ -197,11 +200,19 @@ _NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9._-]*$")
 def _escape_xml_text(col: pa.Array) -> pa.Array:
     col = pc.replace_substring(col, "&", "&amp;")   # FIRST — order matters
     col = pc.replace_substring(col, "<", "&lt;")
-    return pc.replace_substring(col, ">", "&gt;")
+    col = pc.replace_substring(col, ">", "&gt;")
+    # XML end-of-line normalization folds a literal \r (or \r\n) into
+    # \n on PARSE (XML 1.0 §2.11) — a raw \r would corrupt the
+    # roundtrip; a character reference survives it
+    return pc.replace_substring(col, "\r", "&#13;")
 
 
 def _escape_xml_attr(col: pa.Array) -> pa.Array:
-    return pc.replace_substring(_escape_xml_text(col), '"', "&quot;")
+    col = pc.replace_substring(_escape_xml_text(col), '"', "&quot;")
+    # attribute-value normalization (XML 1.0 §3.3.3) additionally
+    # turns raw \n and \t into spaces — reference them too
+    col = pc.replace_substring(col, "\n", "&#10;")
+    return pc.replace_substring(col, "\t", "&#9;")
 
 
 def _qname_split(uri: str) -> tuple[str, str]:

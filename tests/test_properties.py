@@ -134,3 +134,135 @@ def test_hash_column_is_chunking_invariant(rows, nchunks):
     for s in range(0, len(rows), step):
         pieces.extend(hash_column(t.slice(s, step)).to_pylist())
     assert whole == pieces
+
+
+# --- RDF sink↔parser inversion (NT / Turtle / RDF-XML) ----------------------
+
+_xml_ok = st.characters(
+    blacklist_categories=("Cs",),
+    blacklist_characters="".join(chr(c) for c in range(0x20)
+                                 if chr(c) not in "\t\n\r"))
+_lit_text = st.text(alphabet=_xml_ok, min_size=0, max_size=25)
+# IRI tails may include the IRIREF-forbidden chars (space, <>, quote …)
+# — the UCHAR / XML-attr escaping must carry them through
+_iri_tail = st.text(alphabet=st.sampled_from(
+    list("abcXYZ09 <>\"{}|^`\\&\t\n\r")), min_size=0, max_size=12)
+
+
+@st.composite
+def _triples(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    for i in range(n):
+        s = draw(st.one_of(
+            st.builds(lambda t: "http://e/s" + t, _iri_tail),
+            st.sampled_from([f"_:b{k}" for k in range(4)])))
+        p = "http://e/p" + str(draw(st.integers(min_value=0, max_value=3)))
+        if draw(st.booleans()):
+            rows.append((s, p, draw(_lit_text), True))
+        else:
+            o = draw(st.one_of(
+                st.builds(lambda t: "http://e/o" + t, _iri_tail),
+                st.sampled_from([f"_:b{k}" for k in range(4)])))
+            rows.append((s, p, o, False))
+    return rows
+
+
+def _tbl(rows):
+    return pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+        "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(_triples())
+def test_nt_format_parse_inverts(rows):
+    from tera_ray.sources.dumps import NTriplesParser
+    from tera_ray.sources.sinks import format_nt
+
+    lines = format_nt(_tbl(rows))["line"].to_pylist()
+    parser = NTriplesParser()
+    got = []
+    for ln in lines:
+        r = parser.parse_line(ln)
+        assert not isinstance(r, str), (ln, r)
+        if r is not None:
+            got.append(r)
+    assert sorted(got) == sorted(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_triples())
+def test_turtle_format_parse_inverts(rows):
+    from tera_ray.sources.dumps import TurtleParser
+    from tera_ray.sources.sinks import format_turtle
+
+    lines = format_turtle(_tbl(rows), {})["line"].to_pylist()
+    triples, rejects = TurtleParser().parse_document("\n".join(lines) + "\n")
+    assert rejects == []
+    assert sorted(triples) == sorted(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_triples())
+def test_rdfxml_format_parse_inverts(rows):
+    """Includes the XML normalization traps: \\r in text (EOL folding)
+    and \\n/\\t in attribute values (attr-value normalization) must
+    survive via character references."""
+    from tera_ray.sources.dumps import RdfXmlParser
+    from tera_ray.sources.sinks import format_rdfxml
+
+    body, ns = format_rdfxml(_tbl(rows))
+    decls = "".join(f'\n  xmlns:{p}="{u}"' for u, p in ns.items())
+    doc = ('<?xml version="1.0" encoding="utf-8"?>\n'
+           '<rdf:RDF xmlns:rdf='
+           '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           f"{decls}>\n" + "\n".join(body["line"].to_pylist())
+           + "\n</rdf:RDF>\n")
+    triples, rejects = RdfXmlParser().parse_document(doc)
+    assert rejects == []
+    assert sorted(triples) == sorted(rows)
+
+
+def test_rdf_sinks_nasty_chars_regression():
+    """Deterministic cases for the escaping traps (hypothesis may not
+    draw them): \\r/\\n/\\t + quotes/backslash in literals, and
+    IRIREF-forbidden chars (space, <>, quote, \\n) in IRIs, through
+    all three sink↔parser pairs."""
+    from tera_ray.sources.dumps import (
+        NTriplesParser,
+        RdfXmlParser,
+        TurtleParser,
+    )
+    from tera_ray.sources.sinks import format_nt, format_rdfxml, format_turtle
+
+    rows = [
+        ("http://e/s", "http://e/p0", "cr\rlf\ncrlf\r\ntab\tq\"b\\e", True),
+        ("http://e/s with space", "http://e/p1", "http://e/o<>\"\nx", False),
+        ("_:b0", "http://e/p2", "", True),
+        ("http://e/s", "http://e/p3", "_:b1", False),
+        ("http://e/amp&lt", "http://e/p0", "xml &amp; <tag> ]]>", True),
+    ]
+    t = _tbl(rows)
+
+    nt = NTriplesParser()
+    got_nt = [r for r in (nt.parse_line(ln)
+                          for ln in format_nt(t)["line"].to_pylist())
+              if r is not None and not isinstance(r, str)]
+    assert sorted(got_nt) == sorted(rows)
+
+    lines = format_turtle(t, {})["line"].to_pylist()
+    got_ttl, rej = TurtleParser().parse_document("\n".join(lines) + "\n")
+    assert rej == [] and sorted(got_ttl) == sorted(rows)
+
+    body, ns = format_rdfxml(t)
+    decls = "".join(f'\n  xmlns:{p}="{u}"' for u, p in ns.items())
+    doc = ('<rdf:RDF xmlns:rdf='
+           '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           f"{decls}>\n" + "\n".join(body["line"].to_pylist())
+           + "\n</rdf:RDF>")
+    got_xml, rej = RdfXmlParser().parse_document(doc)
+    assert rej == [] and sorted(got_xml) == sorted(rows)
