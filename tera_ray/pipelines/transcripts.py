@@ -134,9 +134,10 @@ class LinkerStage:
         t_uri_arr = cat(ns, "turn/", conv, "/", tix_arr.cast(pa.string()))
         parts = self._structural(batch, t_uri_arr)
 
-        conv_ids = conv.to_pylist()
-        turn_idxs = tix_arr.to_pylist()
-        t_uris = t_uri_arr.to_pylist()
+        if self.rowwise:
+            conv_ids = conv.to_pylist()
+            turn_idxs = tix_arr.to_pylist()
+            t_uris = t_uri_arr.to_pylist()
 
         subj, pred, obj, lit, l_conv, l_turn = [], [], [], [], [], []
 
@@ -186,31 +187,82 @@ class LinkerStage:
                     emit_result(dc, endpoint, effect, conc[0], conc[1])
         else:
             # vectorized path: Arrow-kernel tokenization + candidate-mask
-            # scan (state/lexicon.flat_token_arrays / Lexicon.match_flat);
-            # per-batch output proven table-equal to the rowwise path in
-            # tests/test_transcripts.py
+            # scan (state/lexicon.flat_token_arrays / Lexicon.match_flat),
+            # then COLUMNAR triple assembly — mention and result triples
+            # are built with take/cat kernels over the hit indices, no
+            # per-triple Python appends; per-batch output proven
+            # table-equal to the rowwise path in tests/test_transcripts.py
+            from ..stages.base import cat as _cat
             from ..state.lexicon import flat_token_arrays
 
             orig, low, starts = flat_token_arrays(batch["text"])
             doc_ids, uris, kinds = self.lex.match_flat(
                 orig, low, starts, fuzzy=self.fuzzy)
             mt, mc = ns + "mentionsTaxon", ns + "mentionsChemical"
+
+            def col_part(s, p, o, is_lit, idx_arr, mask=None):
+                m = len(o)
+                tbl = pa.table({
+                    "subj": s,
+                    "pred": pa.array([p] * m, pa.string())
+                    if isinstance(p, str) else p,
+                    "obj": o,
+                    "obj_is_literal": pa.array([is_lit] * m, pa.bool_()),
+                    "graph": pa.array([graph] * m, pa.string()),
+                    "conv_id": conv.take(idx_arr),
+                    "turn_idx": tix_arr.take(idx_arr),
+                }, schema=TRIPLE_LINEAGE_SCHEMA)
+                return tbl.filter(mask) if mask is not None else tbl
+
             endpoint: dict[int, str] = {}
             effect: dict[int, str] = {}
-            for dc, uri, kind in zip(doc_ids, uris, kinds):
-                if kind == "species":
-                    emit(t_uris[dc], mt, uri, False, conv_ids[dc], turn_idxs[dc])
-                elif kind == "chemical":
-                    emit(t_uris[dc], mc, uri, False, conv_ids[dc], turn_idxs[dc])
-                elif kind == "endpoint":
-                    endpoint.setdefault(dc, uri)
-                else:  # effect
-                    effect.setdefault(dc, uri)
+            if doc_ids:
+                kind_np = np.asarray(kinds)
+                dc_np = np.asarray(doc_ids, np.int64)
+                is_sp = kind_np == "species"
+                is_ch = kind_np == "chemical"
+                m_men = is_sp | is_ch
+                if m_men.any():
+                    midx = pa.array(dc_np[m_men])
+                    parts.append(col_part(
+                        t_uri_arr.take(midx),
+                        pa.array(np.where(is_sp[m_men], mt, mc)
+                                 .astype(object), pa.string()),
+                        pa.array(np.asarray(uris, object)[m_men],
+                                 pa.string()),
+                        False, midx))
+                for i in np.flatnonzero(~m_men).tolist():
+                    (endpoint if kinds[i] == "endpoint"
+                     else effect).setdefault(doc_ids[i], uris[i])
             if endpoint:
-                for dc, value, unit_name in self._concentrations_flat(
-                        orig, starts, endpoint):
-                    emit_result(dc, endpoint[dc], effect.get(dc),
-                                value, unit_name)
+                res = list(self._concentrations_flat(orig, starts, endpoint))
+                if res:
+                    r_dc = [r[0] for r in res]
+                    ridx = pa.array(r_dc, pa.int64())
+                    key = _cat("", conv.take(ridx), "/",
+                               tix_arr.take(ridx).cast(pa.string()))
+                    r_b = _cat("_:r|", key)
+                    c_b = _cat("_:c|", key)
+                    eff = [effect.get(d) for d in r_dc]
+                    eff_mask = pa.array([e is not None for e in eff])
+                    parts.extend([
+                        col_part(r_b, ns + "endpoint",
+                                 pa.array([endpoint[d] for d in r_dc],
+                                          pa.string()), False, ridx),
+                        col_part(r_b, ns + "effect",
+                                 pa.array(eff, pa.string()), False, ridx,
+                                 mask=eff_mask),
+                        col_part(c_b, RDF_VALUE,
+                                 pa.array([r[1] for r in res], pa.string()),
+                                 True, ridx),
+                        col_part(c_b, UNIT_UNITS,
+                                 pa.array(["http://qudt.org/vocab/unit#"
+                                           + r[2] for r in res], pa.string()),
+                                 False, ridx),
+                        col_part(r_b, ns + "concentration", c_b, False, ridx),
+                        col_part(t_uri_arr.take(ridx), ns + "hasResult",
+                                 r_b, False, ridx),
+                    ])
 
         n = len(subj)
         mention_tbl = pa.table(
@@ -225,8 +277,9 @@ class LinkerStage:
             },
             schema=TRIPLE_LINEAGE_SCHEMA,
         )
-        out = pa.concat_tables(parts + [mention_tbl],
-                               promote_options="none")
+        out = pa.concat_tables(
+            parts + ([mention_tbl] if n else []),
+            promote_options="none")
         if self.combine_keys:
             from ..stages.base import dedup_table, hash_column
 

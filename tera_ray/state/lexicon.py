@@ -185,6 +185,8 @@ class Lexicon:
     def __post_init__(self):
         self._fuzzy_memo: dict[str, tuple[str, str] | None] = {}
         self._first_set: pa.Array | None = None
+        self._len_sets: dict[int, pa.Array] | None = None
+        self._fuzzy_pfx_set: pa.Array | None = None
 
     def add(self, alias: str, uri: str, kind: str) -> None:
         toks = tokenize(normalize(alias))
@@ -193,8 +195,21 @@ class Lexicon:
         span = " ".join(toks)
         self.spans.setdefault(toks[0], {}).setdefault(span, (uri, kind))
         self._first_set = None
+        self._len_sets = None
         if len(toks) > self.max_len:
             self.max_len = len(toks)
+
+    def _span_len_sets(self) -> dict[int, pa.Array]:
+        """Per-token-count span value-sets for the vectorized n-gram
+        ``is_in`` probe (lazy; rebuilt per actor after broadcast)."""
+        if self._len_sets is None:
+            by_len: dict[int, list[str]] = defaultdict(list)
+            for d in self.spans.values():
+                for span in d:
+                    by_len[span.count(" ") + 1].append(span)
+            self._len_sets = {ln: pa.array(sorted(vs), pa.string())
+                              for ln, vs in by_len.items()}
+        return self._len_sets
 
     def build_fuzzy(self) -> None:
         """Blocking index for misspelling fallback.  Block key =
@@ -221,6 +236,7 @@ class Lexicon:
             mat, lens = _pack_spans(spans)
             packed[key] = (items, mat, lens)
         self.fuzzy_blocks = packed
+        self._fuzzy_pfx_set = None
 
     # --- matching ---
     def match_tokens(
@@ -299,60 +315,95 @@ class Lexicon:
         """Batch equivalent of per-document :meth:`match_tokens` over the
         flat token arrays of :func:`flat_token_arrays`.
 
-        Candidate positions are found with vectorized Arrow kernels
-        (``is_in`` against the lexicon's first-token set; uppercase-start
-        + length≥4 for the fuzzy fallback), so the Python longest-match
-        scan touches only plausible mention sites instead of every
-        token.  Returns ``(doc_ids, uris, kinds)`` in per-document scan
-        order — the same hit sequence ``match_tokens`` yields row-wise
-        (asserted in tests/test_transcripts.py).
+        Exact matching is fully vectorized: for every span length ``ln``
+        the lexicon holds, an n-gram key array is built with ONE Arrow
+        ``binary_join_element_wise`` over shifted views of ``low`` and
+        probed with ``is_in`` against the per-length span set — the
+        whole batch's phrase lookups run as C++ kernels, and Python
+        touches only the actual hit positions (longest ``ln`` wins,
+        doc-boundary-masked).  The greedy non-overlap resolution and the
+        blocked-fuzzy fallback (uppercase-start + length≥4 misses) then
+        scan just ``hits ∪ fuzzy-candidates``.  Returns ``(doc_ids,
+        uris, kinds)`` in per-document scan order — the same hit
+        sequence ``match_tokens`` yields row-wise (asserted in
+        tests/test_transcripts.py).
         """
         doc_ids: list[int] = []
         uris: list[str] = []
         kinds: list[str] = []
-        if len(low) == 0:
+        n_tok = len(low)
+        if n_tok == 0:
             return doc_ids, uris, kinds
-        if self._first_set is None:
-            self._first_set = pa.array(sorted(self.spans.keys()), pa.string())
         pcm = pa.compute
-        exact = pcm.is_in(low, value_set=self._first_set)
+        low_np = None
+        # token → owning doc (counts-repeat; O(n_tok), no search)
+        counts = np.diff(starts)
+        tok_doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # exact n-gram probe, ascending ln so the longest span wins
+        best: dict[int, tuple[int, str, str]] = {}
+        for ln, sset in sorted(self._span_len_sets().items()):
+            if ln > n_tok:
+                continue
+            if ln == 1:
+                keys = low
+                mask = pcm.is_in(low, value_set=sset).to_numpy(
+                    zero_copy_only=False)
+            else:
+                parts = [low.slice(i, n_tok - ln + 1) for i in range(ln)]
+                keys = pcm.binary_join_element_wise(*parts, " ")
+                mask = pcm.is_in(keys, value_set=sset).to_numpy(
+                    zero_copy_only=False)
+                # doc-boundary mask: all ln tokens in the same doc
+                mask &= tok_doc[: n_tok - ln + 1] == tok_doc[ln - 1:]
+            hp = np.flatnonzero(mask)
+            if hp.size == 0:
+                continue
+            if low_np is None:
+                low_np = low.to_numpy(zero_copy_only=False)
+            kstr = (low_np[hp] if ln == 1
+                    else keys.take(pa.array(hp)).to_pylist())
+            spans_d = self.spans
+            for p, k in zip(hp.tolist(), kstr):
+                uri, kind = spans_d[low_np[p]][k]
+                best[p] = (ln, uri, kind)
         if fuzzy:
-            fz = pcm.and_(pcm.match_substring_regex(orig, r"^\p{Lu}"),
-                          pcm.greater_equal(pcm.utf8_length(low), 4))
-            cand_mask = pcm.or_(exact, fz)
-            fz_np = fz.to_numpy(zero_copy_only=False)
+            # a fuzzy candidate can only hit if its 2-char prefix keys
+            # SOME block — vectorized prefilter kills the (dominant)
+            # capitalized-but-unmatchable positions before the scan
+            if self._fuzzy_pfx_set is None:
+                self._fuzzy_pfx_set = pa.array(
+                    sorted({p for p, _ in self.fuzzy_blocks}), pa.string())
+            fz_np = pcm.and_(
+                pcm.and_(
+                    pcm.match_substring_regex(orig, r"^\p{Lu}"),
+                    pcm.greater_equal(pcm.utf8_length(low), 4)),
+                pcm.is_in(pcm.utf8_slice_codeunits(low, 0, 2),
+                          value_set=self._fuzzy_pfx_set),
+            ).to_numpy(zero_copy_only=False)
+            cand = np.union1d(np.fromiter(best, np.int64, len(best)),
+                              np.flatnonzero(fz_np))
         else:
-            cand_mask = exact
             fz_np = None
-        pos = np.flatnonzero(cand_mask.to_numpy(zero_copy_only=False))
-        if pos.size == 0:
+            cand = np.sort(np.fromiter(best, np.int64, len(best)))
+        if cand.size == 0:
             return doc_ids, uris, kinds
-        exact_np = exact.to_numpy(zero_copy_only=False)
-        low_np = low.to_numpy(zero_copy_only=False)
-        docs = (np.searchsorted(starts, pos, side="right") - 1).tolist()
-        spans_d, max_len = self.spans, self.max_len
+        if low_np is None:
+            low_np = low.to_numpy(zero_copy_only=False)
+        max_len = self.max_len
         cur_doc, next_allowed = -1, -1
-        for p, dc in zip(pos.tolist(), docs):
+        for p, dc in zip(cand.tolist(), tok_doc[cand].tolist()):
             if dc != cur_doc:
                 cur_doc, next_allowed = dc, -1
             if p < next_allowed:
                 continue
-            end = int(starts[dc + 1])
-            hit = None
-            if exact_np[p]:
-                d = spans_d.get(low_np[p])
-                if d is not None:
-                    for ln in range(min(max_len, end - p), 0, -1):
-                        ent = d.get(" ".join(low_np[p : p + ln]))
-                        if ent is not None:
-                            hit = (ln, ent[0], ent[1])
-                            break
+            hit = best.get(p)
             if hit is None and fz_np is not None and fz_np[p]:
+                end = int(starts[dc + 1])
                 pfx = low_np[p][:2]
                 for ln in range(min(max_len, end - p), 0, -1):
                     if (pfx, ln) not in self.fuzzy_blocks:
                         continue
-                    res = self._fuzzy_span(" ".join(low_np[p : p + ln]), ln)
+                    res = self._fuzzy_span(" ".join(low_np[p: p + ln]), ln)
                     if res is not None:
                         hit = (ln, res[0], res[1])
                         break
