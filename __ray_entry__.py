@@ -3998,6 +3998,46 @@ def _q_media_dispatch(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_dq_orders_checks(sf_dir: str):
+    """Declarative data-quality constraint suite (Deequ-style;
+    ``tera_ray/quality/checks.py``): six constraints over orders —
+    null-freedom, numeric range, set membership, regex shape, key
+    uniqueness (exact-dedup shuffle) and referential integrity against
+    customer (bucketed composite-key anti-join) — evaluated in ONE
+    streaming union where only scalar counters reach the driver."""
+    from tera_ray.quality import (foreign_key, in_range, in_set, matches,
+                                  not_null, run_checks, unique)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_totalprice", "o_orderpriority"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    return run_checks(orders, [
+        not_null("o_custkey"),
+        in_range("o_totalprice", 0, 450000),
+        in_set("o_orderstatus", ["O", "F"]),
+        matches("o_orderpriority", r"^[1-5]-"),
+        unique("o_orderkey"),
+        foreign_key(["o_custkey"], customer, ["c_custkey"]),
+    ])
+
+
+def _q_docs_drift_psi(sf_dir: str):
+    """Distribution-drift monitor: Population Stability Index of the
+    document-length distribution between the deterministic train and
+    test splits (same salted-FNV split as ``docs_split``), fixed bin
+    edges, Laplace-smoothed per-bin terms
+    (``tera_ray.quality.histogram_psi`` — per-(split,bin) count
+    partials through the grouped combiner; rows never leave workers)."""
+    from tera_ray.quality import histogram_psi
+    from tera_ray.text.curation import deterministic_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    split = ds.map_batches(deterministic_split, batch_format="pyarrow")
+    return histogram_psi(split, "split", "n_chars",
+                         [150, 250, 350, 450], base="train", cmp="test")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # training-data / relational ops over the driver's sf tables
@@ -4079,6 +4119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_split": _q_docs_split,
         "docs_sample": _q_docs_sample,
+        "dq_orders_checks": _q_dq_orders_checks,
+        "docs_drift_psi": _q_docs_drift_psi,
         "docs_source_cap": _q_docs_source_cap,
         "docs_mix": _q_docs_mix,
         "docs_shuffle_shards": _q_docs_shuffle_shards,
@@ -6265,6 +6307,58 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" FROM documents)"
             f" SELECT doc_id, CASE WHEN b < 9000 THEN 'train'"
             f" WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h",
+        "dq_orders_checks":
+            "WITH t AS (SELECT count(*) AS n FROM orders),"
+            " u(chk, col, n, violations) AS ("
+            " SELECT 'not_null', 'o_custkey', t.n,"
+            "  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)"
+            "  FROM t"
+            " UNION ALL SELECT 'in_range', 'o_totalprice', t.n,"
+            "  (SELECT count(*) FROM orders WHERE o_totalprice < 0"
+            "   OR o_totalprice > 450000) FROM t"
+            " UNION ALL SELECT 'in_set', 'o_orderstatus', t.n,"
+            "  (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT"
+            "   NULL AND o_orderstatus NOT IN ('O','F')) FROM t"
+            " UNION ALL SELECT 'matches', 'o_orderpriority', t.n,"
+            "  (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT"
+            "   NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))"
+            "  FROM t"
+            " UNION ALL SELECT 'unique', 'o_orderkey', t.n,"
+            "  t.n - (SELECT count(*) FROM"
+            "   (SELECT DISTINCT o_orderkey FROM orders)) FROM t"
+            " UNION ALL SELECT 'foreign_key', 'o_custkey', t.n,"
+            "  (SELECT count(*) FROM orders o WHERE NOT EXISTS"
+            "   (SELECT 1 FROM customer c WHERE c.c_custkey ="
+            "    o.o_custkey)) FROM t)"
+            " SELECT chk, col, n, violations,"
+            " round(violations / n::DOUBLE, 6) AS frac,"
+            " violations = 0 AS passed FROM u",
+        "docs_drift_psi":
+            f"WITH h AS (SELECT n_chars,"
+            f" ({split_h} % 10000) AS b FROM documents),"
+            " s AS (SELECT n_chars, CASE WHEN b < 9000 THEN 'train'"
+            "  WHEN b < 9500 THEN 'val' ELSE 'test' END AS split FROM h),"
+            " binned AS (SELECT split,"
+            "  (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END"
+            "   + CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END"
+            "   + CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END"
+            "   + CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) AS bin"
+            "  FROM s WHERE split IN ('train','test')),"
+            " c AS (SELECT bin,"
+            "  count(*) FILTER (split = 'train') AS nb,"
+            "  count(*) FILTER (split = 'test') AS nc"
+            "  FROM binned GROUP BY bin),"
+            " bins AS (SELECT unnest(range(5)) AS bin),"
+            " j AS (SELECT bins.bin, coalesce(c.nb, 0) AS n_base,"
+            "  coalesce(c.nc, 0) AS n_cmp FROM bins LEFT JOIN c"
+            "  ON bins.bin = c.bin),"
+            " tot AS (SELECT sum(n_base) AS tb, sum(n_cmp) AS tc FROM j)"
+            " SELECT j.bin::INTEGER AS bin, j.n_base, j.n_cmp,"
+            " round(((j.n_base + 0.5) / (tot.tb + 2.5)"
+            "  - (j.n_cmp + 0.5) / (tot.tc + 2.5))"
+            "  * ln(((j.n_base + 0.5) / (tot.tb + 2.5))"
+            "   / ((j.n_cmp + 0.5) / (tot.tc + 2.5))), 6) AS psi_term"
+            " FROM j, tot",
         "docs_sample":
             f"WITH h AS (SELECT doc_id, lang,"
             f" ({sample_h} % 1000000) AS b"

@@ -1,0 +1,11 @@
+from .checks import (  # noqa: F401
+    Check,
+    foreign_key,
+    histogram_psi,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    run_checks,
+    unique,
+)

@@ -1,0 +1,257 @@
+"""Declarative data-quality constraint validation + distribution drift.
+
+The reference has no data-quality component; these are engine-first
+operators a 100 TB training-data pipeline needs before anything else
+touches the data (the Deequ shape: declared constraints → one
+distributed pass → a small pass/fail report; arXiv:1812.06372 describes
+the mergeable-state design this follows).
+
+Scale design (the ``column_profile`` pattern, ``query/relational.py``):
+
+- batch-local checks (``not_null`` / ``in_range`` / ``in_set`` /
+  ``matches``) all ride ONE ``map_batches`` pass that emits a fixed
+  number of ``(chk, col, stat, v)`` partial rows per batch — counters,
+  never values;
+- ``unique`` rides the exact-dedup shuffle (``dedup/exact.py`` — the A1
+  machinery), contributing one distinct-count partial per output batch;
+- ``foreign_key`` rides the bucketed composite-key anti-join
+  (``relational.multi_key_anti_join``), contributing orphan-count
+  partials;
+- every leg is UNIONED into one streaming execution; only scalar
+  partials reach the driver, which folds them into the report table.
+
+``histogram_psi`` is the drift monitor: per-(split, bin) count partials
+through the grouped combiner, then the Population Stability Index per
+bin driver-side over ≤ ``n_bins × n_splits`` scalars — vectors/rows
+never leave the workers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint.
+
+    ``kind``: not_null | in_range | in_set | matches | unique |
+    foreign_key.  ``col``: display name (comma-joined for multi-column
+    keys).  ``params``: kind-specific.
+    """
+
+    kind: str
+    col: str
+    params: tuple = field(default_factory=tuple)
+
+
+def not_null(col: str) -> Check:
+    return Check("not_null", col)
+
+
+def in_range(col: str, lo=None, hi=None) -> Check:
+    """Non-null values must satisfy ``lo <= v <= hi`` (either bound
+    optional).  Nulls are ``not_null``'s job, as in SQL ``FILTER
+    (WHERE v < lo OR v > hi)``."""
+    return Check("in_range", col, (lo, hi))
+
+
+def in_set(col: str, values) -> Check:
+    return Check("in_set", col, (tuple(values),))
+
+
+def matches(col: str, pattern: str) -> Check:
+    """Non-null values must match ``pattern`` (RE2, unanchored — anchor
+    explicitly with ``^…$`` when you mean the whole value)."""
+    return Check("matches", col, (pattern,))
+
+
+def unique(*cols: str) -> Check:
+    """The column tuple must be a key: violations = rows beyond the
+    first per distinct tuple (null tuples group together, like SQL
+    ``SELECT DISTINCT``)."""
+    return Check("unique", ",".join(cols), (tuple(cols),))
+
+
+def foreign_key(cols, ref, ref_cols) -> Check:
+    """Every non-matching key tuple is a violation (``NOT EXISTS``
+    semantics — a NULL key never matches, so it counts as an orphan).
+    ``ref`` is the referenced Dataset; ``ref_cols`` its key columns."""
+    cols = tuple(cols) if not isinstance(cols, str) else (cols,)
+    ref_cols = tuple(ref_cols) if not isinstance(ref_cols, str) else (ref_cols,)
+    assert len(cols) == len(ref_cols)
+    return Check("foreign_key", ",".join(cols), (cols, ref, ref_cols))
+
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("chk", pa.string()),
+    ("col", pa.string()),
+    ("stat", pa.string()),
+    ("v", pa.int64()),
+])
+
+
+def _local_partials(batch: pa.Table, local_checks: list[Check]) -> pa.Table:
+    """All batch-local checks in one pass → fixed-size partial rows."""
+    chks, cols, stats, vs = ["__rows"], [""], ["n"], [batch.num_rows]
+    for c in local_checks:
+        v = batch[c.col]
+        if c.kind == "not_null":
+            viol = v.null_count
+        elif c.kind == "in_range":
+            lo, hi = c.params
+            bad = None
+            if lo is not None:
+                bad = pc.less(v, lo)
+            if hi is not None:
+                gt = pc.greater(v, hi)
+                bad = gt if bad is None else pc.or_(bad, gt)
+            viol = 0 if bad is None else pc.sum(bad).as_py() or 0
+        elif c.kind == "in_set":
+            ok = pc.is_in(v, value_set=pa.array(list(c.params[0])))
+            viol = pc.sum(pc.and_(pc.is_valid(v),
+                                  pc.invert(ok))).as_py() or 0
+        elif c.kind == "matches":
+            ok = pc.match_substring_regex(
+                v if pa.types.is_string(v.type) else v.cast(pa.string()),
+                c.params[0])
+            viol = pc.sum(pc.and_(pc.is_valid(v),
+                                  pc.invert(ok))).as_py() or 0
+        else:  # pragma: no cover
+            raise ValueError(c.kind)
+        chks.append(c.kind)
+        cols.append(c.col)
+        stats.append("viol")
+        vs.append(int(viol))
+    return pa.table({"chk": chks, "col": cols, "stat": stats,
+                     "v": pa.array(vs, pa.int64())},
+                    schema=_PARTIAL_SCHEMA)
+
+
+def _count_partial(chk: str, col: str, stat: str):
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"chk": [chk], "col": [col], "stat": [stat],
+                         "v": pa.array([t.num_rows], pa.int64())},
+                        schema=_PARTIAL_SCHEMA)
+    return f
+
+
+def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
+    """Evaluate ``checks`` over ``ds`` in ONE streaming execution.
+
+    Returns the report table ``(chk, col, n, violations, frac,
+    passed)`` sorted by (chk, col); ``passed`` is ``frac <= max_frac``.
+    ``frac`` is rounded to 6 digits (the driver-compare convention).
+    """
+    from ..dedup.exact import dedup_exact
+    from ..query.relational import multi_key_anti_join
+
+    local = [c for c in checks
+             if c.kind in ("not_null", "in_range", "in_set", "matches")]
+    legs = [ds.map_batches(lambda t, _l=local: _local_partials(t, _l),
+                           batch_format="pyarrow")]
+    for c in checks:
+        if c.kind == "unique":
+            cols = list(c.params[0])
+            legs.append(
+                dedup_exact(ds.select_columns(cols), keys=cols,
+                            order_by=cols[0])
+                .map_batches(_count_partial("unique", c.col, "distinct"),
+                             batch_format="pyarrow"))
+        elif c.kind == "foreign_key":
+            cols, ref, ref_cols = c.params
+            rk = ref.select_columns(list(ref_cols))
+            if tuple(ref_cols) != tuple(cols):
+                rk = rk.map_batches(
+                    lambda t, _c=list(cols): t.rename_columns(_c),
+                    batch_format="pyarrow")
+            orphans = multi_key_anti_join(
+                ds.select_columns(list(cols)), rk, list(cols))
+            legs.append(orphans.map_batches(
+                _count_partial("foreign_key", c.col, "orphan"),
+                batch_format="pyarrow"))
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.union(leg)
+    agg: dict[tuple, int] = {}
+    for b in unioned.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            k = (r["chk"], r["col"], r["stat"])
+            agg[k] = agg.get(k, 0) + r["v"]
+    n_rows = agg.get(("__rows", "", "n"), 0)
+    out = []
+    for c in checks:
+        if c.kind == "unique":
+            viol = n_rows - agg.get(("unique", c.col, "distinct"), 0)
+        elif c.kind == "foreign_key":
+            viol = agg.get(("foreign_key", c.col, "orphan"), 0)
+        else:
+            viol = agg.get((c.kind, c.col, "viol"), 0)
+        frac = round(viol / n_rows, 6) if n_rows else 0.0
+        out.append((c.kind, c.col, n_rows, viol, frac, frac <= max_frac))
+    out.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "chk": pa.array([r[0] for r in out], pa.string()),
+        "col": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "violations": pa.array([r[3] for r in out], pa.int64()),
+        "frac": pa.array([r[4] for r in out], pa.float64()),
+        "passed": pa.array([r[5] for r in out], pa.bool_()),
+    })
+
+
+def histogram_psi(ds, split_col: str, value_col: str, edges,
+                  base: str, cmp: str) -> pa.Table:
+    """Population Stability Index between two splits' distributions of
+    ``value_col``, over fixed ``edges`` (bin b = count of edges <= v,
+    so bin 0 is ``(-inf, edges[0])`` and bin ``len(edges)`` is
+    ``[edges[-1], inf)``; nulls are dropped).
+
+    One combiner pass emits per-batch (split, bin) counts; the grouped
+    merge shuffles ≤ ``n_splits × n_bins`` rows; the driver computes
+    Laplace-smoothed proportions ``p = (cnt + 0.5) / (N + 0.5·k)`` and
+    the per-bin term ``(p - q) · ln(p / q)`` — smoothing keeps empty
+    bins finite and deterministic.  Returns ``(bin, n_base, n_cmp,
+    psi_term)`` for every bin; total PSI = sum of ``psi_term``.
+    """
+    from ..query.relational import grouped_agg
+
+    e = np.asarray(list(edges), np.float64)
+    k = len(e) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[split_col]
+        keep = pc.and_(pc.is_valid(s), pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(e, v, side="right")
+        g = pa.table({"split": t[split_col],
+                      "bin": pa.array(b, pa.int32())}) \
+            .group_by(["split", "bin"], use_threads=False) \
+            .aggregate([("bin", "count")])
+        return g.rename_columns(["split", "bin", "cnt"])
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["split", "bin"], [("cnt", "sum", "cnt")])
+    nb = np.zeros(k, np.int64)
+    nc = np.zeros(k, np.int64)
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            if r["split"] == base:
+                nb[r["bin"]] = r["cnt"]
+            elif r["split"] == cmp:
+                nc[r["bin"]] = r["cnt"]
+    p = (nb + 0.5) / (nb.sum() + 0.5 * k)
+    q = (nc + 0.5) / (nc.sum() + 0.5 * k)
+    term = np.round((p - q) * np.log(p / q), 6)
+    return pa.table({
+        "bin": pa.array(np.arange(k, dtype=np.int32)),
+        "n_base": pa.array(nb),
+        "n_cmp": pa.array(nc),
+        "psi_term": pa.array(term, pa.float64()),
+    })

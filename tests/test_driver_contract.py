@@ -127,6 +127,9 @@ PARITY_KEYS = [
     "src_rdfxml_parse",
     "kg_sparql_service",
     "src_csv_roundtrip",
+    # session-8 additions
+    "dq_orders_checks",
+    "docs_drift_psi",
 ]
 
 _SF_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -1,0 +1,127 @@
+"""Data-quality constraint suite + PSI drift (tera_ray/quality)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from tera_ray.quality import (
+    foreign_key,
+    histogram_psi,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    run_checks,
+    unique,
+)
+
+
+def _ds(tbl: pa.Table, parallelism: int = 3):
+    return ray.data.from_arrow(tbl).repartition(parallelism)
+
+
+@pytest.fixture()
+def dirty():
+    return _ds(pa.table({
+        "id": pa.array([1, 2, 2, 3, 4, None], pa.int64()),
+        "val": pa.array([5.0, -1.0, 7.0, 120.0, None, 3.0]),
+        "cat": pa.array(["a", "b", "zz", None, "a", "b"]),
+        "code": pa.array(["X-1", "X-2", "nope", "X-9", None, "X-3"]),
+        "fk": pa.array([10, 10, 20, 99, None, 30], pa.int64()),
+    }))
+
+
+@pytest.fixture()
+def ref():
+    return _ds(pa.table({"rid": pa.array([10, 20, 30], pa.int64())}), 1)
+
+
+class TestRunChecks:
+    def test_report(self, dirty, ref):
+        rep = run_checks(dirty, [
+            not_null("id"),
+            in_range("val", 0, 100),
+            in_set("cat", ["a", "b"]),
+            matches("code", r"^X-\d$"),
+            unique("id"),
+            foreign_key(["fk"], ref, ["rid"]),
+        ]).to_pylist()
+        by = {(r["chk"], r["col"]): r for r in rep}
+        assert by[("not_null", "id")]["violations"] == 1
+        # -1 and 120 out of range; nulls don't violate range
+        assert by[("in_range", "val")]["violations"] == 2
+        assert by[("in_set", "cat")]["violations"] == 1
+        assert by[("matches", "code")]["violations"] == 1
+        # ids: 1,2,2,3,4,None -> 5 distinct (null is a group), 6 rows
+        assert by[("unique", "id")]["violations"] == 1
+        # fk: 99 orphan + NULL never matches (NOT EXISTS) -> 2
+        assert by[("foreign_key", "fk")]["violations"] == 2
+        assert all(r["n"] == 6 for r in rep)
+        assert not by[("not_null", "id")]["passed"]
+
+    def test_all_pass_and_threshold(self, ref):
+        ds = _ds(pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                           "fk": pa.array([10, 20, 30, 10], pa.int64())}))
+        rep = run_checks(ds, [not_null("id"), unique("id"),
+                              foreign_key(["fk"], ref, ["rid"])])
+        assert all(r["passed"] for r in rep.to_pylist())
+        # threshold: 1 violation of 4 rows passes at max_frac=0.5
+        ds2 = _ds(pa.table({"id": pa.array([1, 1, 2, 3], pa.int64())}))
+        rep2 = run_checks(ds2, [unique("id")], max_frac=0.5).to_pylist()
+        assert rep2[0]["violations"] == 1 and rep2[0]["passed"]
+
+    def test_multi_column_unique_and_fk(self):
+        ds = _ds(pa.table({
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "x", "x", "y"], pa.string()),
+        }))
+        rep = run_checks(ds, [unique("a", "b")]).to_pylist()
+        assert rep[0]["violations"] == 1 and rep[0]["col"] == "a,b"
+        ref = _ds(pa.table({"ra": pa.array([1, 2], pa.int64()),
+                            "rb": pa.array(["x", "y"], pa.string())}), 1)
+        rep2 = run_checks(ds, [foreign_key(["a", "b"], ref,
+                                           ["ra", "rb"])]).to_pylist()
+        # (1,x),(1,x),(2,y) match; (2,x) is an orphan
+        assert rep2[0]["violations"] == 1
+
+    def test_empty_dataset(self):
+        ds = _ds(pa.table({"id": pa.array([], pa.int64())}), 1)
+        rep = run_checks(ds, [not_null("id"), unique("id")]).to_pylist()
+        assert all(r["n"] == 0 and r["violations"] == 0 and r["passed"]
+                   for r in rep)
+
+
+class TestHistogramPsi:
+    def test_identical_splits_zero(self):
+        vals = list(range(100))
+        tbl = pa.table({
+            "split": pa.array(["a"] * 100 + ["b"] * 100),
+            "v": pa.array(vals + vals, pa.float64()),
+        })
+        out = histogram_psi(_ds(tbl), "split", "v", [25, 50, 75],
+                            base="a", cmp="b").to_pylist()
+        assert len(out) == 4
+        assert all(r["psi_term"] == 0.0 for r in out)
+        assert sum(r["n_base"] for r in out) == 100
+
+    def test_shifted_distribution_positive(self):
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 1, 500)
+        b = rng.normal(2, 1, 500)
+        tbl = pa.table({
+            "split": pa.array(["a"] * 500 + ["b"] * 500),
+            "v": pa.array(np.concatenate([a, b]), pa.float64()),
+        })
+        out = histogram_psi(_ds(tbl), "split", "v", [-1, 0, 1, 2],
+                            base="a", cmp="b")
+        assert sum(out["psi_term"].to_pylist()) > 0.5
+
+    def test_bin_edges_right_open(self):
+        # v == edge goes to the HIGHER bin (count of edges <= v)
+        tbl = pa.table({"split": pa.array(["a", "b"]),
+                        "v": pa.array([10.0, 10.0])})
+        out = histogram_psi(_ds(tbl, 1), "split", "v", [10],
+                            base="a", cmp="b").to_pylist()
+        assert out[1]["n_base"] == 1 and out[1]["n_cmp"] == 1
