@@ -95,10 +95,16 @@ _PARTIAL_SCHEMA = pa.schema([
 ])
 
 
-def _local_partials(batch: pa.Table, local_checks: list[Check]) -> pa.Table:
-    """All batch-local checks in one pass → fixed-size partial rows."""
+def _local_partials(batch: pa.Table,
+                    local_checks: list[tuple[int, Check]]) -> pa.Table:
+    """All batch-local checks in one pass → fixed-size partial rows.
+
+    Partials are keyed by the check's position in the declared list
+    (``chk = "<kind>#<idx>"``) so two checks of the same kind on the
+    same column (e.g. two ``in_range`` bounds) fold separately.
+    """
     chks, cols, stats, vs = ["__rows"], [""], ["n"], [batch.num_rows]
-    for c in local_checks:
+    for idx, c in local_checks:
         v = batch[c.col]
         if c.kind == "not_null":
             viol = v.null_count
@@ -123,7 +129,7 @@ def _local_partials(batch: pa.Table, local_checks: list[Check]) -> pa.Table:
                                   pc.invert(ok))).as_py() or 0
         else:  # pragma: no cover
             raise ValueError(c.kind)
-        chks.append(c.kind)
+        chks.append(f"{c.kind}#{idx}")
         cols.append(c.col)
         stats.append("viol")
         vs.append(int(viol))
@@ -150,29 +156,38 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
     from ..dedup.exact import dedup_exact
     from ..query.relational import multi_key_anti_join
 
-    local = [c for c in checks
+    local = [(i, c) for i, c in enumerate(checks)
              if c.kind in ("not_null", "in_range", "in_set", "matches")]
     legs = [ds.map_batches(lambda t, _l=local: _local_partials(t, _l),
                            batch_format="pyarrow")]
-    for c in checks:
+    for i, c in enumerate(checks):
         if c.kind == "unique":
             cols = list(c.params[0])
             legs.append(
                 dedup_exact(ds.select_columns(cols), keys=cols,
                             order_by=cols[0])
-                .map_batches(_count_partial("unique", c.col, "distinct"),
-                             batch_format="pyarrow"))
+                .map_batches(
+                    _count_partial(f"unique#{i}", c.col, "distinct"),
+                    batch_format="pyarrow"))
         elif c.kind == "foreign_key":
             cols, ref, ref_cols = c.params
             rk = ref.select_columns(list(ref_cols))
-            if tuple(ref_cols) != tuple(cols):
-                rk = rk.map_batches(
-                    lambda t, _c=list(cols): t.rename_columns(_c),
-                    batch_format="pyarrow")
+
+            def _prep_ref(t: pa.Table, _rc=list(ref_cols),
+                          _c=list(cols)) -> pa.Table:
+                # NOT EXISTS semantics: a NULL ref key matches nothing,
+                # so drop null-keyed ref rows before the anti-join
+                # (polars' anti-join treats nulls as equal otherwise).
+                keep = pc.is_valid(t[_rc[0]])
+                for rc in _rc[1:]:
+                    keep = pc.and_(keep, pc.is_valid(t[rc]))
+                return t.filter(keep).rename_columns(_c)
+
+            rk = rk.map_batches(_prep_ref, batch_format="pyarrow")
             orphans = multi_key_anti_join(
                 ds.select_columns(list(cols)), rk, list(cols))
             legs.append(orphans.map_batches(
-                _count_partial("foreign_key", c.col, "orphan"),
+                _count_partial(f"foreign_key#{i}", c.col, "orphan"),
                 batch_format="pyarrow"))
     unioned = legs[0]
     for leg in legs[1:]:
@@ -184,13 +199,13 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
             agg[k] = agg.get(k, 0) + r["v"]
     n_rows = agg.get(("__rows", "", "n"), 0)
     out = []
-    for c in checks:
+    for i, c in enumerate(checks):
         if c.kind == "unique":
-            viol = n_rows - agg.get(("unique", c.col, "distinct"), 0)
+            viol = n_rows - agg.get((f"unique#{i}", c.col, "distinct"), 0)
         elif c.kind == "foreign_key":
-            viol = agg.get(("foreign_key", c.col, "orphan"), 0)
+            viol = agg.get((f"foreign_key#{i}", c.col, "orphan"), 0)
         else:
-            viol = agg.get((c.kind, c.col, "viol"), 0)
+            viol = agg.get((f"{c.kind}#{i}", c.col, "viol"), 0)
         frac = round(viol / n_rows, 6) if n_rows else 0.0
         out.append((c.kind, c.col, n_rows, viol, frac, frac <= max_frac))
     out.sort(key=lambda r: (r[0], r[1]))
@@ -233,7 +248,10 @@ def histogram_psi(ds, split_col: str, value_col: str, edges,
                       "bin": pa.array(b, pa.int32())}) \
             .group_by(["split", "bin"], use_threads=False) \
             .aggregate([("bin", "count")])
-        return g.rename_columns(["split", "bin", "cnt"])
+        # Select by name: pyarrow's keys-vs-aggregates column order has
+        # differed across versions, so a positional rename is fragile.
+        return pa.table({"split": g["split"], "bin": g["bin"],
+                         "cnt": g["bin_count"]})
 
     counts = grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),

@@ -86,6 +86,25 @@ class TestRunChecks:
         # (1,x),(1,x),(2,y) match; (2,x) is an orphan
         assert rep2[0]["violations"] == 1
 
+    def test_same_kind_same_col_fold_separately(self):
+        # Two in_range checks on one column must each report their OWN
+        # violation count (regression: partials were keyed (kind, col)).
+        ds = _ds(pa.table({"v": pa.array([1.0, 5.0, 50.0, 500.0])}))
+        rep = run_checks(ds, [
+            in_range("v", 0, 100),   # 500 out -> 1
+            in_range("v", 0, 10),    # 50, 500 out -> 2
+            in_range("v", 2, 1000),  # 1 out -> 1
+        ]).to_pylist()
+        assert sorted(r["violations"] for r in rep) == [1, 1, 2]
+
+    def test_fk_null_in_ref_still_orphans_null_left(self):
+        # NOT EXISTS semantics: a NULL ref key matches nothing, so a
+        # NULL left key stays an orphan even when ref contains NULL.
+        ds = _ds(pa.table({"fk": pa.array([10, None, 99], pa.int64())}))
+        ref = _ds(pa.table({"rid": pa.array([10, None], pa.int64())}), 1)
+        rep = run_checks(ds, [foreign_key(["fk"], ref, ["rid"])]).to_pylist()
+        assert rep[0]["violations"] == 2  # None and 99
+
     def test_empty_dataset(self):
         ds = _ds(pa.table({"id": pa.array([], pa.int64())}), 1)
         rep = run_checks(ds, [not_null("id"), unique("id")]).to_pylist()
