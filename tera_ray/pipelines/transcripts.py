@@ -397,9 +397,12 @@ def reconstruct_conversations(ds, range_size: int | None = None):
     under a subsequent ``sort(['conv_id','turn_idx'])``.
     """
 
-    from ..stages.base import hash_column
+    from ..stages.base import _auto_buckets, hash_column
 
-    num_buckets = 64
+    # sized to the cluster (~16 reduce tasks/CPU, like every other
+    # bucketed shuffle here) so one bucket ≈ corpus/num_buckets never
+    # outgrows a single sort task at 100× data
+    num_buckets = _auto_buckets(None)
 
     def _with_bucket(t: pa.Table, keys) -> pa.Table:
         import numpy as np
@@ -451,9 +454,9 @@ def conversation_digests(ds):
     """
     import hashlib
 
-    from ..stages.base import hash_column
+    from ..stages.base import _auto_buckets, hash_column
 
-    num_buckets = 64
+    num_buckets = _auto_buckets(None)  # cluster-sized, not hardcoded
 
     def bucketed(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -659,7 +662,8 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
              concurrency=None, batch_size: int = 4096,
              override_num_blocks: int | None = None,
              dedup_mode: str = "auto",
-             driver_discover_limit: int = 50_000_000):
+             driver_discover_limit: int = 50_000_000,
+             big_rows: int | None = 100_000):
     """End-to-end KG construction over a fixture directory: transcripts →
     linked mention triples, unioned with the (driver-side) lexicon-table
     triples and static axioms, exact-deduped (SURVEY A1).  Returns a
@@ -719,20 +723,26 @@ def build_kg(data_dir: str, fuzzy: bool = True, dedup: bool = True,
     return build_kg_from(transcripts, data_dir, fuzzy=fuzzy, dedup=dedup,
                          concurrency=concurrency, batch_size=batch_size,
                          dedup_mode=dedup_mode,
-                         driver_discover_limit=driver_discover_limit)
+                         driver_discover_limit=driver_discover_limit,
+                         big_rows=big_rows)
 
 
 def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
                   dedup: bool = True, concurrency=None,
                   batch_size: int = 4096, dedup_mode: str = "hash",
-                  driver_discover_limit: int = 50_000_000):
+                  driver_discover_limit: int = 50_000_000,
+                  big_rows: int | None = 100_000):
     """:func:`build_kg` over an ALREADY-OPEN transcript Dataset — the
     entry point for filtered/partial builds and the incremental path
     (:func:`update_kg`); ``data_dir`` still supplies the lexicon
     tables.  ``driver_discover_limit`` forwards to
     :func:`~tera_ray.stages.base.dedup_triples_hash` (0 forces the
     distributed duplicate discovery — the scaling legs use it so the
-    measured job keeps its exchange)."""
+    measured job keeps its exchange).  ``big_rows`` is the
+    :func:`lexicon_sources` threshold above which a lexicon table is
+    emitted DISTRIBUTED instead of driver-side (None = all driver-side;
+    tests lower it to exercise the distributed routing on small
+    fixtures)."""
     if dedup and dedup_mode == "auto":
         # contract-checked pushdown (see build_kg's dedup_mode docs):
         # the check costs one 2-column pass over the input; re-running
@@ -757,7 +767,7 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
             transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
             batch_size=batch_size, combine_keys=keys,
         )
-        small_tbl, big = lexicon_sources(data_dir)
+        small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
         small_tbl = dedup_table(small_tbl, keys)
         small_tbl = small_tbl.append_column(
             "__h", hash_column(small_tbl, keys))
@@ -779,44 +789,137 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
         # unique-turn input contract (their subjects embed the turn id,
         # so duplicates are batch-local; the per-batch dedup is fused
         # into the linker actors).  The lexicon graphs CAN duplicate
-        # across source rows, so they get a real dedup — but only they:
-        # a sort-shuffle over the lexicon triples (~16% of the store),
-        # lazily composed so the whole build stays ONE execution with
-        # no materialize barrier.  Turn-graph and lexicon subjects are
-        # disjoint by construction (turn//conversation URIs + turn-
-        # derived blank nodes vs taxon/chemical/unit URIs), so dedup of
-        # the parts equals dedup of the whole (set-equality with
-        # "global" asserted in tests/test_transcripts.py).
-        # (A lazily-composed sort-dedup over distributed big-table
-        # emission was A/B'd here and LOST on one box — the sort's
-        # boundary-sampling pass re-executes the emit lineage, costing
-        # more than the ~1s/M-turns driver emission it replaced.
-        # Driver-side emission is also the exactness anchor: one batch
-        # ⇒ dedup_table covers ALL cross-table lexicon duplicates.)
-        from ..stages.base import dedup_table
+        # across source rows, so they get a real dedup — but ONLY they.
+        # Turn-graph and lexicon subjects are disjoint by construction
+        # (turn//conversation URIs + turn-derived blank nodes vs
+        # taxon/chemical/unit URIs), so dedup of the parts equals dedup
+        # of the whole (set-equality with "global" asserted in
+        # tests/test_transcripts.py).
+        #
+        # Lexicon emission routing mirrors the hash branch: bounded-
+        # vocabulary tables emit driver-side (one dedup_table covers
+        # their cross-table duplicates exactly), while CORPUS-SCALED
+        # tables (tests/results analogs grow with the fixture) emit
+        # DISTRIBUTED and the lexicon partition alone goes through
+        # dedup_triples_hash — only 8 B/row cross its exchange, and
+        # the dominant turn-graph partition still never shuffles.
+        # (An earlier A/B used a lazily-composed SORT dedup here and
+        # lost on one box — the sort's boundary sampling re-executes
+        # the emit lineage; the hash path materializes the lexicon
+        # partition once instead, so no lineage re-execution.)
+        from ..stages.base import (dedup_table, dedup_triples_hash,
+                                   hash_column)
 
         keys = ("subj", "pred", "obj")
         local = link_transcripts(
             transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
             batch_size=batch_size, combine_keys=keys, combine_hash=False,
         )
-        return local.union(
-            ray.data.from_arrow(dedup_table(lexicon_triples(data_dir), keys)))
+        small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
+        if not big:
+            # all lexicon tables are bounded: the one-batch driver dedup
+            # is exact and the whole build stays a single shuffle-free
+            # execution
+            return local.union(
+                ray.data.from_arrow(dedup_table(small_tbl, keys)))
+        small_tbl = dedup_table(small_tbl, keys)
+        small_tbl = small_tbl.append_column(
+            "__h", hash_column(small_tbl, keys))
+        lex = ray.data.from_arrow(small_tbl)
+
+        def lift_combine(t: pa.Table) -> pa.Table:
+            t = dedup_table(_lift_lineage(t), keys)
+            return t.append_column("__h", hash_column(t, keys))
+
+        for path, fn in big:
+            part = (ray.data.read_parquet(path)
+                    .map_batches(fn, batch_format="pyarrow")
+                    .map_batches(lift_combine, batch_format="pyarrow"))
+            lex = lex.union(part)
+        lex = dedup_triples_hash(lex, keys, precombined=True,
+                                 driver_discover_limit=driver_discover_limit)
+        return local.union(lex)
+    # generic tail (global sort dedup / dedup=False): big lexicon tables
+    # still emit distributed — driver-side emission is O(corpus) there
+    # too, and the global dedup (or, for dedup=False, the caller's
+    # stated no-dedup semantics) covers cross-part duplicates
     triples = link_transcripts(
         transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
         batch_size=batch_size,
     )
-    out = triples.union(ray.data.from_arrow(lexicon_triples(data_dir)))
+    small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
+    out = triples.union(ray.data.from_arrow(small_tbl))
+    for path, fn in big:
+        out = out.union(ray.data.read_parquet(path)
+                        .map_batches(fn, batch_format="pyarrow")
+                        .map_batches(_lift_lineage, batch_format="pyarrow"))
     if dedup:
         out = dedup_triples(
             out, mode="hash" if dedup_mode == "hash" else "sort")
     return out
 
 
+def _turn_key_hashes(transcripts, driver_limit: int = 50_000_000):
+    """Sorted u64 hashes of the shard's ``(conv_id, turn_idx)`` keys,
+    or ``None`` above ``driver_limit`` rows (a shard that large should
+    take the global anti-join anyway).  Shares
+    :func:`turn_keys_unique`'s 8 B/row projection discipline."""
+    from ..stages.base import hash_column
+
+    def h(t: pa.Table) -> pa.Table:
+        return pa.table({"__h": hash_column(t, ("conv_id", "turn_idx"))})
+
+    hs = transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
+        h, batch_format="pyarrow")
+    chunks: list[np.ndarray] = []
+    total = 0
+    for b in hs.iter_batches(batch_format="pyarrow", batch_size=None):
+        chunks.append(b["__h"].to_numpy(zero_copy_only=False))
+        total += b.num_rows
+        if total > driver_limit:
+            return None
+    allh = (np.concatenate(chunks).astype(np.uint64, copy=False)
+            if chunks else np.zeros(0, np.uint64))
+    allh.sort()
+    return allh
+
+
+def _prev_overlaps_turns(prev_kg, sorted_hashes: np.ndarray) -> bool:
+    """Does prev's transcript graph contain ANY of the new shard's
+    ``(conv_id, turn_idx)`` keys?  One column-pruned filtered pass over
+    prev's lineage columns against the broadcast sorted hash set; the
+    streaming ``take(1)`` stops at the first overlapping block.  A u64
+    collision can only report a FALSE overlap (forcing the safe global
+    anti-join); a true re-delivered turn always collides — so ``False``
+    is trustworthy evidence of disjointness."""
+    from ..stages.base import hash_column
+
+    if len(sorted_hashes) == 0:
+        return False
+    href = ray.put(sorted_hashes)
+
+    def overlapping(t: pa.Table) -> pa.Table:
+        d = ray.get(href)
+        t = t.filter(pc.is_valid(t["conv_id"]))
+        if t.num_rows == 0:
+            return t.select(["conv_id"])
+        h = hash_column(t, ("conv_id", "turn_idx")) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, h)
+        m = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == h)
+        return t.filter(pa.array(m)).select(["conv_id"])
+
+    hits = (prev_kg.filter(expr=f"graph == '{TRANSCRIPT_GRAPH}'")
+            .map_batches(overlapping, batch_format="pyarrow"))
+    return len(hits.take(1)) > 0
+
+
 def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
               concurrency=None, batch_size: int = 4096,
               num_buckets: int = 64, materialize_prev: bool = True,
-              emit: str = "union", scope: str = "global"):
+              emit: str = "union", scope: str = "auto",
+              prev_turns_disjoint: bool | None = None,
+              shared_graph_limit: int = 1 << 28):
     """Incremental KG maintenance — the 10^12-turn pipeline is never a
     one-shot build: link ONLY the new transcript shard, union the
     (idempotent) lexicon graphs, exact-anti-join the result against the
@@ -834,6 +937,26 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     arbitrary-but-unique representative per distinct triple and every
     emitted triple is a pure function of its turn.
 
+    ``scope`` selects how novelty is established:
+
+    - ``"auto"`` (default, contract-checked like ``build_kg``'s dedup
+      mode): take the shuffle-free ``"turn_unique"`` path only when
+      the new shard's ``(conv_id, turn_idx)`` keys are unique AND prev
+      provably contains none of them — either attested by the caller
+      (``prev_turns_disjoint=True``, e.g. from a checkpoint manifest's
+      shard registry) or verified by one column-pruned probe of prev's
+      transcript-graph lineage against the shard's broadcast key-hash
+      set (:func:`_prev_overlaps_turns`; collisions only force the
+      safe fallback).  Anything unprovable routes to ``"global"``.
+    - ``"turn_unique"`` — trust the caller on both contracts.
+    - ``"global"`` — the exact anti-join, valid for any input.
+
+    Every turn-unique precondition failure DEGRADES to global instead
+    of raising, including a prev store whose shared (non-transcript)
+    graphs exceed ``shared_graph_limit`` bytes — those must fit
+    driver-side for the turn-unique lexicon novelty check, and a store
+    built from dump-scale lexicons won't.
+
     At 100 TB, pair with ``state/checkpoint.write_stage``: write only
     the novel partition and manifest per shard; ``query/bloom`` can
     pre-prune the anti-join's left side when the novel fraction is
@@ -842,7 +965,8 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     from ..query.relational import multi_key_anti_join
 
     assert emit in ("novel", "union"), f"unknown emit={emit!r}"
-    assert scope in ("global", "turn_unique"), f"unknown scope={scope!r}"
+    assert scope in ("auto", "global", "turn_unique"), \
+        f"unknown scope={scope!r}"
 
     # prev_kg is consumed twice whenever the MERGED store is emitted
     # (read for the novelty check + re-emitted in the union); pin it
@@ -850,6 +974,17 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     # emit="novel" each scope consumes prev exactly once — no pin.
     if materialize_prev and emit == "union":
         prev_kg = prev_kg.materialize()
+
+    if scope == "auto":
+        scope = "global"
+        if prev_turns_disjoint is not False:
+            hashes = _turn_key_hashes(new_transcripts)
+            if hashes is not None and (
+                    len(hashes) == 0
+                    or not bool((hashes[1:] == hashes[:-1]).any())):
+                if prev_turns_disjoint is True or \
+                        not _prev_overlaps_turns(prev_kg, hashes):
+                    scope = "turn_unique"
 
     lex_ref = build_lexicon(data_dir)
     new_triples = link_transcripts(
@@ -861,43 +996,49 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
         # the anti-join: every turn-graph triple embeds its
         # (conv_id, turn_idx) in subj (or the turn-derived blank-node
         # id), so when shards partition the turn space (the input_hint
-        # unique-turn contract, incl. no re-delivery) a new shard's
-        # turn triples CANNOT exist in prev — novel by construction,
-        # no prev shuffle at all.  Only the shared lexicon/static
-        # graphs repeat across shards; prev's copy of those is
-        # broadcast-scale by definition, so the exact check is one
-        # filtered read of prev + a driver-side anti-join of the
-        # (small) lexicon table.  Cost: O(new shard) + one
-        # column-pruned filtered pass over prev — the nightly path.
+        # unique-turn contract, incl. no re-delivery — checked or
+        # attested under scope="auto") a new shard's turn triples
+        # CANNOT exist in prev — novel by construction, no prev
+        # shuffle at all.  Only the shared lexicon/static graphs
+        # repeat across shards; prev's copy of those is broadcast-
+        # scale by definition, so the exact check is one filtered read
+        # of prev + a driver-side anti-join of the (small) lexicon
+        # table.  Cost: O(new shard) + one column-pruned filtered pass
+        # over prev — the nightly path.
         from ..stages.base import dedup_table
 
-        turn_triples = new_triples.map_batches(
-            lambda t: dedup_table(t), batch_format="pyarrow")
-        lex_tbl = dedup_table(lexicon_triples(data_dir))
-        prev_shared = pa.concat_tables(
-            [b for b in prev_kg
-             .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
-             .map_batches(lambda t: t.select(["subj", "pred", "obj"]),
-                          batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None)]
-            or [pa.table({"subj": pa.array([], pa.string()),
-                          "pred": pa.array([], pa.string()),
-                          "obj": pa.array([], pa.string())})])
-        # the shared graphs are broadcast-scale BY ASSUMPTION — a store
-        # whose lexicon graphs were built distributed (dump scale) must
-        # use scope="global" instead of collecting them driver-side
-        assert prev_shared.nbytes <= (1 << 28), (
-            f"prev shared graphs are {prev_shared.nbytes}B — beyond the "
-            "driver-side bound; use scope='global'")
-        novel_lex = lex_tbl.join(prev_shared,
-                                 keys=["subj", "pred", "obj"],
-                                 join_type="left anti")
-        novel_lex = novel_lex.select(lex_tbl.schema.names).cast(
-            lex_tbl.schema)
-        novel = turn_triples.union(ray.data.from_arrow(novel_lex))
-        if emit == "novel":
-            return novel
-        return prev_kg.union(novel)
+        # stream prev's shared graphs with a running size cap; a store
+        # whose lexicon graphs were built distributed (dump scale)
+        # overflows it and DEGRADES to the global anti-join
+        chunks, nbytes, over = [], 0, False
+        for b in (prev_kg
+                  .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
+                  .map_batches(lambda t: t.select(["subj", "pred", "obj"]),
+                               batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None)):
+            chunks.append(b)
+            nbytes += b.nbytes
+            if nbytes > shared_graph_limit:
+                over = True
+                break
+        if not over:
+            turn_triples = new_triples.map_batches(
+                lambda t: dedup_table(t), batch_format="pyarrow")
+            lex_tbl = dedup_table(lexicon_triples(data_dir))
+            prev_shared = pa.concat_tables(
+                chunks
+                or [pa.table({"subj": pa.array([], pa.string()),
+                              "pred": pa.array([], pa.string()),
+                              "obj": pa.array([], pa.string())})])
+            novel_lex = lex_tbl.join(prev_shared,
+                                     keys=["subj", "pred", "obj"],
+                                     join_type="left anti")
+            novel_lex = novel_lex.select(lex_tbl.schema.names).cast(
+                lex_tbl.schema)
+            novel = turn_triples.union(ray.data.from_arrow(novel_lex))
+            if emit == "novel":
+                return novel
+            return prev_kg.union(novel)
 
     cand = dedup_triples(new_triples.union(
         ray.data.from_arrow(lexicon_triples(data_dir))))
