@@ -4022,6 +4022,24 @@ def _q_dq_orders_checks(sf_dir: str):
     ])
 
 
+def _q_dq_approx_unique(sf_dir: str):
+    """Sketch-backed key-uniqueness constraints: ``approx_unique``
+    rides the engine's deterministic HLL (``tera_ray/sketch/hll.py``,
+    FNV-1a + xorshift mix, p=14) inside ``run_checks``' single
+    streaming union — per-batch register partials fold by max, no
+    dedup shuffle, the 100 TB shape for monitoring key health.  Two
+    checks: o_orderkey (a true key → passes within the 3% tolerance)
+    and o_custkey (massively duplicated → fails).  Deterministic
+    hashing makes violations/frac/passed SQL-bit-reproducible."""
+    from tera_ray.quality import approx_unique, run_checks
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return run_checks(orders, [
+        approx_unique("o_orderkey", tol=0.03),
+        approx_unique("o_custkey", tol=0.03),
+    ])
+
+
 def _q_docs_drift_psi(sf_dir: str):
     """Distribution-drift monitor: Population Stability Index of the
     document-length distribution between the deterministic train and
@@ -4120,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "docs_sample": _q_docs_sample,
         "dq_orders_checks": _q_dq_orders_checks,
+        "dq_approx_unique": _q_dq_approx_unique,
         "docs_drift_psi": _q_docs_drift_psi,
         "docs_source_cap": _q_docs_source_cap,
         "docs_mix": _q_docs_mix,
@@ -4872,6 +4891,46 @@ def _cms_sql(width: int = 2048, depth: int = 4) -> str:
     return ("WITH " + ", ".join(ctes) +
             " SELECT key, CAST(min(c) AS BIGINT) AS est_cnt"
             " FROM ests GROUP BY key")
+
+
+def _dq_approx_unique_sql(cols=("o_orderkey", "o_custkey"),
+                          tol: float = 0.03) -> str:
+    """Oracle for ``dq_approx_unique``: rebuilds the p=14 HLL registers
+    (FNV-1a + mix, same chain as the ``events_hll_users`` oracle) per
+    key column, finalizes the estimate, and derives the run_checks
+    report row (violations = greatest(0, n - floor(e + 0.5)))."""
+    alpha = "(0.7213/(1 + 1.079/16384)) * 16384 * 16384"
+    ctes = ["t AS (SELECT count(*) AS n FROM orders)"]
+    legs = []
+    for j, col in enumerate(cols):
+        ctes.append(f"v{j} AS (SELECT DISTINCT {col}::VARCHAR AS s"
+                    f" FROM orders WHERE {col} IS NOT NULL)")
+        ctes.append(f"h{j} AS (SELECT {_fnv_sql('s')} AS h FROM v{j})")
+        mix, fin = _mix64_ctes(f"x{j}_", f"h{j}")
+        ctes.append(mix)
+        ctes.append(f"b{j} AS (SELECT (h // 1125899906842624)::BIGINT"
+                    " AS reg, (h % 1125899906842624)::BIGINT AS low"
+                    f" FROM {fin})")
+        ctes.append(f"r{j} AS (SELECT reg, max(CASE WHEN low = 0 THEN 51"
+                    " ELSE 50 - CAST(floor(log2(low)) AS BIGINT) END)"
+                    f" AS rho FROM b{j} GROUP BY reg)")
+        ctes.append(f"a{j} AS (SELECT count(*) AS nreg,"
+                    f" sum(pow(2.0, -rho)) AS s FROM r{j})")
+        ctes.append(f"z{j} AS (SELECT 16384 - nreg AS zeros,"
+                    f" s + (16384 - nreg) AS ss FROM a{j})")
+        ctes.append(f"f{j} AS (SELECT CASE WHEN {alpha} / ss <= 2.5*16384"
+                    " AND zeros > 0 THEN 16384 * ln(16384.0/zeros)"
+                    f" ELSE {alpha} / ss END AS e FROM z{j})")
+        ctes.append(f"w{j} AS (SELECT greatest(0, t.n -"
+                    " CAST(floor(e + 0.5) AS BIGINT)) AS violations,"
+                    f" t.n AS n FROM f{j}, t)")
+        legs.append(f"SELECT 'approx_unique' AS chk, '{col}' AS col,"
+                    " n, violations,"
+                    " round(violations / n::DOUBLE, 6) AS frac,"
+                    f" round(violations / n::DOUBLE, 6) <= {tol}"
+                    f" AS passed FROM w{j}")
+    return ("WITH " + ", ".join(ctes) + " SELECT * FROM ("
+            + " UNION ALL ".join(legs) + ") ORDER BY chk, col")
 
 
 def _xor64_sql(a: str, b: str) -> str:
@@ -6333,6 +6392,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " SELECT chk, col, n, violations,"
             " round(violations / n::DOUBLE, 6) AS frac,"
             " violations = 0 AS passed FROM u",
+        "dq_approx_unique": _dq_approx_unique_sql(),
         "docs_drift_psi":
             f"WITH h AS (SELECT n_chars,"
             f" ({split_h} % 10000) AS b FROM documents),"

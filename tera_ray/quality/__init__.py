@@ -1,5 +1,7 @@
 from .checks import (  # noqa: F401
     Check,
+    approx_distinct,
+    approx_unique,
     foreign_key,
     histogram_psi,
     in_range,

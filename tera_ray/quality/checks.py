@@ -77,6 +77,62 @@ def unique(*cols: str) -> Check:
     return Check("unique", ",".join(cols), (tuple(cols),))
 
 
+def approx_unique(*cols: str, tol: float = 0.03, p: int = 14) -> Check:
+    """Sketch-backed uniqueness check for 100 TB keys: the engine's
+    deterministic HLL (:mod:`tera_ray.sketch.hll` — FNV-1a + xorshift
+    mix, SQL-bit-reproducible; std-err ≈ ``1.04/sqrt(2^p)``) replaces
+    the exact-dedup shuffle — NOTHING shuffles, each batch contributes
+    at most ``2^p`` scalar register partials that fold by max inside
+    the one streaming union.  Violations = ``max(0, n -
+    floor(estimate + 0.5))``; the check passes when the violation
+    fraction is within ``max_frac + tol`` (the tolerance absorbs the
+    sketch's error band — size it ≥ ~3 std-errs).  Null key tuples are
+    dropped from the sketch (unlike ``unique``, which groups them)."""
+    return Check("approx_unique", ",".join(cols), (tuple(cols), tol, p))
+
+
+def _hll_key_array(t: pa.Table, cols) -> pa.Array:
+    """Joined string key array for the HLL sketch (``\\x1f`` separator,
+    null tuples dropped)."""
+    arrs = []
+    for col in cols:
+        v = pc.cast(t[col], pa.string())
+        arrs.append(v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                    else v)
+    v = arrs[0] if len(arrs) == 1 \
+        else pc.binary_join_element_wise(*arrs, "\x1f")
+    return v.drop_null()
+
+
+def approx_distinct(ds, cols, p: int = 14) -> float:
+    """Estimated ``COUNT(DISTINCT cols)`` over a Dataset via the
+    deterministic HLL sketch — one streaming pass, per-batch register
+    partials folded driver-side by max; nothing shuffles."""
+    from ..sketch.hll import _registers_batch, hll_estimate
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _hll_key_array(t, cols)
+        if len(v) == 0:
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        idx, rho = _registers_batch(v.to_numpy(zero_copy_only=False), p)
+        return pa.table({"reg": pa.array(idx), "rho": pa.array(rho)})
+
+    regs = np.zeros(m, np.int64)
+    for b in (ds.select_columns(cols)
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        idx = b["reg"].to_numpy(zero_copy_only=False)
+        rho = b["rho"].to_numpy(zero_copy_only=False)
+        np.maximum.at(regs, idx, rho)
+    nz = regs.nonzero()[0]
+    return hll_estimate(pa.table({"reg": pa.array(nz),
+                                  "rho": pa.array(regs[nz])}), p)
+
+
 def foreign_key(cols, ref, ref_cols) -> Check:
     """Every non-matching key tuple is a violation (``NOT EXISTS``
     semantics — a NULL key never matches, so it counts as an orphan).
@@ -161,7 +217,29 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
     legs = [ds.map_batches(lambda t, _l=local: _local_partials(t, _l),
                            batch_format="pyarrow")]
     for i, c in enumerate(checks):
-        if c.kind == "unique":
+        if c.kind == "approx_unique":
+            cols, _tol, p = c.params
+
+            def _hll_leg(t: pa.Table, _i=i, _c=c, _cols=list(cols),
+                         _p=p) -> pa.Table:
+                from ..sketch.hll import _registers_batch
+
+                v = _hll_key_array(t, _cols)
+                if len(v) == 0:
+                    return _PARTIAL_SCHEMA.empty_table()
+                idx, rho = _registers_batch(
+                    v.to_numpy(zero_copy_only=False), _p)
+                n = len(idx)
+                return pa.table({
+                    "chk": pa.array([f"approx_unique#{_i}"] * n),
+                    "col": pa.array([_c.col] * n),
+                    "stat": pa.array([str(j) for j in idx]),
+                    "v": pa.array(rho, pa.int64()),
+                }, schema=_PARTIAL_SCHEMA)
+
+            legs.append(ds.select_columns(list(cols)).map_batches(
+                _hll_leg, batch_format="pyarrow"))
+        elif c.kind == "unique":
             cols = list(c.params[0])
             legs.append(
                 dedup_exact(ds.select_columns(cols), keys=cols,
@@ -196,18 +274,36 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
     for b in unioned.iter_batches(batch_format="pyarrow", batch_size=None):
         for r in b.to_pylist():
             k = (r["chk"], r["col"], r["stat"])
-            agg[k] = agg.get(k, 0) + r["v"]
+            if r["chk"].startswith("approx_unique#"):
+                # HLL register partials merge by MAX, not sum
+                agg[k] = max(agg.get(k, 0), r["v"])
+            else:
+                agg[k] = agg.get(k, 0) + r["v"]
     n_rows = agg.get(("__rows", "", "n"), 0)
     out = []
     for i, c in enumerate(checks):
+        tol = 0.0
         if c.kind == "unique":
             viol = n_rows - agg.get((f"unique#{i}", c.col, "distinct"), 0)
+        elif c.kind == "approx_unique":
+            from ..sketch.hll import hll_estimate
+
+            _cols, tol, p = c.params
+            pairs = [(int(stat), v) for (chk, col, stat), v in agg.items()
+                     if chk == f"approx_unique#{i}"]
+            est = hll_estimate(pa.table({
+                "reg": pa.array([r for r, _ in pairs], pa.int64()),
+                "rho": pa.array([v for _, v in pairs], pa.int64()),
+            }), p)
+            # floor(e + 0.5): identical half-rounding in numpy and SQL
+            viol = max(0, n_rows - int(np.floor(est + 0.5)))
         elif c.kind == "foreign_key":
             viol = agg.get((f"foreign_key#{i}", c.col, "orphan"), 0)
         else:
             viol = agg.get((f"{c.kind}#{i}", c.col, "viol"), 0)
         frac = round(viol / n_rows, 6) if n_rows else 0.0
-        out.append((c.kind, c.col, n_rows, viol, frac, frac <= max_frac))
+        out.append((c.kind, c.col, n_rows, viol, frac,
+                    frac <= max_frac + tol))
     out.sort(key=lambda r: (r[0], r[1]))
     return pa.table({
         "chk": pa.array([r[0] for r in out], pa.string()),

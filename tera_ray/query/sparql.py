@@ -151,6 +151,14 @@ _FUSE_OPTIONALS = True
 #: non-SILENT raises.
 _SERVICE_REGISTRY: dict = {}
 
+#: ``GRAPH ?g { … }`` evaluates its block once per distinct lineage tag
+#: (sequential plans, driver-held tag list) — fine for emitter-tagged
+#: stores where tags ≈ #emitters, unbounded for an adversarial store
+#: with per-row graph names.  Above this bound the engine fails loud
+#: instead of launching thousands of sequential sub-plans; raise it
+#: deliberately for a store known to carry many legitimate tags.
+GRAPH_VAR_MAX_TAGS = 64
+
 
 def register_service(iri: str, triples) -> None:
     """Register a triple Dataset as the store behind ``SERVICE <iri>``."""
@@ -1822,6 +1830,13 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 num_buckets=min(16, num_buckets))
             tags = sorted(r["g"] for r in tags_ds.take_all()
                           if r["g"] is not None)
+            if len(tags) > GRAPH_VAR_MAX_TAGS:
+                raise SparqlError(
+                    f"GRAPH ?{gvar}: store has {len(tags)} distinct graph "
+                    f"tags (> GRAPH_VAR_MAX_TAGS={GRAPH_VAR_MAX_TAGS}); a "
+                    "per-tag plan would launch that many sequential "
+                    "sub-queries — raise tera_ray.query.sparql."
+                    "GRAPH_VAR_MAX_TAGS if the tag count is intentional")
             sub = None
             g_vars = list(dict.fromkeys(
                 [v[1:] for p in gpats for v in p

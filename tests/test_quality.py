@@ -7,6 +7,8 @@ import pytest
 import ray
 
 from tera_ray.quality import (
+    approx_distinct,
+    approx_unique,
     foreign_key,
     histogram_psi,
     in_range,
@@ -110,6 +112,50 @@ class TestRunChecks:
         rep = run_checks(ds, [not_null("id"), unique("id")]).to_pylist()
         assert all(r["n"] == 0 and r["violations"] == 0 and r["passed"]
                    for r in rep)
+
+
+class TestApproxDistinct:
+    def test_estimate_within_tolerance(self):
+        n = 100_000
+        ds = _ds(pa.table({"k": pa.array(
+            [f"key-{i % 40_000}" for i in range(n)])}), 8)
+        est = approx_distinct(ds, "k")
+        assert abs(est / 40_000 - 1) < 0.05, est
+
+    def test_merge_equals_whole(self):
+        # registers fold by max: partitioning must not change the
+        # estimate (mergeability is what makes the sketch distributable)
+        tbl = pa.table({"k": pa.array([f"k{i}" for i in range(5000)])})
+        assert approx_distinct(_ds(tbl, 1), "k") == \
+            approx_distinct(_ds(tbl, 13), "k")
+
+    def test_small_range_linear_counting(self):
+        # tiny cardinalities hit the linear-counting correction and
+        # should be near-exact
+        tbl = pa.table({"k": pa.array(["a", "b", "c", "a", "b"])})
+        est = approx_distinct(_ds(tbl, 2), "k")
+        assert abs(est - 3) < 0.5, est
+
+    def test_approx_unique_check(self):
+        # unique key passes; a 50%-duplicated key fails well beyond tol
+        n = 20_000
+        uniq = _ds(pa.table({"id": pa.array(range(n), pa.int64())}), 4)
+        rep = run_checks(uniq, [approx_unique("id", tol=0.05)]).to_pylist()
+        assert rep[0]["passed"], rep
+        dup = _ds(pa.table({"id": pa.array(
+            [i // 2 for i in range(n)], pa.int64())}), 4)
+        rep2 = run_checks(dup, [approx_unique("id", tol=0.05)]).to_pylist()
+        assert not rep2[0]["passed"], rep2
+        # violations ~ n/2 within the sketch's error band
+        assert abs(rep2[0]["violations"] / (n / 2) - 1) < 0.1
+
+    def test_approx_and_exact_unique_together(self):
+        # both kinds over one column in ONE run_checks pass
+        ds = _ds(pa.table({"id": pa.array([1, 2, 2, 3], pa.int64())}))
+        rep = run_checks(ds, [unique("id"), approx_unique("id", tol=0.3)])
+        by = {r["chk"]: r for r in rep.to_pylist()}
+        assert by["unique"]["violations"] == 1
+        assert by["approx_unique"]["violations"] in (0, 1, 2)
 
 
 class TestHistogramPsi:

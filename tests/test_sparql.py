@@ -889,6 +889,28 @@ class TestSparqlSelect:
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
 
+    def test_graph_var_tag_fanout_bounded(self, monkeypatch):
+        """An adversarial store with per-row graph names must fail loud
+        on GRAPH ?g instead of launching one sequential sub-plan per
+        tag (verdict r03 item 5)."""
+        from tera_ray.query import sparql as sparql_mod
+
+        n = 10
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + f"s{i}" for i in range(n)], pa.string()),
+            "pred": pa.array([NS + "p"] * n, pa.string()),
+            "obj": pa.array([NS + f"o{i}" for i in range(n)], pa.string()),
+            "graph": pa.array([f"tag{i}" for i in range(n)], pa.string()),
+        }))
+        q = PFX + "SELECT ?g ?o WHERE { GRAPH ?g { ?s ex:p ?o } }"
+        monkeypatch.setattr(sparql_mod, "GRAPH_VAR_MAX_TAGS", 4)
+        with pytest.raises(SparqlError, match="GRAPH_VAR_MAX_TAGS"):
+            sparql_select(st, q).materialize()
+        # raising the bound makes the same query legal again
+        monkeypatch.setattr(sparql_mod, "GRAPH_VAR_MAX_TAGS", 64)
+        got = rows(sparql_select(st, q), ["g", "o"])
+        assert len(got) == n
+
     def test_construct(self):
         # rewrite label edges into a new vocabulary + a type assertion
         out = sparql_construct(store(), PFX + """
