@@ -3041,6 +3041,23 @@ def _q_kg_linking_pr(sf_dir: str):
     computed distributed — side-tagged union + one grouped_agg; only the
     final 1-row summary reaches the driver.  The north rule requires
     P/R ≥ 0.95; tests/test_driver_contract.py asserts it on this entry."""
+    return _linking_pr_over(_fx(sf_dir))
+
+
+def _q_kg_linking_pr_hard(sf_dir: str):
+    """kg_linking_pr on the ADVERSARIAL fixture variant (misspelling
+    rate 0.5, mention density 0.1, heavier synonym/common-name share —
+    ``sources/synthetic.py:_VARIANTS['hard']``): the regime where the
+    linker's fuzzy candidate-mask pruning and the case-aware lowercase
+    common-name fallback actually carry the recall.  Same P/R ≥ 0.95
+    bar, asserted in tests/test_driver_contract.py."""
+    from tera_ray.sources.synthetic import fixture_dir
+
+    scale = _FX_SCALE.get(os.path.basename(os.path.normpath(sf_dir)), "t2")
+    return _linking_pr_over(fixture_dir(scale, variant="hard"))
+
+
+def _linking_pr_over(fx: str):
     import pyarrow.compute as pc
 
     import ray.data
@@ -3048,7 +3065,6 @@ def _q_kg_linking_pr(sf_dir: str):
     from tera_ray.pipelines.transcripts import build_lexicon, link_transcripts
     from tera_ray.query.relational import grouped_agg
 
-    fx = _fx(sf_dir)
     path = os.path.join(fx, "transcripts.parquet")
     tr = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
 
@@ -4214,6 +4230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": _q_kg_bgp_match,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
+        "kg_linking_pr_hard": _q_kg_linking_pr_hard,
         "kg_incremental": _q_kg_incremental,
         "kg_align_pr": _q_kg_align_pr,
         "kg_compaction": _q_kg_compaction,

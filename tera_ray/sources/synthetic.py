@@ -220,8 +220,13 @@ def gen_tests_results(n_tests: int, species, chemicals, rng):
     return tests, results
 
 
-def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng):
-    """Transcript turns with embedded mentions; Zipf-ish conversation sizes."""
+def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng,
+                    mention_rate: float = 0.70, synonym_rate: float = 0.20,
+                    common_rate: float = 0.15, misspell_rate: float = 0.05):
+    """Transcript turns with embedded mentions; Zipf-ish conversation
+    sizes.  Rates parametrize the mention mix — the ``hard`` fixture
+    variant (misspelling-heavy, low mention density) stresses the
+    linker's fuzzy path where candidate-mask pruning actually bites."""
     ns = len(species["species_number"])
     nc = len(chemicals["cas_number"])
     syn_by_num = {}
@@ -250,7 +255,7 @@ def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng):
         for t in range(size):
             r = roles_cycle[t % 3]
             u = rng.rand()
-            if u < 0.30:
+            if u >= mention_rate:
                 text = "Turn %d of conversation %d with no relevant findings." % (t, c)
             else:
                 si = rng.randint(ns)
@@ -258,11 +263,11 @@ def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng):
                 num = species["species_number"][si]
                 alias = species["latin_name"][si]
                 v = rng.rand()
-                if v < 0.20 and num in syn_by_num:
+                if v < synonym_rate and num in syn_by_num:
                     alias = syn_by_num[num][0]
-                elif v < 0.35:
+                elif v < synonym_rate + common_rate:
                     alias = species["common_name"][si]
-                if rng.rand() < 0.05:
+                if rng.rand() < misspell_rate:
                     alias = _misspell(alias, rng.randint(1 << 30))
                 chem = chemicals["chemical_name"][ci].split(", ")[0]
                 ep = ENDPOINTS[rng.randint(len(ENDPOINTS))]
@@ -366,9 +371,23 @@ _MULTIFILE_THRESHOLD = 100_000
 _MULTIFILE_ROWS = 62_500
 
 
-def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
+# transcript-mix presets per fixture variant: "hard" is the adversarial
+# linking fixture — 10× the misspelling rate, heavier synonym/common-
+# name share, and LOW mention density (90% of turns mention nothing) so
+# the fuzzy candidate-mask pruning dominates the linker's work
+_VARIANTS = {
+    "default": dict(mention_rate=0.70, synonym_rate=0.20,
+                    common_rate=0.15, misspell_rate=0.05),
+    "hard": dict(mention_rate=0.10, synonym_rate=0.25,
+                 common_rate=0.25, misspell_rate=0.50),
+}
+
+
+def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures",
+                variant: str = "default") -> str:
     n_turns = SCALES.get(scale, scale) if isinstance(scale, str) else int(scale)
-    out = os.path.join(root, str(n_turns))
+    suffix = "" if variant == "default" else "-" + variant
+    out = os.path.join(root, str(n_turns) + suffix)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -381,7 +400,8 @@ def fixture_dir(scale: str | int, root: str = "/tmp/tera_ray_fixtures") -> str:
     chemicals = gen_chemicals(n_chem, rng)
     nodes, names, divisions = gen_taxonomy(species, rng)
     tests, results = gen_tests_results(max(100, n_turns // 10), species, chemicals, rng)
-    transcripts = gen_transcripts(n_turns, species, synonyms, chemicals, rng)
+    transcripts = gen_transcripts(n_turns, species, synonyms, chemicals, rng,
+                                  **_VARIANTS[variant])
     sameas = gen_sameas_pairs(rng)
     # independent stream so pre-existing tables stay byte-identical
     rng2 = np.random.RandomState(SEED + 1)

@@ -179,14 +179,17 @@ class Lexicon:
     spans: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
     max_len: int = 1
     # (prefix2, n_tokens) → (sorted [(span, uri, kind)], packed codepoint
-    # matrix, lengths) — see build_fuzzy
+    # matrix, lengths, lower-origin mask) — see build_fuzzy
     fuzzy_blocks: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        self._fuzzy_memo: dict[str, tuple[str, str] | None] = {}
+        self._fuzzy_memo: dict[tuple[str, bool], tuple[str, str] | None] = {}
         self._first_set: pa.Array | None = None
         self._len_sets: dict[int, pa.Array] | None = None
         self._fuzzy_pfx_set: pa.Array | None = None
+        self._fuzzy_pfx_low_set: pa.Array | None = None
+        self._lower_spans: set[str] = set()
+        self._lower_pfx: set[str] = set()
 
     def add(self, alias: str, uri: str, kind: str) -> None:
         toks = tokenize(normalize(alias))
@@ -194,6 +197,10 @@ class Lexicon:
             return
         span = " ".join(toks)
         self.spans.setdefault(toks[0], {}).setdefault(span, (uri, kind))
+        if alias.lstrip()[:1].islower():
+            # lowercase-ORIGIN alias (a common name, not a proper noun):
+            # lowercase text tokens may fuzzy-match it — see build_fuzzy
+            self._lower_spans.add(span)
         self._first_set = None
         self._len_sets = None
         if len(toks) > self.max_len:
@@ -224,19 +231,34 @@ class Lexicon:
         the cold-path cost (distinct misspelled spans never hit the
         memo, and with dump-scale lexicons a block holds hundreds of
         candidates).
+
+        Case-aware gating (the recall path for misspelled COMMON
+        names): an uppercase-starting text token may fuzzy-match any
+        alias; a lowercase-starting one only aliases whose ORIGINAL
+        surface form started lowercase (common names — "zebrafish",
+        "water flea").  Ordinary lowercase words stay excluded by the
+        2-char-prefix block plus the lower-origin candidate mask, so
+        precision doesn't pay for the recall.
         """
         blocks: dict[tuple[str, int], list[tuple[str, str, str]]] = defaultdict(list)
         for first, d in self.spans.items():
             for span, (uri, kind) in d.items():
                 blocks[(span[:2], span.count(" ") + 1)].append((span, uri, kind))
         packed = {}
+        low = self._lower_spans
+        lower_pfx = set()
         for key, items in blocks.items():
             items.sort()  # deterministic candidate order
             spans = [s for s, _, _ in items]
             mat, lens = _pack_spans(spans)
-            packed[key] = (items, mat, lens)
+            low_mask = np.array([s in low for s in spans], bool)
+            if low_mask.any():
+                lower_pfx.add(key[0])
+            packed[key] = (items, mat, lens, low_mask)
         self.fuzzy_blocks = packed
+        self._lower_pfx = lower_pfx
         self._fuzzy_pfx_set = None
+        self._fuzzy_pfx_low_set = None
 
     # --- matching ---
     def match_tokens(
@@ -257,8 +279,10 @@ class Lexicon:
                     if ent is not None:
                         hit = (i, ln, ent[0], ent[1])
                         break
-            if hit is None and fuzzy and tokens[i][:1].isupper() and len(first) >= 4:
-                hit = self._fuzzy_at(norm, i, n)
+            if hit is None and fuzzy and len(first) >= 4:
+                upper = tokens[i][:1].isupper()
+                if upper or first[:2] in self._lower_pfx:
+                    hit = self._fuzzy_at(norm, i, n, upper)
             if hit is not None:
                 out.append(hit)
                 i += hit[1]
@@ -266,34 +290,41 @@ class Lexicon:
                 i += 1
         return out
 
-    def _fuzzy_span(self, span: str, ln: int):
+    def _fuzzy_span(self, span: str, ln: int, upper: bool = True):
         """Memoized blocked-fuzzy lookup of one normalized span.
 
+        ``upper``: the TEXT token started uppercase — it may match any
+        alias; lowercase tokens only lower-origin aliases (build_fuzzy).
         Transcripts repeat surface forms constantly (both real aliases
         and common capitalized words), so the banded-Levenshtein block
-        scan runs once per distinct span per actor, not per occurrence.
+        scan runs once per distinct (span, case) per actor, not per
+        occurrence.
         """
         memo = self._fuzzy_memo
-        if span in memo:
-            return memo[span]
+        mkey = (span, upper)
+        if mkey in memo:
+            return memo[mkey]
         res = None
         blk = self.fuzzy_blocks.get((span[:2], ln))
         if blk is not None:
-            items, mat, lens = blk
-            dists = levenshtein_batch(span, mat, lens, 2)
-            ok = dists <= 2
-            if ok.any():
-                bkey = None
-                for k in np.flatnonzero(ok):
-                    cspan, uri, kind = items[k]
-                    key = (int(dists[k]), cspan, uri)  # deterministic best
-                    if bkey is None or key < bkey:
-                        bkey, res = key, (uri, kind)
+            items, mat, lens, low_mask = blk
+            if upper or low_mask.any():
+                dists = levenshtein_batch(span, mat, lens, 2)
+                ok = dists <= 2
+                if not upper:
+                    ok &= low_mask
+                if ok.any():
+                    bkey = None
+                    for k in np.flatnonzero(ok):
+                        cspan, uri, kind = items[k]
+                        key = (int(dists[k]), cspan, uri)  # deterministic
+                        if bkey is None or key < bkey:
+                            bkey, res = key, (uri, kind)
         if len(memo) < 1_000_000:
-            memo[span] = res
+            memo[mkey] = res
         return res
 
-    def _fuzzy_at(self, norm, i: int, n: int):
+    def _fuzzy_at(self, norm, i: int, n: int, upper: bool = True):
         # block key = (first-2-chars, token count) and the fuzzy gate
         # guarantees len(norm[i]) >= 4, so block existence is decidable
         # from the first token alone — skip span construction (join) and
@@ -304,7 +335,7 @@ class Lexicon:
             if (pfx, ln) not in blocks:
                 continue
             span = " ".join(norm[i : i + ln])
-            res = self._fuzzy_span(span, ln)
+            res = self._fuzzy_span(span, ln, upper)
             if res is not None:
                 # longest span wins (loop order)
                 return (i, ln, res[0], res[1])
@@ -369,21 +400,34 @@ class Lexicon:
         if fuzzy:
             # a fuzzy candidate can only hit if its 2-char prefix keys
             # SOME block — vectorized prefilter kills the (dominant)
-            # capitalized-but-unmatchable positions before the scan
+            # capitalized-but-unmatchable positions before the scan.
+            # Case-aware: uppercase tokens probe any block; lowercase
+            # tokens only prefixes owning a lower-origin alias (common
+            # names), so ordinary words stay out (see build_fuzzy).
             if self._fuzzy_pfx_set is None:
                 self._fuzzy_pfx_set = pa.array(
                     sorted({p for p, _ in self.fuzzy_blocks}), pa.string())
-            fz_np = pcm.and_(
-                pcm.and_(
-                    pcm.match_substring_regex(orig, r"^\p{Lu}"),
-                    pcm.greater_equal(pcm.utf8_length(low), 4)),
-                pcm.is_in(pcm.utf8_slice_codeunits(low, 0, 2),
-                          value_set=self._fuzzy_pfx_set),
+            if self._fuzzy_pfx_low_set is None:
+                self._fuzzy_pfx_low_set = pa.array(
+                    sorted(self._lower_pfx), pa.string())
+            len_ok = pcm.greater_equal(pcm.utf8_length(low), 4)
+            pfx2 = pcm.utf8_slice_codeunits(low, 0, 2)
+            up_np = pcm.and_(
+                pcm.and_(pcm.match_substring_regex(orig, r"^\p{Lu}"),
+                         len_ok),
+                pcm.is_in(pfx2, value_set=self._fuzzy_pfx_set),
             ).to_numpy(zero_copy_only=False)
+            lo_np = (pcm.and_(
+                pcm.and_(pcm.invert(pcm.match_substring_regex(
+                    orig, r"^\p{Lu}")), len_ok),
+                pcm.is_in(pfx2, value_set=self._fuzzy_pfx_low_set),
+            ).to_numpy(zero_copy_only=False)
+                if len(self._fuzzy_pfx_low_set) else None)
+            fz_np = up_np if lo_np is None else (up_np | lo_np)
             cand = np.union1d(np.fromiter(best, np.int64, len(best)),
                               np.flatnonzero(fz_np))
         else:
-            fz_np = None
+            fz_np = up_np = None
             cand = np.sort(np.fromiter(best, np.int64, len(best)))
         if cand.size == 0:
             return doc_ids, uris, kinds
@@ -400,10 +444,12 @@ class Lexicon:
             if hit is None and fz_np is not None and fz_np[p]:
                 end = int(starts[dc + 1])
                 pfx = low_np[p][:2]
+                upper = bool(up_np[p])
                 for ln in range(min(max_len, end - p), 0, -1):
                     if (pfx, ln) not in self.fuzzy_blocks:
                         continue
-                    res = self._fuzzy_span(" ".join(low_np[p: p + ln]), ln)
+                    res = self._fuzzy_span(" ".join(low_np[p: p + ln]),
+                                           ln, upper)
                     if res is not None:
                         hit = (ln, res[0], res[1])
                         break
