@@ -2975,6 +2975,63 @@ def _q_kg_incremental(sf_dir: str):
                      fx)
 
 
+def _q_kg_shard_registry(sf_dir: str):
+    """The nightly maintenance loop made driver-visible
+    (``state/checkpoint.update_kg_incremental``): ingest two disjoint
+    transcript shards into a fresh checkpointed store (shard 1 → base
+    build; shard 2 → novel-partition append attested disjoint by the
+    ``_SHARDS.json`` registry, prev partitions untouched), then
+    re-deliver shard 2 (idempotent registry no-op).  One row per event
+    with the novel row count, registry size, and the merged store's
+    row count — which must equal the one-shot full build's."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from tera_ray.pipelines.transcripts import build_kg
+    from tera_ray.state.checkpoint import (
+        merged_kg,
+        read_shard_registry,
+        update_kg_incremental,
+    )
+
+    fx = _fx(sf_dir)
+    work = tempfile.mkdtemp(prefix="tera_ray_shards_")
+    try:
+        tr = _pq.read_table(os.path.join(fx, "transcripts.parquet"))
+        tail = pc.cast(pc.utf8_slice_codeunits(
+            tr["conv_id"], start=5, stop=99), pa.int64())
+        odd = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+        s1 = os.path.join(work, "shard1.parquet")
+        s2 = os.path.join(work, "shard2.parquet")
+        _pq.write_table(tr.filter(pc.invert(odd)), s1)
+        _pq.write_table(tr.filter(odd), s2)
+        root = os.path.join(work, "store")
+        events = []
+        for phase, path in [("base", s1), ("append", s2),
+                            ("redeliver", s2)]:
+            r = update_kg_incremental(root, fx, path, num_partitions=4)
+            events.append((phase, r["skipped"], r["novel_rows"],
+                           len(read_shard_registry(root)["shards"])))
+        merged_rows = merged_kg(root).count()
+        full_rows = build_kg(fx).count()
+        return pa.table({
+            "phase": pa.array([e[0] for e in events] + ["merged"]),
+            "skipped": pa.array([e[1] for e in events] + [False]),
+            "novel_rows": pa.array(
+                [e[2] for e in events] + [merged_rows], pa.int64()),
+            "registry_size": pa.array(
+                [e[3] for e in events] + [1], pa.int64()),
+            "equals_full_build": pa.array(
+                [True] * len(events) + [merged_rows == full_rows]),
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_kg_compaction(sf_dir: str):
     """Checkpoint-store maintenance made driver-visible: write a stage,
     FRAGMENT one partition (simulated multi-writer small files), then
@@ -4232,6 +4289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_linking_pr_hard": _q_kg_linking_pr_hard,
         "kg_incremental": _q_kg_incremental,
+        "kg_shard_registry": _q_kg_shard_registry,
         "kg_align_pr": _q_kg_align_pr,
         "kg_compaction": _q_kg_compaction,
         "kg_lineage": _q_kg_lineage,

@@ -231,6 +231,106 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
                    "kg": kg_skipped}
 
 
+SHARDS = "_SHARDS.json"
+
+
+def read_shard_registry(root: str) -> dict:
+    """The store's ingest ledger: shard fingerprint → {stage, paths,
+    rows, written_at}.  The registry is what lets the nightly path
+    attest ``prev_turns_disjoint`` WITHOUT a probe pass over prev
+    (``update_kg``'s manifest-flag contract): under the input_hint
+    sharding contract (each ``(conv_id, turn_idx)`` lives in exactly
+    one shard file), an unseen fingerprint implies prev holds none of
+    the shard's turns; a seen one is a re-delivery and is skipped
+    idempotently."""
+    p = os.path.join(root, SHARDS)
+    if not os.path.exists(p):
+        return {"shards": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_shard_registry(root: str, reg: dict) -> None:
+    tmp = os.path.join(root, SHARDS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, SHARDS))
+
+
+def merged_kg(root: str):
+    """The logical KG store: the base ``kg`` stage unioned with every
+    registered shard's novel partition — the directory-union contract
+    ``update_kg(emit="novel")`` documents.  Nothing is rewritten; a
+    100 TB store is only ever appended to."""
+    reg = read_shard_registry(root)
+    ds = read_stage(root, "kg")
+    for fp in sorted(reg["shards"]):
+        ds = ds.union(read_stage(root, reg["shards"][fp]["stage"]))
+    return ds
+
+
+def update_kg_incremental(root: str, data_dir: str, shard_paths,
+                          fuzzy: bool = True, num_partitions: int = 32,
+                          trust_sharding: bool = True):
+    """Nightly shard ingest over the checkpointed store (the 10^12-turn
+    maintenance loop): link ONLY the new shard, derive its novel
+    triples against the merged store, write them as their OWN
+    hash-partitioned stage (prev partitions untouched on disk), and
+    record the shard in ``_SHARDS.json``.
+
+    - First ever shard → full ``build_kg_from`` into the base ``kg``
+      stage.
+    - Re-delivered shard (fingerprint already registered) → no-op
+      (returns ``{"skipped": True}``) — idempotent by construction.
+    - ``trust_sharding=True`` passes ``prev_turns_disjoint=True`` to
+      :func:`~tera_ray.pipelines.transcripts.update_kg` (the registry
+      certifies the file was never ingested; the input_hint contract
+      says shard files partition the turn space), eliding the
+      prev-overlap probe.  Set ``False`` for feeds that can split one
+      turn across files — ``scope="auto"`` then probes prev before
+      taking the shuffle-free path, and degrades to the global
+      anti-join if needed.
+
+    Returns ``{"skipped", "stage", "novel_rows"}``.
+    """
+    import ray.data
+
+    from ..pipelines.transcripts import build_kg_from, update_kg
+
+    if isinstance(shard_paths, str):
+        shard_paths = [shard_paths]
+    fp = input_fingerprint(*shard_paths)
+    reg = read_shard_registry(root)
+    base_m = read_manifest(root, "kg")
+    if fp in reg["shards"] or (base_m is not None
+                               and base_m.get("input_fingerprint") == fp):
+        return {"skipped": True, "stage": None, "novel_rows": 0}
+    new_tr = ray.data.read_parquet(list(shard_paths),
+                                   columns=["conv_id", "turn_idx", "text"])
+    if base_m is None:
+        write_stage(build_kg_from(new_tr, data_dir, fuzzy=fuzzy,
+                                  dedup_mode="auto"),
+                    root, "kg", fp, partition_key="subj",
+                    num_partitions=num_partitions)
+        return {"skipped": False, "stage": "kg",
+                "novel_rows": read_manifest(root, "kg")["row_count"]}
+    novel = update_kg(merged_kg(root), new_tr, data_dir, fuzzy=fuzzy,
+                      emit="novel", scope="auto",
+                      prev_turns_disjoint=True if trust_sharding else None)
+    stage = "kg_shard_" + fp[:12]
+    write_stage(novel, root, stage, fp, partition_key="subj",
+                num_partitions=num_partitions)
+    reg["shards"][fp] = {
+        "stage": stage,
+        "paths": sorted(os.path.basename(p) for p in shard_paths),
+        "rows": read_manifest(root, stage)["row_count"],
+        "written_at": time.time(),
+    }
+    _write_shard_registry(root, reg)
+    return {"skipped": False, "stage": stage,
+            "novel_rows": reg["shards"][fp]["rows"]}
+
+
 def validate_stage(root: str, stage: str) -> dict:
     """Lineage-integrity check: re-derive per-partition row counts from
     parquet FILE METADATA (no data read) and compare to the manifest.

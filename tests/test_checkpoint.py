@@ -118,6 +118,60 @@ class TestCheckpoint:
         assert m["partition_key"] == "conv_id"
         assert m["row_count"] == sum(m["partitions"].values()) > 0
 
+    def test_incremental_shard_ingest(self, tmp_path, fixtures_t1):
+        """Nightly path end-to-end: two disjoint shards ingested via
+        the shard registry must reproduce the one-shot full build
+        (multiset), a re-delivered shard must be an idempotent no-op,
+        and prev partitions must stay untouched on disk."""
+        from collections import Counter
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from tera_ray.pipelines.transcripts import build_kg
+        from tera_ray.state.checkpoint import (
+            merged_kg,
+            read_shard_registry,
+            update_kg_incremental,
+        )
+
+        tr = pq.read_table(os.path.join(fixtures_t1, "transcripts.parquet"))
+        tail = pc.cast(pc.utf8_slice_codeunits(
+            tr["conv_id"], start=5, stop=99), pa.int64())
+        odd = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+        s1 = str(tmp_path / "shard1.parquet")
+        s2 = str(tmp_path / "shard2.parquet")
+        pq.write_table(tr.filter(pc.invert(odd)), s1)
+        pq.write_table(tr.filter(odd), s2)
+        root = str(tmp_path / "store")
+
+        r1 = update_kg_incremental(root, fixtures_t1, s1, num_partitions=4)
+        assert not r1["skipped"] and r1["stage"] == "kg"
+        base_manifest = json.loads(
+            (tmp_path / "store" / "kg" / "_MANIFEST.json").read_text())
+        r2 = update_kg_incremental(root, fixtures_t1, s2, num_partitions=4)
+        assert not r2["skipped"] and r2["stage"].startswith("kg_shard_")
+        # prev (base) partitions untouched by the append
+        assert json.loads((tmp_path / "store" / "kg"
+                           / "_MANIFEST.json").read_text()) == base_manifest
+        # re-delivery is a registry no-op
+        r3 = update_kg_incremental(root, fixtures_t1, s2, num_partitions=4)
+        assert r3["skipped"]
+        assert len(read_shard_registry(root)["shards"]) == 1
+
+        def spo(ds):
+            out = Counter()
+            for b in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+                out.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                               b["obj"].to_pylist()))
+            return out
+
+        got = spo(merged_kg(root))
+        want = spo(build_kg(fixtures_t1))
+        assert got == want and max(got.values()) == 1
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestValidateAndCompact:
