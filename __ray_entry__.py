@@ -4113,6 +4113,32 @@ def _q_dq_approx_unique(sf_dir: str):
     ])
 
 
+def _q_dq_approx_fk(sf_dir: str):
+    """Bloom-backed referential-integrity monitor
+    (``quality.approx_foreign_key``): the referenced keys fold into a
+    2^16-bit filter (OR-merged partials, broadcast once); orders rows
+    are probed MAP-SIDE and definite orphans counted — no anti-join
+    shuffle, the 100 TB monitoring shape.  The ref side is customer
+    restricted to EVEN custkeys so odd-key orders are true orphans at
+    every scale.  Deterministic FNV double hashing makes filter
+    contents and the violation count SQL-bit-reproducible."""
+    import pyarrow.compute as pc
+
+    from tera_ray.quality import approx_foreign_key, run_checks
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    even = customer.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t["c_custkey"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow")
+    return run_checks(orders, [
+        approx_foreign_key(["o_custkey"], even, ["c_custkey"],
+                           num_bits=1 << 16, num_hashes=4),
+    ])
+
+
 def _q_docs_drift_psi(sf_dir: str):
     """Distribution-drift monitor: Population Stability Index of the
     document-length distribution between the deterministic train and
@@ -4212,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": _q_docs_sample,
         "dq_orders_checks": _q_dq_orders_checks,
         "dq_approx_unique": _q_dq_approx_unique,
+        "dq_approx_fk": _q_dq_approx_fk,
         "docs_drift_psi": _q_docs_drift_psi,
         "docs_source_cap": _q_docs_source_cap,
         "docs_mix": _q_docs_mix,
@@ -5006,6 +5033,54 @@ def _dq_approx_unique_sql(cols=("o_orderkey", "o_custkey"),
                     f" AS passed FROM w{j}")
     return ("WITH " + ", ".join(ctes) + " SELECT * FROM ("
             + " UNION ALL ".join(legs) + ") ORDER BY chk, col")
+
+
+def _dq_approx_fk_sql(num_bits: int = 1 << 16, k: int = 4,
+                      tol: float = 0.0) -> str:
+    """Oracle for ``dq_approx_fk``: rebuilds the Bloom filter's bit
+    positions (FNV-1a + mix, double hashing h_i = h1 + i·h2 mod 2^m —
+    power-of-two m makes the HUGEINT mod exact) over the even-custkey
+    ref side and counts orders whose key misses ANY position, plus
+    NULL keys."""
+    salts = ", ".join(f"({i})" for i in range(k))
+    salted = "s || '|b'"
+    ctes = [
+        f"salts(i) AS (VALUES {salts})",
+        "t AS (SELECT count(*) AS n FROM orders)",
+        "nulls AS (SELECT count(*) AS n0 FROM orders"
+        " WHERE o_custkey IS NULL)",
+        "rk AS (SELECT DISTINCT c_custkey::VARCHAR AS s FROM customer"
+        " WHERE c_custkey IS NOT NULL AND c_custkey % 2 = 0)",
+        f"rh1 AS (SELECT s, {_fnv_sql('s')} AS h FROM rk)",
+        f"rh2 AS (SELECT s, {_fnv_sql(salted)} AS h FROM rk)",
+        "lk AS (SELECT o_custkey::VARCHAR AS s, count(*) AS cnt"
+        " FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)",
+        f"lh1 AS (SELECT s, {_fnv_sql('s')} AS h FROM lk)",
+        f"lh2 AS (SELECT s, {_fnv_sql(salted)} AS h FROM lk)",
+    ]
+    m1a, f1a = _mix64_ctes("rm1_", "rh1")
+    m2a, f2a = _mix64_ctes("rm2_", "rh2")
+    m1b, f1b = _mix64_ctes("lm1_", "lh1")
+    m2b, f2b = _mix64_ctes("lm2_", "lh2")
+    ctes += [m1a, m2a, m1b, m2b]
+    ctes.append(
+        f"rpos AS (SELECT DISTINCT ((a.h + i.i * b.h) % {num_bits})::BIGINT"
+        f" AS pos FROM {f1a} a JOIN {f2a} b USING (s), salts i)")
+    ctes.append(
+        f"lpos AS (SELECT a.s, ((a.h + i.i * b.h) % {num_bits})::BIGINT"
+        f" AS pos FROM {f1b} a JOIN {f2b} b USING (s), salts i)")
+    ctes.append(
+        "orphk AS (SELECT DISTINCT s FROM lpos"
+        " WHERE pos NOT IN (SELECT pos FROM rpos))")
+    ctes.append(
+        "viol AS (SELECT coalesce((SELECT sum(cnt) FROM lk"
+        " JOIN orphk USING (s)), 0)::BIGINT + nulls.n0 AS violations,"
+        " t.n AS n FROM nulls, t)")
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT 'approx_foreign_key' AS chk, 'o_custkey' AS col,"
+            " n, violations, round(violations / n::DOUBLE, 6) AS frac,"
+            f" round(violations / n::DOUBLE, 6) <= {tol} AS passed"
+            " FROM viol")
 
 
 def _xor64_sql(a: str, b: str) -> str:
@@ -6468,6 +6543,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " round(violations / n::DOUBLE, 6) AS frac,"
             " violations = 0 AS passed FROM u",
         "dq_approx_unique": _dq_approx_unique_sql(),
+        "dq_approx_fk": _dq_approx_fk_sql(),
         "docs_drift_psi":
             f"WITH h AS (SELECT n_chars,"
             f" ({split_h} % 10000) AS b FROM documents),"

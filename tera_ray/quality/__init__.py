@@ -1,6 +1,7 @@
 from .checks import (  # noqa: F401
     Check,
     approx_distinct,
+    approx_foreign_key,
     approx_unique,
     foreign_key,
     histogram_psi,

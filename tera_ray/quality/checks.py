@@ -91,9 +91,9 @@ def approx_unique(*cols: str, tol: float = 0.03, p: int = 14) -> Check:
     return Check("approx_unique", ",".join(cols), (tuple(cols), tol, p))
 
 
-def _hll_key_array(t: pa.Table, cols) -> pa.Array:
-    """Joined string key array for the HLL sketch (``\\x1f`` separator,
-    null tuples dropped)."""
+def _hll_key_array(t: pa.Table, cols, drop_null: bool = True) -> pa.Array:
+    """Joined string key array for the sketch checks (``\\x1f``
+    separator; a null in any column nulls the tuple)."""
     arrs = []
     for col in cols:
         v = pc.cast(t[col], pa.string())
@@ -101,7 +101,7 @@ def _hll_key_array(t: pa.Table, cols) -> pa.Array:
                     else v)
     v = arrs[0] if len(arrs) == 1 \
         else pc.binary_join_element_wise(*arrs, "\x1f")
-    return v.drop_null()
+    return v.drop_null() if drop_null else v
 
 
 def approx_distinct(ds, cols, p: int = 14) -> float:
@@ -141,6 +141,80 @@ def foreign_key(cols, ref, ref_cols) -> Check:
     ref_cols = tuple(ref_cols) if not isinstance(ref_cols, str) else (ref_cols,)
     assert len(cols) == len(ref_cols)
     return Check("foreign_key", ",".join(cols), (cols, ref, ref_cols))
+
+
+def approx_foreign_key(cols, ref, ref_cols, *, num_bits: int = 1 << 20,
+                       num_hashes: int = 4) -> Check:
+    """Sketch-backed referential integrity for 100 TB keys: the exact
+    ``foreign_key`` anti-join shuffles both sides; this check instead
+    folds the referenced keys into a Bloom filter (~``num_bits`` bits
+    TOTAL, OR-merged per batch) and counts DEFINITE orphans — rows
+    whose key misses the filter (plus NULL keys, which match nothing).
+    A member key always probes positive, so violations here are a
+    LOWER BOUND on the exact count, under it by at most the filter's
+    false-positive rate ``(1 - e^(-k·n/m))^k``.  Nothing shuffles;
+    ``ds`` is probed map-side against the broadcast filter.
+
+    Hashing is the deterministic FNV-1a + xorshift mix
+    (:mod:`tera_ray.sketch.hll`) with Kirsch-Mitzenmacher double
+    hashing, so filter contents and violation counts are
+    SQL-bit-reproducible.  ``num_bits`` must be a power of two.
+    """
+    cols = tuple(cols) if not isinstance(cols, str) else (cols,)
+    ref_cols = tuple(ref_cols) if not isinstance(ref_cols, str) else (ref_cols,)
+    assert len(cols) == len(ref_cols)
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of 2"
+    return Check("approx_foreign_key", ",".join(cols),
+                 (cols, ref, ref_cols, num_bits, num_hashes))
+
+
+def _bloom_hash_pair(v: pa.Array) -> tuple:
+    """Deterministic (h1, h2) u64 hash pair over a string key array —
+    FNV-1a + mix for h1, the same over the ``"|b"``-salted key for h2
+    (both reproducible in DuckDB SQL, see the ``dq_approx_fk``
+    oracle)."""
+    from ..sketch.hll import _mix64
+    from ..text.analysis import _fnv1a_u64
+
+    vals = v.to_numpy(zero_copy_only=False).astype(object)
+    h1 = _mix64(_fnv1a_u64(vals))
+    salted = np.array([s + "|b" for s in vals], object)
+    h2 = _mix64(_fnv1a_u64(salted))
+    return h1, h2
+
+
+def _bloom_positions(h1, h2, num_bits: int, num_hashes: int):
+    """(n, k) int64 position matrix via double hashing — power-of-two
+    ``num_bits`` makes ``(h1 + i·h2) mod 2^64 mod m == (h1 + i·h2)
+    mod m``, which is what keeps the SQL oracle exact."""
+    mask = np.uint64(num_bits - 1)
+    with np.errstate(over="ignore"):
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+             for i in range(num_hashes)], axis=1)
+
+
+def _build_ref_bloom(ref, ref_cols, num_bits: int, num_hashes: int):
+    """OR-fold per-batch partial filters driver-side (one
+    ``num_bits/8``-byte row per batch)."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = _hll_key_array(t, list(ref_cols))
+        words = np.zeros(num_bits // 64, np.uint64)
+        if len(v):
+            h1, h2 = _bloom_hash_pair(v)
+            pos = _bloom_positions(h1, h2, num_bits, num_hashes).ravel()
+            np.bitwise_or.at(
+                words, (pos >> 6),
+                np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        return pa.table({"w": pa.array([words.tobytes()], pa.binary())})
+
+    words = np.zeros(num_bits // 64, np.uint64)
+    for b in (ref.select_columns(list(ref_cols))
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for cell in b["w"].to_pylist():
+            words |= np.frombuffer(cell, np.uint64)
+    return words
 
 
 _PARTIAL_SCHEMA = pa.schema([
@@ -239,6 +313,39 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
 
             legs.append(ds.select_columns(list(cols)).map_batches(
                 _hll_leg, batch_format="pyarrow"))
+        elif c.kind == "approx_foreign_key":
+            cols, ref, ref_cols, num_bits, num_hashes = c.params
+            words = _build_ref_bloom(ref, ref_cols, num_bits, num_hashes)
+            import ray as _ray
+
+            wref = _ray.put(words)
+
+            def _bloom_leg(t: pa.Table, _i=i, _c=c, _cols=list(cols),
+                           _m=num_bits, _k=num_hashes,
+                           _wref=wref) -> pa.Table:
+                import ray as _ray
+
+                w = _ray.get(_wref)
+                v = _hll_key_array(t, _cols, drop_null=False)
+                null_mask = pc.is_null(v).to_numpy(zero_copy_only=False)
+                orphans = int(null_mask.sum())  # NULL matches nothing
+                vv = v.drop_null()
+                if len(vv):
+                    h1, h2 = _bloom_hash_pair(vv)
+                    pos = _bloom_positions(h1, h2, _m, _k)
+                    bit = (w[pos >> 6]
+                           >> (pos.astype(np.uint64) & np.uint64(63))) \
+                        & np.uint64(1)
+                    member = bit.astype(bool).all(axis=1)
+                    orphans += int((~member).sum())
+                return pa.table({
+                    "chk": [f"approx_foreign_key#{_i}"], "col": [_c.col],
+                    "stat": ["orphan"],
+                    "v": pa.array([orphans], pa.int64()),
+                }, schema=_PARTIAL_SCHEMA)
+
+            legs.append(ds.select_columns(list(cols)).map_batches(
+                _bloom_leg, batch_format="pyarrow"))
         elif c.kind == "unique":
             cols = list(c.params[0])
             legs.append(
@@ -297,8 +404,8 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
             }), p)
             # floor(e + 0.5): identical half-rounding in numpy and SQL
             viol = max(0, n_rows - int(np.floor(est + 0.5)))
-        elif c.kind == "foreign_key":
-            viol = agg.get((f"foreign_key#{i}", c.col, "orphan"), 0)
+        elif c.kind in ("foreign_key", "approx_foreign_key"):
+            viol = agg.get((f"{c.kind}#{i}", c.col, "orphan"), 0)
         else:
             viol = agg.get((f"{c.kind}#{i}", c.col, "viol"), 0)
         frac = round(viol / n_rows, 6) if n_rows else 0.0

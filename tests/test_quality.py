@@ -8,6 +8,7 @@ import ray
 
 from tera_ray.quality import (
     approx_distinct,
+    approx_foreign_key,
     approx_unique,
     foreign_key,
     histogram_psi,
@@ -148,6 +149,48 @@ class TestApproxDistinct:
         assert not rep2[0]["passed"], rep2
         # violations ~ n/2 within the sketch's error band
         assert abs(rep2[0]["violations"] / (n / 2) - 1) < 0.1
+
+    def test_approx_foreign_key_definite_orphans(self):
+        # members never orphan; misses + NULLs are definite orphans
+        ds = _ds(pa.table({"fk": pa.array([10, 10, 20, 99, None, 77],
+                                          pa.int64())}))
+        ref = _ds(pa.table({"rid": pa.array([10, 20, 30], pa.int64())}), 1)
+        rep = run_checks(ds, [approx_foreign_key(["fk"], ref, ["rid"])])
+        r = rep.to_pylist()[0]
+        # exact orphan count is 3 (99, None, 77); bloom may undercount
+        # the non-null misses but never overcounts, and NULL is always
+        # counted — at this fill factor fpp ~ 0, so expect exactly 3
+        assert r["violations"] == 3 and r["chk"] == "approx_foreign_key"
+
+    def test_approx_fk_lower_bounds_exact(self):
+        # property: approx violations <= exact violations, and with a
+        # deliberately tiny filter the gap is only ever an UNDERcount
+        n = 5000
+        ds = _ds(pa.table({"fk": pa.array(
+            [i % 2000 for i in range(n)], pa.int64())}), 4)
+        ref = _ds(pa.table({"rid": pa.array(range(1000), pa.int64())}), 2)
+        rep = run_checks(ds, [
+            foreign_key(["fk"], ref, ["rid"]),
+            approx_foreign_key(["fk"], ref, ["rid"], num_bits=1 << 10),
+        ])
+        by = {r["chk"]: r for r in rep.to_pylist()}
+        exact = by["foreign_key"]["violations"]
+        approx = by["approx_foreign_key"]["violations"]
+        # orphan keys 1000..1999 appear twice each -> 2000 exact orphans
+        assert exact == 2000
+        assert 0 <= approx <= exact
+
+    def test_approx_fk_multi_column(self):
+        ds = _ds(pa.table({
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "x", "x", "y"], pa.string()),
+        }))
+        ref = _ds(pa.table({"ra": pa.array([1, 2], pa.int64()),
+                            "rb": pa.array(["x", "y"], pa.string())}), 1)
+        rep = run_checks(ds, [approx_foreign_key(["a", "b"], ref,
+                                                 ["ra", "rb"])]).to_pylist()
+        # (2,x) is the only orphan; fpp ~ 0 at this fill factor
+        assert rep[0]["violations"] == 1
 
     def test_approx_and_exact_unique_together(self):
         # both kinds over one column in ONE run_checks pass
