@@ -63,6 +63,15 @@ def main(argv=None) -> int:
     ap.add_argument("--validate", action="store_true",
                     help="verify stage parquet metadata against manifests "
                          "after the build")
+    ap.add_argument("--shard", nargs="+", default=None, metavar="PARQUET",
+                    help="nightly mode: ingest ONLY these transcript shard "
+                         "files incrementally (novel-partition append via "
+                         "the _SHARDS.json registry; re-delivered shards "
+                         "are idempotent no-ops) instead of a full build")
+    ap.add_argument("--no-trust-sharding", action="store_true",
+                    help="with --shard: don't attest prev disjointness "
+                         "from the registry — probe prev's lineage before "
+                         "taking the shuffle-free path")
     args = ap.parse_args(argv)
 
     import ray
@@ -73,6 +82,37 @@ def main(argv=None) -> int:
 
     from tera_ray.state.checkpoint import (build_kg_checkpointed,
                                            read_manifest, validate_stage)
+
+    if args.shard:
+        from tera_ray.state.checkpoint import (merged_kg,
+                                               read_shard_registry,
+                                               update_kg_incremental)
+
+        t0 = time.time()
+        r = update_kg_incremental(
+            args.ckpt_dir, args.data_dir, args.shard,
+            fuzzy=not args.no_fuzzy,
+            num_partitions=args.num_partitions,
+            trust_sharding=not args.no_trust_sharding)
+        out = {
+            "mode": "shard",
+            "skipped": r["skipped"],
+            "stage": r["stage"],
+            "novel_rows": r["novel_rows"],
+            "registered_shards": len(read_shard_registry(
+                args.ckpt_dir)["shards"]),
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        if args.validate and r["stage"]:
+            v = validate_stage(args.ckpt_dir, r["stage"])
+            out["valid"] = v.get("ok")
+            if not v.get("ok"):
+                print(json.dumps({"error": "shard stage failed validation",
+                                  "detail": v}))
+                return 2
+            out["merged_rows"] = merged_kg(args.ckpt_dir).count()
+        print(json.dumps(out))
+        return 0
 
     t0 = time.time()
     kg, skipped = build_kg_checkpointed(

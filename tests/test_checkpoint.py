@@ -403,3 +403,54 @@ def test_kg_build_job_entrypoint(tmp_path):
     warm = submit()
     assert warm["triples"] == cold["triples"]
     assert all(s["skipped"] for s in warm["stages"].values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_job_shard_mode(tmp_path):
+    """`kg_build_job.py --shard`: the nightly incremental entrypoint —
+    first shard builds the base store, the second appends its novel
+    partition via the registry, a re-delivered shard is a no-op, and
+    `--validate` reports the merged row count."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tera_ray.sources.synthetic import fixture_dir
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "jobs", "kg_build_job.py")
+    data = fixture_dir("t1")
+    ckpt = str(tmp_path / "shard_ckpt")
+
+    tr = pq.read_table(os.path.join(data, "transcripts.parquet"))
+    tail = pc.cast(pc.utf8_slice_codeunits(tr["conv_id"], start=5, stop=99),
+                   pa.int64())
+    odd = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+    s1 = str(tmp_path / "shard1.parquet")
+    s2 = str(tmp_path / "shard2.parquet")
+    pq.write_table(tr.filter(pc.invert(odd)), s1)
+    pq.write_table(tr.filter(odd), s2)
+
+    def submit(shard, extra=()):
+        out = subprocess.run(
+            [sys.executable, script, "--data-dir", data, "--ckpt-dir",
+             ckpt, "--num-partitions", "4", "--shard", shard, *extra],
+            capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    base = submit(s1)
+    assert not base["skipped"] and base["stage"] == "kg"
+    app = submit(s2, extra=("--validate",))
+    assert not app["skipped"] and app["stage"].startswith("kg_shard_")
+    assert app["valid"] and app["registered_shards"] == 1
+    redo = submit(s2)
+    assert redo["skipped"] and redo["registered_shards"] == 1
+
+    from tera_ray.pipelines.transcripts import build_kg
+
+    assert app["merged_rows"] == build_kg(data).count()
