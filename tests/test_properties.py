@@ -266,3 +266,44 @@ def test_rdf_sinks_nasty_chars_regression():
            + "\n</rdf:RDF>")
     got_xml, rej = RdfXmlParser().parse_document(doc)
     assert rej == [] and sorted(got_xml) == sorted(rows)
+
+
+_alias_word = st.text(alphabet="abcdefghij", min_size=5, max_size=10)
+
+
+@given(st.lists(_alias_word, min_size=1, max_size=6, unique=True),
+       st.data())
+@settings(max_examples=40, deadline=None)
+def test_case_aware_fuzzy_links_misspelled_aliases(words, data):
+    """Any adjacent-char swap at position >= 2 of a registered alias
+    must still link — uppercase (proper-noun) aliases from capitalized
+    text, lowercase-origin aliases from lowercase text (the common-name
+    path).  And a lowercase token must NEVER fuzzy-match an
+    uppercase-origin alias (precision gate)."""
+    from tera_ray.state.lexicon import Lexicon
+
+    lex = Lexicon()
+    uppers = [w.capitalize() + " major" for w in words[: len(words) // 2]]
+    lowers = [w + " flea" for w in words[len(words) // 2:]]
+    for i, a in enumerate(uppers):
+        lex.add(a, f"u://{i}", "species")
+    for i, a in enumerate(lowers):
+        lex.add(a, f"l://{i}", "species")
+    lex.build_fuzzy()
+
+    def swap(s, i):
+        return s[:i] + s[i + 1] + s[i] + s[i + 2:]
+
+    for origin, aliases in (("upper", uppers), ("lower", lowers)):
+        for a in aliases:
+            i = data.draw(st.integers(2, len(a) - 2), label="swap_pos")
+            m = swap(a, i)
+            hits = lex.match_tokens(m.split(" "))
+            # the (misspelled) mention must link to SOME alias of the
+            # same case-origin pool (d<=2 collisions between generated
+            # aliases are allowed; what matters is recall + case gate)
+            assert hits, (origin, a, m)
+            if origin == "lower":
+                # lowercase text token: only lower-origin aliases legal
+                assert all(u.startswith("l://") for _, _, u, _ in hits), \
+                    (a, m, hits)
