@@ -919,7 +919,8 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
               num_buckets: int = 64, materialize_prev: bool = True,
               emit: str = "union", scope: str = "auto",
               prev_turns_disjoint: bool | None = None,
-              shared_graph_limit: int = 1 << 28):
+              shared_graph_limit: int = 1 << 28,
+              lexicon_unchanged: bool = False):
     """Incremental KG maintenance — the 10^12-turn pipeline is never a
     one-shot build: link ONLY the new transcript shard, union the
     (idempotent) lexicon graphs, exact-anti-join the result against the
@@ -951,11 +952,17 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
     - ``"turn_unique"`` — trust the caller on both contracts.
     - ``"global"`` — the exact anti-join, valid for any input.
 
-    Every turn-unique precondition failure DEGRADES to global instead
-    of raising, including a prev store whose shared (non-transcript)
-    graphs exceed ``shared_graph_limit`` bytes — those must fit
-    driver-side for the turn-unique lexicon novelty check, and a store
-    built from dump-scale lexicons won't.
+    Every turn-unique DISJOINTNESS failure degrades to global instead
+    of raising.  A prev store whose shared (non-transcript) graphs
+    exceed ``shared_graph_limit`` bytes keeps the turn-unique pushdown
+    but switches the lexicon novelty check from the driver-side
+    anti-join to a DISTRIBUTED one against ONLY prev's shared
+    partition (the right side contributes key columns only) — the
+    turn-graph portion of prev (the ~84% bulk) still never shuffles.
+    ``lexicon_unchanged=True`` (caller-certified, e.g. by lexicon-table
+    fingerprint in the checkpoint shard registry) skips the lexicon
+    novelty check entirely — prev already holds those triples — making
+    ``emit="novel"`` a pure O(new shard) job that never reads prev.
 
     At 100 TB, pair with ``state/checkpoint.write_stage``: write only
     the novel partition and manifest per shard; ``query/bloom`` can
@@ -1007,9 +1014,22 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
         # over prev — the nightly path.
         from ..stages.base import dedup_table
 
+        if lexicon_unchanged:
+            # the caller certifies (e.g. by lexicon-table fingerprint,
+            # state/checkpoint.update_kg_incremental) that prev was
+            # built from the SAME lexicon tables — prev already holds
+            # every lexicon/static triple this shard would contribute,
+            # so novel = the shard's turn triples alone and prev is
+            # never read at all: the true O(new shard) nightly path.
+            turn_triples = new_triples.map_batches(
+                lambda t: dedup_table(t), batch_format="pyarrow")
+            if emit == "novel":
+                return turn_triples
+            return prev_kg.union(turn_triples)
+
         # stream prev's shared graphs with a running size cap; a store
         # whose lexicon graphs were built distributed (dump scale)
-        # overflows it and DEGRADES to the global anti-join
+        # overflows it and the novelty check goes distributed instead
         chunks, nbytes, over = [], 0, False
         for b in (prev_kg
                   .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
@@ -1021,24 +1041,34 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
             if nbytes > shared_graph_limit:
                 over = True
                 break
+        turn_triples = new_triples.map_batches(
+            lambda t: dedup_table(t), batch_format="pyarrow")
+        lex_tbl = dedup_table(lexicon_triples(data_dir))
         if not over:
-            turn_triples = new_triples.map_batches(
-                lambda t: dedup_table(t), batch_format="pyarrow")
-            lex_tbl = dedup_table(lexicon_triples(data_dir))
             prev_shared = pa.concat_tables(
                 chunks
                 or [pa.table({"subj": pa.array([], pa.string()),
                               "pred": pa.array([], pa.string()),
                               "obj": pa.array([], pa.string())})])
-            novel_lex = lex_tbl.join(prev_shared,
-                                     keys=["subj", "pred", "obj"],
-                                     join_type="left anti")
-            novel_lex = novel_lex.select(lex_tbl.schema.names).cast(
-                lex_tbl.schema)
-            novel = turn_triples.union(ray.data.from_arrow(novel_lex))
-            if emit == "novel":
-                return novel
-            return prev_kg.union(novel)
+            novel_lex_ds = ray.data.from_arrow(
+                lex_tbl.join(prev_shared, keys=["subj", "pred", "obj"],
+                             join_type="left anti")
+                .select(lex_tbl.schema.names).cast(lex_tbl.schema))
+        else:
+            # dump-scale shared graphs: anti-join the shard's lexicon
+            # triples against ONLY prev's shared partition, distributed
+            # (right side ships key columns only).  The turn-graph bulk
+            # of prev still never shuffles — cost O(new shard) +
+            # O(prev lexicon partition), not O(prev).
+            novel_lex_ds = multi_key_anti_join(
+                ray.data.from_arrow(lex_tbl),
+                prev_kg.filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'"),
+                keys=["subj", "pred", "obj"], num_buckets=num_buckets,
+                left_schema=TRIPLE_LINEAGE_SCHEMA)
+        novel = turn_triples.union(novel_lex_ds)
+        if emit == "novel":
+            return novel
+        return prev_kg.union(novel)
 
     cand = dedup_triples(new_triples.union(
         ray.data.from_arrow(lexicon_triples(data_dir))))

@@ -305,27 +305,46 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     if fp in reg["shards"] or (base_m is not None
                                and base_m.get("input_fingerprint") == fp):
         return {"skipped": True, "stage": None, "novel_rows": 0}
+    lex_tables = [os.path.join(data_dir, n + ".parquet")
+                  for n in ("species", "species_synonyms", "chemicals",
+                            "tests", "results", "taxonomy_nodes",
+                            "taxonomy_names", "divisions")
+                  if os.path.exists(os.path.join(data_dir, n + ".parquet"))]
+    lex_fp = input_fingerprint(*lex_tables)
     new_tr = ray.data.read_parquet(list(shard_paths),
                                    columns=["conv_id", "turn_idx", "text"])
     if base_m is None:
         write_stage(build_kg_from(new_tr, data_dir, fuzzy=fuzzy,
                                   dedup_mode="auto"),
                     root, "kg", fp, partition_key="subj",
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    metrics={"lexicon_fingerprint": lex_fp})
+        reg["lexicon_fingerprint"] = lex_fp
+        _write_shard_registry(root, reg)
         return {"skipped": False, "stage": "kg",
                 "novel_rows": read_manifest(root, "kg")["row_count"]}
+    # unchanged lexicon tables ⇒ prev already holds every lexicon /
+    # static triple this shard would re-derive: the novel job touches
+    # ONLY the new shard (update_kg(lexicon_unchanged=True) never
+    # reads prev) — the O(new shard) nightly shape
+    lex_same = reg.get("lexicon_fingerprint") == lex_fp
     novel = update_kg(merged_kg(root), new_tr, data_dir, fuzzy=fuzzy,
                       emit="novel", scope="auto",
-                      prev_turns_disjoint=True if trust_sharding else None)
+                      prev_turns_disjoint=True if trust_sharding else None,
+                      lexicon_unchanged=lex_same)
     stage = "kg_shard_" + fp[:12]
     write_stage(novel, root, stage, fp, partition_key="subj",
-                num_partitions=num_partitions)
+                num_partitions=num_partitions,
+                metrics={"lexicon_unchanged": lex_same})
     reg["shards"][fp] = {
         "stage": stage,
         "paths": sorted(os.path.basename(p) for p in shard_paths),
         "rows": read_manifest(root, stage)["row_count"],
         "written_at": time.time(),
     }
+    if not lex_same:
+        # the merged store now embeds the NEW lexicon tables' triples
+        reg["lexicon_fingerprint"] = lex_fp
     _write_shard_registry(root, reg)
     return {"skipped": False, "stage": stage,
             "novel_rows": reg["shards"][fp]["rows"]}

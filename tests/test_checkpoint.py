@@ -118,6 +118,61 @@ class TestCheckpoint:
         assert m["partition_key"] == "conv_id"
         assert m["row_count"] == sum(m["partitions"].values()) > 0
 
+    def test_incremental_lexicon_change_still_exact(self, tmp_path,
+                                                    fixtures_t1):
+        """If a later shard arrives with CHANGED lexicon tables, the
+        fingerprint mismatch must force the real novelty check and the
+        new lexicon triples must land in the merged store."""
+        import shutil
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from tera_ray.state.checkpoint import (
+            merged_kg,
+            update_kg_incremental,
+        )
+
+        tr = pq.read_table(os.path.join(fixtures_t1, "transcripts.parquet"))
+        tail = pc.cast(pc.utf8_slice_codeunits(
+            tr["conv_id"], start=5, stop=99), pa.int64())
+        odd = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+        s1 = str(tmp_path / "shard1.parquet")
+        s2 = str(tmp_path / "shard2.parquet")
+        pq.write_table(tr.filter(pc.invert(odd)), s1)
+        pq.write_table(tr.filter(odd), s2)
+
+        # second data_dir: same tables + one brand-new chemical
+        d2 = str(tmp_path / "data2")
+        shutil.copytree(fixtures_t1, d2)
+        chem = pq.read_table(os.path.join(d2, "chemicals.parquet"))
+        extra = pa.table({
+            "cas_number": pa.array(["999999"], pa.string()),
+            "chemical_name": pa.array(["novelchemxyz"], pa.string()),
+            "ecotox_group": pa.array(["Metals"], pa.string()),
+        }).cast(chem.schema)
+        pq.write_table(pa.concat_tables([chem, extra]),
+                       os.path.join(d2, "chemicals.parquet"))
+
+        root = str(tmp_path / "store")
+        update_kg_incremental(root, fixtures_t1, s1, num_partitions=4)
+        r2 = update_kg_incremental(root, d2, s2, num_partitions=4)
+        assert not r2["skipped"]
+        got = merged_kg(root)
+        hits = got.filter(
+            expr="subj == 'https://cfpub.epa.gov/ecotox/cas/999999'")
+        rows = hits.take_all()
+        assert rows, "new chemical's triples missing from merged store"
+        # and no duplicated triples overall
+        from collections import Counter
+
+        cnt = Counter()
+        for b in got.iter_batches(batch_format="pyarrow", batch_size=None):
+            cnt.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj"].to_pylist()))
+        assert max(cnt.values()) == 1
+
     def test_incremental_shard_ingest(self, tmp_path, fixtures_t1):
         """Nightly path end-to-end: two disjoint shards ingested via
         the shard registry must reproduce the one-shot full build

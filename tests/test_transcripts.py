@@ -457,10 +457,11 @@ class TestIncrementalUpdate:
         assert got == want
         assert max(got.values()) == 1  # no re-delivered duplicates
 
-    def test_auto_scope_degrades_on_big_shared_graph(self, fixtures_t1):
+    def test_auto_scope_big_shared_graph_goes_distributed(self, fixtures_t1):
         """A prev store whose shared graphs exceed shared_graph_limit
-        must degrade to the global anti-join instead of raising (the
-        r03 assert), and still produce the exact merged multiset."""
+        must NOT raise (the r03 assert): the lexicon novelty check
+        switches to the distributed anti-join against prev's shared
+        partition, and the merged multiset stays exact."""
         from collections import Counter
 
         import pyarrow.compute as pc
