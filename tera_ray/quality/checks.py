@@ -194,9 +194,12 @@ def _bloom_positions(h1, h2, num_bits: int, num_hashes: int):
              for i in range(num_hashes)], axis=1)
 
 
-def _build_ref_bloom(ref, ref_cols, num_bits: int, num_hashes: int):
-    """OR-fold per-batch partial filters driver-side (one
-    ``num_bits/8``-byte row per batch)."""
+def _build_ref_bloom(ref, ref_cols, num_bits: int, num_hashes: int,
+                     fold_batch: int = 64):
+    """Distributed OR-fold of per-batch partial filters: two
+    ``fold_batch``× reduction passes (the ``query/bloom.build_bloom``
+    pattern) so the driver only ORs the blocks/fold_batch² survivors —
+    never one ``num_bits/8``-byte row per raw block."""
     def partial(t: pa.Table) -> pa.Table:
         v = _hll_key_array(t, list(ref_cols))
         words = np.zeros(num_bits // 64, np.uint64)
@@ -206,12 +209,23 @@ def _build_ref_bloom(ref, ref_cols, num_bits: int, num_hashes: int):
             np.bitwise_or.at(
                 words, (pos >> 6),
                 np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
-        return pa.table({"w": pa.array([words.tobytes()], pa.binary())})
+        return pa.table({"w": pa.array([words.tobytes()],
+                                       pa.large_binary())})
 
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(num_bits // 64, np.uint64)
+        for cell in t["w"].to_pylist():
+            acc |= np.frombuffer(cell, np.uint64)
+        return pa.table({"w": pa.array([acc.tobytes()],
+                                       pa.large_binary())})
+
+    parts = ref.select_columns(list(ref_cols)).map_batches(
+        partial, batch_size=None, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(fold, batch_size=fold_batch,
+                                  batch_format="pyarrow")
     words = np.zeros(num_bits // 64, np.uint64)
-    for b in (ref.select_columns(list(ref_cols))
-              .map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow", batch_size=None)):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for cell in b["w"].to_pylist():
             words |= np.frombuffer(cell, np.uint64)
     return words
