@@ -391,6 +391,30 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
     unioned = legs[0]
     for leg in legs[1:]:
         unioned = unioned.union(leg)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        # combiner over the partial stream (sum, except HLL register
+        # rows which fold by max) so the driver sees blocks/batch_size
+        # survivors, not one row-set per raw block
+        if t.num_rows == 0:
+            return t
+        is_max = pc.starts_with(t["chk"], "approx_unique#")
+        outs = []
+        for part, aggfn in ((t.filter(pc.invert(is_max)), "sum"),
+                            (t.filter(is_max), "max")):
+            if part.num_rows == 0:
+                continue
+            g = part.group_by(["chk", "col", "stat"],
+                              use_threads=False).aggregate([("v", aggfn)])
+            outs.append(pa.table({"chk": g["chk"], "col": g["col"],
+                                  "stat": g["stat"],
+                                  "v": g[f"v_{aggfn}"].cast(pa.int64())},
+                                 schema=_PARTIAL_SCHEMA))
+        return pa.concat_tables(outs) if outs \
+            else _PARTIAL_SCHEMA.empty_table()
+
+    unioned = unioned.map_batches(_fold, batch_size=8192,
+                                  batch_format="pyarrow")
     agg: dict[tuple, int] = {}
     for b in unioned.iter_batches(batch_format="pyarrow", batch_size=None):
         for r in b.to_pylist():
