@@ -106,31 +106,22 @@ def _hll_key_array(t: pa.Table, cols, drop_null: bool = True) -> pa.Array:
 
 def approx_distinct(ds, cols, p: int = 14) -> float:
     """Estimated ``COUNT(DISTINCT cols)`` over a Dataset via the
-    deterministic HLL sketch — one streaming pass, per-batch register
-    partials folded driver-side by max; nothing shuffles."""
-    from ..sketch.hll import _registers_batch, hll_estimate
+    deterministic HLL sketch (:func:`tera_ray.sketch.hll.hll_registers`
+    over the joined key column): per-batch register partials → grouped
+    max (≤ ``2^p`` rows cross the exchange TOTAL) → driver estimate."""
+    from ..sketch.hll import hll_estimate, hll_registers
 
     cols = [cols] if isinstance(cols, str) else list(cols)
-    m = 1 << p
 
-    def partial(t: pa.Table) -> pa.Table:
-        v = _hll_key_array(t, cols)
-        if len(v) == 0:
-            return pa.table({"reg": pa.array([], pa.int64()),
-                             "rho": pa.array([], pa.int64())})
-        idx, rho = _registers_batch(v.to_numpy(zero_copy_only=False), p)
-        return pa.table({"reg": pa.array(idx), "rho": pa.array(rho)})
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"__k": _hll_key_array(t, cols, drop_null=False)})
 
-    regs = np.zeros(m, np.int64)
-    for b in (ds.select_columns(cols)
-              .map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow", batch_size=None)):
-        idx = b["reg"].to_numpy(zero_copy_only=False)
-        rho = b["rho"].to_numpy(zero_copy_only=False)
-        np.maximum.at(regs, idx, rho)
-    nz = regs.nonzero()[0]
-    return hll_estimate(pa.table({"reg": pa.array(nz),
-                                  "rho": pa.array(regs[nz])}), p)
+    regs = pa.concat_tables(list(
+        hll_registers(ds.select_columns(cols)
+                      .map_batches(keyed, batch_format="pyarrow"),
+                      "__k", p)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return hll_estimate(regs, p)
 
 
 def foreign_key(cols, ref, ref_cols) -> Check:
