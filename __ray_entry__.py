@@ -3018,15 +3018,18 @@ def _q_kg_shard_registry(sf_dir: str):
                            len(read_shard_registry(root)["shards"])))
         merged_rows = merged_kg(root).count()
         full_rows = build_kg(fx).count()
+        final_reg = len(read_shard_registry(root)["shards"])
         return pa.table({
             "phase": pa.array([e[0] for e in events] + ["merged"]),
             "skipped": pa.array([e[1] for e in events] + [False]),
             "novel_rows": pa.array(
                 [e[2] for e in events] + [merged_rows], pa.int64()),
             "registry_size": pa.array(
-                [e[3] for e in events] + [1], pa.int64()),
+                [e[3] for e in events] + [final_reg], pa.int64()),
+            # measured only on the merged row; event rows carry null
             "equals_full_build": pa.array(
-                [True] * len(events) + [merged_rows == full_rows]),
+                [None] * len(events) + [merged_rows == full_rows],
+                pa.bool_()),
         })
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -579,6 +579,50 @@ def lexicon_sources(data_dir: str, big_rows: int | None = 100_000):
     return _lift_lineage(pa.concat_tables(parts, promote_options="none")), big
 
 
+def _combined_lexicon_sources(data_dir: str, big_rows: int | None,
+                              keys=("subj", "pred", "obj")):
+    """:func:`lexicon_sources` with the fused-combiner treatment
+    applied: the driver-side small table comes back deduped with its
+    ``__h`` row-hash column, and each corpus-scaled table becomes a
+    distributed Dataset whose batches are combiner-deduped and hashed
+    (``precombined=True`` contract of ``dedup_triples_hash``)."""
+    from ..stages.base import dedup_table, hash_column
+
+    small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
+    small_tbl = dedup_table(small_tbl, keys)
+    small_tbl = small_tbl.append_column("__h", hash_column(small_tbl, keys))
+
+    def lift_combine(t: pa.Table) -> pa.Table:
+        t = dedup_table(_lift_lineage(t), keys)
+        return t.append_column("__h", hash_column(t, keys))
+
+    parts = [ray.data.read_parquet(path)
+             .map_batches(fn, batch_format="pyarrow")
+             .map_batches(lift_combine, batch_format="pyarrow")
+             for path, fn in big]
+    return small_tbl, parts
+
+
+def lexicon_dataset(data_dir: str, big_rows: int | None = 100_000,
+                    keys=("subj", "pred", "obj"),
+                    driver_discover_limit: int = 50_000_000):
+    """The DEDUPED lexicon-triple store as a Dataset, with
+    corpus-scaled tables emitted distributed: small tables dedup in
+    one driver batch; when big tables exist the whole lexicon
+    partition goes through ``dedup_triples_hash`` (8 B/row
+    exchange)."""
+    from ..stages.base import dedup_triples_hash
+
+    small_tbl, parts = _combined_lexicon_sources(data_dir, big_rows, keys)
+    if not parts:
+        return ray.data.from_arrow(small_tbl.drop_columns(["__h"]))
+    ds = ray.data.from_arrow(small_tbl)
+    for p in parts:
+        ds = ds.union(p)
+    return dedup_triples_hash(ds, keys, precombined=True,
+                              driver_discover_limit=driver_discover_limit)
+
+
 def lexicon_triples(data_dir: str) -> pa.Table:
     """Run ALL lexicon-table emitters driver-side, returning ONE Arrow
     table (lineage columns nulled).
@@ -612,25 +656,15 @@ def turn_keys_unique(transcripts, driver_limit: int = 50_000_000) -> bool:
     """
     from ..stages.base import hash_column
 
+    allh = _turn_key_hashes(transcripts, driver_limit)
+    if allh is not None:
+        return not bool((allh[1:] == allh[:-1]).any())
+
     def h(t: pa.Table) -> pa.Table:
         return pa.table({"__h": hash_column(t, ("conv_id", "turn_idx"))})
 
     hs = transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
         h, batch_format="pyarrow")
-    chunks: list[np.ndarray] = []
-    total = 0
-    over = False
-    for b in hs.iter_batches(batch_format="pyarrow", batch_size=None):
-        chunks.append(b["__h"].to_numpy(zero_copy_only=False))
-        total += b.num_rows
-        if total > driver_limit:
-            over = True
-            break
-    if not over:
-        if not chunks:
-            return True
-        allh = np.sort(np.concatenate(chunks))
-        return not bool((allh[1:] == allh[:-1]).any())
     # driver-unsafe scale: distributed discovery over the hash column
     from ..stages.base import _auto_buckets, bucketed_map_groups
 
@@ -759,28 +793,17 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
         # (driver emission of those serialized ~2s per 2M turns at the
         # head of every build) — their cross-batch duplicate triples
         # are exactly what the hash discovery pass exists to catch
-        from ..stages.base import (dedup_table, dedup_triples_hash,
-                                   hash_column)
+        from ..stages.base import dedup_triples_hash
 
         keys = ("subj", "pred", "obj")
         triples = link_transcripts(
             transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
             batch_size=batch_size, combine_keys=keys,
         )
-        small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
-        small_tbl = dedup_table(small_tbl, keys)
-        small_tbl = small_tbl.append_column(
-            "__h", hash_column(small_tbl, keys))
+        small_tbl, parts = _combined_lexicon_sources(data_dir, big_rows,
+                                                     keys)
         out = triples.union(ray.data.from_arrow(small_tbl))
-
-        def lift_combine(t: pa.Table) -> pa.Table:
-            t = dedup_table(_lift_lineage(t), keys)
-            return t.append_column("__h", hash_column(t, keys))
-
-        for path, fn in big:
-            part = (ray.data.read_parquet(path)
-                    .map_batches(fn, batch_format="pyarrow")
-                    .map_batches(lift_combine, batch_format="pyarrow"))
+        for part in parts:
             out = out.union(part)
         return dedup_triples_hash(out, keys, precombined=True,
                                   driver_discover_limit=driver_discover_limit)
@@ -807,38 +830,17 @@ def build_kg_from(transcripts, data_dir: str, fuzzy: bool = True,
         # lost on one box — the sort's boundary sampling re-executes
         # the emit lineage; the hash path materializes the lexicon
         # partition once instead, so no lineage re-execution.)
-        from ..stages.base import (dedup_table, dedup_triples_hash,
-                                   hash_column)
-
         keys = ("subj", "pred", "obj")
         local = link_transcripts(
             transcripts, lex_ref, fuzzy=fuzzy, concurrency=concurrency,
             batch_size=batch_size, combine_keys=keys, combine_hash=False,
         )
-        small_tbl, big = lexicon_sources(data_dir, big_rows=big_rows)
-        if not big:
-            # all lexicon tables are bounded: the one-batch driver dedup
-            # is exact and the whole build stays a single shuffle-free
-            # execution
-            return local.union(
-                ray.data.from_arrow(dedup_table(small_tbl, keys)))
-        small_tbl = dedup_table(small_tbl, keys)
-        small_tbl = small_tbl.append_column(
-            "__h", hash_column(small_tbl, keys))
-        lex = ray.data.from_arrow(small_tbl)
-
-        def lift_combine(t: pa.Table) -> pa.Table:
-            t = dedup_table(_lift_lineage(t), keys)
-            return t.append_column("__h", hash_column(t, keys))
-
-        for path, fn in big:
-            part = (ray.data.read_parquet(path)
-                    .map_batches(fn, batch_format="pyarrow")
-                    .map_batches(lift_combine, batch_format="pyarrow"))
-            lex = lex.union(part)
-        lex = dedup_triples_hash(lex, keys, precombined=True,
-                                 driver_discover_limit=driver_discover_limit)
-        return local.union(lex)
+        # bounded lexicons keep the whole build one shuffle-free
+        # execution; big tables route through the lexicon-partition
+        # hash dedup (lexicon_dataset) — turn-graph still never shuffles
+        return local.union(lexicon_dataset(
+            data_dir, big_rows=big_rows, keys=keys,
+            driver_discover_limit=driver_discover_limit))
     # generic tail (global sort dedup / dedup=False): big lexicon tables
     # still emit distributed — driver-side emission is O(corpus) there
     # too, and the global dedup (or, for dedup=False, the caller's
@@ -1027,24 +1029,30 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
                 return turn_triples
             return prev_kg.union(turn_triples)
 
+        turn_triples = new_triples.map_batches(
+            lambda t: dedup_table(t), batch_format="pyarrow")
+        # the shard's OWN lexicon tables route like build_kg's: bounded
+        # → one driver batch; corpus-scaled → distributed emission
+        small_tbl, lex_parts = _combined_lexicon_sources(data_dir, 100_000)
         # stream prev's shared graphs with a running size cap; a store
         # whose lexicon graphs were built distributed (dump scale)
         # overflows it and the novelty check goes distributed instead
         chunks, nbytes, over = [], 0, False
-        for b in (prev_kg
-                  .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
-                  .map_batches(lambda t: t.select(["subj", "pred", "obj"]),
-                               batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow", batch_size=None)):
-            chunks.append(b)
-            nbytes += b.nbytes
-            if nbytes > shared_graph_limit:
-                over = True
-                break
-        turn_triples = new_triples.map_batches(
-            lambda t: dedup_table(t), batch_format="pyarrow")
-        lex_tbl = dedup_table(lexicon_triples(data_dir))
-        if not over:
+        if not lex_parts:  # driver path only possible for bounded lexicons
+            for b in (prev_kg
+                      .filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'")
+                      .map_batches(
+                          lambda t: t.select(["subj", "pred", "obj"]),
+                          batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow",
+                                    batch_size=None)):
+                chunks.append(b)
+                nbytes += b.nbytes
+                if nbytes > shared_graph_limit:
+                    over = True
+                    break
+        if not lex_parts and not over:
+            lex_tbl = small_tbl.drop_columns(["__h"])
             prev_shared = pa.concat_tables(
                 chunks
                 or [pa.table({"subj": pa.array([], pa.string()),
@@ -1055,13 +1063,14 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
                              join_type="left anti")
                 .select(lex_tbl.schema.names).cast(lex_tbl.schema))
         else:
-            # dump-scale shared graphs: anti-join the shard's lexicon
-            # triples against ONLY prev's shared partition, distributed
-            # (right side ships key columns only).  The turn-graph bulk
-            # of prev still never shuffles — cost O(new shard) +
-            # O(prev lexicon partition), not O(prev).
+            # dump-scale (either side): anti-join the shard's DEDUPED
+            # lexicon dataset against ONLY prev's shared partition,
+            # distributed (right side ships key columns only).  The
+            # turn-graph bulk of prev still never shuffles — cost
+            # O(new shard lexicon) + O(prev lexicon partition), never
+            # O(prev) or O(corpus) driver-side.
             novel_lex_ds = multi_key_anti_join(
-                ray.data.from_arrow(lex_tbl),
+                lexicon_dataset(data_dir, big_rows=100_000),
                 prev_kg.filter(expr=f"graph != '{TRANSCRIPT_GRAPH}'"),
                 keys=["subj", "pred", "obj"], num_buckets=num_buckets,
                 left_schema=TRIPLE_LINEAGE_SCHEMA)
@@ -1070,8 +1079,14 @@ def update_kg(prev_kg, new_transcripts, data_dir: str, fuzzy: bool = True,
             return novel
         return prev_kg.union(novel)
 
-    cand = dedup_triples(new_triples.union(
-        ray.data.from_arrow(lexicon_triples(data_dir))))
+    # global path: big lexicon tables emit distributed here too
+    small_tbl, lex_parts = _combined_lexicon_sources(data_dir, 100_000)
+    cand = new_triples.union(
+        ray.data.from_arrow(small_tbl.drop_columns(["__h"])))
+    for part in lex_parts:
+        cand = cand.union(part.map_batches(
+            lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"))
+    cand = dedup_triples(cand)
     novel = multi_key_anti_join(cand, prev_kg,
                                 keys=["subj", "pred", "obj"],
                                 num_buckets=num_buckets,

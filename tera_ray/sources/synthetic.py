@@ -255,7 +255,11 @@ def gen_transcripts(n_turns: int, species, synonyms, chemicals, rng,
         for t in range(size):
             r = roles_cycle[t % 3]
             u = rng.rand()
-            if u >= mention_rate:
+            # no-mention gate is "u < 1 - mention_rate" (NOT
+            # "u >= mention_rate") so the default variant draws the
+            # exact RNG stream of the pre-parametrization generator —
+            # cached fixtures and recorded baselines stay reproducible
+            if u < 1.0 - mention_rate:
                 text = "Turn %d of conversation %d with no relevant findings." % (t, c)
             else:
                 si = rng.randint(ns)

@@ -300,11 +300,28 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     if isinstance(shard_paths, str):
         shard_paths = [shard_paths]
     fp = input_fingerprint(*shard_paths)
+    names = sorted(os.path.basename(p) for p in shard_paths)
     reg = read_shard_registry(root)
     base_m = read_manifest(root, "kg")
+    seen_names: set[str] = set()
+    for s in reg["shards"].values():
+        seen_names.update(s.get("paths", ()))
+    if base_m is not None:
+        seen_names.update(base_m.get("metrics", {}).get("shard_paths", ()))
+    # Idempotence has two layers: the (path, size, mtime) fingerprint
+    # catches byte-identical re-submissions, and the FILE-NAME ledger
+    # catches a re-uploaded shard whose mtime changed (retried pushes).
+    # Under the nightly naming contract a shard file name is immutable
+    # once ingested, so a full name match is a re-delivery skip; any
+    # PARTIAL overlap is ambiguous and falls through with the
+    # disjointness attestation revoked (the prev-overlap probe
+    # decides), so trust_sharding can never double-ingest turns.
     if fp in reg["shards"] or (base_m is not None
-                               and base_m.get("input_fingerprint") == fp):
+                               and base_m.get("input_fingerprint") == fp) \
+            or (seen_names and set(names) <= seen_names):
         return {"skipped": True, "stage": None, "novel_rows": 0}
+    if seen_names & set(names):
+        trust_sharding = False
     lex_tables = [os.path.join(data_dir, n + ".parquet")
                   for n in ("species", "species_synonyms", "chemicals",
                             "tests", "results", "taxonomy_nodes",
@@ -318,7 +335,8 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
                                   dedup_mode="auto"),
                     root, "kg", fp, partition_key="subj",
                     num_partitions=num_partitions,
-                    metrics={"lexicon_fingerprint": lex_fp})
+                    metrics={"lexicon_fingerprint": lex_fp,
+                             "shard_paths": names})
         reg["lexicon_fingerprint"] = lex_fp
         _write_shard_registry(root, reg)
         return {"skipped": False, "stage": "kg",

@@ -214,6 +214,18 @@ class TestCheckpoint:
         r3 = update_kg_incremental(root, fixtures_t1, s2, num_partitions=4)
         assert r3["skipped"]
         assert len(read_shard_registry(root)["shards"]) == 1
+        # re-delivery with a NEW mtime (retried upload): the fingerprint
+        # changes but the file-name ledger still skips it
+        os.utime(s2)
+        r3b = update_kg_incremental(root, fixtures_t1, s2,
+                                    num_partitions=4)
+        assert r3b["skipped"]
+        assert len(read_shard_registry(root)["shards"]) == 1
+        # same for the BASE shard's file
+        os.utime(s1)
+        r3c = update_kg_incremental(root, fixtures_t1, s1,
+                                    num_partitions=4)
+        assert r3c["skipped"]
 
         def spo(ds):
             out = Counter()
