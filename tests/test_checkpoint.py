@@ -118,6 +118,56 @@ class TestCheckpoint:
         assert m["partition_key"] == "conv_id"
         assert m["row_count"] == sum(m["partitions"].values()) > 0
 
+    def test_incremental_partial_overlap_probes_not_trusts(self, tmp_path,
+                                                           fixtures_t1):
+        """A delivery whose file set PARTIALLY overlaps already-ingested
+        shards is ambiguous: the disjointness attestation is revoked,
+        the prev-overlap probe routes to the exact anti-join, and the
+        merged store still equals the full build with no duplicates."""
+        from collections import Counter
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from tera_ray.pipelines.transcripts import build_kg
+        from tera_ray.state.checkpoint import (
+            merged_kg,
+            update_kg_incremental,
+        )
+
+        tr = pq.read_table(os.path.join(fixtures_t1, "transcripts.parquet"))
+        tail = pc.cast(pc.utf8_slice_codeunits(
+            tr["conv_id"], start=5, stop=99), pa.int64())
+        bucket = pc.cast(pc.bit_wise_and(tail, pa.scalar(3, pa.int64())),
+                         pa.int64())
+        paths = []
+        for k in range(3):
+            m = pc.equal(bucket, pa.scalar(k, pa.int64())) if k < 2 else \
+                pc.greater_equal(bucket, pa.scalar(2, pa.int64()))
+            p = str(tmp_path / f"shard{k}.parquet")
+            pq.write_table(tr.filter(m), p)
+            paths.append(p)
+
+        root = str(tmp_path / "store")
+        update_kg_incremental(root, fixtures_t1, paths[0], num_partitions=4)
+        update_kg_incremental(root, fixtures_t1, paths[1], num_partitions=4)
+        # partial overlap: shard1 again + the genuinely new shard2
+        r = update_kg_incremental(root, fixtures_t1, [paths[1], paths[2]],
+                                  num_partitions=4)
+        assert not r["skipped"]
+
+        got = Counter()
+        for b in merged_kg(root).iter_batches(batch_format="pyarrow",
+                                              batch_size=None):
+            got.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj"].to_pylist()))
+        want = Counter()
+        for b in build_kg(fixtures_t1).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            want.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                            b["obj"].to_pylist()))
+        assert got == want and max(got.values()) == 1
+
     def test_incremental_lexicon_change_still_exact(self, tmp_path,
                                                     fixtures_t1):
         """If a later shard arrives with CHANGED lexicon tables, the
