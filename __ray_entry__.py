@@ -2981,9 +2981,12 @@ def _q_kg_shard_registry(sf_dir: str):
     transcript shards into a fresh checkpointed store (shard 1 → base
     build; shard 2 → novel-partition append attested disjoint by the
     ``_SHARDS.json`` registry, prev partitions untouched), then
-    re-deliver shard 2 (idempotent registry no-op).  One row per event
-    with the novel row count, registry size, and the merged store's
-    row count — which must equal the one-shot full build's."""
+    re-deliver shard 2 (idempotent registry no-op), then CONSOLIDATE
+    the shard stages into a fresh base (atomic registry commit; the
+    ingested-paths ledger survives, so a post-consolidation
+    re-delivery still skips).  One row per event with the novel row
+    count, registry size, and the merged store's row count — which
+    must equal the one-shot full build's."""
     import shutil
     import tempfile
 
@@ -2992,6 +2995,7 @@ def _q_kg_shard_registry(sf_dir: str):
 
     from tera_ray.pipelines.transcripts import build_kg
     from tera_ray.state.checkpoint import (
+        consolidate_shards,
         merged_kg,
         read_shard_registry,
         update_kg_incremental,
@@ -3016,6 +3020,13 @@ def _q_kg_shard_registry(sf_dir: str):
             r = update_kg_incremental(root, fx, path, num_partitions=4)
             events.append((phase, r["skipped"], r["novel_rows"],
                            len(read_shard_registry(root)["shards"])))
+        c = consolidate_shards(root, num_partitions=4)
+        events.append(("consolidate", not c["consolidated"], c["rows"],
+                       len(read_shard_registry(root)["shards"])))
+        r = update_kg_incremental(root, fx, s2, num_partitions=4)
+        events.append(("redeliver_after_consolidate", r["skipped"],
+                       r["novel_rows"],
+                       len(read_shard_registry(root)["shards"])))
         merged_rows = merged_kg(root).count()
         full_rows = build_kg(fx).count()
         final_reg = len(read_shard_registry(root)["shards"])

@@ -257,16 +257,65 @@ def _write_shard_registry(root: str, reg: dict) -> None:
     os.replace(tmp, os.path.join(root, SHARDS))
 
 
+def _base_stage(reg: dict) -> str:
+    return reg.get("base_stage", "kg")
+
+
 def merged_kg(root: str):
-    """The logical KG store: the base ``kg`` stage unioned with every
+    """The logical KG store: the base stage unioned with every
     registered shard's novel partition — the directory-union contract
     ``update_kg(emit="novel")`` documents.  Nothing is rewritten; a
-    100 TB store is only ever appended to."""
+    100 TB store is only ever appended to (and occasionally
+    consolidated, :func:`consolidate_shards`)."""
     reg = read_shard_registry(root)
-    ds = read_stage(root, "kg")
+    ds = read_stage(root, _base_stage(reg))
     for fp in sorted(reg["shards"]):
         ds = ds.union(read_stage(root, reg["shards"][fp]["stage"]))
     return ds
+
+
+def consolidate_shards(root: str, num_partitions: int = 32) -> dict:
+    """Fold every registered shard stage into a fresh base stage.
+
+    Long-lived stores accumulate one novel-partition stage per shard;
+    reads then union N stages.  Consolidation writes the merged store
+    as ``kg_base_<generation>`` and commits by atomically REPLACING
+    the registry (base pointer + empty shard map + the accumulated
+    ``ingested_paths`` ledger, so re-delivery detection survives
+    consolidation).  Crash-safe: before the registry replace the new
+    stage is simply invisible (re-run overwrites it); after it, the
+    old stage dirs are invisible orphans removed best-effort.
+    """
+    import shutil
+
+    reg = read_shard_registry(root)
+    if not reg["shards"]:
+        return {"consolidated": False, "stages_merged": 0,
+                "base_stage": _base_stage(reg)}
+    base = _base_stage(reg)
+    seen = set(reg.get("ingested_paths", ()))
+    for s in reg["shards"].values():
+        seen.update(s.get("paths", ()))
+    bm = read_manifest(root, base) or {}
+    seen.update(bm.get("metrics", {}).get("shard_paths", ()))
+    old_stages = [base] + [s["stage"] for s in reg["shards"].values()]
+    gen = int(reg.get("generation", 0)) + 1
+    new_stage = f"kg_base_{gen}"
+    write_stage(merged_kg(root), root, new_stage, f"consolidated:{gen}",
+                partition_key="subj", num_partitions=num_partitions,
+                metrics={"consolidated_from": sorted(old_stages)})
+    _write_shard_registry(root, {
+        "shards": {},
+        "base_stage": new_stage,
+        "generation": gen,
+        "ingested_paths": sorted(seen),
+        "lexicon_fingerprint": reg.get("lexicon_fingerprint"),
+    })  # ← the commit point
+    for s in old_stages:
+        shutil.rmtree(os.path.join(root, s), ignore_errors=True)
+    return {"consolidated": True, "stages_merged": len(old_stages),
+            "base_stage": new_stage,
+            "rows": read_manifest(root, new_stage)["row_count"]}
 
 
 def update_kg_incremental(root: str, data_dir: str, shard_paths,
@@ -302,8 +351,8 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     fp = input_fingerprint(*shard_paths)
     names = sorted(os.path.basename(p) for p in shard_paths)
     reg = read_shard_registry(root)
-    base_m = read_manifest(root, "kg")
-    seen_names: set[str] = set()
+    base_m = read_manifest(root, _base_stage(reg))
+    seen_names: set[str] = set(reg.get("ingested_paths", ()))
     for s in reg["shards"].values():
         seen_names.update(s.get("paths", ()))
     if base_m is not None:

@@ -289,6 +289,22 @@ class TestCheckpoint:
         want = spo(build_kg(fixtures_t1))
         assert got == want and max(got.values()) == 1
 
+        # consolidation folds the shard stage into a new base, keeps
+        # the merged multiset, and PRESERVES re-delivery detection
+        from tera_ray.state.checkpoint import consolidate_shards
+
+        c = consolidate_shards(root, num_partitions=4)
+        assert c["consolidated"] and c["stages_merged"] == 2
+        assert spo(merged_kg(root)) == want
+        assert not os.path.isdir(os.path.join(root, "kg"))
+        assert read_shard_registry(root)["shards"] == {}
+        # a post-consolidation re-delivery of shard2 must still skip
+        r5 = update_kg_incremental(root, fixtures_t1, s2, num_partitions=4)
+        assert r5["skipped"]
+        # idempotent no-op when nothing to consolidate
+        c2 = consolidate_shards(root)
+        assert not c2["consolidated"]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestValidateAndCompact:
