@@ -233,3 +233,32 @@ class TestHistogramPsi:
         out = histogram_psi(_ds(tbl, 1), "split", "v", [10],
                             base="a", cmp="b").to_pylist()
         assert out[1]["n_base"] == 1 and out[1]["n_cmp"] == 1
+
+
+class TestPartitionInvariance:
+    def test_report_is_partitioning_invariant(self):
+        """The whole report — exact counters, HLL registers, bloom
+        orphans — must not depend on how rows are split into blocks
+        (the mergeable-partials contract)."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        n = 4000
+        tbl = pa.table({
+            "id": pa.array(rng.randint(0, 3000, n), pa.int64()),
+            "v": pa.array(rng.uniform(-50, 150, n)),
+            "fk": pa.array(rng.randint(0, 1500, n), pa.int64()),
+        })
+        ref = _ds(pa.table({"rid": pa.array(range(1000), pa.int64())}), 2)
+
+        def report(parallelism):
+            return run_checks(_ds(tbl, parallelism), [
+                not_null("id"),
+                in_range("v", 0, 100),
+                unique("id"),
+                approx_unique("id", tol=0.05),
+                foreign_key(["fk"], ref, ["rid"]),
+                approx_foreign_key(["fk"], ref, ["rid"]),
+            ]).to_pylist()
+
+        assert report(1) == report(7) == report(16)
