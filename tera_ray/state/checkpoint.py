@@ -261,6 +261,38 @@ def _base_stage(reg: dict) -> str:
     return reg.get("base_stage", "kg")
 
 
+def _shard_ledger_key(path: str) -> str:
+    """Identity of an ingested shard FILE in the re-delivery ledger:
+    ``<parent-dir-name>/<file-name>:<size>``.  Plain basenames collide
+    under the standard ``part-0000.parquet`` writer naming across feed
+    directories; the parent segment separates daily drops and the size
+    separates content revisions (an mtime-only re-upload of identical
+    bytes keeps its size and still matches)."""
+    st_size = os.stat(path).st_size if os.path.exists(path) else 0
+    return (f"{os.path.basename(os.path.dirname(path))}/"
+            f"{os.path.basename(path)}:{st_size}")
+
+
+def _ledger_name(key: str) -> str:
+    """The size-free part of a ledger key (for overlap detection: a
+    same-named file with DIFFERENT size is a content revision — never
+    trusted as disjoint, the probe decides)."""
+    return key.rsplit(":", 1)[0]
+
+
+def _ingested_keys(reg: dict, base_m: dict | None) -> set[str]:
+    """Every shard-file ledger key the store has ever ingested — the
+    ONE derivation used by both the skip check and consolidation (the
+    three sources: persistent ledger, live shard entries, the base
+    manifest)."""
+    seen: set[str] = set(reg.get("ingested_paths", ()))
+    for s in reg["shards"].values():
+        seen.update(s.get("paths", ()))
+    if base_m is not None:
+        seen.update(base_m.get("metrics", {}).get("shard_paths", ()))
+    return seen
+
+
 def merged_kg(root: str):
     """The logical KG store: the base stage unioned with every
     registered shard's novel partition — the directory-union contract
@@ -289,21 +321,33 @@ def consolidate_shards(root: str, num_partitions: int = 32) -> dict:
     import shutil
 
     reg = read_shard_registry(root)
-    if not reg["shards"]:
-        return {"consolidated": False, "stages_merged": 0,
-                "base_stage": _base_stage(reg)}
     base = _base_stage(reg)
-    seen = set(reg.get("ingested_paths", ()))
-    for s in reg["shards"].values():
-        seen.update(s.get("paths", ()))
-    bm = read_manifest(root, base) or {}
-    seen.update(bm.get("metrics", {}).get("shard_paths", ()))
+    if not reg["shards"]:
+        bm0 = read_manifest(root, base)
+        return {"consolidated": False, "stages_merged": 0,
+                "base_stage": base,
+                "rows": (bm0 or {}).get("row_count", 0)}
+    seen = _ingested_keys(reg, read_manifest(root, base))
     old_stages = [base] + [s["stage"] for s in reg["shards"].values()]
     gen = int(reg.get("generation", 0)) + 1
     new_stage = f"kg_base_{gen}"
     write_stage(merged_kg(root), root, new_stage, f"consolidated:{gen}",
                 partition_key="subj", num_partitions=num_partitions,
                 metrics={"consolidated_from": sorted(old_stages)})
+    # optimistic-concurrency commit: a nightly append may have
+    # registered a NEW shard while the rewrite ran — committing the
+    # stale snapshot would silently drop its rows from merged_kg.
+    # Re-read and abort if the registry moved (retry after the feed
+    # quiesces; the written stage is invisible and gets overwritten).
+    now = read_shard_registry(root)
+    if (set(now["shards"]) != set(reg["shards"])
+            or _base_stage(now) != base):
+        shutil.rmtree(os.path.join(root, new_stage), ignore_errors=True)
+        return {"consolidated": False, "stages_merged": 0,
+                "base_stage": _base_stage(now),
+                "rows": (read_manifest(root, _base_stage(now))
+                         or {}).get("row_count", 0),
+                "reason": "concurrent_update"}
     _write_shard_registry(root, {
         "shards": {},
         "base_stage": new_stage,
@@ -349,27 +393,25 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     if isinstance(shard_paths, str):
         shard_paths = [shard_paths]
     fp = input_fingerprint(*shard_paths)
-    names = sorted(os.path.basename(p) for p in shard_paths)
+    keys = sorted(_shard_ledger_key(p) for p in shard_paths)
     reg = read_shard_registry(root)
     base_m = read_manifest(root, _base_stage(reg))
-    seen_names: set[str] = set(reg.get("ingested_paths", ()))
-    for s in reg["shards"].values():
-        seen_names.update(s.get("paths", ()))
-    if base_m is not None:
-        seen_names.update(base_m.get("metrics", {}).get("shard_paths", ()))
+    seen_keys = _ingested_keys(reg, base_m)
+    seen_names = {_ledger_name(k) for k in seen_keys}
     # Idempotence has two layers: the (path, size, mtime) fingerprint
-    # catches byte-identical re-submissions, and the FILE-NAME ledger
-    # catches a re-uploaded shard whose mtime changed (retried pushes).
-    # Under the nightly naming contract a shard file name is immutable
-    # once ingested, so a full name match is a re-delivery skip; any
-    # PARTIAL overlap is ambiguous and falls through with the
-    # disjointness attestation revoked (the prev-overlap probe
-    # decides), so trust_sharding can never double-ingest turns.
+    # catches byte-identical re-submissions, and the ledger of
+    # ``<dir>/<name>:<size>`` keys catches a re-uploaded shard whose
+    # mtime changed (retried pushes of the SAME bytes keep their
+    # size).  A same-named file with a different size is a content
+    # revision — never skipped AND never trusted as disjoint; any
+    # partial name overlap likewise revokes the attestation (the
+    # prev-overlap probe decides), so trust_sharding can never
+    # double-ingest turns.
     if fp in reg["shards"] or (base_m is not None
                                and base_m.get("input_fingerprint") == fp) \
-            or (seen_names and set(names) <= seen_names):
+            or (seen_keys and set(keys) <= seen_keys):
         return {"skipped": True, "stage": None, "novel_rows": 0}
-    if seen_names & set(names):
+    if seen_names & {_ledger_name(k) for k in keys}:
         trust_sharding = False
     lex_tables = [os.path.join(data_dir, n + ".parquet")
                   for n in ("species", "species_synonyms", "chemicals",
@@ -385,7 +427,7 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
                     root, "kg", fp, partition_key="subj",
                     num_partitions=num_partitions,
                     metrics={"lexicon_fingerprint": lex_fp,
-                             "shard_paths": names})
+                             "shard_paths": keys})
         reg["lexicon_fingerprint"] = lex_fp
         _write_shard_registry(root, reg)
         return {"skipped": False, "stage": "kg",
@@ -405,7 +447,7 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
                 metrics={"lexicon_unchanged": lex_same})
     reg["shards"][fp] = {
         "stage": stage,
-        "paths": sorted(os.path.basename(p) for p in shard_paths),
+        "paths": keys,
         "rows": read_manifest(root, stage)["row_count"],
         "written_at": time.time(),
     }

@@ -118,6 +118,53 @@ class TestCheckpoint:
         assert m["partition_key"] == "conv_id"
         assert m["row_count"] == sum(m["partitions"].values()) > 0
 
+    def test_incremental_same_basename_different_dirs_not_skipped(
+            self, tmp_path, fixtures_t1):
+        """Standard writer naming (part-0000.parquet in per-day dirs)
+        must NOT be mistaken for a re-delivery: the ledger keys on
+        <dir>/<name>:<size>, so day 2's file ingests and the merged
+        store equals the full build."""
+        from collections import Counter
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from tera_ray.pipelines.transcripts import build_kg
+        from tera_ray.state.checkpoint import (
+            merged_kg,
+            update_kg_incremental,
+        )
+
+        tr = pq.read_table(os.path.join(fixtures_t1, "transcripts.parquet"))
+        tail = pc.cast(pc.utf8_slice_codeunits(
+            tr["conv_id"], start=5, stop=99), pa.int64())
+        odd = pc.equal(pc.bit_wise_and(tail, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+        d1 = tmp_path / "2026-08-19"
+        d2 = tmp_path / "2026-08-20"
+        d1.mkdir()
+        d2.mkdir()
+        s1 = str(d1 / "part-0000.parquet")
+        s2 = str(d2 / "part-0000.parquet")  # same basename, new content
+        pq.write_table(tr.filter(pc.invert(odd)), s1)
+        pq.write_table(tr.filter(odd), s2)
+        root = str(tmp_path / "store")
+        r1 = update_kg_incremental(root, fixtures_t1, s1, num_partitions=4)
+        r2 = update_kg_incremental(root, fixtures_t1, s2, num_partitions=4)
+        assert not r1["skipped"] and not r2["skipped"]
+
+        got = Counter()
+        for b in merged_kg(root).iter_batches(batch_format="pyarrow",
+                                              batch_size=None):
+            got.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj"].to_pylist()))
+        want = Counter()
+        for b in build_kg(fixtures_t1).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            want.update(zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                            b["obj"].to_pylist()))
+        assert got == want and max(got.values()) == 1
+
     def test_incremental_partial_overlap_probes_not_trusts(self, tmp_path,
                                                            fixtures_t1):
         """A delivery whose file set PARTIALLY overlaps already-ingested
