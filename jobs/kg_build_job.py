@@ -72,6 +72,10 @@ def main(argv=None) -> int:
                     help="with --shard: don't attest prev disjointness "
                          "from the registry — probe prev's lineage before "
                          "taking the shuffle-free path")
+    ap.add_argument("--consolidate", action="store_true",
+                    help="fold all registered shard stages into a fresh "
+                         "base stage (atomic registry commit; re-delivery "
+                         "ledger preserved) and exit")
     args = ap.parse_args(argv)
 
     import ray
@@ -82,6 +86,17 @@ def main(argv=None) -> int:
 
     from tera_ray.state.checkpoint import (build_kg_checkpointed,
                                            read_manifest, validate_stage)
+
+    if args.consolidate:
+        from tera_ray.state.checkpoint import consolidate_shards
+
+        t0 = time.time()
+        c = consolidate_shards(args.ckpt_dir,
+                               num_partitions=args.num_partitions)
+        c["mode"] = "consolidate"
+        c["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(c))
+        return 0
 
     if args.shard:
         from tera_ray.state.checkpoint import (merged_kg,

@@ -634,3 +634,12 @@ def test_ray_job_shard_mode(tmp_path):
     from tera_ray.pipelines.transcripts import build_kg
 
     assert app["merged_rows"] == build_kg(data).count()
+
+    # --consolidate folds the shard stage into a fresh base via the job
+    out = subprocess.run(
+        [sys.executable, script, "--data-dir", data, "--ckpt-dir", ckpt,
+         "--num-partitions", "4", "--consolidate"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    c = json.loads(out.stdout.strip().splitlines()[-1])
+    assert c["consolidated"] and c["rows"] == app["merged_rows"]
