@@ -198,6 +198,25 @@ def test_kg_linking_pr_meets_north_rule():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kg_shard_registry_contract():
+    """The judged nightly-loop query must WITNESS its claims: base and
+    append ingests not skipped, re-deliveries skipped (incl. after
+    consolidation), consolidation emptying the shard map, and the
+    merged store measured equal to the full build."""
+    import __ray_entry__ as entry
+
+    rows = _materialize(
+        entry.queries()["kg_shard_registry"](SF_DIR)).to_pylist()
+    by = {r["phase"]: r for r in rows}
+    assert not by["base"]["skipped"] and by["base"]["novel_rows"] > 0
+    assert not by["append"]["skipped"] and by["append"]["novel_rows"] > 0
+    assert by["redeliver"]["skipped"]
+    assert by["consolidate"]["registry_size"] == 0
+    assert by["redeliver_after_consolidate"]["skipped"]
+    assert by["merged"]["equals_full_build"] is True
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kg_linking_pr_hard_meets_north_rule():
     """Same bar on the ADVERSARIAL fixture (misspell rate 0.5, mention
     density 0.1): the fuzzy path must carry the recall, and lowercase
