@@ -6444,6 +6444,23 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             " END AS reason"
             f" FROM read_parquet('{FX_MEDIA}'))"
             " SELECT media_id, reason IS NULL AS ok, reason FROM r",
+        # the dispatch's n_units is a pure metadata function of the
+        # validated rows (1/image, duration-derived windows capped at
+        # FEAT_DIM=16 for audio, num_frames=2 for video) — the decode
+        # stubs are deterministic, so the whole routing is SQL-checkable
+        "media_dispatch":
+            "SELECT media_id, kind,"
+            " CAST(CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN 2"
+            " ELSE least(16, greatest(1, duration_ms // 250)) END"
+            " AS INTEGER) AS n_units"
+            f" FROM read_parquet('{FX_MEDIA}')"
+            " WHERE coalesce(octet_length(payload), 0) > 0"
+            " AND kind IN ('image', 'audio', 'video')"
+            " AND regexp_replace(coalesce(mime, ''), '/.*$', '') = kind"
+            " AND NOT (kind IN ('image', 'video')"
+            "  AND (coalesce(width, 0) <= 0 OR coalesce(height, 0) <= 0))"
+            " AND NOT (kind IN ('audio', 'video')"
+            "  AND coalesce(duration_ms, 0) <= 0)",
         "docs_dup_spans":
             "WITH toks AS (SELECT doc_id,"
             " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
