@@ -2975,6 +2975,17 @@ def _q_kg_incremental(sf_dir: str):
                      fx)
 
 
+def _q_kg_incremental_structural(sf_dir: str):
+    """``update_kg``'s merged store hash-oracled on the SQL-expressible
+    structural subset (the `kg_build_structural` pattern): prev = the
+    even-conversation build, shard = the odd conversations; the merged
+    store's turn-structure must be bit-identical to the FULL transcript
+    table's — exercising the auto-scope contract check, the
+    turn-unique pushdown, and the lexicon novelty logic end-to-end
+    under the driver's value-hash compare."""
+    return _structural_subset(_q_kg_incremental(sf_dir))
+
+
 def _q_kg_shard_registry(sf_dir: str):
     """The nightly maintenance loop made driver-visible
     (``state/checkpoint.update_kg_incremental``): ingest two disjoint
@@ -4330,6 +4341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_linking_pr_hard": _q_kg_linking_pr_hard,
         "kg_incremental": _q_kg_incremental,
+        "kg_incremental_structural": _q_kg_incremental_structural,
         "kg_shard_registry": _q_kg_shard_registry,
         "kg_align_pr": _q_kg_align_pr,
         "kg_compaction": _q_kg_compaction,
@@ -6516,6 +6528,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" string_agg(text, chr(31) ORDER BY turn_idx, ts) AS seq"
             f" FROM read_parquet('{fx}/transcripts.parquet') GROUP BY conv_id",
         "kg_build_structural": _structural_sql(fx),
+        "kg_incremental_structural": _structural_sql(fx),
         "kg_canonical_structural": _structural_sql(fx),
         "kg_bgp_match":
             "WITH tr AS (" + _structural_sql(fx) + ")"
