@@ -295,6 +295,24 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
              if c.kind in ("not_null", "in_range", "in_set", "matches")]
     legs = [ds.map_batches(lambda t, _l=local: _local_partials(t, _l),
                            batch_format="pyarrow")]
+    # ref-side Bloom builds are separate (blocking) dataset executions;
+    # with several approx_foreign_key checks they run CONCURRENTLY via
+    # threads so total wall is the slowest ref scan, not the sum
+    bloom_checks = [(i, c) for i, c in enumerate(checks)
+                    if c.kind == "approx_foreign_key"]
+    blooms: dict[int, np.ndarray] = {}
+    if len(bloom_checks) == 1:
+        i, c = bloom_checks[0]
+        cols, ref, ref_cols, num_bits, num_hashes = c.params
+        blooms[i] = _build_ref_bloom(ref, ref_cols, num_bits, num_hashes)
+    elif bloom_checks:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(bloom_checks)) as ex:
+            futs = {i: ex.submit(_build_ref_bloom, c.params[1],
+                                 c.params[2], c.params[3], c.params[4])
+                    for i, c in bloom_checks}
+        blooms = {i: f.result() for i, f in futs.items()}
     for i, c in enumerate(checks):
         if c.kind == "approx_unique":
             cols, _tol, p = c.params
@@ -320,10 +338,9 @@ def run_checks(ds, checks: list[Check], max_frac: float = 0.0) -> pa.Table:
                 _hll_leg, batch_format="pyarrow"))
         elif c.kind == "approx_foreign_key":
             cols, ref, ref_cols, num_bits, num_hashes = c.params
-            words = _build_ref_bloom(ref, ref_cols, num_bits, num_hashes)
             import ray as _ray
 
-            wref = _ray.put(words)
+            wref = _ray.put(blooms[i])
 
             def _bloom_leg(t: pa.Table, _i=i, _c=c, _cols=list(cols),
                            _m=num_bits, _k=num_hashes,

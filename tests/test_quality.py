@@ -192,6 +192,23 @@ class TestApproxDistinct:
         # (2,x) is the only orphan; fpp ~ 0 at this fill factor
         assert rep[0]["violations"] == 1
 
+    def test_two_approx_fks_build_concurrently(self):
+        # two approx FK checks (thread-pooled ref-bloom builds) fold
+        # independently in one report
+        ds = _ds(pa.table({
+            "a": pa.array([1, 2, 9], pa.int64()),
+            "b": pa.array([10, 77, 77], pa.int64()),
+        }))
+        ra = _ds(pa.table({"k": pa.array([1, 2], pa.int64())}), 1)
+        rb = _ds(pa.table({"k": pa.array([10], pa.int64())}), 1)
+        rep = run_checks(ds, [
+            approx_foreign_key(["a"], ra, ["k"]),
+            approx_foreign_key(["b"], rb, ["k"]),
+        ]).to_pylist()
+        by = {r["col"]: r for r in rep}
+        assert by["a"]["violations"] == 1  # 9
+        assert by["b"]["violations"] == 2  # 77, 77
+
     def test_approx_and_exact_unique_together(self):
         # both kinds over one column in ONE run_checks pass
         ds = _ds(pa.table({"id": pa.array([1, 2, 2, 3], pa.int64())}))
