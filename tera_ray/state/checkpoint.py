@@ -186,7 +186,7 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
 
     from ..pipelines.transcripts import (
         build_lexicon,
-        lexicon_triples,
+        lexicon_dataset,
         link_transcripts,
     )
     from ..stages.base import dedup_triples
@@ -211,7 +211,10 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
                                       num_partitions=num_partitions)
 
     def make_lex():
-        return ray.data.from_arrow(lexicon_triples(data_dir))
+        # deduped lexicon store with corpus-scaled tables emitted
+        # DISTRIBUTED (same routing as build_kg; no O(corpus) driver
+        # emission in the checkpointed path either)
+        return lexicon_dataset(data_dir)
 
     lex_ds, lex_skipped = run_stage(make_lex, ckpt_root, "lexicon", fp_lex,
                                     partition_key="subj",
