@@ -376,8 +376,16 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
 
     - First ever shard → full ``build_kg_from`` into the base ``kg``
       stage.
-    - Re-delivered shard (fingerprint already registered) → no-op
-      (returns ``{"skipped": True}``) — idempotent by construction.
+    - Re-delivered shard → no-op (``{"skipped": True}``): caught by
+      the (path, size, mtime) fingerprint OR the persistent
+      ``<dir>/<name>:<size>`` ledger (survives mtime-only re-uploads
+      AND consolidation); a partial name overlap or a same-named file
+      with different size is never skipped and never trusted as
+      disjoint — the prev-overlap probe decides.
+    - Unchanged lexicon tables (fingerprint match in the registry) →
+      ``update_kg(lexicon_unchanged=True)``: the append never reads
+      prev at all — O(new shard), measured store-size-independent
+      (BASELINE.md).
     - ``trust_sharding=True`` passes ``prev_turns_disjoint=True`` to
       :func:`~tera_ray.pipelines.transcripts.update_kg` (the registry
       certifies the file was never ingested; the input_hint contract
