@@ -171,7 +171,8 @@ def run_stage(ds_factory, root: str, stage: str, fingerprint: str,
 
 
 def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
-                          num_partitions: int = 32):
+                          num_partitions: int = 32,
+                          big_rows: int | None = 100_000):
     """Flagship pipeline with resumable stage boundaries:
 
       link    — transcripts → mention triples  (key: conv_id)
@@ -214,7 +215,7 @@ def build_kg_checkpointed(data_dir: str, ckpt_root: str, fuzzy: bool = True,
         # deduped lexicon store with corpus-scaled tables emitted
         # DISTRIBUTED (same routing as build_kg; no O(corpus) driver
         # emission in the checkpointed path either)
-        return lexicon_dataset(data_dir)
+        return lexicon_dataset(data_dir, big_rows=big_rows)
 
     lex_ds, lex_skipped = run_stage(make_lex, ckpt_root, "lexicon", fp_lex,
                                     partition_key="subj",

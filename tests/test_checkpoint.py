@@ -109,6 +109,24 @@ class TestCheckpoint:
             return sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
         assert spo(kg2) == spo(fresh)
 
+    def test_checkpointed_big_lexicon_routing_equal(self, tmp_path,
+                                                    fixtures_t1):
+        """big_rows=1 forces every lexicon table through distributed
+        emission in the CHECKPOINTED build; output must equal the
+        direct build (the scale routing can't change content)."""
+        from tera_ray.pipelines.transcripts import build_kg
+        from tera_ray.state.checkpoint import build_kg_checkpointed
+
+        kg, _ = build_kg_checkpointed(fixtures_t1, str(tmp_path / "cb"),
+                                      fuzzy=False, num_partitions=4,
+                                      big_rows=1)
+
+        def spo(ds):
+            rows = ds.take_all()
+            return sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
+
+        assert spo(kg) == spo(build_kg(fixtures_t1, fuzzy=False))
+
     def test_manifest_json_is_valid_lineage(self, tmp_path, fixtures_t1):
         from tera_ray.state.checkpoint import build_kg_checkpointed
 
