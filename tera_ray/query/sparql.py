@@ -36,7 +36,9 @@ so a reference user can run their existing query strings unchanged:
   variables
 - ``VALUES`` — single bound variable compiles to a vectorized
   ``is_in`` mask; multi-variable tuples join as a driver-tiny inline
-  table (``UNDEF`` → null, which matches nothing in multi-var form)
+  table; ``UNDEF`` is the spec's per-column wildcard (rows group by
+  their defined-column mask and join on just those columns, join
+  multiplicities preserved)
 - aggregate select expressions ``(COUNT(*)/COUNT(?v)/COUNT(DISTINCT
   ?v)/SUM/MIN/MAX/AVG/SAMPLE(?v) AS ?alias)`` with ``GROUP BY`` — a
   combiner-first distributed groupby (``relational.grouped_agg``);
@@ -1954,16 +1956,20 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         out = _semi_anti(out, have, sub, shared, num_buckets,
                          anti=negated, types=types)
 
-    # VALUES: single bound variable → vectorized is_in mask (no
-    # shuffle); multi-variable → inner join against the (driver-tiny)
-    # inline table on the composite key
+    # VALUES: single bound variable with distinct non-UNDEF rows →
+    # vectorized is_in mask (no shuffle); otherwise the inline rows
+    # are GROUPED BY their defined-column mask and each group joins on
+    # just its defined columns — SPARQL's per-column wildcard UNDEF
+    # with join multiplicities preserved (a solution compatible with k
+    # inline rows appears k times, per the algebra's Join).
     for v_vars, v_rows in ast.values:
         unbound = [v for v in v_vars if v not in have]
         if unbound:
             raise SparqlUnsupported(
                 f"VALUES variables not bound by the graph pattern: "
                 f"{unbound} (cross-product VALUES)")
-        if len(v_vars) == 1 and all(r[0] is not None for r in v_rows):
+        if (len(v_vars) == 1 and all(r[0] is not None for r in v_rows)
+                and len({r[0] for r in v_rows}) == len(v_rows)):
             vals = pa.array(sorted({r[0] for r in v_rows}), pa.string())
             name = v_vars[0]
 
@@ -1975,13 +1981,36 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             continue
         import ray.data
 
-        vt = pa.table({v: pa.array([r[i] for r in v_rows], pa.string())
-                       for i, v in enumerate(v_vars)})
-        # UNDEF (null) joins nothing under the composite-key equality —
-        # a deliberate restriction vs SPARQL's per-column wildcard UNDEF
-        out, have = _join_on_vars(out, have, ray.data.from_arrow(vt),
-                                  list(v_vars), list(v_vars),
-                                  num_buckets, how="inner", types=types)
+        groups: dict[tuple, list] = {}
+        for r in v_rows:
+            mask = tuple(i for i, x in enumerate(r) if x is not None)
+            groups.setdefault(mask, []).append(r)
+        base = out.materialize() if len(groups) > 1 else out
+        sel = list(have)
+
+        def _align(t: pa.Table, _c=sel) -> pa.Table:
+            return t.select(_c)
+
+        parts = []
+        for mask, rows_g in groups.items():
+            if not mask:
+                # all-UNDEF row(s): each admits every solution as-is
+                for _ in rows_g:
+                    parts.append(base.map_batches(
+                        _align, batch_format="pyarrow"))
+                continue
+            cols = [v_vars[i] for i in mask]
+            vt = pa.table({v_vars[i]: pa.array(
+                [r[i] for r in rows_g], pa.string()) for i in mask})
+            joined, _ = _join_on_vars(base, have,
+                                      ray.data.from_arrow(vt), cols,
+                                      cols, num_buckets, how="inner",
+                                      types=types)
+            parts.append(joined.map_batches(_align,
+                                            batch_format="pyarrow"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
 
     # BIND: derived columns, applied before FILTERs so filters can
     # reference them (the common BIND-then-FILTER shape)

@@ -889,6 +889,30 @@ class TestSparqlSelect:
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
 
+    def test_values_undef_wildcard(self):
+        """SPARQL spec: an UNDEF cell is a per-column wildcard — the
+        inline row constrains only its defined columns, and a solution
+        compatible with k inline rows appears k times (Join
+        multiplicity)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b"]),
+            "pred": pa.array([NS + "p"] * 2),
+            "obj": pa.array([NS + "b", NS + "c"]),
+        }))
+        # (ex:a) and (UNDEF): a's solution matches both rows -> twice
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:p ?o .
+                VALUES (?s) { (ex:a) (UNDEF) } }
+        """), ["s", "o"])
+        assert got == [(NS + "a", NS + "b"), (NS + "a", NS + "b"),
+                       (NS + "b", NS + "c")]
+        # partial masks: each row constrains only its defined column
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?s ?o WHERE { ?s ex:p ?o .
+                VALUES (?s ?o) { (ex:a UNDEF) (UNDEF ex:c) } }
+        """), ["s", "o"])
+        assert got2 == [(NS + "a", NS + "b"), (NS + "b", NS + "c")]
+
     def test_graph_var_tag_fanout_bounded(self, monkeypatch):
         """An adversarial store with per-row graph names must fail loud
         on GRAPH ?g instead of launching one sequential sub-plan per
