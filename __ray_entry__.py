@@ -2626,6 +2626,32 @@ def _q_kg_sparql_minus(sf_dir: str):
     return sparql_select(store, q)
 
 
+def _q_kg_sparql_values_undef(sf_dir: str):
+    """SPARQL VALUES with the spec's per-column UNDEF wildcard: rows
+    group by their defined-column mask and join on just those columns,
+    preserving Join multiplicity — a solution with habitat Water
+    matches BOTH inline rows and appears twice (store deduped first so
+    the multiset is deterministic)."""
+    import ray.data
+
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.stages.base import dedup_triples
+    from tera_ray.stages.ecotox import emit_tests
+
+    store = dedup_triples(ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "tests.parquet")).map_batches(
+        emit_tests, batch_format="pyarrow", batch_size=EMIT_BATCH))
+    q = """
+        SELECT ?t ?h WHERE {
+            ?t ns:organismHabitat ?h .
+            VALUES (?h) {
+                (<https://cfpub.epa.gov/ecotox/habitat/Water>) (UNDEF)
+            }
+        }
+        """
+    return sparql_select(store, q)
+
+
 def _q_kg_sparql_seq_path(sf_dir: str):
     """SPARQL sequence path (fresh-variable chain rewrite): each test's
     concentration values through hasResult / concentration / rdf:value
@@ -4328,6 +4354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_describe": _q_kg_sparql_describe,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_minus": _q_kg_sparql_minus,
+        "kg_sparql_values_undef": _q_kg_sparql_values_undef,
         "kg_sparql_seq_path": _q_kg_sparql_seq_path,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
@@ -5925,6 +5952,21 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" SELECT DISTINCT '{NS}test/'||test_id AS t FROM t"
             f" WHERE test_id NOT IN"
             f"  (SELECT test_id FROM t WHERE sd IS NOT NULL)",
+        # VALUES UNDEF wildcard: base = distinct (test, habitat) pairs;
+        # Water-habitat solutions match both inline rows -> UNION ALL
+        "kg_sparql_values_undef":
+            f"WITH t AS ("
+            f"  SELECT trim(test_id) AS test_id,"
+            f"   {_sent('organism_habitat')} AS hab"
+            f"  FROM read_parquet('{fx}/tests.parquet')"
+            f"  WHERE {_sent('test_id')} IS NOT NULL"
+            f"   AND {_sent('test_cas')} IS NOT NULL"
+            f"   AND {_sent('species_number')} IS NOT NULL),"
+            f" b AS (SELECT DISTINCT '{NS}test/'||test_id AS t,"
+            f"  '{NS}habitat/'||hab AS h FROM t WHERE hab IS NOT NULL)"
+            f" SELECT t, h FROM b"
+            f" UNION ALL SELECT t, h FROM b"
+            f" WHERE h = '{NS}habitat/Water'",
         # sequence path = (test, digit-filtered conc value) pairs from
         # cleaned result rows whose value survived the digit gate
         "kg_sparql_seq_path":
