@@ -1309,8 +1309,39 @@ def _run_query(triples, ast: _Query, num_buckets: int,
         bad = [v for v, _ in ast.order_by if v not in select]
         if bad:
             raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
-        out = out.sort([v for v, _ in ast.order_by],
-                       descending=[d for _, d in ast.order_by])
+        # OPTIONAL vars can be unbound (null), and Ray's sort sampling
+        # can't compare None with values — sort on a (validity flag,
+        # null-filled value) pair per key instead: spec ordering
+        # (unbound lowest — first ascending, last descending) falls out
+        # of the flag sharing the key's direction.
+        ob = list(ast.order_by)
+
+        def _sortable(t: pa.Table, _ob=ob) -> pa.Table:
+            for v, _ in _ob:
+                col = t[v]
+                col = col.combine_chunks() if isinstance(
+                    col, pa.ChunkedArray) else col
+                t = t.append_column(
+                    "__nn_" + v, pc.cast(pc.is_valid(col), pa.int8()))
+                if pa.types.is_null(col.type):
+                    filled = pa.array([""] * t.num_rows, pa.string())
+                elif pa.types.is_string(col.type) or \
+                        pa.types.is_large_string(col.type):
+                    filled = pc.fill_null(col, "")
+                else:
+                    filled = pc.fill_null(col, pa.scalar(0).cast(col.type))
+                t = t.append_column("__sv_" + v, filled)
+            return t
+
+        skeys, sdesc = [], []
+        for v, d in ob:
+            skeys += ["__nn_" + v, "__sv_" + v]
+            sdesc += [d, d]
+        helper = [c for v, _ in ob for c in ("__nn_" + v, "__sv_" + v)]
+        out = (out.map_batches(_sortable, batch_format="pyarrow")
+               .sort(skeys, descending=sdesc)
+               .map_batches(lambda t, _h=helper: t.drop_columns(_h),
+                            batch_format="pyarrow"))
     if ast.offset:
         # solution-sequence slice: split_at_indices drops the first
         # `offset` rows of the (ORDER-BY-sorted) stream without a

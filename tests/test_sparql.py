@@ -57,6 +57,15 @@ def rows(ds, cols):
     return sorted(out, key=lambda r: tuple(str(x) for x in r))
 
 
+def rows_ordered(ds, cols):
+    """Like :func:`rows` but preserving the dataset's own order (for
+    ORDER BY assertions)."""
+    out = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        out.extend(zip(*[b[c].to_pylist() for c in cols]))
+    return out
+
+
 PFX = f"PREFIX ex: <{NS}>\nPREFIX rdf: <{RDF}>\n"
 
 
@@ -888,6 +897,24 @@ class TestSparqlSelect:
             GROUP BY ?g
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
+
+    def test_order_by_optional_var_null_safe(self):
+        """ORDER BY on an OPTIONAL (nullable) var must not crash Ray's
+        sort sampling; spec ordering: unbound lowest (first ascending,
+        last descending)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label"]),
+            "obj": pa.array([NS + "b", NS + "c", "A"]),
+        }))
+        q = PFX + """
+            SELECT ?s ?l WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l } } ORDER BY %s(?l)
+        """
+        asc = rows_ordered(sparql_select(st, q % "ASC"), ["s", "l"])
+        assert asc == [(NS + "b", None), (NS + "a", "A")]
+        desc = rows_ordered(sparql_select(st, q % "DESC"), ["s", "l"])
+        assert desc == [(NS + "a", "A"), (NS + "b", None)]
 
     def test_values_undef_wildcard(self):
         """SPARQL spec: an UNDEF cell is a per-column wildcard — the
