@@ -201,7 +201,10 @@ _TOKEN = re.compile(
       | (?P<uri><[^<>\s]*>)
       | (?P<var>\?\w+)
       | (?P<lit>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-      | (?P<pname>[A-Za-z_][\w-]*:[\w./#-]*)
+      | (?P<pname>[A-Za-z_][\w-]*:[\w.#-]*)   # no '/' in local names
+                                              # (SPARQL PN_LOCAL), so
+                                              # ex:p/ex:q lexes as a
+                                              # sequence path
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
       | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?!])

@@ -898,6 +898,25 @@ class TestSparqlSelect:
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
 
+    def test_sequence_path_with_prefixed_names(self):
+        """`ex:p/ex:q` must lex as a sequence path, not one prefixed
+        name with '/' in the local part (SPARQL PN_LOCAL has no
+        unescaped slash); inverse binds tighter than sequence."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "x"]),
+            "pred": pa.array([NS + "p", NS + "q", NS + "p"]),
+            "obj": pa.array([NS + "b", NS + "c", NS + "b"]),
+        }))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?x ?y WHERE { ?x ex:p/ex:q ?y }
+        """), ["x", "y"])
+        assert got == [(NS + "a", NS + "c"), (NS + "x", NS + "c")]
+        # (^p)/q from b: backwards over p to {a,x}, then q -> nothing
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?x ?y WHERE { ?x ^ex:p/ex:q ?y }
+        """), ["x", "y"])
+        assert got2 == []
+
     def test_order_by_optional_var_null_safe(self):
         """ORDER BY on an OPTIONAL (nullable) var must not crash Ray's
         sort sampling; spec ordering: unbound lowest (first ascending,
