@@ -1065,6 +1065,32 @@ class _Parser:
                 pat = self.term()
                 self.expect(")")
                 return lambda t: pc.match_substring_regex(t[var], pat)
+            if low in ("strlen", "ucase", "lcase"):
+                # value function in comparison position:
+                # STRLEN(?v) <op> n / UCASE|LCASE(?v) <op> "lit"
+                self.next(), self.expect("(")
+                var = self._strip_str_of_var()
+                self.expect(")")
+                op = self.next()[1]
+                cmps = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                        ">": pc.greater, "<=": pc.less_equal,
+                        ">=": pc.greater_equal}
+                if op not in cmps:
+                    raise SparqlUnsupported(
+                        f"{word} must be followed by a comparison")
+                val = self.term()
+
+                def valfn(t: pa.Table, var=var, val=val, op=op,
+                          low=low) -> pa.Array:
+                    c = t[var]
+                    if low == "strlen":
+                        return cmps[op](
+                            pc.cast(pc.utf8_length(c), pa.int64()),
+                            pa.scalar(int(float(val)), pa.int64()))
+                    kern = pc.utf8_upper if low == "ucase" else pc.utf8_lower
+                    return cmps[op](kern(c), pa.scalar(val, pa.string()))
+
+                return valfn
             raise SparqlUnsupported(f"unsupported FILTER function {word!r}")
         if kind == "var":
             var = self._var_name()

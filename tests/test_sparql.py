@@ -898,6 +898,23 @@ class TestSparqlSelect:
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
 
+    def test_filter_value_functions(self):
+        """STRLEN/UCASE/LCASE in comparison position."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b"]),
+            "pred": pa.array([NS + "label"] * 2),
+            "obj": pa.array(["Alpha", "be"]),
+        }))
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:label ?l FILTER(STRLEN(?l) > 3) }
+        """), ["s"]) == [(NS + "a",)]
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:label ?l FILTER(LCASE(?l) = "alpha") }
+        """), ["s"]) == [(NS + "a",)]
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:label ?l FILTER(UCASE(?l) = "BE") }
+        """), ["s"]) == [(NS + "b",)]
+
     def test_sequence_path_with_prefixed_names(self):
         """`ex:p/ex:q` must lex as a sequence path, not one prefixed
         name with '/' in the local part (SPARQL PN_LOCAL has no
