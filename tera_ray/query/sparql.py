@@ -25,7 +25,8 @@ so a reference user can run their existing query strings unchanged:
   idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
   unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
   ``STRSTARTS``/``STRENDS``/``CONTAINS`` ``(str(?v), …)``,
-  ``regex(?v, "re")``, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
+  ``regex(?v, "re")``, ``STRLEN``/``UCASE``/``LCASE`` in comparison
+  position, ``=`` / ``!=`` / ``<`` / ``>`` / ``<=`` / ``>=``
   (type-aware: numeric columns compare numerically, strings lexically;
   var-to-var allowed), ``&&`` / ``||`` — compiled to vectorized Arrow
   kernels applied to the binding relation; ``HAVING (…)`` applies the
