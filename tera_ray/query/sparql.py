@@ -20,7 +20,9 @@ so a reference user can run their existing query strings unchanged:
 - ``OPTIONAL { … }`` groups — each group is matched as its own
   sub-BGP and LEFT-joined to the required bindings on the shared
   variables (one co-group shuffle per group), which is exact SPARQL
-  left-join semantics for the reference's non-nested optionals
+  left-join semantics, including depth-1 nested OPTIONAL
+  (``LeftJoin(main, LeftJoin(outer, inner))``; deeper nesting fails
+  loud)
 - ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
   idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
   unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
@@ -247,6 +249,9 @@ class _Query:
     distinct: bool
     patterns: list[tuple]       # required (s, p, o)
     optionals: list[list[tuple]]  # one sub-BGP per OPTIONAL group
+    # depth-1 nested OPTIONAL groups: (outer patterns, [inner BGPs]) —
+    # evaluated as LeftJoin(main, LeftJoin(BGP(outer), BGP(inner)…))
+    nested_optionals: list = field(default_factory=list)
     filters: list = field(default_factory=list)  # compiled mask fns
     limit: int | None = None
     offset: int = 0
@@ -375,8 +380,9 @@ class _Parser:
             else:
                 break
         self.kw("WHERE")
-        (patterns, optionals, filters, unions, values, graphs,
-         services, binds, minuses, exists, subqueries) = self.group()
+        (patterns, optionals, nested_opts, filters, unions, values,
+         graphs, services, binds, minuses, exists,
+         subqueries) = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -416,7 +422,7 @@ class _Parser:
             else:
                 break
         return _Query(select=select, distinct=distinct, patterns=patterns,
-                      optionals=optionals, filters=filters, limit=limit,
+                      optionals=optionals, nested_optionals=nested_opts, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
                       services=services, binds=binds, minuses=minuses,
                       exists=exists, subqueries=subqueries, aggs=aggs,
@@ -474,10 +480,11 @@ class _Parser:
                 f"expected INSERT or DELETE, got {self.peek()[1]!r}")
         if not self.kw("WHERE"):
             raise SparqlError("UPDATE with a template needs WHERE { … }")
-        (patterns, optionals, filters, unions, values, graphs,
-         services, binds, minuses, exists, subqueries) = self.group()
+        (patterns, optionals, nested_opts, filters, unions, values,
+         graphs, services, binds, minuses, exists,
+         subqueries) = self.group()
         q = _Query(select=[], distinct=False, patterns=patterns,
-                   optionals=optionals, filters=filters,
+                   optionals=optionals, nested_optionals=nested_opts, filters=filters,
                    unions=unions, values=values, graphs=graphs,
                    services=services, binds=binds, minuses=minuses,
                    exists=exists, subqueries=subqueries)
@@ -518,8 +525,9 @@ class _Parser:
             return template, q
         template = self.template_block("CONSTRUCT")
         self.kw("WHERE")
-        (patterns, optionals, filters, unions, values, graphs,
-         services, binds, minuses, exists, subqueries) = self.group()
+        (patterns, optionals, nested_opts, filters, unions, values,
+         graphs, services, binds, minuses, exists,
+         subqueries) = self.group()
         kind, v = self.peek()
         if kind != "eof":
             raise (SparqlUnsupported(f"unsupported construct {v!r}")
@@ -527,7 +535,7 @@ class _Parser:
                        or v.upper() in ("GROUP", "ORDER", "LIMIT")
                    else SparqlError(f"unexpected trailing {v!r}"))
         q = _Query(select=[], distinct=False, patterns=patterns,
-                   optionals=optionals, filters=filters,
+                   optionals=optionals, nested_optionals=nested_opts, filters=filters,
                    unions=unions, values=values, graphs=graphs,
                    services=services, binds=binds, minuses=minuses,
                    exists=exists, subqueries=subqueries)
@@ -572,12 +580,13 @@ class _Parser:
         return _Agg(fn=fn.lower(), var=var, distinct=distinct, alias=alias,
                     sep=sep)
 
-    def group(self, in_optional: bool = False):
-        """``{ … }`` → (patterns, optional groups, filter fns, union
-        blocks, values clauses)."""
+    def group(self, in_optional: bool = False, opt_depth: int = 0):
+        """``{ … }`` → (patterns, optional groups, nested-optional
+        groups, filter fns, union blocks, values clauses, …)."""
         self.expect("{")
         patterns: list[tuple] = []
         optionals: list[list[tuple]] = []
+        nested: list[tuple[list[tuple], list[list[tuple]]]] = []
         filters: list = []
         unions: list[list[list[tuple]]] = []
         values: list[tuple[list[str], list[tuple]]] = []
@@ -591,9 +600,9 @@ class _Parser:
             kind, v = self.peek()
             if v == "}":
                 self.next()
-                return (patterns, optionals, filters, unions, values,
-                        graphs, services, binds, minuses, exists,
-                        subqueries)
+                return (patterns, optionals, nested, filters, unions,
+                        values, graphs, services, binds, minuses,
+                        exists, subqueries)
             if kind == "word" and v.upper() in _UNSUPPORTED:
                 raise SparqlUnsupported(f"unsupported construct {v!r}")
             if v == "{":
@@ -608,11 +617,22 @@ class _Parser:
                 else:
                     unions.append(self.union_block())
             elif self.kw("OPTIONAL"):
-                if in_optional:
-                    raise SparqlUnsupported("nested OPTIONAL")
-                sub = self.group(in_optional=True)
-                sub_p = self._plain_sub(sub, "OPTIONAL")
-                optionals.append(sub_p)
+                if opt_depth >= 2:
+                    raise SparqlUnsupported(
+                        "OPTIONAL nested deeper than one level")
+                sub = self.group(in_optional=True,
+                                 opt_depth=opt_depth + 1)
+                inner_p, inner_opts = sub[0], sub[1]
+                if any(sub[2:]):
+                    raise SparqlUnsupported(
+                        "OPTIONAL containing FILTER/UNION/VALUES/GRAPH/"
+                        "SERVICE/BIND/MINUS")
+                if inner_opts:
+                    # depth-1 nesting: LeftJoin(outer, inner) evaluated
+                    # as its own relation, then left-joined onto main
+                    nested.append((inner_p, inner_opts))
+                else:
+                    optionals.append(inner_p)
             elif self.kw("GRAPH"):
                 if in_optional:
                     raise SparqlUnsupported("GRAPH inside OPTIONAL/UNION")
@@ -1276,7 +1296,8 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
     join_shuffles = max(0, len(ordered) - 1)
     extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
              + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
-             + len(ast.subqueries))
+             + len(ast.subqueries)
+             + sum(1 + len(i) for _, i in ast.nested_optionals))
     return {
         "form": "SELECT",
         "select": list(ast.select),
@@ -1447,13 +1468,13 @@ def sparql_ask(triples, query: str, num_buckets: int = 64,
     if not p.kw("ASK"):
         raise SparqlError(f"expected ASK, got {p.peek()[1]!r}")
     p.kw("WHERE")
-    (patterns, optionals, filters, unions, values, graphs, services,
-     binds, minuses, exists, subqueries) = p.group()
+    (patterns, optionals, nested_opts, filters, unions, values,
+     graphs, services, binds, minuses, exists, subqueries) = p.group()
     kind, v = p.peek()
     if kind != "eof":
         raise SparqlError(f"unexpected trailing {v!r}")
     ast = _Query(select=[], distinct=False, patterns=patterns,
-                 optionals=optionals, filters=filters, unions=unions,
+                 optionals=optionals, nested_optionals=nested_opts, filters=filters, unions=unions,
                  values=values, graphs=graphs, services=services,
                  binds=binds, minuses=minuses, exists=exists,
                  subqueries=subqueries)
@@ -1495,13 +1516,14 @@ def sparql_describe(triples, query: str, num_buckets: int = 64,
     if var is not None:
         if not (p.kw("WHERE") or p.peek()[1] == "{"):
             raise SparqlError("DESCRIBE ?var needs a WHERE pattern")
-        (patterns, optionals, filters, unions, values, graphs,
-         services, binds, minuses, exists, subqueries) = p.group()
+        (patterns, optionals, nested_opts, filters, unions, values,
+         graphs, services, binds, minuses, exists,
+         subqueries) = p.group()
         kind, v = p.peek()
         if kind != "eof":
             raise SparqlError(f"unexpected trailing {v!r}")
         ast = _Query(select=[var], distinct=True, patterns=patterns,
-                     optionals=optionals, filters=filters, unions=unions,
+                     optionals=optionals, nested_optionals=nested_opts, filters=filters, unions=unions,
                      values=values, graphs=graphs, services=services,
                      binds=binds, minuses=minuses, exists=exists,
                      subqueries=subqueries)
@@ -1677,6 +1699,8 @@ def _collect_groups(ast: _Query) -> list[list]:
     a group, so narrowability must be judged per group."""
     groups = [list(ast.patterns)] if ast.patterns else []
     groups += [list(g) for g in ast.optionals]
+    for outer, inners in ast.nested_optionals:
+        groups += [list(outer)] + [list(g) for g in inners]
     groups += [list(br) for blk in ast.unions for br in blk]
     groups += [list(ps) for _, ps in ast.graphs]
     groups += [list(g) for g in ast.minuses]
@@ -1992,6 +2016,36 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             v[1:] for p in group for v in p
             if isinstance(v, str) and v.startswith("?")))
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
+                                  num_buckets, how="left", types=types)
+
+    # depth-1 nested OPTIONAL: LeftJoin(main, LeftJoin(outer, inner…))
+    # — the inner group left-joins onto its OUTER optional's relation
+    # first (SPARQL evaluates the optional's group pattern bottom-up),
+    # then the composite left-joins onto the main bindings
+    for outer_pats, inner_groups in ast.nested_optionals:
+        sub = bgp_match(triples, _connect_order(outer_pats),
+                        num_buckets=num_buckets, narrow=False)
+        sub_vars = list(dict.fromkeys(
+            v[1:] for p in outer_pats for v in p
+            if isinstance(v, str) and v.startswith("?")))
+        for ig in inner_groups:
+            ig_vars = list(dict.fromkeys(
+                v[1:] for p in ig for v in p
+                if isinstance(v, str) and v.startswith("?")))
+            ishared = [v for v in ig_vars if v in sub_vars]
+            if not ishared:
+                raise SparqlError("nested OPTIONAL shares no variable "
+                                  "with its enclosing OPTIONAL")
+            isub = bgp_match(triples, _connect_order(ig),
+                             num_buckets=num_buckets, narrow=False)
+            sub, sub_vars = _join_on_vars(sub, sub_vars, isub, ig_vars,
+                                          ishared, num_buckets,
+                                          how="left", types=types)
+        shared = [v for v in sub_vars if v in have]
+        if not shared:
+            raise SparqlError("OPTIONAL group shares no variable with "
+                              "the required patterns")
+        out, have = _join_on_vars(out, have, sub, sub_vars, shared,
                                   num_buckets, how="left", types=types)
 
     # MINUS / FILTER [NOT] EXISTS: the negation family, compiled to

@@ -898,6 +898,34 @@ class TestSparqlSelect:
         """), ["g", "n"])
         assert got4 == [("g1", 2), ("g2", 1)]
 
+    def test_nested_optional_depth_one(self):
+        """OPTIONAL { A OPTIONAL { B } } = LeftJoin(main,
+        LeftJoin(A, B)): inner misses keep the outer binding; outer
+        misses null both; depth-2 nesting still fails loud."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "x", NS + "a", NS + "b"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label",
+                              NS + "tag"]),
+            "obj": pa.array([NS + "b", NS + "y", "A", "T"]),
+        }))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l ?t WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l OPTIONAL { ?s ex:tag ?t } } }
+        """), ["s", "l", "t"])
+        assert got == [(NS + "a", "A", None), (NS + "x", None, None)]
+        # inner bound through the outer's var chain
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l WHERE { ?s ex:p ?o
+                OPTIONAL { ?o ex:tag ?l OPTIONAL { ?l ex:zz ?t } } }
+        """), ["s", "l"])
+        assert got2 == [(NS + "a", "T"), (NS + "x", None)]
+        with pytest.raises(SparqlError, match="deeper than one level"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o OPTIONAL { ?s ex:label ?l
+                    OPTIONAL { ?s ex:tag ?t
+                        OPTIONAL { ?s ex:zz ?z } } } }
+            """)
+
     def test_filter_value_functions(self):
         """STRLEN/UCASE/LCASE in comparison position."""
         st = ray.data.from_arrow(pa.table({
