@@ -4208,12 +4208,65 @@ def _q_docs_drift_psi(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # training-data / relational ops over the driver's sf tables
+        # --- driver-oracle window: first 50 entries, all SQL-oracled ---
+        # Front-loads the flagship kg_*/emb_* pipelines so the driver's
+        # first-50 correctness sample re-oracles them every round
+        # (VERDICT r4 item 1). No no_oracle entries in this window.
+        "kg_build_structural": _q_kg_build_structural,
+        "kg_canonical_structural": _q_kg_canonical_structural,
+        "kg_incremental_structural": _q_kg_incremental_structural,
+        "kg_endpoint_star": _q_kg_star,
+        "kg_conversations": _q_kg_conversations,
+        "kg_unionfind": _q_kg_unionfind,
+        "kg_bgp_match": _q_kg_bgp_match,
+        "kg_synonym_triples": _q_kg_synonyms,
+        "kg_traits_triples": _q_kg_traits,
+        "kg_term_labels": _q_kg_term_labels,
+        "kg_eol_subclasses": _q_kg_eol_subclasses,
+        "kg_taxa_triples": _q_kg_taxa,
+        "kg_chemical_triples": _q_kg_chemicals,
+        "kg_hierarchy_triples": _q_kg_hierarchy,
+        "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
+        "kg_ncbi_names": _q_kg_ncbi_names,
+        "kg_divisions": _q_kg_divisions,
+        "kg_fuzzy_align": _q_kg_fuzzy_align,
+        "kg_hier_consensus": _q_kg_hier_consensus,
+        "kg_endpoint_mapping": _q_kg_endpoint_mapping,
+        "kg_convert_id": _q_kg_convert_id,
+        "kg_subgraph": _q_kg_subgraph,
+        "kg_siblings": _q_kg_siblings,
+        "kg_closure": _q_kg_closure,
+        "kg_alt_labels": _q_kg_alt_labels,
+        "kg_chems_for_species": _q_kg_chems_for_species,
+        "kg_species_list": _q_kg_species_list,
+        "kg_chemicals_list": _q_kg_chemicals_list,
+        "kg_trait_lookup": _q_kg_trait_lookup,
+        "kg_sparql_star": _q_kg_sparql_star,
+        "kg_sparql_compounds": _q_kg_sparql_compounds,
+        "kg_sparql_agg": _q_kg_sparql_agg,
+        "kg_sparql_union": _q_kg_sparql_union,
+        "kg_sparql_path": _q_kg_sparql_path,
+        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
+        "kg_sparql_construct": _q_kg_sparql_construct,
+        "kg_sparql_subquery": _q_kg_sparql_subquery,
+        "emb_cosine_dups": _q_emb_cosine_dups,
+        "emb_semdedup": _q_emb_semdedup,
+        "emb_kmeans_assign": _q_emb_kmeans_assign,
+        "emb_kmeans_iter": _q_emb_kmeans_iter,
+        "emb_knn_join": _q_emb_knn_join,
+        "emb_quantize": _q_emb_quantize,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        "chem_tanimoto": _q_chem_tanimoto,
+        "chem_enrich": _q_chem_enrich,
+        "docs_logreg_partials": _q_docs_logreg_partials,
+        "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
+        # --- remaining entries (driver checks rows-only / not sampled) ---
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_union_by_name": _q_docs_union_by_name,
         "docs_quality_model": _q_docs_quality_model,
-        "docs_logreg_partials": _q_docs_logreg_partials,
         "docs_hash_embed": _q_docs_hash_embed,
         "docs_embed_cluster": _q_docs_embed_cluster,
         "docs_hot_lines": _q_docs_hot_lines,
@@ -4243,11 +4296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_distinct_parts": _q_priority_distinct_parts,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_sessions": _q_events_sessions,
-        "ann_topk": _q_ann_topk,
-        "emb_cosine_dups": _q_emb_cosine_dups,
-        # rows-only training-data ops
         "docs_bpe_merges": _q_docs_bpe_merges,
-        "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
         "docs_quality": _q_docs_quality,
         "docs_quality_stats": _q_docs_quality_stats,
         "events_tumbling": _q_events_tumbling,
@@ -4265,11 +4314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_users": _q_events_heavy_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "emb_label_centroids": _q_emb_label_centroids,
-        "emb_dim_stats": _q_emb_dim_stats,
         "emb_pca": _q_emb_pca,
-        "emb_kmeans_assign": _q_emb_kmeans_assign,
-        "emb_kmeans_iter": _q_emb_kmeans_iter,
-        "emb_semdedup": _q_emb_semdedup,
         "docs_postings": _q_docs_postings,
         "docs_keyword_tags": _q_docs_keyword_tags,
         "lineitem_zscore": _q_lineitem_zscore,
@@ -4309,7 +4354,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": _q_lineitem_corr,
         "events_hll_per_type": _q_events_hll_per_type,
         "lineitem_mode": _q_lineitem_mode,
-        "emb_quantize": _q_emb_quantize,
         "conv_training_examples": _q_conv_training_examples,
         "returned_revenue": _q_returned_revenue,
         "orders_profile": _q_orders_profile,
@@ -4326,29 +4370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_domains": _q_docs_url_domains,
         "docs_minhash_dedup": _q_docs_minhash,
         "docs_simhash_pairs": _q_docs_simhash,
-        # KG pipelines over deterministic transcript fixtures
-        "kg_synonym_triples": _q_kg_synonyms,
-        "kg_traits_triples": _q_kg_traits,
-        "kg_term_labels": _q_kg_term_labels,
-        "kg_eol_subclasses": _q_kg_eol_subclasses,
-        "chem_tanimoto": _q_chem_tanimoto,
-        "chem_enrich": _q_chem_enrich,
-        "kg_taxa_triples": _q_kg_taxa,
-        "kg_chemical_triples": _q_kg_chemicals,
-        "kg_hierarchy_triples": _q_kg_hierarchy,
-        "kg_endpoint_star": _q_kg_star,
-        "kg_sparql_star": _q_kg_sparql_star,
-        "kg_sparql_compounds": _q_kg_sparql_compounds,
-        "kg_sparql_agg": _q_kg_sparql_agg,
-        "kg_sparql_union": _q_kg_sparql_union,
-        "kg_sparql_path": _q_kg_sparql_path,
         "kg_sparql_star_path": _q_kg_sparql_star_path,
         "kg_sparql_zero_or_one": _q_kg_sparql_zero_or_one,
-        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
         "kg_sparql_negated": _q_kg_sparql_negated,
         "kg_sparql_update": _q_kg_sparql_update,
         "kg_sparql_graph_var": _q_kg_sparql_graph_var,
-        "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_describe": _q_kg_sparql_describe,
@@ -4357,27 +4383,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_values_undef": _q_kg_sparql_values_undef,
         "kg_sparql_seq_path": _q_kg_sparql_seq_path,
         "kg_sparql_having": _q_kg_sparql_having,
-        "kg_sparql_subquery": _q_kg_sparql_subquery,
-        "kg_unionfind": _q_kg_unionfind,
-        "kg_conversations": _q_kg_conversations,
         "kg_build": _q_kg_build,
-        "kg_build_structural": _q_kg_build_structural,
-        "kg_canonical_structural": _q_kg_canonical_structural,
-        "kg_bgp_match": _q_kg_bgp_match,
         "kg_build_checkpointed": _q_kg_build_checkpointed,
         "kg_linking_pr": _q_kg_linking_pr,
         "kg_linking_pr_hard": _q_kg_linking_pr_hard,
         "kg_incremental": _q_kg_incremental,
-        "kg_incremental_structural": _q_kg_incremental_structural,
         "kg_shard_registry": _q_kg_shard_registry,
         "kg_align_pr": _q_kg_align_pr,
         "kg_compaction": _q_kg_compaction,
         "kg_lineage": _q_kg_lineage,
         "kg_canonical_build": _q_kg_canonical,
-        "kg_fuzzy_align": _q_kg_fuzzy_align,
-        "kg_chems_for_species": _q_kg_chems_for_species,
-        "kg_species_list": _q_kg_species_list,
-        "kg_chemicals_list": _q_kg_chemicals_list,
         "src_pipe_roundtrip": _q_src_pipe_roundtrip,
         "src_nt_roundtrip": _q_src_nt_roundtrip,
         "src_ttl_roundtrip": _q_src_ttl_roundtrip,
@@ -4386,22 +4401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "src_rdfxml_parse": _q_src_rdfxml_parse,
         "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
         "src_csv_roundtrip": _q_src_csv_roundtrip,
-        "kg_endpoint_mapping": _q_kg_endpoint_mapping,
-        "kg_hier_consensus": _q_kg_hier_consensus,
-        # NCBI taxonomy emitters + KG query layer + id pivot
-        "kg_ncbi_hierarchy": _q_kg_ncbi_hierarchy,
-        "kg_ncbi_names": _q_kg_ncbi_names,
         "kg_sparql_service": _q_kg_sparql_service,
-        "kg_divisions": _q_kg_divisions,
-        "kg_subgraph": _q_kg_subgraph,
-        "kg_siblings": _q_kg_siblings,
-        "kg_closure": _q_kg_closure,
-        "kg_alt_labels": _q_kg_alt_labels,
-        "kg_convert_id": _q_kg_convert_id,
-        # additional training-data ops
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "ann_ivf_topk": _q_ann_ivf,
-        "emb_knn_join": _q_emb_knn_join,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_audio": _q_media_audio,
@@ -4409,7 +4410,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dispatch": _q_media_dispatch,
         "results_normalized": _q_results_normalized,
         "events_sessionized": _q_events_sessionized,
-        "kg_trait_lookup": _q_kg_trait_lookup,
         "shipping_priority": _q_shipping_priority,
     }
 
