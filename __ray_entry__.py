@@ -2706,6 +2706,36 @@ def _q_kg_sparql_subquery(sf_dir: str):
     return sparql_select(_ecotox_star_store(sf_dir), q)
 
 
+def _q_kg_sparql_nested_optional(sf_dir: str):
+    """Depth-3 nested OPTIONAL (SPARQL 1.1 §18.2 LeftJoin algebra,
+    recursive bottom-up fold) over the tests+results emitter store:
+    Test → hasResult → concentration value → unit, each level
+    left-joined so a miss nulls that level and everything below it —
+    tests without results null all three; digitless concentrations
+    null value+unit.  Oracle: a DuckDB LEFT-JOIN chain."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT DISTINCT ?test ?r ?cv ?cu ?sd ?sdu WHERE {
+            ?test rdf:type ns:Test .
+            OPTIONAL {
+                ?test ns:hasResult ?r .
+                OPTIONAL {
+                    ?r ns:concentration ?c .
+                    ?c rdf:value ?cv .
+                    OPTIONAL { ?c unit:units ?cu }
+                }
+            }
+            OPTIONAL {
+                ?test ns:studyDuration ?sb .
+                ?sb rdf:value ?sd .
+                OPTIONAL { ?sb unit:units ?sdu }
+            }
+        }
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -4249,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_group_concat": _q_kg_sparql_group_concat,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
+        "kg_sparql_nested_optional": _q_kg_sparql_nested_optional,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_semdedup": _q_emb_semdedup,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
@@ -4257,12 +4288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": _q_emb_quantize,
         "emb_dim_stats": _q_emb_dim_stats,
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf,
         "chem_tanimoto": _q_chem_tanimoto,
         "chem_enrich": _q_chem_enrich,
         "docs_logreg_partials": _q_docs_logreg_partials,
         "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
         # --- remaining entries (driver checks rows-only / not sampled) ---
+        "ann_ivf_topk": _q_ann_ivf,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_union_by_name": _q_docs_union_by_name,
@@ -4515,6 +4546,65 @@ SELECT DISTINCT '{NS}cas/'||t.test_cas AS chemical,
        '{NS}effect/'||r.effect AS effect,
        sd.sd AS sd, sd.sd_unit AS sd_unit
 FROM r JOIN t USING (test_id) LEFT JOIN sd ON sd.test_id = t.test_id
+"""
+
+
+def _sparql_nested_optional_sql(fx: str) -> str:
+    """Oracle for kg_sparql_nested_optional: the depth-3 OPTIONAL chain
+    as a DuckDB LEFT-JOIN chain.  Result-BNode identity is the full
+    cleaned-row key (emit_results); the concentration value binds only
+    when digit-filtering leaves something; the unit binds only when the
+    value binds (fixture's closed unit vocabulary, all parseable —
+    mapped by the same fixed physical-unit constants as _star_sql)."""
+    sents = ", ".join(f"'{v}'" for v in NAN_VALUES)
+    return f"""
+WITH t AS (
+  SELECT DISTINCT trim(test_id) AS test_id
+  FROM read_parquet('{fx}/tests.parquet')
+  WHERE test_id NOT IN ({sents}) AND test_cas NOT IN ({sents})
+    AND species_number NOT IN ({sents})
+), r AS (
+  SELECT DISTINCT trim(test_id) AS test_id, trim(endpoint) AS ep,
+         trim(effect) AS ef, trim(conc1_mean) AS cm,
+         trim(conc1_unit) AS cu
+  FROM read_parquet('{fx}/results.parquet')
+  WHERE test_id NOT IN ({sents}) AND endpoint NOT IN ({sents})
+    AND conc1_mean NOT IN ({sents}) AND conc1_unit NOT IN ({sents})
+    AND effect NOT IN ({sents})
+), rb AS (
+  SELECT test_id,
+         '_:r|'||test_id||'|'||ep||'|'||ef||'|'||cm||'|'||cu AS r,
+         nullif(regexp_replace(cm, '\\D', '', 'g'), '') AS cv,
+         cu AS raw_unit
+  FROM r
+), u AS (
+  SELECT * FROM (VALUES ('mg/L','MilligramPerLitre'),
+    ('ug/L','MicrogramPerLitre'), ('mM','Millimol'),
+    ('ng/L','NanogramPerLitre'), ('g/L','GramPerLitre'),
+    ('mg/kg','MilligramPerKilogram')) m(k, qudt)
+), sd AS (
+  -- studyDuration BNode: the t->bnode edge and rdf:value gate on the
+  -- value alone; the unit triple additionally needs a non-missing,
+  -- parseable unit (fixture's closed duration vocabulary) — the
+  -- genuine inner-OPTIONAL miss when value is present without unit
+  SELECT trim(s.test_id) AS test_id, trim(s.study_duration_mean) AS sd,
+         CASE WHEN trim(s.study_duration_unit) NOT IN ({sents})
+              THEN 'http://qudt.org/vocab/unit#'||m.u END AS sdu
+  FROM read_parquet('{fx}/tests.parquet') s
+  LEFT JOIN (VALUES ('h', 'Hour'), ('d', 'Day'), ('w', 'Week')) m(k, u)
+    ON trim(s.study_duration_unit) = m.k
+  WHERE s.test_id NOT IN ({sents}) AND s.test_cas NOT IN ({sents})
+    AND s.species_number NOT IN ({sents})
+    AND s.study_duration_mean NOT IN ({sents})
+    AND s.study_duration_mean IS NOT NULL
+)
+SELECT DISTINCT '{NS}test/'||t.test_id AS test, rb.r AS r, rb.cv AS cv,
+       CASE WHEN rb.cv IS NOT NULL
+            THEN 'http://qudt.org/vocab/unit#'||u.qudt END AS cu,
+       sd.sd AS sd, sd.sdu AS sdu
+FROM t LEFT JOIN rb ON rb.test_id = t.test_id
+       LEFT JOIN u ON u.k = rb.raw_unit
+       LEFT JOIN sd ON sd.test_id = t.test_id
 """
 
 
@@ -5892,6 +5982,7 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
             f" SELECT DISTINCT p.chemical, p.species, a.n"
             f" FROM pairs p JOIN ({_sparql_agg_sql(fx)}) a"
             f" USING (chemical)",
+        "kg_sparql_nested_optional": _sparql_nested_optional_sql(fx),
         "kg_sparql_union": _sparql_union_sql(fx),
         # CONSTRUCT rewrite: the ns:Chemical-typed subjects are exactly
         # the cas/ subjects (groups type as ChemicalGroup), so the

@@ -20,9 +20,12 @@ so a reference user can run their existing query strings unchanged:
 - ``OPTIONAL { … }`` groups — each group is matched as its own
   sub-BGP and LEFT-joined to the required bindings on the shared
   variables (one co-group shuffle per group), which is exact SPARQL
-  left-join semantics, including depth-1 nested OPTIONAL
-  (``LeftJoin(main, LeftJoin(outer, inner))``; deeper nesting fails
-  loud)
+  left-join semantics, including nested OPTIONAL to arbitrary depth
+  (a recursive bottom-up LeftJoin fold, SPARQL 1.1 §18.2; every
+  OPTIONAL join keys only on certainly-bound variables — sharing a
+  possibly-unbound variable fails loud rather than mis-joining, as
+  a null-rejecting equality join cannot express compatibility
+  semantics)
 - ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
   idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
   unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
@@ -249,8 +252,10 @@ class _Query:
     distinct: bool
     patterns: list[tuple]       # required (s, p, o)
     optionals: list[list[tuple]]  # one sub-BGP per OPTIONAL group
-    # depth-1 nested OPTIONAL groups: (outer patterns, [inner BGPs]) —
-    # evaluated as LeftJoin(main, LeftJoin(BGP(outer), BGP(inner)…))
+    # nested OPTIONAL trees: (outer patterns, [child nodes]) where each
+    # child node is itself (patterns, [grandchild nodes]) — evaluated
+    # bottom-up as LeftJoin(main, LeftJoin(outer, LeftJoin(child, …)))
+    # to arbitrary depth (SPARQL 1.1 §18.2 LeftJoin algebra)
     nested_optionals: list = field(default_factory=list)
     filters: list = field(default_factory=list)  # compiled mask fns
     limit: int | None = None
@@ -580,9 +585,9 @@ class _Parser:
         return _Agg(fn=fn.lower(), var=var, distinct=distinct, alias=alias,
                     sep=sep)
 
-    def group(self, in_optional: bool = False, opt_depth: int = 0):
+    def group(self, in_optional: bool = False):
         """``{ … }`` → (patterns, optional groups, nested-optional
-        groups, filter fns, union blocks, values clauses, …)."""
+        trees, filter fns, union blocks, values clauses, …)."""
         self.expect("{")
         patterns: list[tuple] = []
         optionals: list[list[tuple]] = []
@@ -617,20 +622,23 @@ class _Parser:
                 else:
                     unions.append(self.union_block())
             elif self.kw("OPTIONAL"):
-                if opt_depth >= 2:
-                    raise SparqlUnsupported(
-                        "OPTIONAL nested deeper than one level")
-                sub = self.group(in_optional=True,
-                                 opt_depth=opt_depth + 1)
-                inner_p, inner_opts = sub[0], sub[1]
-                if any(sub[2:]):
+                sub = self.group(in_optional=True)
+                inner_p = sub[0]
+                # child OPTIONAL nodes: the sub-group's plain optionals
+                # become leaf nodes, its nested ones are already nodes —
+                # the tree recurses to arbitrary depth
+                children = [(g, []) for g in sub[1]] + list(sub[2])
+                if any(sub[3:]):
                     raise SparqlUnsupported(
                         "OPTIONAL containing FILTER/UNION/VALUES/GRAPH/"
                         "SERVICE/BIND/MINUS")
-                if inner_opts:
-                    # depth-1 nesting: LeftJoin(outer, inner) evaluated
-                    # as its own relation, then left-joined onto main
-                    nested.append((inner_p, inner_opts))
+                if not inner_p:
+                    raise SparqlUnsupported(
+                        "OPTIONAL with no required triple patterns")
+                if children:
+                    # nested OPTIONAL tree: evaluated bottom-up as a
+                    # recursive LeftJoin fold, then left-joined to main
+                    nested.append((inner_p, children))
                 else:
                     optionals.append(inner_p)
             elif self.kw("GRAPH"):
@@ -1100,16 +1108,29 @@ class _Parser:
                     raise SparqlUnsupported(
                         f"{word} must be followed by a comparison")
                 val = self.term()
+                if low == "strlen":
+                    # float64 comparison so a fractional comparand
+                    # (STRLEN(?v) < 2.5) keeps its fraction instead of
+                    # silently truncating; non-numeric fails loud here
+                    try:
+                        num = float(val)
+                    except (TypeError, ValueError):
+                        raise SparqlUnsupported(
+                            f"STRLEN comparison needs a numeric "
+                            f"literal, got {val!r}") from None
+
+                    def lenfn(t: pa.Table, var=var, num=num,
+                              op=op) -> pa.Array:
+                        return cmps[op](
+                            pc.cast(pc.utf8_length(t[var]), pa.float64()),
+                            pa.scalar(num, pa.float64()))
+
+                    return lenfn
 
                 def valfn(t: pa.Table, var=var, val=val, op=op,
                           low=low) -> pa.Array:
-                    c = t[var]
-                    if low == "strlen":
-                        return cmps[op](
-                            pc.cast(pc.utf8_length(c), pa.int64()),
-                            pa.scalar(int(float(val)), pa.int64()))
                     kern = pc.utf8_upper if low == "ucase" else pc.utf8_lower
-                    return cmps[op](kern(c), pa.scalar(val, pa.string()))
+                    return cmps[op](kern(t[var]), pa.scalar(val, pa.string()))
 
                 return valfn
             raise SparqlUnsupported(f"unsupported FILTER function {word!r}")
@@ -1294,10 +1315,13 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
                        else "full-store")
             zl_domains.append({"pattern": p, "identity_domain": dom})
     join_shuffles = max(0, len(ordered) - 1)
+    def _n_opt_nodes(nodes) -> int:
+        return sum(1 + _n_opt_nodes(c) for _, c in nodes)
+
     extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
              + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
              + len(ast.subqueries)
-             + sum(1 + len(i) for _, i in ast.nested_optionals))
+             + _n_opt_nodes(ast.nested_optionals))
     return {
         "form": "SELECT",
         "select": list(ast.select),
@@ -1699,8 +1723,13 @@ def _collect_groups(ast: _Query) -> list[list]:
     a group, so narrowability must be judged per group."""
     groups = [list(ast.patterns)] if ast.patterns else []
     groups += [list(g) for g in ast.optionals]
-    for outer, inners in ast.nested_optionals:
-        groups += [list(outer)] + [list(g) for g in inners]
+
+    def _opt_nodes(nodes):
+        for pats, children in nodes:
+            yield list(pats)
+            yield from _opt_nodes(children)
+
+    groups += list(_opt_nodes(ast.nested_optionals))
     groups += [list(br) for blk in ast.unions for br in blk]
     groups += [list(ps) for _, ps in ast.graphs]
     groups += [list(g) for g in ast.minuses]
@@ -2005,11 +2034,30 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         out, have = _join_on_vars(out, have, sub, s_vars, shared,
                                   num_buckets, how="inner", types=types)
 
+    # Variables introduced only under an OPTIONAL can be NULL in the
+    # binding relation.  SPARQL compatibility treats an unbound var as
+    # joinable with ANY value (§18.2 "compatible mappings"), which a
+    # null-rejecting equality join cannot express — so every OPTIONAL
+    # join below keys only on variables certainly bound on both sides
+    # and fails loud when a possibly-unbound variable is shared.
+    maybe: set[str] = {v for _, g_vars, rs in fused
+                       for v in g_vars if v != rs}
+
+    def _unbound_guard(unsafe: list[str], ctx: str) -> None:
+        if unsafe:
+            raise SparqlUnsupported(
+                f"{ctx} joins on possibly-unbound variable(s) "
+                f"{unsafe} (bound only under an OPTIONAL) — SPARQL "
+                "compatibility-join semantics are not supported by "
+                "the equality join; restructure the query so shared "
+                "variables are bound by required patterns")
+
     for group in post_optionals:
         shared = _shared_vars(have, group)
         if not shared:
             raise SparqlError("OPTIONAL group shares no variable with "
                               "the required patterns")
+        _unbound_guard([v for v in shared if v in maybe], "OPTIONAL")
         sub = bgp_match(triples, _connect_order(group),
                         num_buckets=num_buckets, narrow=False)
         g_vars = list(dict.fromkeys(
@@ -2017,36 +2065,46 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             if isinstance(v, str) and v.startswith("?")))
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
                                   num_buckets, how="left", types=types)
+        maybe.update(v for v in g_vars if v not in shared)
 
-    # depth-1 nested OPTIONAL: LeftJoin(main, LeftJoin(outer, inner…))
-    # — the inner group left-joins onto its OUTER optional's relation
-    # first (SPARQL evaluates the optional's group pattern bottom-up),
-    # then the composite left-joins onto the main bindings
-    for outer_pats, inner_groups in ast.nested_optionals:
-        sub = bgp_match(triples, _connect_order(outer_pats),
+    # nested OPTIONAL trees: each node evaluates bottom-up —
+    # LeftJoin(node BGP, child composite) per child — then the
+    # composite left-joins onto the main bindings (SPARQL 1.1 §18.2
+    # LeftJoin algebra, arbitrary depth).  ``certain`` tracks the vars
+    # bound by a node's own required patterns; vars introduced under a
+    # child OPTIONAL may be null and are never join keys.
+    def _eval_opt_tree(pats, children):
+        sub = bgp_match(triples, _connect_order(pats),
                         num_buckets=num_buckets, narrow=False)
         sub_vars = list(dict.fromkeys(
-            v[1:] for p in outer_pats for v in p
+            v[1:] for p in pats for v in p
             if isinstance(v, str) and v.startswith("?")))
-        for ig in inner_groups:
-            ig_vars = list(dict.fromkeys(
-                v[1:] for p in ig for v in p
-                if isinstance(v, str) and v.startswith("?")))
-            ishared = [v for v in ig_vars if v in sub_vars]
-            if not ishared:
+        certain = set(sub_vars)
+        for cpats, cchildren in children:
+            csub, c_vars, c_certain = _eval_opt_tree(cpats, cchildren)
+            shared = [v for v in c_vars if v in sub_vars]
+            if not shared:
                 raise SparqlError("nested OPTIONAL shares no variable "
                                   "with its enclosing OPTIONAL")
-            isub = bgp_match(triples, _connect_order(ig),
-                             num_buckets=num_buckets, narrow=False)
-            sub, sub_vars = _join_on_vars(sub, sub_vars, isub, ig_vars,
-                                          ishared, num_buckets,
+            _unbound_guard([v for v in shared
+                            if v not in certain or v not in c_certain],
+                           "nested OPTIONAL")
+            sub, sub_vars = _join_on_vars(sub, sub_vars, csub, c_vars,
+                                          shared, num_buckets,
                                           how="left", types=types)
+        return sub, sub_vars, certain
+
+    for outer_pats, inner_nodes in ast.nested_optionals:
+        sub, sub_vars, certain = _eval_opt_tree(outer_pats, inner_nodes)
         shared = [v for v in sub_vars if v in have]
         if not shared:
             raise SparqlError("OPTIONAL group shares no variable with "
                               "the required patterns")
+        _unbound_guard([v for v in shared
+                        if v in maybe or v not in certain], "OPTIONAL")
         out, have = _join_on_vars(out, have, sub, sub_vars, shared,
                                   num_buckets, how="left", types=types)
+        maybe.update(v for v in sub_vars if v not in shared)
 
     # MINUS / FILTER [NOT] EXISTS: the negation family, compiled to
     # one co-group anti-/semi-join per block on the shared variables.
@@ -2066,6 +2124,8 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 continue  # MINUS with disjoint domain: no-op (SPARQL)
             raise SparqlError(
                 "EXISTS block shares no variable with the outer pattern")
+        _unbound_guard([v for v in shared if v in maybe],
+                       "MINUS" if kind == "minus" else "EXISTS")
         sub = bgp_match(triples, _connect_order(gpats),
                         num_buckets=num_buckets, narrow=False)
         out = _semi_anti(out, have, sub, shared, num_buckets,
@@ -2083,6 +2143,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             raise SparqlUnsupported(
                 f"VALUES variables not bound by the graph pattern: "
                 f"{unbound} (cross-product VALUES)")
+        _unbound_guard([v for v in v_vars if v in maybe], "VALUES")
         if (len(v_vars) == 1 and all(r[0] is not None for r in v_rows)
                 and len({r[0] for r in v_rows}) == len(v_rows)):
             vals = pa.array(sorted({r[0] for r in v_rows}), pa.string())

@@ -901,7 +901,7 @@ class TestSparqlSelect:
     def test_nested_optional_depth_one(self):
         """OPTIONAL { A OPTIONAL { B } } = LeftJoin(main,
         LeftJoin(A, B)): inner misses keep the outer binding; outer
-        misses null both; depth-2 nesting still fails loud."""
+        misses null both."""
         st = ray.data.from_arrow(pa.table({
             "subj": pa.array([NS + "a", NS + "x", NS + "a", NS + "b"]),
             "pred": pa.array([NS + "p", NS + "p", NS + "label",
@@ -919,11 +919,60 @@ class TestSparqlSelect:
                 OPTIONAL { ?o ex:tag ?l OPTIONAL { ?l ex:zz ?t } } }
         """), ["s", "l"])
         assert got2 == [(NS + "a", "T"), (NS + "x", None)]
-        with pytest.raises(SparqlError, match="deeper than one level"):
-            sparql_select(st, PFX + """
-                SELECT ?s WHERE { ?s ex:p ?o OPTIONAL { ?s ex:label ?l
+
+    def test_nested_optional_arbitrary_depth(self):
+        """Depth-3 OPTIONAL chain = recursive bottom-up LeftJoin fold
+        (SPARQL 1.1 §18.2): a miss at any level nulls that level and
+        everything below it, keeping the levels above."""
+        subj = [NS + "a", NS + "c", NS + "x",
+                NS + "a", NS + "c", NS + "a", NS + "a"]
+        pred = [NS + "p", NS + "p", NS + "p",
+                NS + "label", NS + "label", NS + "tag", NS + "zz"]
+        obj = [NS + "b", NS + "d", NS + "y", "A", "C", "T", "Z"]
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array(subj), "pred": pa.array(pred),
+            "obj": pa.array(obj)}))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l ?t ?z WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l
                     OPTIONAL { ?s ex:tag ?t
                         OPTIONAL { ?s ex:zz ?z } } } }
+        """), ["s", "l", "t", "z"])
+        assert got == [(NS + "a", "A", "T", "Z"),
+                       (NS + "c", "C", None, None),
+                       (NS + "x", None, None, None)]
+        # two sibling children under one outer OPTIONAL
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l ?t ?z WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l
+                    OPTIONAL { ?s ex:tag ?t }
+                    OPTIONAL { ?s ex:zz ?z } } }
+        """), ["s", "l", "t", "z"])
+        assert got2 == got
+
+    def test_optional_unbound_join_fails_loud(self):
+        """A join keyed on a variable bound only under an OPTIONAL
+        (possibly null) cannot express SPARQL compatibility semantics
+        with an equality join — the engine must refuse, not mis-join."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "a", NS + "b"]),
+            "pred": pa.array([NS + "p", NS + "label", NS + "tag"]),
+            "obj": pa.array([NS + "b", NS + "A", "T"]),
+        }))
+        # flat: second OPTIONAL keys on ?l introduced by the first
+        with pytest.raises(SparqlError, match="possibly-unbound"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o
+                    OPTIONAL { ?s ex:label ?l }
+                    OPTIONAL { ?l ex:tag ?t } }
+            """)
+        # nested: composite shares an inner-OPTIONAL var with a
+        # required pattern (the ADVICE r4 compatibility-join case)
+        with pytest.raises(SparqlError, match="possibly-unbound"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o . ?s ex:tag ?t
+                    OPTIONAL { ?s ex:label ?l
+                        OPTIONAL { ?s ex:tag ?t } } }
             """)
 
     def test_filter_value_functions(self):
@@ -942,6 +991,17 @@ class TestSparqlSelect:
         assert rows(sparql_select(st, PFX + """
             SELECT ?s WHERE { ?s ex:label ?l FILTER(UCASE(?l) = "BE") }
         """), ["s"]) == [(NS + "b",)]
+        # fractional comparand keeps its fraction (no int truncation):
+        # < 2.5 must include the length-2 string
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:label ?l FILTER(STRLEN(?l) < 2.5) }
+        """), ["s"]) == [(NS + "b",)]
+        # non-numeric comparand fails loud at parse time
+        with pytest.raises(SparqlError, match="numeric"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:label ?l
+                    FILTER(STRLEN(?l) < "abc") }
+            """)
 
     def test_sequence_path_with_prefixed_names(self):
         """`ex:p/ex:q` must lex as a sequence path, not one prefixed
