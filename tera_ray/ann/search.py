@@ -98,6 +98,47 @@ def brute_topk(ds, qids, Q, k: int = 10, id_col: str = "vec_id",
 
 # --- IVF -------------------------------------------------------------------
 
+def _centroid_sample(ds, id_col: str, vec_col: str, sample_size: int,
+                     salt: str = "ivf-centroids:") -> np.ndarray:
+    """Deterministic DISTRIBUTED sample for centroid training: the
+    ``sample_size`` rows with the smallest salted-FNV-1a hash of their
+    id (bottom-k by hash).  A pure function of the id set — invariant
+    to row order, partitioning and read parallelism, and unbiased on
+    source-ordered petabyte data, unlike a ``limit()`` head sample
+    which trains centroids on the first domain in the corpus.  The
+    driver collects only ~1.25 × sample_size pre-filtered rows, never
+    the corpus."""
+    import pyarrow.compute as pc
+
+    from ..text.curation import _salted_fnv
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("cannot train centroids on an empty dataset")
+    frac = min(1.0, 1.25 * sample_size / n)
+    thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
+
+    def pick(t: pa.Table, thresh=thresh) -> pa.Table:
+        h = _salted_fnv(t[id_col], salt)
+        mask = h <= thresh
+        kept = t.select([id_col, vec_col]).filter(pa.array(mask))
+        return kept.append_column("__h", pa.array(h[mask], pa.uint64()))
+
+    rows = ds.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["__h"], r[id_col]))
+    del rows[sample_size:]
+    if not rows:
+        # pathological threshold underflow (tiny frac rounding): fall
+        # back to hashing every id and keeping the bottom-k exactly
+        rows = ds.select_columns([id_col, vec_col]).map_batches(
+            lambda t: t.append_column(
+                "__h", pa.array(_salted_fnv(t[id_col], salt), pa.uint64())),
+            batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: (r["__h"], r[id_col]))
+        del rows[sample_size:]
+    return np.asarray([r[vec_col] for r in rows], np.float32)
+
 def train_centroids(sample: np.ndarray, n_centroids: int, rounds: int = 5,
                     seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (normalized,
@@ -126,8 +167,7 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
     (nprobe == n_centroids) recovers the exact brute-force result;
     combined with ``dtype=np.float64`` the scores bit-match a float64
     SQL oracle (see ``make_query_ref``)."""
-    sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], np.float32)
+    sample = _centroid_sample(ds, id_col, vec_col, sample_size)
     C = train_centroids(sample, n_centroids)
     Qn = _normalize(np.asarray(Q, dtype))
     probe = np.argsort(-(Qn @ C.T.astype(dtype)), axis=1)[:, :nprobe]
@@ -212,8 +252,7 @@ def knn_join(ds, k: int = 5, n_lists: int = 16, nprobe: int = 4,
     IVF recall.  ``dtype=np.float64`` bit-matches a float64 SQL
     oracle.  Output: (query_id, ``id_col``, cosine, rank)."""
     nprobe = min(nprobe, n_lists)
-    sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], np.float32)
+    sample = _centroid_sample(ds, id_col, vec_col, sample_size)
     C = train_centroids(sample, n_lists, rounds=rounds, seed=seed)
     cref = ray.put(C.astype(dtype))
 

@@ -248,6 +248,44 @@ class TestANN:
             expect = list(np.lexsort((np.arange(len(V)), -sims[qid]))[:5])
             assert got[qid] == expect, qid
 
+    def test_centroid_sample_order_invariant(self, ray_session, emb):
+        """Centroid training must see the SAME sample whatever the
+        input row order/partitioning: the bottom-k-by-salted-hash
+        sample is a pure function of the id set, unlike the former
+        limit() head sample (biased on source-ordered data).  Also
+        checks the sample is a strict subset when capped."""
+        from tera_ray.ann.search import _centroid_sample
+
+        V, t = emb
+        fwd = ray.data.from_arrow(t).repartition(4)
+        rev = ray.data.from_arrow(t.take(pa.array(
+            list(range(t.num_rows - 1, -1, -1))))).repartition(7)
+        s_fwd = _centroid_sample(fwd, "vec_id", "embedding", 50)
+        s_rev = _centroid_sample(rev, "vec_id", "embedding", 50)
+        assert s_fwd.shape == (50, 32)
+        np.testing.assert_array_equal(s_fwd, s_rev)
+        # sample_size >= n keeps every row
+        s_all = _centroid_sample(fwd, "vec_id", "embedding", 500)
+        assert s_all.shape == (200, 32)
+
+    def test_ivf_partial_probe_order_invariant(self, ray_session, emb):
+        """End-to-end: a partial-probe IVF query (where centroids DO
+        affect the answer) returns identical rows on a reversed,
+        repartitioned copy of the corpus."""
+        from tera_ray.ann.search import ivf_topk
+
+        V, t = emb
+        fwd = ray.data.from_arrow(t).repartition(4)
+        rev = ray.data.from_arrow(t.take(pa.array(
+            list(range(t.num_rows - 1, -1, -1))))).repartition(7)
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"])
+                                  for r in rows)
+        a = ivf_topk(fwd, qids=[9], Q=V[[9]], k=10, n_centroids=16,
+                     nprobe=4).take_all()
+        b = ivf_topk(rev, qids=[9], Q=V[[9]], k=10, n_centroids=16,
+                     nprobe=4).take_all()
+        assert key(a) == key(b)
+
     def test_knn_join_partial_probe_recall(self, ray_session, emb):
         from tera_ray.ann.search import knn_join
 
