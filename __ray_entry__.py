@@ -3884,6 +3884,70 @@ def _q_kg_convert_id(sf_dir: str):
     return compose(m, m)
 
 
+def _q_kg_ranks(sf_dir: str):
+    """``get_ranks`` (``tera/DataAccess.py:418-425``): all rank nodes —
+    entities of ``rdf:type ncbi:Rank`` over the NCBI hierarchy store,
+    distributed distinct."""
+    from tera_ray.query.kg import entities_of_type
+
+    return entities_of_type(_q_kg_ncbi_hierarchy(sf_dir), _ncbi_ns() + "Rank")
+
+
+def _q_kg_rank_taxa(sf_dir: str):
+    """``get_rank(t)`` (``tera/DataAccess.py:427-441``; the reference
+    calls a nonexistent ``query_subclassof`` — broken there, implemented
+    to documented intent): all taxa whose ``ncbi:rank`` is the species
+    rank node."""
+    from tera_ray.query.kg import subjects_with
+
+    return subjects_with(_q_kg_ncbi_hierarchy(sf_dir), _ncbi_ns() + "rank",
+                         _ncbi_ns() + "rank/species")
+
+
+def _q_kg_ssd_members(sf_dir: str):
+    """``get_ssd(t)`` / ``get_division(t)``
+    (``tera/DataAccess.py:389-416``, both call the nonexistent
+    ``query_subclassof``): direct ``rdfs:subClassOf`` members of a group
+    node — here the NCBI root's genus children."""
+    from tera_ray.query.kg import subjects_with
+    from tera_ray.schema import RDFS_SUBCLASSOF as SUB
+
+    return subjects_with(_q_kg_ncbi_hierarchy(sf_dir), SUB,
+                         _ncbi_ns() + "taxon/990000")
+
+
+def _q_kg_which_features(sf_dir: str):
+    """``which_features`` (``tera/DataAccess.py:595-614``): the
+    DISTINCT predicate inventory of one chemical node (the store's
+    honest equivalent of the reference's static pubchempy property
+    list)."""
+    from tera_ray.query.kg import which_features
+
+    return which_features(_q_kg_chemicals(sf_dir), NS + "cas/50000")
+
+
+def _q_kg_chemical_names(sf_dir: str):
+    """``query_chemical_names`` (``tera/DataAccess.py:802-816``, calls
+    the nonexistent ``query_labels``): (chemical, name) rdfs:label
+    pairs for every ``ns:Chemical``-typed subject — label×type
+    hash-join, no driver materialization."""
+    from tera_ray.query.kg import chemical_names
+
+    return chemical_names(_q_kg_chemicals(sf_dir), ns=NS)
+
+
+def _q_kg_class_hierarchy(sf_dir: str):
+    """``class_hierarchy`` (``tera/DataAccess.py:529-553``): union of
+    subgraph closures from two seed URIs (the reference unions the
+    compound- and mesh-converted seeds of one id) — one multi-source
+    BFS over the NCBI hierarchy."""
+    from tera_ray.query.kg import class_hierarchy
+
+    return class_hierarchy(
+        _q_kg_ncbi_hierarchy(sf_dir),
+        [_ncbi_ns() + "taxon/900000", _ncbi_ns() + "taxon/900004"])
+
+
 def _q_docs_ngram_jaccard(sf_dir: str):
     from tera_ray.dedup.ngram import ngram_jaccard_pairs
 
@@ -4271,6 +4335,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_species_list": _q_kg_species_list,
         "kg_chemicals_list": _q_kg_chemicals_list,
         "kg_trait_lookup": _q_kg_trait_lookup,
+        "kg_ranks": _q_kg_ranks,
+        "kg_rank_taxa": _q_kg_rank_taxa,
+        "kg_ssd_members": _q_kg_ssd_members,
+        "kg_which_features": _q_kg_which_features,
+        "kg_chemical_names": _q_kg_chemical_names,
+        "kg_class_hierarchy": _q_kg_class_hierarchy,
         "kg_sparql_star": _q_kg_sparql_star,
         "kg_sparql_compounds": _q_kg_sparql_compounds,
         "kg_sparql_agg": _q_kg_sparql_agg,
@@ -4282,17 +4352,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_nested_optional": _q_kg_sparql_nested_optional,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_semdedup": _q_emb_semdedup,
-        "emb_kmeans_assign": _q_emb_kmeans_assign,
-        "emb_kmeans_iter": _q_emb_kmeans_iter,
         "emb_knn_join": _q_emb_knn_join,
-        "emb_quantize": _q_emb_quantize,
-        "emb_dim_stats": _q_emb_dim_stats,
-        "ann_topk": _q_ann_topk,
         "chem_tanimoto": _q_chem_tanimoto,
-        "chem_enrich": _q_chem_enrich,
         "docs_logreg_partials": _q_docs_logreg_partials,
         "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
         # --- remaining entries (driver checks rows-only / not sampled) ---
+        "emb_kmeans_assign": _q_emb_kmeans_assign,
+        "emb_kmeans_iter": _q_emb_kmeans_iter,
+        "emb_quantize": _q_emb_quantize,
+        "emb_dim_stats": _q_emb_dim_stats,
+        "ann_topk": _q_ann_topk,
+        "chem_enrich": _q_chem_enrich,
         "ann_ivf_topk": _q_ann_ivf,
         "docs_dedup_exact": _q_docs_dedup_exact,
         "docs_line_dedup": _q_docs_line_dedup,
@@ -4716,6 +4786,40 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def _chemicals_sql(fx: str) -> str:
+    """M18 oracle: mirrors ``stages.ecotox.emit_chemicals``."""
+    return f"""
+WITH b AS (
+  SELECT {_sent('cas_number')} AS cas, {_sent('chemical_name')} AS cname,
+         {_sent('ecotox_group')} AS grp
+  FROM read_parquet('{fx}/chemicals.parquet')
+  WHERE {_sent('cas_number')} IS NOT NULL
+    AND {_sent('chemical_name')} IS NOT NULL
+    AND {_sent('ecotox_group')} IS NOT NULL
+), ax AS (
+  SELECT cas, unnest(string_split(cname, ', ')) AS alias FROM b
+), gx AS (
+  SELECT cas, unnest(string_split(grp, ',')) AS gname,
+         unnest(string_split(replace(replace(replace(grp, '/', ''), '.', ''),
+                ' ', ''), ',')) AS gscrub
+  FROM b
+)
+SELECT '{NS}cas/'||cas AS subj, '{RDF_TYPE}' AS pred, '{NS}Chemical' AS obj,
+       FALSE AS obj_is_literal, 'ecotox_chemicals' AS graph FROM b
+UNION ALL
+SELECT '{NS}cas/'||cas, '{RDFS_LABEL}', alias, TRUE, 'ecotox_chemicals' FROM ax
+UNION ALL
+SELECT '{NS}cas/'||cas, '{RDFS_SUBCLASSOF}', '{NS}group/'||gscrub, FALSE,
+       'ecotox_chemicals' FROM gx
+UNION ALL
+SELECT '{NS}group/'||gscrub, '{RDFS_LABEL}', gname, TRUE,
+       'ecotox_chemicals' FROM gx
+UNION ALL
+SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
+       'ecotox_chemicals' FROM gx
+"""
+
+
 def _ncbi_hierarchy_sql(fx: str) -> str:
     """M5 oracle: mirrors ``stages.taxonomy.emit_hierarchy`` (clean =
     sentinel-nullify → dropna all cols → trim; rank/division spaces →
@@ -4828,6 +4932,26 @@ WITH RECURSIVE h AS (SELECT * FROM ({_ncbi_hierarchy_sql(fx)})),
 e AS (SELECT DISTINCT subj, obj FROM h WHERE NOT obj_is_literal),
 reach(v) AS (
   SELECT '{seed}'
+  UNION
+  SELECT e.obj FROM reach JOIN e ON e.subj = reach.v
+)
+SELECT h.subj, h.pred, h.obj, h.obj_is_literal, h.graph
+FROM h JOIN reach r ON h.subj = r.v
+"""
+
+
+def _class_hierarchy_sql(fx: str) -> str:
+    """Oracle for kg_class_hierarchy: the two-seed variant of
+    ``_subgraph_sql`` — reachability seeded from BOTH URIs equals the
+    union of the per-seed closures."""
+    from tera_ray.schema import NCBI_NS as NNS
+
+    s1, s2 = NNS + "taxon/900000", NNS + "taxon/900004"
+    return f"""
+WITH RECURSIVE h AS (SELECT * FROM ({_ncbi_hierarchy_sql(fx)})),
+e AS (SELECT DISTINCT subj, obj FROM h WHERE NOT obj_is_literal),
+reach(v) AS (
+  SELECT s FROM (VALUES ('{s1}'), ('{s2}')) seeds(s)
   UNION
   SELECT e.obj FROM reach JOIN e ON e.subj = reach.v
 )
@@ -5931,36 +6055,7 @@ UNION ALL
 SELECT '{NS}taxon/'||sn, '{NS}latinName', ln, TRUE, 'ecotox_taxonomy'
   FROM b WHERE length(ln) > 0
 """,
-        "kg_chemical_triples": f"""
-WITH b AS (
-  SELECT {_sent('cas_number')} AS cas, {_sent('chemical_name')} AS cname,
-         {_sent('ecotox_group')} AS grp
-  FROM read_parquet('{fx}/chemicals.parquet')
-  WHERE {_sent('cas_number')} IS NOT NULL
-    AND {_sent('chemical_name')} IS NOT NULL
-    AND {_sent('ecotox_group')} IS NOT NULL
-), ax AS (
-  SELECT cas, unnest(string_split(cname, ', ')) AS alias FROM b
-), gx AS (
-  SELECT cas, unnest(string_split(grp, ',')) AS gname,
-         unnest(string_split(replace(replace(replace(grp, '/', ''), '.', ''),
-                ' ', ''), ',')) AS gscrub
-  FROM b
-)
-SELECT '{NS}cas/'||cas AS subj, '{RDF_TYPE}' AS pred, '{NS}Chemical' AS obj,
-       FALSE AS {lit}, 'ecotox_chemicals' AS graph FROM b
-UNION ALL
-SELECT '{NS}cas/'||cas, '{RDFS_LABEL}', alias, TRUE, 'ecotox_chemicals' FROM ax
-UNION ALL
-SELECT '{NS}cas/'||cas, '{RDFS_SUBCLASSOF}', '{NS}group/'||gscrub, FALSE,
-       'ecotox_chemicals' FROM gx
-UNION ALL
-SELECT '{NS}group/'||gscrub, '{RDFS_LABEL}', gname, TRUE,
-       'ecotox_chemicals' FROM gx
-UNION ALL
-SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
-       'ecotox_chemicals' FROM gx
-""",
+        "kg_chemical_triples": _chemicals_sql(fx),
         "kg_hierarchy_triples": _hierarchy_sql(fx),
         "kg_endpoint_star": _star_sql(fx),
         # same join as the engine star — the SPARQL string compiles to
@@ -6676,6 +6771,27 @@ SELECT '{NS}group/'||gscrub, '{RDF_TYPE}', '{NS}ChemicalGroup', FALSE,
         "kg_sparql_service": _kg_sparql_service_sql(fx),
         "kg_divisions": _divisions_sql(fx),
         "kg_subgraph": _subgraph_sql(fx),
+        "kg_ranks":
+            f"SELECT DISTINCT subj FROM ({_ncbi_hierarchy_sql(fx)})"
+            f" WHERE pred = '{RDF_TYPE}' AND obj = '{_ncbi_ns()}Rank'",
+        "kg_rank_taxa":
+            f"SELECT DISTINCT subj FROM ({_ncbi_hierarchy_sql(fx)})"
+            f" WHERE pred = '{_ncbi_ns()}rank'"
+            f" AND obj = '{_ncbi_ns()}rank/species'",
+        "kg_ssd_members":
+            f"SELECT DISTINCT subj FROM ({_ncbi_hierarchy_sql(fx)})"
+            f" WHERE pred = '{RDFS_SUBCLASSOF}'"
+            f" AND obj = '{_ncbi_ns()}taxon/990000'",
+        "kg_which_features":
+            f"SELECT DISTINCT pred FROM ({_chemicals_sql(fx)})"
+            f" WHERE subj = '{NS}cas/50000'",
+        "kg_chemical_names":
+            f"WITH c AS ({_chemicals_sql(fx)})"
+            f" SELECT DISTINCT l.subj AS chemical, l.obj AS name"
+            f" FROM c l WHERE l.pred = '{RDFS_LABEL}' AND l.subj IN"
+            f" (SELECT subj FROM c WHERE pred = '{RDF_TYPE}'"
+            f"  AND obj = '{NS}Chemical')",
+        "kg_class_hierarchy": _class_hierarchy_sql(fx),
         "kg_closure": _closure_sql(fx),
         "kg_siblings": _siblings_sql(fx),
         "kg_alt_labels": _alt_labels_sql(fx),

@@ -504,6 +504,109 @@ def query_alt_labels(triples, entity: str):
     return triples.map_batches(f, batch_format="pyarrow")
 
 
+def subjects_with(triples, pred: str, obj: str, num_buckets: int = 16):
+    """DISTINCT subjects carrying ``(pred, obj)`` — one filter pass plus
+    a hash-bucketed distributed distinct, never a driver-side set.
+
+    Covers the reference's one-pattern membership APIs whose query
+    helper never shipped (each calls a NONEXISTENT
+    ``query_subclassof`` — broken in the reference; implemented here to
+    documented intent):
+
+    - ``get_rank(t)`` — taxa with rank ``t``:
+      ``subjects_with(ns:rank, t)`` (``tera/DataAccess.py:427-441``);
+    - ``get_ssd(t)`` / ``get_division(t)`` — members of an SSD /
+      division node: ``subjects_with(rdfs:subClassOf, t)``, the direct
+      ``query_child`` shape (``tera/DataAccess.py:126-143,389-416``).
+    """
+    from ..stages.base import dedup_triples
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["pred"], pred), pc.equal(t["obj"], obj))
+        return pa.table({"subj": t.filter(keep)["subj"]})
+
+    return dedup_triples(triples.map_batches(f, batch_format="pyarrow"),
+                         keys=("subj",), num_buckets=num_buckets)
+
+
+def entities_of_type(triples, type_uri: str, num_buckets: int = 16):
+    """All DISTINCT entities of a type — the class-level ``query_type``
+    (``tera/DataAccess.py:107-124``).  ``get_ranks()`` =
+    ``entities_of_type(ns:Rank)`` (``tera/DataAccess.py:418-425``);
+    ``query_chemicals()`` = ``entities_of_type(ns:Chemical)``
+    (``tera/DataAccess.py:817-825``)."""
+    return subjects_with(triples, RDF_TYPE, type_uri, num_buckets)
+
+
+def which_features(triples, entity: str, num_buckets: int = 16):
+    """DISTINCT predicates attached to an entity — the features the
+    store can answer for it.  The reference's ``which_features``
+    (``tera/DataAccess.py:595-614``) returns the static pubchempy
+    ``Compound`` property list regardless of the id; with no remote
+    PubChem in this engine, the store's actual predicate inventory is
+    the honest equivalent (documented deviation)."""
+    from ..stages.base import dedup_triples
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pred": t.filter(pc.equal(t["subj"], entity))["pred"]})
+
+    return dedup_triples(triples.map_batches(f, batch_format="pyarrow"),
+                         keys=("pred",), num_buckets=num_buckets)
+
+
+def chemical_names(triples, ns: str = ECOTOX_NS,
+                   entities: list[str] | None = None,
+                   num_buckets: int = 16):
+    """DISTINCT ``(chemical, name)`` label pairs —
+    ``query_chemical_names`` (``tera/DataAccess.py:802-816``; calls the
+    nonexistent ``query_labels``; intent: the rdfs:label values of
+    chemical entities).  ``entities`` restricts to a URI set (the
+    reference's per-id form via ``do_recursively_in_class``, one
+    vectorized ``is_in``); ``None`` = every ``ns:Chemical``-typed
+    subject, a label×type hash-join keyed on the subject so neither
+    side ever collects driver-side."""
+    from ..query.relational import hash_join
+    from ..stages.base import dedup_triples
+
+    def labels(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["pred"], RDFS_LABEL)
+        if entities is not None:
+            keep = pc.and_(keep, pc.is_in(
+                t["subj"], value_set=pa.array(entities, pa.string())))
+        k = t.filter(keep)
+        return pa.table({"chemical": k["subj"], "name": k["obj"]})
+
+    lab = triples.map_batches(labels, batch_format="pyarrow")
+    if entities is not None:
+        return dedup_triples(lab, keys=("chemical", "name"),
+                             num_buckets=num_buckets)
+
+    def chems(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["pred"], RDF_TYPE),
+                       pc.equal(t["obj"], ns + "Chemical"))
+        return pa.table({"chemical": t.filter(keep)["subj"]})
+
+    cds = dedup_triples(triples.map_batches(chems, batch_format="pyarrow"),
+                        keys=("chemical",), num_buckets=num_buckets)
+    j = hash_join(
+        lab, cds, on="chemical", num_buckets=num_buckets,
+        left_schema=pa.schema([("chemical", pa.string()),
+                               ("name", pa.string())]),
+        right_schema=pa.schema([("chemical", pa.string())]))
+    return dedup_triples(j, keys=("chemical", "name"),
+                         num_buckets=num_buckets)
+
+
+def class_hierarchy(triples, seeds: list[str], max_hops: int = 8):
+    """``class_hierarchy`` (``tera/DataAccess.py:529-553``): the UNION
+    of subgraph closures from each converted identifier (the reference
+    seeds the compound and mesh URIs of one id).
+    :func:`construct_subgraph` already evaluates a seed LIST as one
+    multi-source BFS, which equals the per-seed closure set-union."""
+    return construct_subgraph(triples, seeds, max_hops=max_hops)
+
+
 def transitive_closure(edges, src_col: str = "src", dst_col: str = "dst",
                        max_depth: int = 32, num_buckets: int = 16):
     """Full transitive closure with path depth — the distributed

@@ -966,3 +966,89 @@ class TestHashDedup:
             promote_options="none")
         assert set(got.schema.names) == set(t.schema.names)
         assert got.num_rows == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDataAccessTail:
+    """Round-5 thin point-API closures (SURVEY §2 tail): the reference's
+    get_rank/get_ranks/get_ssd/which_features/query_chemical_names all
+    call helpers that do not exist in the reference (broken there);
+    these tests pin the documented-intent semantics."""
+
+    def _store(self):
+        sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+        lbl = "http://www.w3.org/2000/01/rdf-schema#label"
+        typ = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rows = [
+            (NS + "rank/genus", typ, NS + "Rank", False),
+            (NS + "rank/species", typ, NS + "Rank", False),
+            (NS + "taxon/a", NS + "rank", NS + "rank/species", False),
+            (NS + "taxon/b", NS + "rank", NS + "rank/species", False),
+            (NS + "taxon/g", NS + "rank", NS + "rank/genus", False),
+            (NS + "taxon/a", sub, NS + "taxon/g", False),
+            (NS + "taxon/b", sub, NS + "taxon/g", False),
+            (NS + "cas/1", typ, NS + "Chemical", False),
+            (NS + "cas/1", lbl, "alpha", True),
+            (NS + "cas/1", lbl, "alpha technical", True),
+            (NS + "cas/2", typ, NS + "Chemical", False),
+            (NS + "cas/2", lbl, "beta", True),
+            (NS + "group/x", lbl, "GroupX", True),  # labeled non-Chemical
+            (NS + "cas/1", sub, NS + "group/x", False),
+        ]
+        return ray.data.from_arrow(T(rows))
+
+    def _col(self, ds, col):
+        return sorted(r[col] for r in ds.take_all())
+
+    def test_entities_of_type_and_ranks(self):
+        from tera_ray.query.kg import entities_of_type
+
+        got = self._col(entities_of_type(self._store(), NS + "Rank"), "subj")
+        assert got == [NS + "rank/genus", NS + "rank/species"]
+
+    def test_subjects_with_rank_and_ssd(self):
+        from tera_ray.query.kg import subjects_with
+
+        st = self._store()
+        taxa = self._col(subjects_with(st, NS + "rank",
+                                       NS + "rank/species"), "subj")
+        assert taxa == [NS + "taxon/a", NS + "taxon/b"]
+        sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+        kids = self._col(subjects_with(st, sub, NS + "taxon/g"), "subj")
+        assert kids == [NS + "taxon/a", NS + "taxon/b"]
+
+    def test_which_features(self):
+        from tera_ray.query.kg import which_features
+
+        got = self._col(which_features(self._store(), NS + "cas/1"), "pred")
+        assert got == sorted([
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://www.w3.org/2000/01/rdf-schema#label",
+            "http://www.w3.org/2000/01/rdf-schema#subClassOf"])
+
+    def test_chemical_names_all_and_subset(self):
+        from tera_ray.query.kg import chemical_names
+
+        st = self._store()
+        allp = sorted((r["chemical"], r["name"])
+                      for r in chemical_names(st, ns=NS).take_all())
+        # group/x's label must NOT appear (not typed ns:Chemical)
+        assert allp == [(NS + "cas/1", "alpha"),
+                        (NS + "cas/1", "alpha technical"),
+                        (NS + "cas/2", "beta")]
+        one = sorted((r["chemical"], r["name"]) for r in chemical_names(
+            st, ns=NS, entities=[NS + "cas/2"]).take_all())
+        assert one == [(NS + "cas/2", "beta")]
+
+    def test_class_hierarchy_two_seed_union(self):
+        from tera_ray.query.kg import class_hierarchy, construct_subgraph
+
+        st = self._store()
+        seeds = [NS + "taxon/a", NS + "cas/1"]
+        both = {tuple(r.values())
+                for r in class_hierarchy(st, seeds).take_all()}
+        single = set()
+        for s in seeds:
+            single |= {tuple(r.values())
+                       for r in construct_subgraph(st, [s]).take_all()}
+        assert both == single and both
