@@ -27,6 +27,26 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FIXTURE_SCALE = os.environ.get("GRAFT_FIXTURE_SCALE", "bench")
 
 
+def _silence_empty_refbundle_warning():
+    """Ray's Sort / Join operators emit SCHEMA-LESS empty RefBundles for
+    empty output partitions, and the executor logs a schema-mismatch
+    warning per bundle (streaming_executor_state.py skips the check
+    only when the PREVIOUS schema is empty, not the new one).  Engine
+    stages always emit typed empties (stages/base.py
+    bucketed_map_groups), so the only remaining source is Ray-internal;
+    drop exactly that message so a REAL schema drift still warns."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_Drop())
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -35,6 +55,7 @@ def _init_ray(num_cpus: int):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _silence_empty_refbundle_warning()
 
 
 def _consume(ds) -> int:

@@ -27,32 +27,46 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _brute_score(batch: pa.Table, *, queries_ref, k: int, id_col: str,
+                 vec_col: str) -> pa.Table:
+    """Per-block exact top-k against the broadcast, pre-normalized
+    query matrix.  ``ray.get`` of the broadcast ref resolves from the
+    local object store (zero-copy shared memory, one transfer per node
+    on a cluster) — cheap enough per TASK that no actor pool is needed
+    for the default path."""
+    q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
+         else queries_ref)
+    qids, Q = q["qids"], q["Q"]              # (|Q|, dim), normalized
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    v = _normalize(_vecs(batch, vec_col).astype(Q.dtype))
+    sims = Q @ v.T                           # (|Q|, rows)
+    k = min(k, sims.shape[1])
+    part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+    rows = np.repeat(np.arange(sims.shape[0]), k)
+    cols = part.reshape(-1)
+    return pa.table({
+        "query_id": pa.array(np.asarray(qids)[rows], pa.int64()),
+        id_col: pa.array(ids[cols], pa.int64()),
+        "cosine": pa.array(sims[rows, cols].astype(np.float64)),
+    })
+
+
 class BruteScorer:
-    """Actor-pool stage: per-block exact top-k against the broadcast,
-    pre-normalized query matrix (fetched once per actor)."""
+    """Actor-pool variant of :func:`_brute_score` (state fetched once
+    per actor) — pass ``concurrency=`` to :func:`brute_topk` to use it;
+    worthwhile only when the query matrix is large enough that even a
+    local plasma get per task shows up."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.qids = q["qids"]
-        self.Q = q["Q"]                      # (|Q|, dim), normalized
-        self.dtype = self.Q.dtype
+        self.state = q
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        v = _normalize(_vecs(batch, self.vec_col).astype(self.dtype))
-        sims = self.Q @ v.T                  # (|Q|, rows)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(sims.shape[0]), k)
-        cols = part.reshape(-1)
-        return pa.table({
-            "query_id": pa.array(np.asarray(self.qids)[rows], pa.int64()),
-            self.id_col: pa.array(ids[cols], pa.int64()),
-            "cosine": pa.array(sims[rows, cols].astype(np.float64)),
-        })
+        return _brute_score(batch, queries_ref=self.state, k=self.k,
+                            id_col=self.id_col, vec_col=self.vec_col)
 
 
 def _merge_topk(ds, k: int, id_col: str):
@@ -85,14 +99,22 @@ def make_query_ref(qids: np.ndarray, Q: np.ndarray, dtype=np.float32):
 def brute_topk(ds, qids, Q, k: int = 10, id_col: str = "vec_id",
                vec_col: str = "embedding", concurrency=None,
                dtype=np.float32):
+    """Exact cosine top-k.  Default = TASK-pool scoring (scales with
+    the corpus, zero actor spin-up — the former fixed (1, 8) actor
+    pool paid ~0.5s startup on small inputs and capped wide corpora at
+    8 workers).  Pass ``concurrency`` for an explicit actor pool."""
     ref = make_query_ref(qids, Q, dtype=dtype)
-    kwargs = dict(batch_format="pyarrow",
-                  concurrency=concurrency if concurrency is not None else (1, 8))
-    local = ds.select_columns([id_col, vec_col]).map_batches(
-        BruteScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        **kwargs)
+    proj = ds.select_columns([id_col, vec_col])
+    if concurrency is None:
+        local = proj.map_batches(
+            _brute_score, batch_format="pyarrow",
+            fn_kwargs={"queries_ref": ref, "k": k,
+                       "id_col": id_col, "vec_col": vec_col})
+    else:
+        local = proj.map_batches(
+            BruteScorer, batch_format="pyarrow", concurrency=concurrency,
+            fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                                   "id_col": id_col, "vec_col": vec_col})
     return _merge_topk(local, k, id_col)
 
 

@@ -94,6 +94,13 @@ def main() -> int:
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    # Ray-internal Sort/Join operators emit schema-less EMPTY
+    # RefBundles; drop only that spurious warning (see bench.py
+    # _silence_empty_refbundle_warning for the full rationale)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _silence_empty_refbundle_warning
+    _silence_empty_refbundle_warning()
 
     import duckdb
 
