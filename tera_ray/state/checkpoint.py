@@ -21,6 +21,7 @@ never one giant file.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -265,23 +266,91 @@ def _base_stage(reg: dict) -> str:
     return reg.get("base_stage", "kg")
 
 
-def _shard_ledger_key(path: str) -> str:
+@contextlib.contextmanager
+def _registry_lock(root: str, timeout: float = 120.0,
+                   stale: float = 3600.0):
+    """Advisory lock serializing ``_SHARDS.json`` commits, so a nightly
+    append racing :func:`consolidate_shards` can never lose a
+    registered shard (the consolidate commit was check-then-write, not
+    compare-and-swap).  ``O_CREAT|O_EXCL`` lock file; a crashed
+    holder's file is reclaimed after ``stale`` seconds."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, SHARDS + ".lock")
+    t0 = time.monotonic()
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(path).st_mtime > stale:
+                    os.unlink(path)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError(
+                    f"shard-registry lock held too long: {path}")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
+def _content_signature(path: str, tail: int = 65536) -> str:
+    """Cheap content signature: SHA-256 of the LAST ``tail`` bytes —
+    the parquet footer (row-group offsets, statistics, schema), which
+    any realistic content revision perturbs — never the data pages.
+    Covers the whole file when it is smaller than ``tail``."""
+    import hashlib
+
+    h = hashlib.sha256()
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - tail))
+        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _shard_ledger_key(path: str, verify: str = "size") -> str:
     """Identity of an ingested shard FILE in the re-delivery ledger:
-    ``<parent-dir-name>/<file-name>:<size>``.  Plain basenames collide
-    under the standard ``part-0000.parquet`` writer naming across feed
-    directories; the parent segment separates daily drops and the size
-    separates content revisions (an mtime-only re-upload of identical
-    bytes keeps its size and still matches)."""
-    st_size = os.stat(path).st_size if os.path.exists(path) else 0
-    return (f"{os.path.basename(os.path.dirname(path))}/"
-            f"{os.path.basename(path)}:{st_size}")
+    ``<parent-dir-name>/<file-name>:<size>`` (``verify="size"``, the
+    default) or ``…:<size>:<footer-sha>`` (``verify="hash"``).  Plain
+    basenames collide under the standard ``part-0000.parquet`` writer
+    naming across feed directories; the parent segment separates daily
+    drops and the size separates content revisions (an mtime-only
+    re-upload of identical bytes keeps its size and still matches).
+    ``verify="hash"`` additionally separates a same-size IN-PLACE
+    content rewrite (e.g. a fixed-path feed overwriting
+    ``incoming/part-0000.parquet``) at the cost of one footer read per
+    shard file per ingest attempt."""
+    if not os.path.exists(path):
+        return (f"{os.path.basename(os.path.dirname(path))}/"
+                f"{os.path.basename(path)}:0")
+    st_size = os.path.getsize(path)
+    key = (f"{os.path.basename(os.path.dirname(path))}/"
+           f"{os.path.basename(path)}:{st_size}")
+    if verify == "hash":
+        key += ":" + _content_signature(path)
+    return key
 
 
 def _ledger_name(key: str) -> str:
     """The size-free part of a ledger key (for overlap detection: a
     same-named file with DIFFERENT size is a content revision — never
     trusted as disjoint, the probe decides)."""
-    return key.rsplit(":", 1)[0]
+    return key.split(":", 1)[0]
+
+
+def _ledger_sizekey(key: str) -> str:
+    """A key truncated to ``<dir>/<name>:<size>`` — how ``verify="hash"``
+    keys match ledger entries recorded before hash mode existed."""
+    parts = key.split(":")
+    return ":".join(parts[:2]) if len(parts) >= 2 else key
 
 
 def _ingested_keys(reg: dict, base_m: dict | None) -> set[str]:
@@ -338,27 +407,32 @@ def consolidate_shards(root: str, num_partitions: int = 32) -> dict:
     write_stage(merged_kg(root), root, new_stage, f"consolidated:{gen}",
                 partition_key="subj", num_partitions=num_partitions,
                 metrics={"consolidated_from": sorted(old_stages)})
-    # optimistic-concurrency commit: a nightly append may have
-    # registered a NEW shard while the rewrite ran — committing the
-    # stale snapshot would silently drop its rows from merged_kg.
-    # Re-read and abort if the registry moved (retry after the feed
-    # quiesces; the written stage is invisible and gets overwritten).
-    now = read_shard_registry(root)
-    if (set(now["shards"]) != set(reg["shards"])
-            or _base_stage(now) != base):
-        shutil.rmtree(os.path.join(root, new_stage), ignore_errors=True)
-        return {"consolidated": False, "stages_merged": 0,
-                "base_stage": _base_stage(now),
-                "rows": (read_manifest(root, _base_stage(now))
-                         or {}).get("row_count", 0),
-                "reason": "concurrent_update"}
-    _write_shard_registry(root, {
-        "shards": {},
-        "base_stage": new_stage,
-        "generation": gen,
-        "ingested_paths": sorted(seen),
-        "lexicon_fingerprint": reg.get("lexicon_fingerprint"),
-    })  # ← the commit point
+    # optimistic-concurrency commit UNDER THE REGISTRY LOCK: a nightly
+    # append may have registered a NEW shard while the rewrite ran —
+    # committing the stale snapshot would silently drop its rows from
+    # merged_kg.  The lock makes re-read → decide → write atomic
+    # against the append's own locked commit (check-then-write alone
+    # still loses a shard registered BETWEEN the re-read and the
+    # os.replace); on divergence abort and retry after the feed
+    # quiesces — the written stage is invisible and gets overwritten.
+    with _registry_lock(root):
+        now = read_shard_registry(root)
+        if (set(now["shards"]) != set(reg["shards"])
+                or _base_stage(now) != base):
+            shutil.rmtree(os.path.join(root, new_stage),
+                          ignore_errors=True)
+            return {"consolidated": False, "stages_merged": 0,
+                    "base_stage": _base_stage(now),
+                    "rows": (read_manifest(root, _base_stage(now))
+                             or {}).get("row_count", 0),
+                    "reason": "concurrent_update"}
+        _write_shard_registry(root, {
+            "shards": {},
+            "base_stage": new_stage,
+            "generation": gen,
+            "ingested_paths": sorted(seen),
+            "lexicon_fingerprint": reg.get("lexicon_fingerprint"),
+        })  # ← the commit point
     for s in old_stages:
         shutil.rmtree(os.path.join(root, s), ignore_errors=True)
     return {"consolidated": True, "stages_merged": len(old_stages),
@@ -368,7 +442,8 @@ def consolidate_shards(root: str, num_partitions: int = 32) -> dict:
 
 def update_kg_incremental(root: str, data_dir: str, shard_paths,
                           fuzzy: bool = True, num_partitions: int = 32,
-                          trust_sharding: bool = True):
+                          trust_sharding: bool = True,
+                          verify: str = "size"):
     """Nightly shard ingest over the checkpointed store (the 10^12-turn
     maintenance loop): link ONLY the new shard, derive its novel
     triples against the merged store, write them as their OWN
@@ -382,7 +457,12 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
       ``<dir>/<name>:<size>`` ledger (survives mtime-only re-uploads
       AND consolidation); a partial name overlap or a same-named file
       with different size is never skipped and never trusted as
-      disjoint — the prev-overlap probe decides.
+      disjoint — the prev-overlap probe decides.  ``verify="hash"``
+      folds a parquet-footer signature into the ledger key, so a
+      same-size IN-PLACE content rewrite (invisible to size keys) is
+      ingested as a new shard; off by default — it costs one footer
+      read per shard file per attempt, and pre-hash ledger entries
+      are grandfathered by their size key.
     - Unchanged lexicon tables (fingerprint match in the registry) →
       ``update_kg(lexicon_unchanged=True)``: the append never reads
       prev at all — O(new shard), measured store-size-independent
@@ -405,7 +485,8 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     if isinstance(shard_paths, str):
         shard_paths = [shard_paths]
     fp = input_fingerprint(*shard_paths)
-    keys = sorted(_shard_ledger_key(p) for p in shard_paths)
+    keys = sorted(_shard_ledger_key(p, verify=verify)
+                  for p in shard_paths)
     reg = read_shard_registry(root)
     base_m = read_manifest(root, _base_stage(reg))
     seen_keys = _ingested_keys(reg, base_m)
@@ -418,10 +499,17 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     # revision — never skipped AND never trusted as disjoint; any
     # partial name overlap likewise revokes the attestation (the
     # prev-overlap probe decides), so trust_sharding can never
-    # double-ingest turns.
+    # double-ingest turns.  ``verify="hash"`` keys carry a footer
+    # signature too, so a same-size IN-PLACE rewrite is a new shard —
+    # but entries ingested BEFORE hash mode match on their size key
+    # (grandfathered: re-pushes of old shards stay idempotent).
+    in_ledger = bool(seen_keys) and set(keys) <= seen_keys
+    if verify == "hash" and not in_ledger and seen_keys:
+        pre_hash = {k for k in seen_keys if k.count(":") == 1}
+        in_ledger = {_ledger_sizekey(k) for k in keys} <= pre_hash
     if fp in reg["shards"] or (base_m is not None
                                and base_m.get("input_fingerprint") == fp) \
-            or (seen_keys and set(keys) <= seen_keys):
+            or in_ledger:
         return {"skipped": True, "stage": None, "novel_rows": 0}
     if seen_names & {_ledger_name(k) for k in keys}:
         trust_sharding = False
@@ -440,8 +528,10 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
                     num_partitions=num_partitions,
                     metrics={"lexicon_fingerprint": lex_fp,
                              "shard_paths": keys})
-        reg["lexicon_fingerprint"] = lex_fp
-        _write_shard_registry(root, reg)
+        with _registry_lock(root):
+            reg2 = read_shard_registry(root)
+            reg2["lexicon_fingerprint"] = lex_fp
+            _write_shard_registry(root, reg2)
         return {"skipped": False, "stage": "kg",
                 "novel_rows": read_manifest(root, "kg")["row_count"]}
     # unchanged lexicon tables ⇒ prev already holds every lexicon /
@@ -457,18 +547,28 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     write_stage(novel, root, stage, fp, partition_key="subj",
                 num_partitions=num_partitions,
                 metrics={"lexicon_unchanged": lex_same})
-    reg["shards"][fp] = {
+    entry = {
         "stage": stage,
         "paths": keys,
         "rows": read_manifest(root, stage)["row_count"],
         "written_at": time.time(),
     }
-    if not lex_same:
-        # the merged store now embeds the NEW lexicon tables' triples
-        reg["lexicon_fingerprint"] = lex_fp
-    _write_shard_registry(root, reg)
+    # registry commit = locked read-MERGE-write: re-reading under the
+    # lock means a consolidation (or sibling append) that committed
+    # while this shard was building is never overwritten by our stale
+    # snapshot — our entry is merged into whatever registry exists now
+    # (the novel anti-join ran against the pre-consolidation store,
+    # whose content the consolidated base preserves, so the entry
+    # stays valid under either base)
+    with _registry_lock(root):
+        reg2 = read_shard_registry(root)
+        reg2["shards"][fp] = entry
+        if not lex_same:
+            # the merged store now embeds the NEW lexicon tables
+            reg2["lexicon_fingerprint"] = lex_fp
+        _write_shard_registry(root, reg2)
     return {"skipped": False, "stage": stage,
-            "novel_rows": reg["shards"][fp]["rows"]}
+            "novel_rows": entry["rows"]}
 
 
 def validate_stage(root: str, stage: str) -> dict:

@@ -661,3 +661,152 @@ def test_ray_job_shard_mode(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     c = json.loads(out.stdout.strip().splitlines()[-1])
     assert c["consolidated"] and c["rows"] == app["merged_rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLedgerAndLock:
+    """Round-5 hardening: verify="hash" content keys and the locked
+    read-merge-write registry commit (ADVICE r4 checkpoint items)."""
+
+    def _same_size_pair(self, tmp_path, marker_a, marker_b):
+        """Two VALID parquet shards, byte-identical in SIZE, different
+        in content: plain-encoded, uncompressed, values of equal
+        length — only the payload (and footer statistics) differ."""
+        import pyarrow.parquet as pq
+
+        def tbl(marker):
+            n = 8
+            return pa.table({
+                "conv_id": pa.array([f"conv_{i:04d}" for i in range(n)]),
+                "turn_idx": pa.array(list(range(n)), pa.int32()),
+                "text": pa.array([f"{marker} turn {i:02d}" for i in range(n)]),
+            })
+
+        pa_, pb_ = str(tmp_path / "va.parquet"), str(tmp_path / "vb.parquet")
+        for p, m in [(pa_, marker_a), (pb_, marker_b)]:
+            pq.write_table(tbl(m), p, use_dictionary=False,
+                           compression="none")
+        assert os.path.getsize(pa_) == os.path.getsize(pb_)
+        return pa_, pb_
+
+    def test_ledger_key_hash_mode_separates_same_size_rewrite(
+            self, tmp_path):
+        from tera_ray.state.checkpoint import (
+            _ledger_name,
+            _ledger_sizekey,
+            _shard_ledger_key,
+        )
+
+        va, vb = self._same_size_pair(tmp_path, "alpha", "omega")
+        shard = str(tmp_path / "incoming.parquet")
+        os.replace(va, shard)
+        k_size1 = _shard_ledger_key(shard)
+        k_hash1 = _shard_ledger_key(shard, verify="hash")
+        os.replace(vb, shard)          # in-place same-size rewrite
+        assert _shard_ledger_key(shard) == k_size1          # blind spot
+        k_hash2 = _shard_ledger_key(shard, verify="hash")
+        assert k_hash2 != k_hash1                           # detected
+        assert _ledger_sizekey(k_hash1) == _ledger_sizekey(k_hash2) == k_size1
+        assert _ledger_name(k_hash1) == _ledger_name(k_size1)
+
+    def test_incremental_hash_verify_ingests_same_size_rewrite(
+            self, tmp_path):
+        """End-to-end: a same-size in-place rewrite is skipped as a
+        re-delivery under the default size keys (the documented blind
+        spot) but ingested as NEW content under verify="hash"."""
+        from tera_ray.state.checkpoint import (
+            read_shard_registry,
+            update_kg_incremental,
+        )
+
+        va, vb = self._same_size_pair(tmp_path, "alpha", "omega")
+        data_dir = str(tmp_path / "empty_lexicon")
+        os.makedirs(data_dir)
+        shard = str(tmp_path / "feed" / "part-0000.parquet")
+        os.makedirs(os.path.dirname(shard))
+
+        for mode, rewritten_skipped in [("size", True), ("hash", False)]:
+            root = str(tmp_path / f"store_{mode}")
+            import shutil
+            shutil.copy(va, shard)
+            r1 = update_kg_incremental(root, data_dir, shard,
+                                       fuzzy=False, num_partitions=2,
+                                       verify=mode)
+            assert not r1["skipped"]
+            shutil.copy(vb, shard)     # same-size content revision
+            assert os.path.getsize(shard) == os.path.getsize(va)
+            r2 = update_kg_incremental(root, data_dir, shard,
+                                       fuzzy=False, num_partitions=2,
+                                       verify=mode)
+            assert r2["skipped"] == rewritten_skipped, mode
+            if mode == "hash":
+                # byte-identical re-push of the SAME revision still
+                # idempotent under hash keys
+                os.utime(shard)
+                r3 = update_kg_incremental(root, data_dir, shard,
+                                           fuzzy=False,
+                                           num_partitions=2,
+                                           verify=mode)
+                assert r3["skipped"]
+                assert len(read_shard_registry(root)["shards"]) == 1
+
+    def test_registry_lock_exclusive_and_stale_reclaim(self, tmp_path):
+        from tera_ray.state.checkpoint import SHARDS, _registry_lock
+
+        root = str(tmp_path / "store")
+        with _registry_lock(root):
+            with pytest.raises(TimeoutError):
+                with _registry_lock(root, timeout=0.2):
+                    pass
+        # released: immediate re-acquire works
+        with _registry_lock(root, timeout=0.2):
+            pass
+        # stale holder (crashed process): reclaimed after `stale`
+        lock = os.path.join(root, SHARDS + ".lock")
+        with open(lock, "w") as f:
+            f.write("dead")
+        os.utime(lock, (1, 1))
+        with _registry_lock(root, timeout=0.5, stale=10.0):
+            pass
+
+    def test_append_commit_merges_concurrent_registration(
+            self, tmp_path, monkeypatch):
+        """A sibling append that commits while this shard builds must
+        survive our registry write (the old snapshot-write would erase
+        it; the locked read-merge-write keeps both entries)."""
+        import pyarrow.parquet as pq
+
+        import tera_ray.pipelines.transcripts as tr_mod
+        from tera_ray.state.checkpoint import (
+            SHARDS,
+            read_shard_registry,
+            update_kg_incremental,
+        )
+
+        va, vb = self._same_size_pair(tmp_path, "alpha", "omega")
+        data_dir = str(tmp_path / "lex")
+        os.makedirs(data_dir)
+        root = str(tmp_path / "store")
+        r1 = update_kg_incremental(root, data_dir, va, fuzzy=False,
+                                   num_partitions=2)
+        assert not r1["skipped"]
+
+        real = tr_mod.update_kg
+
+        def racing(*a, **kw):
+            # simulate a sibling append committing mid-build
+            reg = read_shard_registry(root)
+            reg["shards"]["sibling_fp"] = {
+                "stage": "kg_shard_sibling", "paths": ["x/y:1"],
+                "rows": 1, "written_at": 0.0}
+            with open(os.path.join(root, SHARDS), "w") as f:
+                json.dump(reg, f)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(tr_mod, "update_kg", racing)
+        r2 = update_kg_incremental(root, data_dir, vb, fuzzy=False,
+                                   num_partitions=2)
+        assert not r2["skipped"]
+        shards = read_shard_registry(root)["shards"]
+        assert "sibling_fp" in shards          # not erased
+        assert any(v["stage"] == r2["stage"] for v in shards.values())
