@@ -67,6 +67,65 @@ class TestMultimodal:
                                 concurrency=(1, 2))
         assert ds_stub.schema().base_schema.equals(stub.schema)
 
+    def test_decode_routes_through_decode_real_when_codec_present(
+            self, monkeypatch):
+        """The seam must EXECUTE, not just exist: with the codec flag
+        set, `_decode` routes every payload through `_decode_real`
+        (payload-only, metadata dims ignored — PIL's contract), and
+        the stage output schema is identical to the stub path's."""
+        import numpy as np
+
+        import tera_ray.multimodal.media as media
+        from tera_ray.multimodal.media import ImageDecodeStage
+
+        t = synthetic_media(6)
+        stub_out = ImageDecodeStage(out_size=8)(t)
+        calls = []
+
+        class Spy(ImageDecodeStage):
+            def _decode_real(self, payload):
+                calls.append(len(payload))
+                hh, ww = 9, 5
+                reps = hh * ww * 3 // max(1, len(payload)) + 1
+                buf = (payload * reps)[:hh * ww * 3]
+                return np.frombuffer(buf, np.uint8).reshape(
+                    hh, ww, 3).copy()
+
+        monkeypatch.setattr(media, "_HAVE_PIL", True)
+        real_out = Spy(out_size=8)(t)
+        assert len(calls) == 6          # every row went through the seam
+        assert real_out.schema.equals(stub_out.schema)
+        assert real_out.num_rows == stub_out.num_rows == 6
+
+    def test_decode_real_with_pil(self):
+        """Optional-dependency test for the ACTUAL PIL path (VERDICT r4
+        item 6; skip-marked in codec-less containers): a real PNG
+        payload round-trips losslessly through `_decode_real`, and the
+        full stage over a real payload matches the stub path's schema
+        and tensor layout."""
+        PILImage = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+
+        from tera_ray.multimodal.media import ImageDecodeStage
+
+        rng = np.random.RandomState(0)
+        px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(px).save(buf, format="PNG")
+        payload = buf.getvalue()
+        st = ImageDecodeStage(out_size=4)
+        np.testing.assert_array_equal(st._decode_real(payload), px)
+        t = synthetic_media(1)
+        i = t.schema.get_field_index("payload")
+        t = t.set_column(i, t.schema.field(i), pa.array(
+            [payload], t.schema.field(i).type))
+        out_real = st(t)
+        out_stub = ImageDecodeStage(out_size=4)(synthetic_media(1))
+        assert out_real.schema.equals(out_stub.schema)
+        assert len(out_real["pixels"][0]) == 4 * 4 * 3
+
     def test_frame_sampling_fans_out(self):
         t = synthetic_media(6, kind="video")
         out = sample_frames(ray.data.from_arrow(t), num_frames=3, out_size=4,
