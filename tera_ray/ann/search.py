@@ -193,56 +193,53 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
     C = train_centroids(sample, n_centroids)
     Qn = _normalize(np.asarray(Q, dtype))
     probe = np.argsort(-(Qn @ C.T.astype(dtype)), axis=1)[:, :nprobe]
-    # query → allowed lists, inverted to list → queries probing it
+    # query → allowed lists, inverted ONCE at the driver to
+    # list → query-row indices (it only depends on the probe plan, not
+    # the data), then broadcast with everything else — scoring runs as
+    # plain TASKS (no actor pool; see brute_topk for the rationale)
+    by_list: dict[int, np.ndarray] = {}
+    for qi, lists in enumerate(probe):
+        for li in lists:
+            by_list.setdefault(int(li), []).append(qi)
+    by_list = {li: np.asarray(v) for li, v in by_list.items()}
     ref = ray.put({"C": C, "qids": np.asarray(qids, np.int64),
-                   "Q": Qn, "probe": probe, "k": k, "dtype": dtype})
+                   "Q": Qn, "by_list": by_list, "k": k, "dtype": dtype})
 
-    class IVFScorer:
-        def __init__(self, ref, id_col, vec_col):
-            st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.C, self.qids, self.Q, self.k = st["C"], st["qids"], st["Q"], st["k"]
-            self.dtype = st.get("dtype", np.float32)
-            # list id → row indices of queries probing it
-            self.by_list: dict[int, np.ndarray] = {}
-            for qi, lists in enumerate(st["probe"]):
-                for li in lists:
-                    self.by_list.setdefault(int(li), []).append(qi)
-            self.by_list = {li: np.asarray(v) for li, v in self.by_list.items()}
-            self.id_col, self.vec_col = id_col, vec_col
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-            v = _normalize(_vecs(batch, self.vec_col, dtype=self.dtype))
-            assign = (v @ self.C.T.astype(self.dtype)).argmax(axis=1)
-            out_q, out_i, out_s = [], [], []
-            for li in np.unique(assign):
-                quers = self.by_list.get(int(li))
-                if quers is None:
-                    continue
-                mask = assign == li
-                sub, sub_ids = v[mask], ids[mask]
-                sims = self.Q[quers] @ sub.T
-                kk = min(self.k, sims.shape[1])
-                part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-                rows = np.repeat(np.arange(sims.shape[0]), kk)
-                cols = part.reshape(-1)
-                out_q.append(self.qids[quers[rows]])
-                out_i.append(sub_ids[cols])
-                out_s.append(sims[rows, cols])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 self.id_col: pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.table({
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                self.id_col: pa.array(np.concatenate(out_i), pa.int64()),
-                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
-            })
+    def ivf_score(batch: pa.Table, ref=ref, id_col=id_col,
+                  vec_col=vec_col) -> pa.Table:
+        st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        C, qids, Q, k = st["C"], st["qids"], st["Q"], st["k"]
+        dt, by_list = st["dtype"], st["by_list"]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = _normalize(_vecs(batch, vec_col, dtype=dt))
+        assign = (v @ C.T.astype(dt)).argmax(axis=1)
+        out_q, out_i, out_s = [], [], []
+        for li in np.unique(assign):
+            quers = by_list.get(int(li))
+            if quers is None:
+                continue
+            mask = assign == li
+            sub, sub_ids = v[mask], ids[mask]
+            sims = Q[quers] @ sub.T
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.reshape(-1)
+            out_q.append(qids[quers[rows]])
+            out_i.append(sub_ids[cols])
+            out_s.append(sims[rows, cols])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
+        })
 
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        IVFScorer, fn_constructor_kwargs={"ref": ref, "id_col": id_col,
-                                          "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 8))
+        ivf_score, batch_format="pyarrow")
     return _merge_topk(local, k, id_col)
 
 
