@@ -2736,6 +2736,27 @@ def _q_kg_sparql_nested_optional(sf_dir: str):
     return sparql_select(_ecotox_star_store(sf_dir), q)
 
 
+def _q_kg_sparql_optional_filter(sf_dir: str):
+    """FILTER scoped inside OPTIONAL = the LeftJoin condition (SPARQL
+    1.1 §18.2.2.2): tests keep their row when the studyDuration fails
+    the condition — the duration vars just go null (join-then-filter
+    would drop those tests entirely).  String comparison is lexical on
+    both sides (engine store terms and the VARCHAR oracle)."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT DISTINCT ?test ?sd WHERE {
+            ?test rdf:type ns:Test .
+            OPTIONAL {
+                ?test ns:studyDuration ?b .
+                ?b rdf:value ?sd
+                FILTER(?sd > "50")
+            }
+        }
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -4350,13 +4371,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_construct": _q_kg_sparql_construct,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_sparql_nested_optional": _q_kg_sparql_nested_optional,
+        "kg_sparql_optional_filter": _q_kg_sparql_optional_filter,
         "emb_cosine_dups": _q_emb_cosine_dups,
-        "emb_semdedup": _q_emb_semdedup,
         "emb_knn_join": _q_emb_knn_join,
         "chem_tanimoto": _q_chem_tanimoto,
         "docs_logreg_partials": _q_docs_logreg_partials,
         "docs_bpe_pair_counts": _q_docs_bpe_pair_counts,
         # --- remaining entries (driver checks rows-only / not sampled) ---
+        "emb_semdedup": _q_emb_semdedup,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "emb_kmeans_iter": _q_emb_kmeans_iter,
         "emb_quantize": _q_emb_quantize,
@@ -6078,6 +6100,26 @@ SELECT '{NS}taxon/'||sn, '{NS}latinName', ln, TRUE, 'ecotox_taxonomy'
             f" FROM pairs p JOIN ({_sparql_agg_sql(fx)}) a"
             f" USING (chemical)",
         "kg_sparql_nested_optional": _sparql_nested_optional_sql(fx),
+        "kg_sparql_optional_filter": f"""
+WITH t AS (
+  SELECT DISTINCT trim(test_id) AS test_id
+  FROM read_parquet('{fx}/tests.parquet')
+  WHERE test_id NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND test_cas NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND species_number NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+), sd AS (
+  SELECT trim(test_id) AS test_id, trim(study_duration_mean) AS sd
+  FROM read_parquet('{fx}/tests.parquet')
+  WHERE test_id NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND test_cas NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND species_number NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND study_duration_mean NOT IN ({", ".join(f"'{v}'" for v in NAN_VALUES)})
+    AND study_duration_mean IS NOT NULL
+    AND trim(study_duration_mean) > '50'
+)
+SELECT DISTINCT '{NS}test/'||t.test_id AS test, sd.sd AS sd
+FROM t LEFT JOIN sd ON sd.test_id = t.test_id
+""",
         "kg_sparql_union": _sparql_union_sql(fx),
         # CONSTRUCT rewrite: the ns:Chemical-typed subjects are exactly
         # the cas/ subjects (groups type as ChemicalGroup), so the

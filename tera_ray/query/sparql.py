@@ -25,7 +25,10 @@ so a reference user can run their existing query strings unchanged:
   OPTIONAL join keys only on certainly-bound variables — sharing a
   possibly-unbound variable fails loud rather than mis-joining, as
   a null-rejecting equality join cannot express compatibility
-  semantics)
+  semantics) and group-scoped ``FILTER`` inside OPTIONAL (the
+  LeftJoin condition, §18.2.2.2 — a failing row keeps its outer
+  bindings with the optional vars null; the expression may reference
+  only the group's own variables, outer references fail loud)
 - ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
   idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
   unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
@@ -627,18 +630,20 @@ class _Parser:
                 # child OPTIONAL nodes: the sub-group's plain optionals
                 # become leaf nodes, its nested ones are already nodes —
                 # the tree recurses to arbitrary depth
-                children = [(g, []) for g in sub[1]] + list(sub[2])
-                if any(sub[3:]):
+                children = [(g, [], []) for g in sub[1]] + list(sub[2])
+                ofilters = list(sub[3])
+                if any(sub[4:]):
                     raise SparqlUnsupported(
-                        "OPTIONAL containing FILTER/UNION/VALUES/GRAPH/"
+                        "OPTIONAL containing UNION/VALUES/GRAPH/"
                         "SERVICE/BIND/MINUS")
                 if not inner_p:
                     raise SparqlUnsupported(
                         "OPTIONAL with no required triple patterns")
-                if children:
+                if children or ofilters:
                     # nested OPTIONAL tree: evaluated bottom-up as a
-                    # recursive LeftJoin fold, then left-joined to main
-                    nested.append((inner_p, children))
+                    # recursive LeftJoin fold (group-scoped FILTERs are
+                    # the LeftJoin condition), then left-joined to main
+                    nested.append((inner_p, children, ofilters))
                 else:
                     optionals.append(inner_p)
             elif self.kw("GRAPH"):
@@ -664,14 +669,22 @@ class _Parser:
                 minuses.append(self._plain_sub(
                     self.group(in_optional=True), "MINUS"))
             elif self.kw("FILTER"):
-                if in_optional:
-                    raise SparqlUnsupported("FILTER inside OPTIONAL")
+                # plain FILTER inside OPTIONAL is the LeftJoin
+                # condition (SPARQL 1.1 §18.2.2.2) — parsed here, the
+                # OPTIONAL branch consumes it; [NOT] EXISTS stays
+                # disallowed inside sub-groups (would recurse further)
                 if self.kw("NOT"):
+                    if in_optional:
+                        raise SparqlUnsupported(
+                            "NOT EXISTS inside OPTIONAL/UNION")
                     if not self.kw("EXISTS"):
                         raise SparqlError("expected EXISTS after NOT")
                     exists.append((True, self._plain_sub(
                         self.group(in_optional=True), "NOT EXISTS")))
                 elif self.kw("EXISTS"):
+                    if in_optional:
+                        raise SparqlUnsupported(
+                            "EXISTS inside OPTIONAL/UNION")
                     exists.append((False, self._plain_sub(
                         self.group(in_optional=True), "EXISTS")))
                 else:
@@ -1316,7 +1329,7 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
             zl_domains.append({"pattern": p, "identity_domain": dom})
     join_shuffles = max(0, len(ordered) - 1)
     def _n_opt_nodes(nodes) -> int:
-        return sum(1 + _n_opt_nodes(c) for _, c in nodes)
+        return sum(1 + _n_opt_nodes(c) for _, c, _f in nodes)
 
     extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
              + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
@@ -1725,7 +1738,7 @@ def _collect_groups(ast: _Query) -> list[list]:
     groups += [list(g) for g in ast.optionals]
 
     def _opt_nodes(nodes):
-        for pats, children in nodes:
+        for pats, children, _filters in nodes:
             yield list(pats)
             yield from _opt_nodes(children)
 
@@ -2073,15 +2086,31 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # LeftJoin algebra, arbitrary depth).  ``certain`` tracks the vars
     # bound by a node's own required patterns; vars introduced under a
     # child OPTIONAL may be null and are never join keys.
-    def _eval_opt_tree(pats, children):
+    def _probe_opt_filter(fn, sub_vars) -> None:
+        """Plan-time guard: the group-scoped FILTER may reference only
+        the group's own variables — pre-filtering the optional relation
+        then equals the spec's LeftJoin(Ω1, Ω2, expr) (every var shared
+        with the outer side is certainly bound AND join-equal, by the
+        unbound-guard above)."""
+        empty = pa.table({v: pa.array([], types.get(v, pa.string()))
+                          for v in sub_vars})
+        try:
+            fn(empty)
+        except KeyError as e:
+            raise SparqlUnsupported(
+                "FILTER inside OPTIONAL references a variable outside "
+                f"the OPTIONAL group: {e}") from None
+
+    def _eval_opt_tree(pats, children, ofilters):
         sub = bgp_match(triples, _connect_order(pats),
                         num_buckets=num_buckets, narrow=False)
         sub_vars = list(dict.fromkeys(
             v[1:] for p in pats for v in p
             if isinstance(v, str) and v.startswith("?")))
         certain = set(sub_vars)
-        for cpats, cchildren in children:
-            csub, c_vars, c_certain = _eval_opt_tree(cpats, cchildren)
+        for cpats, cchildren, cfilters in children:
+            csub, c_vars, c_certain = _eval_opt_tree(cpats, cchildren,
+                                                     cfilters)
             shared = [v for v in c_vars if v in sub_vars]
             if not shared:
                 raise SparqlError("nested OPTIONAL shares no variable "
@@ -2092,10 +2121,17 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             sub, sub_vars = _join_on_vars(sub, sub_vars, csub, c_vars,
                                           shared, num_buckets,
                                           how="left", types=types)
+        # group-scoped FILTER = the LeftJoin condition: applied to the
+        # node's COMPOSITE (own BGP + children, SPARQL group scoping)
+        # before the join to the enclosing side
+        for fn in ofilters:
+            _probe_opt_filter(fn, sub_vars)
+            sub = sub.map_batches(_masker(fn), batch_format="pyarrow")
         return sub, sub_vars, certain
 
-    for outer_pats, inner_nodes in ast.nested_optionals:
-        sub, sub_vars, certain = _eval_opt_tree(outer_pats, inner_nodes)
+    for outer_pats, inner_nodes, node_filters in ast.nested_optionals:
+        sub, sub_vars, certain = _eval_opt_tree(outer_pats, inner_nodes,
+                                                node_filters)
         shared = [v for v in sub_vars if v in have]
         if not shared:
             raise SparqlError("OPTIONAL group shares no variable with "

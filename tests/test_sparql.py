@@ -975,6 +975,49 @@ class TestSparqlSelect:
                         OPTIONAL { ?s ex:tag ?t } } }
             """)
 
+    def test_filter_inside_optional_is_leftjoin_condition(self):
+        """FILTER scoped inside OPTIONAL is the LeftJoin condition
+        (SPARQL 1.1 §18.2.2.2): a row failing the condition keeps its
+        outer bindings with the optional vars NULL — NOT dropped (the
+        difference from join-then-filter).  The filter may reference
+        only the group's own vars; outer references fail loud, and
+        [NOT] EXISTS inside OPTIONAL stays unsupported."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a", NS + "b",
+                              NS + "a"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label",
+                              NS + "label", NS + "tag"]),
+            "obj": pa.array([NS + "x", NS + "y", "Alpha", "beta", "T"]),
+        }))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l
+                           FILTER(STRSTARTS(str(?l), "A")) } }
+        """), ["s", "l"])
+        assert got == [(NS + "a", "Alpha"), (NS + "b", None)]
+        # filter composes with a nested child OPTIONAL (group scoping:
+        # the condition applies to the node's composite)
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?s ?l ?t WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l
+                           FILTER(STRSTARTS(str(?l), "A"))
+                           OPTIONAL { ?s ex:tag ?t } } }
+        """), ["s", "l", "t"])
+        assert got2 == [(NS + "a", "Alpha", "T"),
+                        (NS + "b", None, None)]
+        with pytest.raises(SparqlError, match="outside the OPTIONAL"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o
+                    OPTIONAL { ?s ex:label ?l
+                               FILTER(STRSTARTS(str(?o), "x")) } }
+            """)
+        with pytest.raises(SparqlError, match="EXISTS inside OPTIONAL"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o
+                    OPTIONAL { ?s ex:label ?l
+                        FILTER NOT EXISTS { ?s ex:tag ?t } } }
+            """)
+
     def test_filter_value_functions(self):
         """STRLEN/UCASE/LCASE in comparison position."""
         st = ray.data.from_arrow(pa.table({
