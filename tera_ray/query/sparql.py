@@ -721,15 +721,23 @@ class _Parser:
                 "SERVICE/BIND/MINUS")
         return sub_p
 
-    def union_block(self) -> list[list[tuple]]:
-        """``{ BGP } UNION { BGP } [UNION …]`` → list of branch BGPs.
-        Branches are plain BGPs (no nested OPTIONAL/FILTER/UNION)."""
+    def union_block(self) -> list[tuple[list[tuple], list]]:
+        """``{ BGP } UNION { BGP } [UNION …]`` → list of
+        ``(branch BGP, branch filters)``.  A FILTER inside a branch
+        scopes that branch (SPARQL group scoping: the algebra is
+        ``Union(…, Filter(e, P), …)``) — applied to the branch relation
+        before the stream-union.  No nested OPTIONAL/UNION inside
+        branches."""
         branches = []
         while True:
-            sub_p = self._plain_sub(self.group(in_optional=True), "UNION branch")
-            if not sub_p:
+            sub = self.group(in_optional=True)
+            if any(sub[1:3]) or any(sub[4:]):
+                raise SparqlUnsupported(
+                    "UNION branch containing OPTIONAL/UNION/VALUES/"
+                    "GRAPH/SERVICE/BIND/MINUS")
+            if not sub[0]:
                 raise SparqlError("empty UNION branch")
-            branches.append(sub_p)
+            branches.append((sub[0], list(sub[3])))
             if not self.kw("UNION"):
                 break
         if len(branches) == 1:
@@ -863,7 +871,7 @@ class _Parser:
                 for steps in paths:
                     br: list[tuple] = []
                     self.emit_path(subj, steps, obj, br)
-                    branches.append(br)
+                    branches.append((br, []))   # alternation: no filters
                 unions.append(branches)
 
             while True:
@@ -1743,7 +1751,7 @@ def _collect_groups(ast: _Query) -> list[list]:
             yield from _opt_nodes(children)
 
     groups += list(_opt_nodes(ast.nested_optionals))
-    groups += [list(br) for blk in ast.unions for br in blk]
+    groups += [list(br) for blk in ast.unions for br, _bf in blk]
     groups += [list(ps) for _, ps in ast.graphs]
     groups += [list(g) for g in ast.minuses]
     groups += [list(g) for _, g in ast.exists]
@@ -1897,14 +1905,21 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # SPARQL join(…, union(…)) semantics for non-nested blocks
     for block in ast.unions:
         blk_vars = list(dict.fromkeys(
-            v[1:] for br in block for p in br for v in p
+            v[1:] for br, _bf in block for p in br for v in p
             if isinstance(v, str) and v.startswith("?")))
         parts = []
-        for br in block:
+        for br, br_filters in block:
             b = bgp_match(triples, _connect_order(br),
                           num_buckets=num_buckets, narrow=False)
             br_vars = {v[1:] for p in br for v in p
                        if isinstance(v, str) and v.startswith("?")}
+            # branch-scoped FILTER: Union(…, Filter(e, P), …) — applied
+            # to the branch relation before padding/union; may only
+            # reference the branch's own (all certainly bound) vars
+            for fn in br_filters:
+                _probe_group_filter(fn, sorted(br_vars), types,
+                                    "UNION branch")
+                b = b.map_batches(_masker(fn), batch_format="pyarrow")
             parts.append(b.map_batches(
                 _align_cols(blk_vars, br_vars), batch_format="pyarrow"))
         ub = parts[0]
@@ -2086,21 +2101,6 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # LeftJoin algebra, arbitrary depth).  ``certain`` tracks the vars
     # bound by a node's own required patterns; vars introduced under a
     # child OPTIONAL may be null and are never join keys.
-    def _probe_opt_filter(fn, sub_vars) -> None:
-        """Plan-time guard: the group-scoped FILTER may reference only
-        the group's own variables — pre-filtering the optional relation
-        then equals the spec's LeftJoin(Ω1, Ω2, expr) (every var shared
-        with the outer side is certainly bound AND join-equal, by the
-        unbound-guard above)."""
-        empty = pa.table({v: pa.array([], types.get(v, pa.string()))
-                          for v in sub_vars})
-        try:
-            fn(empty)
-        except KeyError as e:
-            raise SparqlUnsupported(
-                "FILTER inside OPTIONAL references a variable outside "
-                f"the OPTIONAL group: {e}") from None
-
     def _eval_opt_tree(pats, children, ofilters):
         sub = bgp_match(triples, _connect_order(pats),
                         num_buckets=num_buckets, narrow=False)
@@ -2123,9 +2123,12 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                                           how="left", types=types)
         # group-scoped FILTER = the LeftJoin condition: applied to the
         # node's COMPOSITE (own BGP + children, SPARQL group scoping)
-        # before the join to the enclosing side
+        # before the join to the enclosing side — equivalent to the
+        # spec's LeftJoin(Ω1, Ω2, expr) because every var shared with
+        # the outer side is certainly bound AND join-equal (the
+        # unbound-guard above)
         for fn in ofilters:
-            _probe_opt_filter(fn, sub_vars)
+            _probe_group_filter(fn, sub_vars, types, "OPTIONAL")
             sub = sub.map_batches(_masker(fn), batch_format="pyarrow")
         return sub, sub_vars, certain
 
@@ -2497,6 +2500,22 @@ def _group_concat_agg(out, keys: list[str], ast: _Query):
 
 def _drop_key(t: pa.Table) -> pa.Table:
     return t.drop_columns(["__k"])
+
+
+def _probe_group_filter(fn, group_vars, types: dict, ctx: str) -> None:
+    """Plan-time guard for a group-scoped FILTER (OPTIONAL / UNION
+    branch): the expression may reference only the group's own
+    variables — probed against a typed EMPTY relation so an outer
+    reference fails loud here instead of as a KeyError inside a Ray
+    task."""
+    empty = pa.table({v: pa.array([], types.get(v, pa.string()))
+                      for v in group_vars})
+    try:
+        fn(empty)
+    except KeyError as e:
+        raise SparqlUnsupported(
+            f"FILTER inside {ctx} references a variable outside "
+            f"the group: {e}") from None
 
 
 def _masker(fn):

@@ -1005,7 +1005,7 @@ class TestSparqlSelect:
         """), ["s", "l", "t"])
         assert got2 == [(NS + "a", "Alpha", "T"),
                         (NS + "b", None, None)]
-        with pytest.raises(SparqlError, match="outside the OPTIONAL"):
+        with pytest.raises(SparqlError, match="outside the group"):
             sparql_select(st, PFX + """
                 SELECT ?s WHERE { ?s ex:p ?o
                     OPTIONAL { ?s ex:label ?l
@@ -1016,6 +1016,31 @@ class TestSparqlSelect:
                 SELECT ?s WHERE { ?s ex:p ?o
                     OPTIONAL { ?s ex:label ?l
                         FILTER NOT EXISTS { ?s ex:tag ?t } } }
+            """)
+
+    def test_filter_inside_union_branch(self):
+        """A FILTER inside a UNION branch scopes that branch only
+        (algebra: Union(…, Filter(e, P), …)): the filtered branch
+        contributes its passing rows, the other branch is unaffected."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "c"]),
+            "pred": pa.array([NS + "label", NS + "label", NS + "tag"]),
+            "obj": pa.array(["Alpha", "beta", "Tau"]),
+        }))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?v WHERE {
+                { ?s ex:label ?v FILTER(STRSTARTS(str(?v), "A")) }
+                UNION { ?s ex:tag ?v }
+            }
+        """), ["s", "v"])
+        assert got == [(NS + "a", "Alpha"), (NS + "c", "Tau")]
+        # filter referencing the OTHER branch's var fails loud
+        with pytest.raises(SparqlError, match="outside the group"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE {
+                    { ?s ex:label ?v FILTER(STRSTARTS(str(?w), "T")) }
+                    UNION { ?s ex:tag ?w }
+                }
             """)
 
     def test_filter_value_functions(self):
