@@ -25,10 +25,12 @@ so a reference user can run their existing query strings unchanged:
   OPTIONAL join keys only on certainly-bound variables — sharing a
   possibly-unbound variable fails loud rather than mis-joining, as
   a null-rejecting equality join cannot express compatibility
-  semantics) and group-scoped ``FILTER`` inside OPTIONAL (the
-  LeftJoin condition, §18.2.2.2 — a failing row keeps its outer
-  bindings with the optional vars null; the expression may reference
-  only the group's own variables, outer references fail loud)
+  semantics), group-scoped ``FILTER`` inside OPTIONAL (the LeftJoin
+  condition, §18.2.2.2 — a failing row keeps its outer bindings with
+  the optional vars null; the expression may reference only the
+  group's own variables, outer references fail loud) and group-scoped
+  ``BIND`` inside OPTIONAL (Extend over the node's composite; the
+  alias nulls when the group misses and may feed the group FILTER)
 - ``FILTER`` with ``BOUND(?v)`` (+ the ``!BOUND`` OPTIONAL-negation
   idiom), unary ``!``, ``?v [NOT] IN (…)`` (vectorized set test;
   unbound = error-drop), ``isURI``/``isLiteral``/``isBlank``,
@@ -40,9 +42,10 @@ so a reference user can run their existing query strings unchanged:
   kernels applied to the binding relation; ``HAVING (…)`` applies the
   same machinery after the aggregation
 - ``{ … } UNION { … }`` chains — branches match as independent
-  sub-BGPs, null-pad to the block's variable superset and stream-union
-  (no shuffle); the block joins the surrounding patterns on the shared
-  variables
+  sub-BGPs (each may carry branch-scoped ``FILTER``s:
+  ``Union(…, Filter(e, P), …)``), null-pad to the block's variable
+  superset and stream-union (no shuffle); the block joins the
+  surrounding patterns on the shared variables
 - ``VALUES`` — single bound variable compiles to a vectorized
   ``is_in`` mask; multi-variable tuples join as a driver-tiny inline
   table; ``UNDEF`` is the spec's per-column wildcard (rows group by
@@ -630,20 +633,22 @@ class _Parser:
                 # child OPTIONAL nodes: the sub-group's plain optionals
                 # become leaf nodes, its nested ones are already nodes —
                 # the tree recurses to arbitrary depth
-                children = [(g, [], []) for g in sub[1]] + list(sub[2])
+                children = [(g, [], [], []) for g in sub[1]] + list(sub[2])
                 ofilters = list(sub[3])
-                if any(sub[4:]):
+                obinds = list(sub[8])
+                if any(sub[4:8]) or any(sub[9:]):
                     raise SparqlUnsupported(
                         "OPTIONAL containing UNION/VALUES/GRAPH/"
-                        "SERVICE/BIND/MINUS")
+                        "SERVICE/MINUS")
                 if not inner_p:
                     raise SparqlUnsupported(
                         "OPTIONAL with no required triple patterns")
-                if children or ofilters:
+                if children or ofilters or obinds:
                     # nested OPTIONAL tree: evaluated bottom-up as a
-                    # recursive LeftJoin fold (group-scoped FILTERs are
-                    # the LeftJoin condition), then left-joined to main
-                    nested.append((inner_p, children, ofilters))
+                    # recursive LeftJoin fold (group-scoped BINDs
+                    # extend, FILTERs are the LeftJoin condition),
+                    # then left-joined to main
+                    nested.append((inner_p, children, ofilters, obinds))
                 else:
                     optionals.append(inner_p)
             elif self.kw("GRAPH"):
@@ -694,8 +699,9 @@ class _Parser:
                     raise SparqlUnsupported("VALUES inside OPTIONAL")
                 values.append(self.values_clause())
             elif self.kw("BIND"):
-                if in_optional:
-                    raise SparqlUnsupported("BIND inside OPTIONAL")
+                # inside OPTIONAL this is the group-scoped Extend
+                # (consumed by the OPTIONAL branch); inside any OTHER
+                # sub-group the enclosing construct rejects it
                 self.expect("(")
                 fn, deps, vtype = self.value_expr()
                 if not self.kw("AS"):
@@ -1337,7 +1343,7 @@ def sparql_explain(query: str, init_ns: dict | None = None) -> dict:
             zl_domains.append({"pattern": p, "identity_domain": dom})
     join_shuffles = max(0, len(ordered) - 1)
     def _n_opt_nodes(nodes) -> int:
-        return sum(1 + _n_opt_nodes(c) for _, c, _f in nodes)
+        return sum(1 + _n_opt_nodes(c) for _, c, _f, _b in nodes)
 
     extra = (len(ast.optionals) + sum(len(b) for b in ast.unions)
              + len(ast.graphs) + len(ast.minuses) + len(ast.exists)
@@ -1746,7 +1752,7 @@ def _collect_groups(ast: _Query) -> list[list]:
     groups += [list(g) for g in ast.optionals]
 
     def _opt_nodes(nodes):
-        for pats, children, _filters in nodes:
+        for pats, children, _filters, _binds in nodes:
             yield list(pats)
             yield from _opt_nodes(children)
 
@@ -2101,16 +2107,16 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # LeftJoin algebra, arbitrary depth).  ``certain`` tracks the vars
     # bound by a node's own required patterns; vars introduced under a
     # child OPTIONAL may be null and are never join keys.
-    def _eval_opt_tree(pats, children, ofilters):
+    def _eval_opt_tree(pats, children, ofilters, obinds):
         sub = bgp_match(triples, _connect_order(pats),
                         num_buckets=num_buckets, narrow=False)
         sub_vars = list(dict.fromkeys(
             v[1:] for p in pats for v in p
             if isinstance(v, str) and v.startswith("?")))
         certain = set(sub_vars)
-        for cpats, cchildren, cfilters in children:
-            csub, c_vars, c_certain = _eval_opt_tree(cpats, cchildren,
-                                                     cfilters)
+        for cpats, cchildren, cfilters, cbinds in children:
+            csub, c_vars, c_certain = _eval_opt_tree(
+                cpats, cchildren, cfilters, cbinds)
             shared = [v for v in c_vars if v in sub_vars]
             if not shared:
                 raise SparqlError("nested OPTIONAL shares no variable "
@@ -2121,20 +2127,41 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
             sub, sub_vars = _join_on_vars(sub, sub_vars, csub, c_vars,
                                           shared, num_buckets,
                                           how="left", types=types)
+        # group-scoped BIND = Extend over the node's composite; the
+        # alias is certainly bound only when every dependency is
+        for fn, alias, deps, vtype in obinds:
+            if alias in sub_vars:
+                raise SparqlError(
+                    f"BIND alias ?{alias} is already bound")
+            missing = [d for d in deps if d not in sub_vars]
+            if missing:
+                raise SparqlError(
+                    f"BIND references unbound variables: {missing}")
+
+            def _obinder(t: pa.Table, fn=fn, alias=alias) -> pa.Table:
+                return t.append_column(alias, fn(t))
+
+            sub = sub.map_batches(_obinder, batch_format="pyarrow")
+            sub_vars = sub_vars + [alias]
+            if all(d in certain for d in deps):
+                certain.add(alias)
+            if not pa.types.is_string(vtype):
+                types[alias] = vtype
         # group-scoped FILTER = the LeftJoin condition: applied to the
-        # node's COMPOSITE (own BGP + children, SPARQL group scoping)
-        # before the join to the enclosing side — equivalent to the
-        # spec's LeftJoin(Ω1, Ω2, expr) because every var shared with
-        # the outer side is certainly bound AND join-equal (the
+        # node's COMPOSITE (own BGP + children + binds, SPARQL group
+        # scoping) before the join to the enclosing side — equivalent
+        # to the spec's LeftJoin(Ω1, Ω2, expr) because every var shared
+        # with the outer side is certainly bound AND join-equal (the
         # unbound-guard above)
         for fn in ofilters:
             _probe_group_filter(fn, sub_vars, types, "OPTIONAL")
             sub = sub.map_batches(_masker(fn), batch_format="pyarrow")
         return sub, sub_vars, certain
 
-    for outer_pats, inner_nodes, node_filters in ast.nested_optionals:
-        sub, sub_vars, certain = _eval_opt_tree(outer_pats, inner_nodes,
-                                                node_filters)
+    for outer_pats, inner_nodes, node_filters, node_binds \
+            in ast.nested_optionals:
+        sub, sub_vars, certain = _eval_opt_tree(
+            outer_pats, inner_nodes, node_filters, node_binds)
         shared = [v for v in sub_vars if v in have]
         if not shared:
             raise SparqlError("OPTIONAL group shares no variable with "

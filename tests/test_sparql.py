@@ -1018,6 +1018,42 @@ class TestSparqlSelect:
                         FILTER NOT EXISTS { ?s ex:tag ?t } } }
             """)
 
+    def test_bind_inside_optional(self):
+        """BIND inside OPTIONAL = group-scoped Extend: the alias
+        computes over the optional relation and goes NULL when the
+        group misses; composes with a group FILTER on the alias
+        (bind-then-filter order per the algebra)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a", NS + "c",
+                              NS + "c"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label",
+                              NS + "p", NS + "label"]),
+            "obj": pa.array([NS + "x", NS + "y", "Alpha", NS + "z",
+                             "be"]),
+        }))
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?u WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l BIND(UCASE(?l) AS ?u) } }
+        """), ["s", "u"])
+        assert got == [(NS + "a", "ALPHA"), (NS + "b", None),
+                       (NS + "c", "BE")]
+        # alias feeds a group FILTER: short labels fail the condition,
+        # their rows keep outer bindings with null alias
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?s ?n WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l BIND(STRLEN(?l) AS ?n)
+                           FILTER(?n > 3) } }
+        """), ["s", "n"])
+        assert got2 == [(NS + "a", 5), (NS + "b", None),
+                        (NS + "c", None)]
+        # dependency outside the group fails loud
+        with pytest.raises(SparqlError, match="unbound variables"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:p ?o
+                    OPTIONAL { ?s ex:label ?l
+                               BIND(UCASE(?zz) AS ?u) } }
+            """)
+
     def test_filter_inside_union_branch(self):
         """A FILTER inside a UNION branch scopes that branch only
         (algebra: Union(…, Filter(e, P), …)): the filtered branch
