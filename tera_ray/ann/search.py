@@ -34,6 +34,10 @@ def _brute_score(batch: pa.Table, *, queries_ref, k: int, id_col: str,
     local object store (zero-copy shared memory, one transfer per node
     on a cluster) — cheap enough per TASK that no actor pool is needed
     for the default path."""
+    if batch.num_rows == 0:   # empty block: typed empty result
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
     q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
          else queries_ref)
     qids, Q = q["qids"], q["Q"]              # (|Q|, dim), normalized
@@ -129,36 +133,32 @@ def _centroid_sample(ds, id_col: str, vec_col: str, sample_size: int,
     source-ordered petabyte data, unlike a ``limit()`` head sample
     which trains centroids on the first domain in the corpus.  The
     driver collects only ~1.25 × sample_size pre-filtered rows, never
-    the corpus."""
-    import pyarrow.compute as pc
-
+    the corpus (a deterministic under-delivery — the hash landing
+    unluckily — escalates the threshold geometrically, so the full
+    scan can only be reached when n ≲ sample_size)."""
     from ..text.curation import _salted_fnv
 
     n = ds.count()
     if n == 0:
         raise ValueError("cannot train centroids on an empty dataset")
-    frac = min(1.0, 1.25 * sample_size / n)
-    thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
+    frac = 1.0 if n <= sample_size else min(1.0, 1.25 * sample_size / n)
+    while True:
+        thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
 
-    def pick(t: pa.Table, thresh=thresh) -> pa.Table:
-        h = _salted_fnv(t[id_col], salt)
-        mask = h <= thresh
-        kept = t.select([id_col, vec_col]).filter(pa.array(mask))
-        return kept.append_column("__h", pa.array(h[mask], pa.uint64()))
+        def pick(t: pa.Table, thresh=thresh) -> pa.Table:
+            h = _salted_fnv(t[id_col], salt)
+            mask = h <= thresh
+            kept = t.select([id_col, vec_col]).filter(pa.array(mask))
+            return kept.append_column(
+                "__h", pa.array(h[mask], pa.uint64()))
 
-    rows = ds.select_columns([id_col, vec_col]).map_batches(
-        pick, batch_format="pyarrow").take_all()
+        rows = ds.select_columns([id_col, vec_col]).map_batches(
+            pick, batch_format="pyarrow").take_all()
+        if len(rows) >= min(sample_size, n) or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 4)
     rows.sort(key=lambda r: (r["__h"], r[id_col]))
     del rows[sample_size:]
-    if not rows:
-        # pathological threshold underflow (tiny frac rounding): fall
-        # back to hashing every id and keeping the bottom-k exactly
-        rows = ds.select_columns([id_col, vec_col]).map_batches(
-            lambda t: t.append_column(
-                "__h", pa.array(_salted_fnv(t[id_col], salt), pa.uint64())),
-            batch_format="pyarrow").take_all()
-        rows.sort(key=lambda r: (r["__h"], r[id_col]))
-        del rows[sample_size:]
     return np.asarray([r[vec_col] for r in rows], np.float32)
 
 def train_centroids(sample: np.ndarray, n_centroids: int, rounds: int = 5,
@@ -207,6 +207,10 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
 
     def ivf_score(batch: pa.Table, ref=ref, id_col=id_col,
                   vec_col=vec_col) -> pa.Table:
+        if batch.num_rows == 0:   # empty block: typed empty result
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         C, qids, Q, k = st["C"], st["qids"], st["Q"], st["k"]
         dt, by_list = st["dtype"], st["by_list"]

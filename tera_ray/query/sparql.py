@@ -1904,6 +1904,27 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     else:
         out, have = None, []
 
+    # Variables that can be NULL in the binding relation: introduced
+    # only under an OPTIONAL, null-padded by a UNION branch that does
+    # not bind them, or projected from a subquery that binds them
+    # non-certainly.  SPARQL compatibility treats an unbound var as
+    # joinable with ANY value (§18.2 "compatible mappings"), which a
+    # null-rejecting equality join cannot express — so every join
+    # below keys only on variables certainly bound on both sides and
+    # fails loud when a possibly-unbound variable is shared.
+    maybe: set[str] = {v for _, g_vars, rs in fused
+                       for v in g_vars if v != rs}
+
+    def _unbound_guard(unsafe: list[str], ctx: str) -> None:
+        if unsafe:
+            raise SparqlUnsupported(
+                f"{ctx} joins on possibly-unbound variable(s) "
+                f"{unsafe} (bound only under an OPTIONAL / a subset "
+                "of UNION branches) — SPARQL compatibility-join "
+                "semantics are not supported by the equality join; "
+                "restructure the query so shared variables are bound "
+                "by required patterns")
+
     # UNION blocks: each branch is its own sub-BGP; branches align to
     # the block's variable superset (missing vars null-padded) and
     # stream-union WITHOUT a shuffle; a block joins to the required
@@ -1931,15 +1952,27 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         ub = parts[0]
         for p in parts[1:]:
             ub = ub.union(p)
+        # a var absent from ANY branch is null-padded there — possibly
+        # unbound in the block's relation
+        all_br_vars = [
+            {v[1:] for p in br for v in p
+             if isinstance(v, str) and v.startswith("?")}
+            for br, _bf in block]
+        blk_maybe = {v for v in blk_vars
+                     if any(v not in bv for bv in all_br_vars)}
         if out is None:
             out, have = ub, list(blk_vars)
+            maybe |= blk_maybe
             continue
         shared = [v for v in blk_vars if v in have]
         if not shared:
             raise SparqlError("UNION block shares no variable with the "
                               "preceding patterns")
+        _unbound_guard([v for v in shared
+                        if v in maybe or v in blk_maybe], "UNION block")
         out, have = _join_on_vars(out, have, ub, blk_vars, shared,
                                   num_buckets, how="inner", types=types)
+        maybe |= blk_maybe
 
     # Subqueries: evaluated bottom-up to their own projected relation
     # (with their own aggregation / DISTINCT / LIMIT), then joined to
@@ -1950,16 +1983,26 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                                                   num_buckets,
                                                   narrow=False)
         types.update(sub_types)
+        # certainly-bound subquery vars: those from its own required
+        # patterns (conservative — projections of its OPTIONAL/UNION/
+        # BIND structure may be null and must not become join keys)
+        sq_certain = {v[1:] for p in subq.patterns for v in p
+                      if isinstance(v, str) and v.startswith("?")}
+        sq_maybe = {v for v in sub_vars if v not in sq_certain}
         if out is None:
             out, have = sub_out, list(sub_vars)
+            maybe |= sq_maybe
             continue
         shared = [v for v in sub_vars if v in have]
         if not shared:
             raise SparqlError("subquery shares no variable with the "
                               "surrounding patterns")
+        _unbound_guard([v for v in shared
+                        if v in maybe or v in sq_maybe], "subquery")
         out, have = _join_on_vars(out, have, sub_out, list(sub_vars),
                                   shared, num_buckets, how="inner",
                                   types=types)
+        maybe |= sq_maybe
 
     # GRAPH blocks: the store's ``graph`` lineage column scopes the
     # sub-BGP (an engine extension: graph names are the emitters' plain
@@ -2035,6 +2078,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         if not shared:
             raise SparqlError("GRAPH block shares no variable with the "
                               "preceding patterns")
+        _unbound_guard([v for v in shared if v in maybe], "GRAPH block")
         out, have = _join_on_vars(out, have, sub, g_vars, shared,
                                   num_buckets, how="inner", types=types)
 
@@ -2065,26 +2109,10 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         if not shared:
             raise SparqlError("SERVICE block shares no variable with "
                               "the surrounding patterns")
+        _unbound_guard([v for v in shared if v in maybe],
+                       "SERVICE block")
         out, have = _join_on_vars(out, have, sub, s_vars, shared,
                                   num_buckets, how="inner", types=types)
-
-    # Variables introduced only under an OPTIONAL can be NULL in the
-    # binding relation.  SPARQL compatibility treats an unbound var as
-    # joinable with ANY value (§18.2 "compatible mappings"), which a
-    # null-rejecting equality join cannot express — so every OPTIONAL
-    # join below keys only on variables certainly bound on both sides
-    # and fails loud when a possibly-unbound variable is shared.
-    maybe: set[str] = {v for _, g_vars, rs in fused
-                       for v in g_vars if v != rs}
-
-    def _unbound_guard(unsafe: list[str], ctx: str) -> None:
-        if unsafe:
-            raise SparqlUnsupported(
-                f"{ctx} joins on possibly-unbound variable(s) "
-                f"{unsafe} (bound only under an OPTIONAL) — SPARQL "
-                "compatibility-join semantics are not supported by "
-                "the equality join; restructure the query so shared "
-                "variables are bound by required patterns")
 
     for group in post_optionals:
         shared = _shared_vars(have, group)

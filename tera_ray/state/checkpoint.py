@@ -267,38 +267,37 @@ def _base_stage(reg: dict) -> str:
 
 
 @contextlib.contextmanager
-def _registry_lock(root: str, timeout: float = 120.0,
-                   stale: float = 3600.0):
-    """Advisory lock serializing ``_SHARDS.json`` commits, so a nightly
-    append racing :func:`consolidate_shards` can never lose a
+def _registry_lock(root: str, timeout: float = 120.0):
+    """Advisory ``flock`` serializing ``_SHARDS.json`` commits, so a
+    nightly append racing :func:`consolidate_shards` can never lose a
     registered shard (the consolidate commit was check-then-write, not
-    compare-and-swap).  ``O_CREAT|O_EXCL`` lock file; a crashed
-    holder's file is reclaimed after ``stale`` seconds."""
+    compare-and-swap).  ``flock`` releases automatically when the
+    holder's fd closes — including on process death — so no staleness
+    heuristic (and no reclaim TOCTOU) exists; a leftover lock FILE
+    from a crash is inert.  Caveat: flock semantics on some network
+    filesystems are weaker — same assumption the ``os.replace``
+    registry commit already makes."""
+    import fcntl
+
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, SHARDS + ".lock")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
     t0 = time.monotonic()
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(path).st_mtime > stale:
-                    os.unlink(path)
-                    continue
-            except FileNotFoundError:
-                continue
-            if time.monotonic() - t0 > timeout:
-                raise TimeoutError(
-                    f"shard-registry lock held too long: {path}")
-            time.sleep(0.05)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() - t0 > timeout:
+                    raise TimeoutError(
+                        f"shard-registry lock held too long: {path}")
+                time.sleep(0.05)
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        with contextlib.suppress(OSError):
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _content_signature(path: str, tail: int = 65536) -> str:
@@ -502,11 +501,19 @@ def update_kg_incremental(root: str, data_dir: str, shard_paths,
     # double-ingest turns.  ``verify="hash"`` keys carry a footer
     # signature too, so a same-size IN-PLACE rewrite is a new shard —
     # but entries ingested BEFORE hash mode match on their size key
-    # (grandfathered: re-pushes of old shards stay idempotent).
-    in_ledger = bool(seen_keys) and set(keys) <= seen_keys
-    if verify == "hash" and not in_ledger and seen_keys:
-        pre_hash = {k for k in seen_keys if k.count(":") == 1}
-        in_ledger = {_ledger_sizekey(k) for k in keys} <= pre_hash
+    # (grandfathered: re-pushes of old shards stay idempotent).  The
+    # grandfathering is bidirectional: a size-mode lookup also matches
+    # hash-keyed entries by size prefix (size mode cannot distinguish
+    # revisions by design), so reverting to the default never
+    # re-ingests previously-seen shards.
+    if verify == "hash":
+        in_ledger = bool(seen_keys) and set(keys) <= seen_keys
+        if not in_ledger and seen_keys:
+            pre_hash = {k for k in seen_keys if k.count(":") == 1}
+            in_ledger = {_ledger_sizekey(k) for k in keys} <= pre_hash
+    else:
+        seen_size = {_ledger_sizekey(k) for k in seen_keys}
+        in_ledger = bool(seen_size) and set(keys) <= seen_size
     if fp in reg["shards"] or (base_m is not None
                                and base_m.get("input_fingerprint") == fp) \
             or in_ledger:

@@ -750,7 +750,11 @@ class TestLedgerAndLock:
                 assert r3["skipped"]
                 assert len(read_shard_registry(root)["shards"]) == 1
 
-    def test_registry_lock_exclusive_and_stale_reclaim(self, tmp_path):
+    def test_registry_lock_exclusive_and_crash_safe(self, tmp_path):
+        """flock-based: a concurrent holder blocks (TimeoutError), a
+        released lock re-acquires immediately, and a leftover lock
+        FILE from a crashed holder is inert (flock died with the fd —
+        no staleness heuristic, no reclaim TOCTOU)."""
         from tera_ray.state.checkpoint import SHARDS, _registry_lock
 
         root = str(tmp_path / "store")
@@ -761,13 +765,31 @@ class TestLedgerAndLock:
         # released: immediate re-acquire works
         with _registry_lock(root, timeout=0.2):
             pass
-        # stale holder (crashed process): reclaimed after `stale`
+        # leftover file without a live flock (crashed holder): inert
         lock = os.path.join(root, SHARDS + ".lock")
-        with open(lock, "w") as f:
-            f.write("dead")
+        assert os.path.exists(lock)
         os.utime(lock, (1, 1))
-        with _registry_lock(root, timeout=0.5, stale=10.0):
+        with _registry_lock(root, timeout=0.2):
             pass
+
+    def test_size_mode_skips_shards_ingested_under_hash_mode(
+            self, tmp_path):
+        """Grandfathering is bidirectional: after ingesting under
+        verify="hash", a re-push checked with the DEFAULT size mode
+        still matches the hash-keyed ledger entry by size prefix."""
+        from tera_ray.state.checkpoint import update_kg_incremental
+
+        va, vb = self._same_size_pair(tmp_path, "alpha", "omega")
+        data_dir = str(tmp_path / "lex2")
+        os.makedirs(data_dir)
+        root = str(tmp_path / "store_revert")
+        r1 = update_kg_incremental(root, data_dir, va, fuzzy=False,
+                                   num_partitions=2, verify="hash")
+        assert not r1["skipped"]
+        os.utime(va)   # mtime-only re-push, now checked in size mode
+        r2 = update_kg_incremental(root, data_dir, va, fuzzy=False,
+                                   num_partitions=2)
+        assert r2["skipped"]
 
     def test_append_commit_merges_concurrent_registration(
             self, tmp_path, monkeypatch):

@@ -1018,6 +1018,33 @@ class TestSparqlSelect:
                         FILTER NOT EXISTS { ?s ex:tag ?t } } }
             """)
 
+    def test_union_padded_var_never_a_join_key(self):
+        """A var null-padded by a UNION branch that does not bind it is
+        possibly unbound — an OPTIONAL (or later UNION) keying on it
+        must fail loud, not silently equality-join nulls (SPARQL
+        compatibility: unbound joins with anything)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "s1", NS + "s2", NS + "s1",
+                              NS + "s2", NS + "ax", NS + "by"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "a", NS + "b",
+                              NS + "c", NS + "c"]),
+            "obj": pa.array([NS + "o1", NS + "o2", NS + "ax",
+                             NS + "by", "T1", "T2"]),
+        }))
+        with pytest.raises(SparqlError, match="possibly-unbound"):
+            sparql_select(st, PFX + """
+                SELECT * WHERE { ?s ex:p ?o .
+                    { ?s ex:a ?x } UNION { ?s ex:b ?y }
+                    OPTIONAL { ?x ex:c ?t } }
+            """)
+        # keying on a var bound by EVERY branch stays supported
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?t WHERE { ?s ex:p ?o .
+                { ?s ex:a ?x } UNION { ?s ex:b ?x }
+                OPTIONAL { ?x ex:c ?t } }
+        """), ["s", "t"])
+        assert got == [(NS + "s1", "T1"), (NS + "s2", "T2")]
+
     def test_bind_inside_optional(self):
         """BIND inside OPTIONAL = group-scoped Extend: the alias
         computes over the optional relation and goes NULL when the

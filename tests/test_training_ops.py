@@ -248,6 +248,33 @@ class TestANN:
             expect = list(np.lexsort((np.arange(len(V)), -sims[qid]))[:5])
             assert got[qid] == expect, qid
 
+    def test_topk_tolerates_empty_blocks(self, ray_session, emb):
+        """A zero-row block (filtered corpus, tiny partitions) must
+        yield a typed empty partial, not a matmul shape crash."""
+        from tera_ray.ann.search import brute_topk, ivf_topk
+
+        V, t = emb
+        ds = ray.data.from_arrow(t).union(
+            ray.data.from_arrow(t.slice(0, 0))).repartition(6)
+        b = brute_topk(ds, qids=[3], Q=V[[3]], k=5).take_all()
+        assert [r["vec_id"] for r in
+                sorted(b, key=lambda r: r["rank"])][0] == 3
+        i = ivf_topk(ds, qids=[3], Q=V[[3]], k=5, n_centroids=8,
+                     nprobe=8).take_all()
+        assert {r["vec_id"] for r in b} == {r["vec_id"] for r in i}
+
+    def test_centroid_sample_exact_count(self, ray_session, emb):
+        """The sample must contain EXACTLY min(sample_size, n) vectors
+        — a thin hash draw escalates the threshold instead of silently
+        under-delivering."""
+        from tera_ray.ann.search import _centroid_sample
+
+        V, t = emb
+        ds = ray.data.from_arrow(t).repartition(4)
+        for k in (3, 50, 150, 199, 200, 500):
+            s = _centroid_sample(ds, "vec_id", "embedding", k)
+            assert s.shape == (min(k, 200), 32), k
+
     def test_centroid_sample_order_invariant(self, ray_session, emb):
         """Centroid training must see the SAME sample whatever the
         input row order/partitioning: the bottom-k-by-salted-hash
