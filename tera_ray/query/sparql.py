@@ -89,8 +89,14 @@ so a reference user can run their existing query strings unchanged:
   unions the per-tag solutions with ``?g`` bound
 - ``BIND(expr AS ?v)`` with vectorized string expressions — CONCAT,
   STR/IRI/URI (identity on the string store), UCASE, LCASE, STRLEN,
-  STRAFTER, STRBEFORE, REPLACE, SUBSTR — applied before FILTERs so the
-  BIND-then-FILTER shape works
+  STRAFTER, STRBEFORE, REPLACE, SUBSTR, COALESCE (null-skipping),
+  IF(cmp, then, else) — applied before FILTERs so the BIND-then-FILTER
+  shape works; the same expressions serve as non-aggregate SELECT
+  expressions (``(expr AS ?x)``) and ORDER BY conditions
+  (``ORDER BY DESC(STRLEN(?o))`` — hidden bind, dropped from output);
+  bare nested groups ``{ { … } }`` inline; a query-level trailing
+  ``VALUES`` applies after the modifiers; ``sameTerm`` = string
+  equality on this plain-string store
 - ``{ SELECT … }`` subqueries — evaluated bottom-up to their own
   projected relation (aggregation / DISTINCT / ORDER / LIMIT apply
   inside) and joined to the surrounding bindings on the shared
@@ -377,6 +383,7 @@ class _Parser:
         self.kw("REDUCED")
         select: list[str] = []
         aggs: list[_Agg] = []
+        sel_binds: list = []
         while True:
             kind, v = self.peek()
             if kind == "var":
@@ -386,14 +393,31 @@ class _Parser:
                 select = []
                 break
             elif v == "(":
-                aggs.append(self.agg_item())
-                select.append(aggs[-1].alias)
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else ("eof", ""))
+                if nxt[0] == "word" and nxt[1].upper() in _AGG_FNS:
+                    aggs.append(self.agg_item())
+                    select.append(aggs[-1].alias)
+                else:
+                    # non-aggregate select expression:
+                    # (expr AS ?alias) — desugared to a BIND
+                    self.next()
+                    fn, deps, vtype = self.value_expr()
+                    if not self.kw("AS"):
+                        raise SparqlError(
+                            "select expression needs AS ?alias")
+                    alias = self._var_name()
+                    self.expect(")")
+                    sel_binds.append((fn, alias, deps, vtype))
+                    select.append(alias)
             else:
                 break
         self.kw("WHERE")
         (patterns, optionals, nested_opts, filters, unions, values,
          graphs, services, binds, minuses, exists,
          subqueries) = self.group()
+        if sel_binds:
+            binds = binds + sel_binds
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         if self.kw("GROUP"):
@@ -416,8 +440,21 @@ class _Parser:
                 elif kind == "word" and v.upper() in ("ASC", "DESC"):
                     desc = self.next()[1].upper() == "DESC"
                     self.expect("(")
-                    order_by.append((self._var_name(), desc))
+                    if self.peek()[0] == "var":
+                        order_by.append((self._var_name(), desc))
+                    else:
+                        # ORDER BY [ASC|DESC](expr): desugar to a
+                        # hidden BIND sorted on, then dropped
+                        fn, deps, vtype = self.value_expr()
+                        alias = f"__ord{len(order_by)}"
+                        binds = binds + [(fn, alias, deps, vtype)]
+                        order_by.append((alias, desc))
                     self.expect(")")
+                elif kind == "word" and v.upper() in self._BIND_FNS:
+                    fn, deps, vtype = self.value_expr()
+                    alias = f"__ord{len(order_by)}"
+                    binds = binds + [(fn, alias, deps, vtype)]
+                    order_by.append((alias, False))
                 else:
                     break
             if not order_by:
@@ -432,6 +469,10 @@ class _Parser:
                 offset = int(self.next()[1])
             else:
                 break
+        # query-level trailing VALUES (grammar: ValuesClause after the
+        # solution modifiers) — same semantics as an in-group VALUES
+        if self.kw("VALUES"):
+            values = values + [self.values_clause()]
         return _Query(select=select, distinct=distinct, patterns=patterns,
                       optionals=optionals, nested_optionals=nested_opts, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
@@ -626,7 +667,18 @@ class _Parser:
                     subqueries.append(self.select_query())
                     self.expect("}")
                 else:
-                    unions.append(self.union_block())
+                    blk = self.union_block()
+                    if len(blk) == 1:
+                        # bare nested group: a GroupGraphPattern with
+                        # no UNION inlines into the enclosing group
+                        # (its FILTERs keep group scope — all branch
+                        # vars are its own, so outer application is
+                        # equivalent on the joined relation)
+                        br, brf = blk[0]
+                        patterns.extend(br)
+                        filters.extend(brf)
+                    else:
+                        unions.append(blk)
             elif self.kw("OPTIONAL"):
                 sub = self.group(in_optional=True)
                 inner_p = sub[0]
@@ -746,10 +798,6 @@ class _Parser:
             branches.append((sub[0], list(sub[3])))
             if not self.kw("UNION"):
                 break
-        if len(branches) == 1:
-            raise SparqlUnsupported(
-                "bare nested group (only UNION chains of groups are "
-                "supported)")
         return branches
 
     def values_clause(self) -> tuple[list[str], list[tuple]]:
@@ -913,7 +961,45 @@ class _Parser:
 
     # --- BIND value expressions → vectorized column closures ---
     _BIND_FNS = {"CONCAT", "STR", "IRI", "URI", "UCASE", "LCASE",
-                 "STRLEN", "STRAFTER", "STRBEFORE", "REPLACE", "SUBSTR"}
+                 "STRLEN", "STRAFTER", "STRBEFORE", "REPLACE", "SUBSTR",
+                 "COALESCE", "IF"}
+    _CMP_OPS = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                ">": pc.greater, "<=": pc.less_equal,
+                ">=": pc.greater_equal}
+
+    def _if_expr(self):
+        """``IF(a <op> b, then, else)`` — the condition is one
+        comparison (string compare lexical; numeric when both sides
+        are numeric-typed, e.g. STRLEN); an error/unbound condition
+        selects the else branch (null → False, SPARQL error-drop)."""
+        self.expect("(")
+        la, ld, lt = self.value_expr()
+        kind, op = self.next()
+        if op not in self._CMP_OPS:
+            raise SparqlUnsupported(
+                f"IF condition must be a comparison, got {op!r}")
+        ra, rd, rt = self.value_expr()
+        self.expect(",")
+        ta, td, tt = self.value_expr()
+        self.expect(",")
+        ea, ed, et = self.value_expr()
+        self.expect(")")
+        if tt != et:
+            raise SparqlUnsupported(
+                "IF branches must have the same type")
+        numeric = (pa.types.is_integer(lt) or pa.types.is_floating(lt)
+                   or pa.types.is_integer(rt) or pa.types.is_floating(rt))
+        cmp_fn = self._CMP_OPS[op]
+
+        def fn(t: pa.Table) -> pa.Array:
+            l, r = la(t), ra(t)
+            if numeric:
+                l = pc.cast(l, pa.float64())
+                r = pc.cast(r, pa.float64())
+            cond = pc.fill_null(cmp_fn(l, r), False)
+            return pc.if_else(cond, ta(t), ea(t))
+
+        return fn, ld + rd + td + ed, tt
 
     def value_expr(self):
         """One BIND value expression → (table→Array closure, dep vars).
@@ -925,6 +1011,9 @@ class _Parser:
         refs), SUBSTR (1-based, constant positions).  All compile to
         pyarrow.compute kernels — no Python per row."""
         kind, v = self.peek()
+        if kind == "word" and v.upper() == "IF":
+            self.next()
+            return self._if_expr()
         if kind == "word" and v.upper() in self._BIND_FNS:
             fname = self.next()[1].upper()
             self.expect("(")
@@ -948,7 +1037,12 @@ class _Parser:
                         raise SparqlUnsupported(
                             f"non-constant argument to {fname}")
             deps = [x for d in arg_deps for x in d]
-            vtype = pa.int64() if fname == "STRLEN" else pa.string()
+            if fname == "STRLEN":
+                vtype = pa.int64()
+            elif fname == "COALESCE":
+                vtype = args[0][1]      # first arg's type carries
+            else:
+                vtype = pa.string()
             return self._compile_fn(fname, [a for a, _ in args]), deps, vtype
         if kind == "var":
             name = self._var_name()
@@ -974,6 +1068,12 @@ class _Parser:
                 raise SparqlError("CONCAT needs at least one argument")
             return lambda t: pc.binary_join_element_wise(
                 *[a(t) for a in args], "")
+        if fname == "COALESCE":
+            if n < 1:
+                raise SparqlError("COALESCE needs at least one argument")
+            # SPARQL: first argument that evaluates without error /
+            # unbound — null-skipping, exactly Arrow's coalesce
+            return lambda t: pc.coalesce(*[a(t) for a in args])
         if fname in ("STR", "IRI", "URI"):
             need(1)
             return args[0]
@@ -1160,6 +1260,24 @@ class _Parser:
                     return cmps[op](kern(t[var]), pa.scalar(val, pa.string()))
 
                 return valfn
+            if low == "sameterm":
+                # plain-string store: term identity IS string equality
+                self.next(), self.expect("(")
+                a = self.term() if self.peek()[0] != "var" \
+                    else "?" + self._var_name()
+                self.expect(",")
+                b = self.term() if self.peek()[0] != "var" \
+                    else "?" + self._var_name()
+                self.expect(")")
+
+                def stfn(t: pa.Table, a=a, b=b) -> pa.Array:
+                    def side(x):
+                        return (t[x[1:]] if isinstance(x, str)
+                                and x.startswith("?")
+                                else pa.scalar(x, pa.string()))
+                    return pc.equal(side(a), side(b))
+
+                return stfn
             raise SparqlUnsupported(f"unsupported FILTER function {word!r}")
         if kind == "var":
             var = self._var_name()
@@ -1398,17 +1516,24 @@ def _run_query(triples, ast: _Query, num_buckets: int,
     elif ast.having:
         raise SparqlError("HAVING without GROUP BY / aggregates")
 
-    select = ast.select or [v for v in have if not v.startswith("__b")]
+    select = ast.select or [v for v in have
+                            if not v.startswith(("__b", "__ord"))]
     missing = [v for v in select if v not in have]
     if missing:
         raise SparqlError(f"SELECT variables not bound in WHERE: {missing}")
-    out = out.map_batches(_projector(select), batch_format="pyarrow")
+    # hidden ORDER-BY-expression columns ride through projection and
+    # DISTINCT, feed the sort, and are dropped with the sort helpers
+    hidden = [v for v, _ in ast.order_by
+              if v.startswith("__ord") and v in have and v not in select]
+    out = out.map_batches(_projector(select + hidden),
+                          batch_format="pyarrow")
     if ast.distinct:
         # hash mode: only 8-byte row hashes cross the DISTINCT exchange
         # (binding rows are wide string tuples; the payload stays put)
         out = dedup_triples(out, keys=tuple(select), mode="hash")
     if ast.order_by:
-        bad = [v for v, _ in ast.order_by if v not in select]
+        bad = [v for v, _ in ast.order_by
+               if v not in select and v not in hidden]
         if bad:
             raise SparqlError(f"ORDER BY variables not in SELECT: {bad}")
         # OPTIONAL vars can be unbound (null), and Ray's sort sampling
@@ -1439,7 +1564,8 @@ def _run_query(triples, ast: _Query, num_buckets: int,
         for v, d in ob:
             skeys += ["__nn_" + v, "__sv_" + v]
             sdesc += [d, d]
-        helper = [c for v, _ in ob for c in ("__nn_" + v, "__sv_" + v)]
+        helper = [c for v, _ in ob
+                  for c in ("__nn_" + v, "__sv_" + v)] + hidden
         out = (out.map_batches(_sortable, batch_format="pyarrow")
                .sort(skeys, descending=sdesc)
                .map_batches(lambda t, _h=helper: t.drop_columns(_h),

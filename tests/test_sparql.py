@@ -1018,6 +1018,54 @@ class TestSparqlSelect:
                         FILTER NOT EXISTS { ?s ex:tag ?t } } }
             """)
 
+    def test_select_expressions_and_value_fns(self):
+        """Round-5 conformance widening: (expr AS ?x) projections,
+        IF / COALESCE value functions, ORDER BY over an expression
+        (hidden bind, dropped from output), bare nested groups
+        (inlined, filters keep group scope), query-level trailing
+        VALUES, and sameTerm (string identity on this store)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label"]),
+            "obj": pa.array(["30", "7", "Alpha"]),
+        }))
+        assert rows(sparql_select(st, PFX + """
+            SELECT (UCASE(?l) AS ?u) WHERE { ?s ex:label ?l }
+        """), ["u"]) == [("ALPHA",)]
+        # IF: lexical compare — "30" < "5" lexically, "7" > "5"
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s ?c WHERE { ?s ex:p ?o
+                BIND(IF(?o > "5", "hi", "lo") AS ?c) }
+        """), ["s", "c"]) == [(NS + "a", "lo"), (NS + "b", "hi")]
+        # COALESCE over an OPTIONAL var
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s ?c WHERE { ?s ex:p ?o
+                OPTIONAL { ?s ex:label ?l }
+                BIND(COALESCE(?l, "none") AS ?c) }
+        """), ["s", "c"]) == [(NS + "a", "Alpha"), (NS + "b", "none")]
+        # ORDER BY DESC(STRLEN(?o)): "30" (len 2) before "7" (len 1);
+        # the hidden sort column must NOT appear in the output
+        ordered = rows_ordered(sparql_select(st, PFX + """
+            SELECT ?o WHERE { ?s ex:p ?o } ORDER BY DESC(STRLEN(?o))
+        """), ["o"])
+        assert ordered == [("30",), ("7",)]
+        got = sparql_select(st, PFX + """
+            SELECT * WHERE { ?s ex:p ?o } ORDER BY STRLEN(?o)
+        """).take_all()
+        assert set(got[0].keys()) == {"s", "o"}
+        # bare nested group inlines; its FILTER keeps group scope
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { { ?s ex:p ?o FILTER(?o > "5") } }
+        """), ["s"]) == [(NS + "b",)]
+        # trailing query-level VALUES
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:p ?o } VALUES ?s { ex:a }
+        """), ["s"]) == [(NS + "a",)]
+        # sameTerm == string equality on the plain-string store
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:p ?o FILTER(sameTerm(?o, "7")) }
+        """), ["s"]) == [(NS + "b",)]
+
     def test_union_padded_var_never_a_join_key(self):
         """A var null-padded by a UNION branch that does not bind it is
         possibly unbound — an OPTIONAL (or later UNION) keying on it
