@@ -2757,6 +2757,26 @@ def _q_kg_sparql_optional_filter(sf_dir: str):
     return sparql_select(_ecotox_star_store(sf_dir), q)
 
 
+def _q_kg_sparql_select_expr(sf_dir: str):
+    """Non-aggregate SELECT expression + COALESCE (round-5 conformance
+    widening): each taxon's scientific name uppercased, with the
+    uniqueName filled from a COALESCE over the OPTIONAL uniqueName
+    edge — exercises (expr AS ?x) desugaring, BIND-over-OPTIONAL null
+    semantics, and the group-scoped value functions end-to-end."""
+    from tera_ray.query.sparql import sparql_select
+    from tera_ray.schema import NCBI_NS
+
+    q = f"""
+        PREFIX ncbi: <{NCBI_NS}>
+        SELECT DISTINCT ?t (UCASE(?n) AS ?un) ?u WHERE {{
+            ?t ncbi:scientific_name ?n .
+            OPTIONAL {{ ?t ncbi:uniqueName ?raw }}
+            BIND(COALESCE(?raw, "-") AS ?u)
+        }}
+        """
+    return sparql_select(_q_kg_ncbi_names(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -4525,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
         "src_csv_roundtrip": _q_src_csv_roundtrip,
         "kg_sparql_service": _q_kg_sparql_service,
+        "kg_sparql_select_expr": _q_kg_sparql_select_expr,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6811,6 +6832,16 @@ FROM t LEFT JOIN sd ON sd.test_id = t.test_id
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_sparql_service": _kg_sparql_service_sql(fx),
+        "kg_sparql_select_expr": f"""
+WITH n AS ({_ncbi_names_sql(fx)}),
+sci AS (SELECT DISTINCT subj AS t, obj AS nm FROM n
+        WHERE pred = '{_ncbi_ns()}scientific_name'),
+un AS (SELECT DISTINCT subj AS t, obj AS u FROM n
+       WHERE pred = '{_ncbi_ns()}uniqueName')
+SELECT DISTINCT sci.t AS t, upper(sci.nm) AS un,
+       coalesce(un.u, '-') AS u
+FROM sci LEFT JOIN un ON un.t = sci.t
+""",
         "kg_divisions": _divisions_sql(fx),
         "kg_subgraph": _subgraph_sql(fx),
         "kg_ranks":
