@@ -27,6 +27,14 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _empty_result(id_col: str) -> pa.Table:
+    """The scorers' typed empty partial — ONE definition so the empty
+    and non-empty block schemas can never diverge."""
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     id_col: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
 def _brute_score(batch: pa.Table, *, queries_ref, k: int, id_col: str,
                  vec_col: str) -> pa.Table:
     """Per-block exact top-k against the broadcast, pre-normalized
@@ -35,9 +43,7 @@ def _brute_score(batch: pa.Table, *, queries_ref, k: int, id_col: str,
     on a cluster) — cheap enough per TASK that no actor pool is needed
     for the default path."""
     if batch.num_rows == 0:   # empty block: typed empty result
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         id_col: pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return _empty_result(id_col)
     q = (ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef)
          else queries_ref)
     qids, Q = q["qids"], q["Q"]              # (|Q|, dim), normalized
@@ -161,6 +167,7 @@ def _centroid_sample(ds, id_col: str, vec_col: str, sample_size: int,
     del rows[sample_size:]
     return np.asarray([r[vec_col] for r in rows], np.float32)
 
+
 def train_centroids(sample: np.ndarray, n_centroids: int, rounds: int = 5,
                     seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (normalized,
@@ -208,9 +215,7 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
     def ivf_score(batch: pa.Table, ref=ref, id_col=id_col,
                   vec_col=vec_col) -> pa.Table:
         if batch.num_rows == 0:   # empty block: typed empty result
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _empty_result(id_col)
         st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         C, qids, Q, k = st["C"], st["qids"], st["Q"], st["k"]
         dt, by_list = st["dtype"], st["by_list"]
@@ -233,9 +238,7 @@ def ivf_topk(ds, qids, Q, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
             out_i.append(sub_ids[cols])
             out_s.append(sims[rows, cols])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _empty_result(id_col)
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q), pa.int64()),
             id_col: pa.array(np.concatenate(out_i), pa.int64()),

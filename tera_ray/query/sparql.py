@@ -274,6 +274,10 @@ class _Query:
     offset: int = 0
     unions: list = field(default_factory=list)   # blocks: [branch BGPs]
     values: list = field(default_factory=list)   # (vars, rows) clauses
+    # query-level trailing VALUES (grammar ValuesClause): joins the
+    # FULL where result, i.e. applied AFTER BINDs (may constrain a
+    # bind alias) — unlike in-group values, which precede them
+    post_values: list = field(default_factory=list)
     graphs: list = field(default_factory=list)   # (graph name, patterns)
     services: list = field(default_factory=list)  # (iri, silent, patterns)
     binds: list = field(default_factory=list)    # (col fn, alias, deps)
@@ -470,10 +474,13 @@ class _Parser:
             else:
                 break
         # query-level trailing VALUES (grammar: ValuesClause after the
-        # solution modifiers) — same semantics as an in-group VALUES
+        # solution modifiers): joins the full where result, so it is
+        # applied AFTER BINDs (it may constrain a bind alias)
+        post_values: list = []
         if self.kw("VALUES"):
-            values = values + [self.values_clause()]
+            post_values.append(self.values_clause())
         return _Query(select=select, distinct=distinct, patterns=patterns,
+                      post_values=post_values,
                       optionals=optionals, nested_optionals=nested_opts, filters=filters, limit=limit,
                       unions=unions, values=values, graphs=graphs,
                       services=services, binds=binds, minuses=minuses,
@@ -670,11 +677,20 @@ class _Parser:
                     blk = self.union_block()
                     if len(blk) == 1:
                         # bare nested group: a GroupGraphPattern with
-                        # no UNION inlines into the enclosing group
-                        # (its FILTERs keep group scope — all branch
-                        # vars are its own, so outer application is
-                        # equivalent on the joined relation)
+                        # no UNION inlines into the enclosing group.
+                        # Its FILTERs keep group scope: they may
+                        # reference only the group's OWN vars (probed
+                        # here — an outer-var reference would see the
+                        # outer binding after inlining, which SPARQL
+                        # scoping forbids), making outer application
+                        # equivalent on the joined relation.
                         br, brf = blk[0]
+                        br_vars = sorted({
+                            v[1:] for p in br for v in p
+                            if isinstance(v, str) and v.startswith("?")})
+                        for fn in brf:
+                            _probe_group_filter(fn, br_vars, {},
+                                                "a nested group")
                         patterns.extend(br)
                         filters.extend(brf)
                     else:
@@ -994,8 +1010,11 @@ class _Parser:
         def fn(t: pa.Table) -> pa.Array:
             l, r = la(t), ra(t)
             if numeric:
-                l = pc.cast(l, pa.float64())
-                r = pc.cast(r, pa.float64())
+                # lenient: a non-numeric STRING value becomes null →
+                # the comparison is null → else branch (error-drop),
+                # never an ArrowInvalid crash inside a Ray task
+                l = _lenient_float(l)
+                r = _lenient_float(r)
             cond = pc.fill_null(cmp_fn(l, r), False)
             return pc.if_else(cond, ta(t), ea(t))
 
@@ -1040,7 +1059,10 @@ class _Parser:
             if fname == "STRLEN":
                 vtype = pa.int64()
             elif fname == "COALESCE":
-                vtype = args[0][1]      # first arg's type carries
+                if len({str(vt) for _, vt in args}) > 1:
+                    raise SparqlUnsupported(
+                        "COALESCE arguments must share one type")
+                vtype = args[0][1]      # the common type carries
             else:
                 vtype = pa.string()
             return self._compile_fn(fname, [a for a, _ in args]), deps, vtype
@@ -1228,9 +1250,7 @@ class _Parser:
                 var = self._strip_str_of_var()
                 self.expect(")")
                 op = self.next()[1]
-                cmps = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-                        ">": pc.greater, "<=": pc.less_equal,
-                        ">=": pc.greater_equal}
+                cmps = self._CMP_OPS
                 if op not in cmps:
                     raise SparqlUnsupported(
                         f"{word} must be followed by a comparison")
@@ -1261,21 +1281,26 @@ class _Parser:
 
                 return valfn
             if low == "sameterm":
-                # plain-string store: term identity IS string equality
+                # plain-string store: term identity IS string equality.
+                # var-ness is captured at PARSE time so a literal that
+                # happens to start with '?' is never misread as a var
                 self.next(), self.expect("(")
-                a = self.term() if self.peek()[0] != "var" \
-                    else "?" + self._var_name()
+
+                def arg():
+                    if self.peek()[0] == "var":
+                        return True, self._var_name()
+                    return False, self.term()
+
+                a = arg()
                 self.expect(",")
-                b = self.term() if self.peek()[0] != "var" \
-                    else "?" + self._var_name()
+                b = arg()
                 self.expect(")")
 
                 def stfn(t: pa.Table, a=a, b=b) -> pa.Array:
-                    def side(x):
-                        return (t[x[1:]] if isinstance(x, str)
-                                and x.startswith("?")
-                                else pa.scalar(x, pa.string()))
-                    return pc.equal(side(a), side(b))
+                    def side(is_var, x):
+                        return t[x] if is_var else pa.scalar(
+                            x, pa.string())
+                    return pc.equal(side(*a), side(*b))
 
                 return stfn
             raise SparqlUnsupported(f"unsupported FILTER function {word!r}")
@@ -1330,9 +1355,7 @@ class _Parser:
 
                 return inset
             op = self.next()[1]
-            ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-                   ">": pc.greater, "<=": pc.less_equal,
-                   ">=": pc.greater_equal}
+            ops = self._CMP_OPS
             if op not in ops:
                 raise SparqlUnsupported(f"unsupported FILTER operator {op!r}")
             val = self.term()
@@ -1523,8 +1546,25 @@ def _run_query(triples, ast: _Query, num_buckets: int,
         raise SparqlError(f"SELECT variables not bound in WHERE: {missing}")
     # hidden ORDER-BY-expression columns ride through projection and
     # DISTINCT, feed the sort, and are dropped with the sort helpers
+    lost = [v for v, _ in ast.order_by
+            if v.startswith("__ord") and v not in have]
+    if lost:
+        raise SparqlUnsupported(
+            "ORDER BY expression with GROUP BY / aggregates is not "
+            "supported (the expression is computed before grouping)")
     hidden = [v for v, _ in ast.order_by
               if v.startswith("__ord") and v in have and v not in select]
+    if ast.distinct and hidden:
+        # after DISTINCT keeps one arbitrary row per projected tuple,
+        # the hidden sort key is deterministic only if its expression
+        # depends solely on projected vars
+        bind_deps = {a: d for _, a, d, _vt in ast.binds}
+        bad = [h for h in hidden
+               if not set(bind_deps.get(h, ())) <= set(select)]
+        if bad:
+            raise SparqlUnsupported(
+                "ORDER BY expression over non-projected variables "
+                "with DISTINCT (order would be nondeterministic)")
     out = out.map_batches(_projector(select + hidden),
                           batch_format="pyarrow")
     if ast.distinct:
@@ -2357,7 +2397,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
     # just its defined columns — SPARQL's per-column wildcard UNDEF
     # with join multiplicities preserved (a solution compatible with k
     # inline rows appears k times, per the algebra's Join).
-    for v_vars, v_rows in ast.values:
+    def _apply_values(out, v_vars, v_rows):
         unbound = [v for v in v_vars if v not in have]
         if unbound:
             raise SparqlUnsupported(
@@ -2373,8 +2413,7 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
                 return t.filter(pc.fill_null(
                     pc.is_in(t[name], value_set=vals), False))
 
-            out = out.map_batches(_vmask, batch_format="pyarrow")
-            continue
+            return out.map_batches(_vmask, batch_format="pyarrow")
         import ray.data
 
         groups: dict[tuple, list] = {}
@@ -2407,6 +2446,10 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
+        return out
+
+    for v_vars, v_rows in ast.values:
+        out = _apply_values(out, v_vars, v_rows)
 
     # BIND: derived columns, applied before FILTERs so filters can
     # reference them (the common BIND-then-FILTER shape)
@@ -2428,6 +2471,11 @@ def _eval_where(triples, ast: _Query, num_buckets: int,
 
     for fn in ast.filters:
         out = out.map_batches(_masker(fn), batch_format="pyarrow")
+
+    # query-level trailing VALUES: joins the FULL where result (after
+    # BINDs — it may constrain a bind alias, grammar ValuesClause)
+    for v_vars, v_rows in ast.post_values:
+        out = _apply_values(out, v_vars, v_rows)
     return out, have, types
 
 
@@ -2681,6 +2729,24 @@ def _group_concat_agg(out, keys: list[str], ast: _Query):
 
 def _drop_key(t: pa.Table) -> pa.Table:
     return t.drop_columns(["__k"])
+
+
+_NUM_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
+
+
+def _lenient_float(col) -> "pa.Array":
+    """Cast to float64 with SPARQL error-drop semantics: a non-numeric
+    STRING value becomes null (→ null comparison → row drops / else
+    branch) instead of raising ArrowInvalid inside a Ray task; numeric
+    columns cast directly."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        return pc.cast(col, pa.float64())
+    ok = pc.fill_null(pc.match_substring_regex(col, _NUM_RE), False)
+    safe = pc.if_else(ok, col, pa.scalar("0", pa.string()))
+    vals = pc.cast(safe, pa.float64())
+    return pc.if_else(ok, vals, pa.scalar(None, pa.float64()))
 
 
 def _probe_group_filter(fn, group_vars, types: dict, ctx: str) -> None:

@@ -1066,6 +1066,57 @@ class TestSparqlSelect:
             SELECT ?s WHERE { ?s ex:p ?o FILTER(sameTerm(?o, "7")) }
         """), ["s"]) == [(NS + "b",)]
 
+    def test_conformance_widening_edge_cases(self):
+        """Second-review regressions on the round-5 widening: bare-
+        group filter scoping, IF error-drop on non-numeric strings,
+        trailing VALUES over a BIND alias, DISTINCT + ORDER-BY-expr
+        determinism guard, ORDER-BY-expr + GROUP BY fail-loud."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label"]),
+            "obj": pa.array(["30", "7", "Alpha"]),
+        }))
+        # bare nested group: a FILTER referencing an OUTER var would
+        # see the outer binding after inlining (SPARQL scoping forbids
+        # it) — fail loud, never silently mis-scope
+        with pytest.raises(SparqlError, match="outside the group"):
+            sparql_select(st, PFX + """
+                SELECT ?s WHERE { ?s ex:label ?v .
+                    { ?s ex:p ?o FILTER(?v = "Alpha") } }
+            """)
+        # IF with a numeric side and a NON-numeric string value: the
+        # comparison nulls (error-drop) and the else branch is taken,
+        # never an ArrowInvalid crash
+        got = rows(sparql_select(st, PFX + """
+            SELECT ?s ?c WHERE { ?s ex:label ?o
+                BIND(IF(STRLEN(?o) > ?o, "gt", "le") AS ?c) }
+        """), ["s", "c"])
+        assert got == [(NS + "a", "le")]
+        # trailing VALUES constrains a BIND alias (applied after BINDs)
+        got2 = rows(sparql_select(st, PFX + """
+            SELECT ?u WHERE { ?s ex:p ?o BIND(UCASE(?o) AS ?u) }
+            VALUES ?u { "30" }
+        """), ["u"])
+        assert got2 == [("30",)]
+        # DISTINCT + ORDER BY expr over a PROJECTED var: deterministic
+        got3 = rows_ordered(sparql_select(st, PFX + """
+            SELECT DISTINCT ?o WHERE { ?s ex:p ?o }
+            ORDER BY DESC(STRLEN(?o))
+        """), ["o"])
+        assert got3 == [("30",), ("7",)]
+        # …over a NON-projected var: order would be arbitrary → loud
+        with pytest.raises(SparqlError, match="nondeterministic"):
+            sparql_select(st, PFX + """
+                SELECT DISTINCT ?s WHERE { ?s ex:p ?o }
+                ORDER BY STRLEN(?o)
+            """)
+        # ORDER BY expr + GROUP BY: computed pre-aggregation → loud
+        with pytest.raises(SparqlError, match="GROUP BY"):
+            sparql_select(st, PFX + """
+                SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:p ?o }
+                GROUP BY ?s ORDER BY DESC(STRLEN(?s))
+            """)
+
     def test_union_padded_var_never_a_join_key(self):
         """A var null-padded by a UNION branch that does not bind it is
         possibly unbound — an OPTIONAL (or later UNION) keying on it

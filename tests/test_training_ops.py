@@ -251,9 +251,22 @@ class TestANN:
     def test_topk_tolerates_empty_blocks(self, ray_session, emb):
         """A zero-row block (filtered corpus, tiny partitions) must
         yield a typed empty partial, not a matmul shape crash."""
-        from tera_ray.ann.search import brute_topk, ivf_topk
+        from tera_ray.ann.search import (
+            _brute_score,
+            _empty_result,
+            brute_topk,
+            ivf_topk,
+            make_query_ref,
+        )
 
         V, t = emb
+        # direct-call guard check: Ray may elide empty blocks in the
+        # Dataset path, so the unit-level call is the real regression
+        ref = make_query_ref([3], V[[3]])
+        got = _brute_score(t.slice(0, 0), queries_ref=ref, k=5,
+                           id_col="vec_id", vec_col="embedding")
+        assert got.schema.equals(_empty_result("vec_id").schema)
+        assert got.num_rows == 0
         ds = ray.data.from_arrow(t).union(
             ray.data.from_arrow(t.slice(0, 0))).repartition(6)
         b = brute_topk(ds, qids=[3], Q=V[[3]], k=5).take_all()
