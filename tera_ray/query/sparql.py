@@ -90,7 +90,10 @@ so a reference user can run their existing query strings unchanged:
 - ``BIND(expr AS ?v)`` with vectorized string expressions — CONCAT,
   STR/IRI/URI (identity on the string store), UCASE, LCASE, STRLEN,
   STRAFTER, STRBEFORE, REPLACE, SUBSTR, COALESCE (null-skipping),
-  IF(cmp, then, else) — applied before FILTERs so the BIND-then-FILTER
+  IF(cmp, then, else), and infix ARITHMETIC ``+ - * /`` with
+  precedence and parens (lenient float64 coercion: non-numeric
+  operand or division by zero → null, SPARQL expression-error
+  semantics) — applied before FILTERs so the BIND-then-FILTER
   shape works; the same expressions serve as non-aggregate SELECT
   expressions (``(expr AS ?x)``) and ORDER BY conditions
   (``ORDER BY DESC(STRLEN(?o))`` — hidden bind, dropped from output);
@@ -225,7 +228,7 @@ _TOKEN = re.compile(
                                               # sequence path
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_]\w*)
-      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?!])
+      | (?P<punct>&&|\|\||!=|<=|>=|[{}\[\];,.()=*+/^<>|?!-])
     """,
     re.X,
 )
@@ -454,7 +457,9 @@ class _Parser:
                         binds = binds + [(fn, alias, deps, vtype)]
                         order_by.append((alias, desc))
                     self.expect(")")
-                elif kind == "word" and v.upper() in self._BIND_FNS:
+                elif (kind == "word" and v.upper() in self._BIND_FNS) \
+                        or v == "(":
+                    # bare expression / bracketted expression
                     fn, deps, vtype = self.value_expr()
                     alias = f"__ord{len(order_by)}"
                     binds = binds + [(fn, alias, deps, vtype)]
@@ -1021,15 +1026,79 @@ class _Parser:
         return fn, ld + rd + td + ed, tt
 
     def value_expr(self):
-        """One BIND value expression → (table→Array closure, dep vars).
+        """One BIND value expression → (table→Array closure, dep vars,
+        result type).
 
-        String kernels only (the store is string-typed): CONCAT, STR /
+        String kernels (the store is string-typed): CONCAT, STR /
         IRI / URI (identity on this store), UCASE, LCASE, STRLEN
         (int64), STRAFTER, STRBEFORE (empty string when the needle is
         absent, per SPARQL), REPLACE (RE2 regex; use ``\\1`` capture
-        refs), SUBSTR (1-based, constant positions).  All compile to
+        refs), SUBSTR (1-based, constant positions), COALESCE,
+        IF(cmp, then, else) — plus infix ARITHMETIC ``+ - * /`` with
+        the usual precedence and parenthesized subexpressions
+        (operands coerce leniently to float64: a non-numeric string
+        value → null → the row error-drops downstream; division by
+        zero → null per SPARQL's error semantics).  All compile to
         pyarrow.compute kernels — no Python per row."""
+        fn, deps, vt = self._value_mult()
+        while True:
+            kind, v = self.peek()
+            if v in ("+", "-"):
+                self.next()
+                rfn, rdeps, _rt = self._value_mult()
+                fn = self._arith(fn, rfn, v)
+            elif kind == "num" and v.startswith("-"):
+                # '?a -1' lexes the minus into the number: treat a
+                # negative numeric literal after an operand as
+                # subtraction of its magnitude
+                self.next()
+                mag = v[1:]
+
+                def rfn(t: pa.Table, mag=mag) -> pa.Array:
+                    return pa.repeat(pa.scalar(mag, pa.string()),
+                                     t.num_rows)
+
+                fn = self._arith(fn, rfn, "-")
+                rdeps = []
+            else:
+                return fn, deps, vt
+            deps = deps + rdeps
+            vt = pa.float64()
+
+    def _value_mult(self):
+        fn, deps, vt = self._value_primary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            rfn, rdeps, _rt = self._value_primary()
+            fn = self._arith(fn, rfn, op)
+            deps = deps + rdeps
+            vt = pa.float64()
+        return fn, deps, vt
+
+    @staticmethod
+    def _arith(lf, rf, op: str):
+        kern = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+                "/": pc.divide}[op]
+
+        def fn(t: pa.Table, lf=lf, rf=rf, kern=kern, op=op) -> pa.Array:
+            l = _lenient_float(lf(t))
+            r = _lenient_float(rf(t))
+            if op == "/":
+                # SPARQL: division by zero is an expression ERROR →
+                # null (error-drop), not a kernel exception
+                r = pc.if_else(pc.equal(r, 0.0),
+                               pa.scalar(None, pa.float64()), r)
+            return kern(l, r)
+
+        return fn
+
+    def _value_primary(self):
         kind, v = self.peek()
+        if v == "(":
+            self.next()
+            fn, deps, vt = self.value_expr()
+            self.expect(")")
+            return fn, deps, vt
         if kind == "word" and v.upper() == "IF":
             self.next()
             return self._if_expr()

@@ -1066,6 +1066,50 @@ class TestSparqlSelect:
             SELECT ?s WHERE { ?s ex:p ?o FILTER(sameTerm(?o, "7")) }
         """), ["s"]) == [(NS + "b",)]
 
+    def test_arithmetic_expressions(self):
+        """Infix + - * / in BIND / select expressions / ORDER BY with
+        the usual precedence and parens; operands coerce leniently to
+        float64 (non-numeric string → null; division by zero → null —
+        SPARQL expression-error semantics, never a kernel crash)."""
+        st = ray.data.from_arrow(pa.table({
+            "subj": pa.array([NS + "a", NS + "b", NS + "a"]),
+            "pred": pa.array([NS + "p", NS + "p", NS + "label"]),
+            "obj": pa.array(["30", "7", "Alpha"]),
+        }))
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s ?n WHERE { ?s ex:p ?o BIND(?o + 2 * 5 AS ?n) }
+        """), ["s", "n"]) == [(NS + "a", 40.0), (NS + "b", 17.0)]
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:p ?o BIND((?o + 2) * 5 AS ?n) }
+        """), ["n"]) == [(160.0,), (45.0,)]   # rows() sorts stringly
+        # error semantics: / 0 and a non-numeric operand both null
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:p ?o BIND(?o / 0 AS ?n) }
+        """), ["n"]) == [(None,), (None,)]
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:label ?l BIND(?l * 2 AS ?n) }
+        """), ["n"]) == [(None,)]
+        # subtraction with and without a space before the minus
+        for q in ("BIND(?o - 1 AS ?n)", "BIND(?o -1 AS ?n)"):
+            assert rows(sparql_select(st, PFX + f"""
+                SELECT ?n WHERE {{ ?s ex:p ?o {q} }}
+            """), ["n"]) == [(29.0,), (6.0,)]   # string-key sort
+        # numeric FILTER over the float alias
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?s WHERE { ?s ex:p ?o BIND(?o * 2 AS ?n)
+                              FILTER(?n > 20) }
+        """), ["s"]) == [(NS + "a",)]
+        # ORDER BY a bracketted arithmetic expression: NUMERIC order
+        # ("7" before "30"), not lexical
+        assert rows_ordered(sparql_select(st, PFX + """
+            SELECT ?o WHERE { ?s ex:p ?o } ORDER BY (?o * 1)
+        """), ["o"]) == [("7",), ("30",)]
+        # arithmetic over a typed function result
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:label ?l
+                BIND(STRLEN(?l) + 10 AS ?n) }
+        """), ["n"]) == [(15.0,)]
+
     def test_conformance_widening_edge_cases(self):
         """Second-review regressions on the round-5 widening: bare-
         group filter scoping, IF error-drop on non-numeric strings,
