@@ -2777,6 +2777,25 @@ def _q_kg_sparql_select_expr(sf_dir: str):
     return sparql_select(_q_kg_ncbi_names(sf_dir), q)
 
 
+def _q_kg_sparql_arith(sf_dir: str):
+    """Arithmetic + nested IF in BIND (round-5 widening): every test's
+    study duration normalized to HOURS (d×24, w×168) from the
+    measurement BNode's value/unit pair — float64 math on the string
+    store with lenient coercion; oracle = CAST × CASE in DuckDB."""
+    from tera_ray.query.sparql import sparql_select
+
+    q = """
+        SELECT DISTINCT ?t ?h WHERE {
+            ?t ns:studyDuration ?b .
+            ?b rdf:value ?v ;
+               unit:units ?u .
+            BIND(IF(?u = unit:Day, ?v * 24,
+                    IF(?u = unit:Week, ?v * 168, ?v * 1)) AS ?h)
+        }
+        """
+    return sparql_select(_ecotox_star_store(sf_dir), q)
+
+
 def _q_kg_unionfind(sf_dir: str):
     import ray.data
 
@@ -4546,6 +4565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "src_csv_roundtrip": _q_src_csv_roundtrip,
         "kg_sparql_service": _q_kg_sparql_service,
         "kg_sparql_select_expr": _q_kg_sparql_select_expr,
+        "kg_sparql_arith": _q_kg_sparql_arith,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -6832,6 +6852,18 @@ FROM t LEFT JOIN sd ON sd.test_id = t.test_id
         "kg_ncbi_hierarchy": _ncbi_hierarchy_sql(fx),
         "kg_ncbi_names": _ncbi_names_sql(fx),
         "kg_sparql_service": _kg_sparql_service_sql(fx),
+        "kg_sparql_arith": f"""
+SELECT DISTINCT '{NS}test/'||trim(test_id) AS t,
+       CAST(trim(study_duration_mean) AS DOUBLE) *
+       CASE trim(study_duration_unit) WHEN 'd' THEN 24
+            WHEN 'w' THEN 168 ELSE 1 END AS h
+FROM read_parquet('{fx}/tests.parquet')
+WHERE {_sent('test_id')} IS NOT NULL
+  AND {_sent('test_cas')} IS NOT NULL
+  AND {_sent('species_number')} IS NOT NULL
+  AND {_sent('study_duration_mean')} IS NOT NULL
+  AND {_sent('study_duration_unit')} IS NOT NULL
+""",
         "kg_sparql_select_expr": f"""
 WITH n AS ({_ncbi_names_sql(fx)}),
 sci AS (SELECT DISTINCT subj AS t, obj AS nm FROM n
