@@ -447,11 +447,17 @@ class _Parser:
                 elif kind == "word" and v.upper() in ("ASC", "DESC"):
                     desc = self.next()[1].upper() == "DESC"
                     self.expect("(")
-                    if self.peek()[0] == "var":
+                    nxt = (self.toks[self.i + 1]
+                           if self.i + 1 < len(self.toks)
+                           else ("eof", ""))
+                    if self.peek()[0] == "var" and nxt[1] == ")":
+                        # plain DESC(?v): sort the existing column
                         order_by.append((self._var_name(), desc))
                     else:
                         # ORDER BY [ASC|DESC](expr): desugar to a
-                        # hidden BIND sorted on, then dropped
+                        # hidden BIND sorted on, then dropped — a var
+                        # followed by anything but ')' starts an
+                        # expression (e.g. DESC(?o * 1))
                         fn, deps, vtype = self.value_expr()
                         alias = f"__ord{len(order_by)}"
                         binds = binds + [(fn, alias, deps, vtype)]
@@ -1050,7 +1056,9 @@ class _Parser:
             elif kind == "num" and v.startswith("-"):
                 # '?a -1' lexes the minus into the number: treat a
                 # negative numeric literal after an operand as
-                # subtraction of its magnitude
+                # subtraction of its magnitude — and keep parsing the
+                # MULTIPLICATIVE level on that magnitude so
+                # '?a -1 * 2' means ?a - (1 * 2), as the grammar says
                 self.next()
                 mag = v[1:]
 
@@ -1058,8 +1066,13 @@ class _Parser:
                     return pa.repeat(pa.scalar(mag, pa.string()),
                                      t.num_rows)
 
+                rdeps: list = []
+                while self.peek()[1] in ("*", "/"):
+                    op2 = self.next()[1]
+                    pfn, pdeps, _pt = self._value_primary()
+                    rfn = self._arith(rfn, pfn, op2)
+                    rdeps = rdeps + pdeps
                 fn = self._arith(fn, rfn, "-")
-                rdeps = []
             else:
                 return fn, deps, vt
             deps = deps + rdeps
@@ -1099,6 +1112,15 @@ class _Parser:
             fn, deps, vt = self.value_expr()
             self.expect(")")
             return fn, deps, vt
+        if v == "-":
+            # unary minus (SPARQL UnaryExpression): 0 - primary
+            self.next()
+            pfn, deps, _pt = self._value_primary()
+
+            def neg(t: pa.Table, pfn=pfn) -> pa.Array:
+                return pc.negate(_lenient_float(pfn(t)))
+
+            return neg, deps, pa.float64()
         if kind == "word" and v.upper() == "IF":
             self.next()
             return self._if_expr()
@@ -1157,8 +1179,9 @@ class _Parser:
         if fname == "CONCAT":
             if n < 1:
                 raise SparqlError("CONCAT needs at least one argument")
+            # numeric (arithmetic/STRLEN) args take their lexical form
             return lambda t: pc.binary_join_element_wise(
-                *[a(t) for a in args], "")
+                *[pc.cast(a(t), pa.string()) for a in args], "")
         if fname == "COALESCE":
             if n < 1:
                 raise SparqlError("COALESCE needs at least one argument")
@@ -1167,7 +1190,10 @@ class _Parser:
             return lambda t: pc.coalesce(*[a(t) for a in args])
         if fname in ("STR", "IRI", "URI"):
             need(1)
-            return args[0]
+            # identity on the string store; a NUMERIC-typed argument
+            # (arithmetic, STRLEN) casts to its lexical form so the
+            # declared string vtype is truthful downstream
+            return lambda t: pc.cast(args[0](t), pa.string())
         if fname == "UCASE":
             need(1)
             return lambda t: pc.utf8_upper(args[0](t))
@@ -1376,6 +1402,11 @@ class _Parser:
         if kind == "var":
             var = self._var_name()
             nk, nv = self.peek()
+            if nv in ("+", "-", "*", "/"):
+                raise SparqlUnsupported(
+                    "arithmetic inside a FILTER comparison — BIND the "
+                    "expression to a variable first "
+                    "(BIND(?x + … AS ?y) FILTER(?y …))")
             neg_in = False
             if nk == "word" and nv.upper() == "NOT":
                 self.next()
@@ -1428,6 +1459,11 @@ class _Parser:
             if op not in ops:
                 raise SparqlUnsupported(f"unsupported FILTER operator {op!r}")
             val = self.term()
+            if self.peek()[1] in ("+", "-", "*", "/"):
+                raise SparqlUnsupported(
+                    "arithmetic inside a FILTER comparison — BIND the "
+                    "expression to a variable first "
+                    "(BIND(?x + … AS ?y) FILTER(… ?y))")
 
             def cmp(t: pa.Table, var=var, val=val, op=op) -> pa.Array:
                 # type-aware: numeric columns (aggregate aliases,

@@ -1109,6 +1109,31 @@ class TestSparqlSelect:
             SELECT ?n WHERE { ?s ex:label ?l
                 BIND(STRLEN(?l) + 10 AS ?n) }
         """), ["n"]) == [(15.0,)]
+        # STR of a numeric expression takes its lexical form (a truthful
+        # string vtype — CONCAT/IF over it must not see a float column)
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:p ?o
+                BIND(CONCAT(STR(?o + 1), "x") AS ?n) }
+        """), ["n"]) == [("31x",), ("8x",)]
+        # DESC over an expression (var followed by an operator)
+        assert rows_ordered(sparql_select(st, PFX + """
+            SELECT ?o WHERE { ?s ex:p ?o } ORDER BY DESC(?o * 1)
+        """), ["o"]) == [("30",), ("7",)]
+        # absorbed negative literal keeps multiplicative precedence:
+        # ?o -1 * 2 == ?o - (1 * 2)
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:p ?o BIND(?o -1 * 2 AS ?n) }
+        """), ["n"]) == [(28.0,), (5.0,)]
+        assert rows(sparql_select(st, PFX + """
+            SELECT ?n WHERE { ?s ex:p ?o BIND(-?o AS ?n) }
+        """), ["n"]) == [(-30.0,), (-7.0,)]
+        # arithmetic directly inside FILTER comparisons: documented
+        # fail-loud exclusion (BIND it first)
+        for q in ("FILTER(?o + 1 > 2)", "FILTER(?o > 10 - 5)"):
+            with pytest.raises(SparqlError, match="BIND the expression"):
+                sparql_select(st, PFX + f"""
+                    SELECT ?s WHERE {{ ?s ex:p ?o {q} }}
+                """)
 
     def test_conformance_widening_edge_cases(self):
         """Second-review regressions on the round-5 widening: bare-
